@@ -1,0 +1,110 @@
+"""Algorithm interface — the rebuild of the reference's user surface.
+
+The reference's algorithm API is "subclass DataGraphVertex/DataFlowVertex
++ DefaultEdge" (``/root/reference/src/main/scala/com/signalcollect/
+DataGraphVertex.scala:35-103``, ``DataFlowVertex.scala:36-89``,
+``DefaultEdge.scala:33-78``). Here an algorithm is a small vectorized
+spec over numpy arrays; the engine turns it into per-superstep Ray Data
+pipelines. All hooks operate on whole partitions (columns), never rows.
+
+Semantics mapping:
+
+* ``init``            ≙ vertex constructor + ``afterInitialization``
+* ``src_values``      ≙ per-vertex part of the edge ``signal`` function
+* ``edge_values``     ≙ per-edge part (weight application,
+                        ``DefaultEdge.scala:70-72``)
+* ``combine``         ≙ the associative+commutative pre-aggregation that
+                        replaces BulkMessageBus batching
+                        (``messaging/BulkMessageBus.scala:30-51``) — it
+                        runs once per signal block (combiner) and once
+                        per partition (final), so it must be idempotent
+                        under re-application.
+* ``collect``         ≙ ``DataGraphVertex.collect`` / ``DataFlowVertex
+                        .collect`` + ``scoreSignal`` residual scoring
+                        (``examples/PageRank.scala:59-68``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+StateDict = Dict[str, np.ndarray]
+
+
+class Algorithm:
+    """Base vertex-centric algorithm (vectorized signal/collect spec)."""
+
+    name: str = "base"
+    #: Arrow type of the vertex state column.
+    state_pa_type: pa.DataType = pa.float64()
+    #: Signal value columns (besides dst_part:int32, dst:int64).
+    signal_fields: List[Tuple[str, pa.DataType]] = [("val", pa.float64())]
+    #: If True, every vertex signals every superstep (gating off) — used
+    #: by algorithms whose collect is not reconstructible from fresh
+    #: signals alone (e.g. Chinese Whispers weighted mode, which relies
+    #: on the reference's most-recent-signal retention,
+    #: DataGraphVertex.scala:66-77).
+    always_signal: bool = False
+
+    # -- lifecycle ---------------------------------------------------------
+    def init(
+        self,
+        vid: np.ndarray,
+        out_degree: np.ndarray,
+        sum_out_weight: np.ndarray,
+    ) -> StateDict:
+        """Initial {"state", "last", "active"} arrays for a partition."""
+        raise NotImplementedError
+
+    # -- signal phase ------------------------------------------------------
+    def src_values(self, sub: StateDict) -> StateDict:
+        """Per-source-vertex quantities the signal depends on.
+
+        ``sub`` holds state/last/out_degree/sum_out_weight for the active
+        sources of one partition. Returned arrays are expanded (repeated
+        per out-edge) before ``edge_values``.
+        """
+        raise NotImplementedError
+
+    def edge_values(self, expanded: StateDict, weight: np.ndarray) -> StateDict:
+        """Per-edge signal values from expanded src values + edge weight."""
+        raise NotImplementedError
+
+    def combine(
+        self, dst: np.ndarray, values: StateDict
+    ) -> Tuple[np.ndarray, StateDict]:
+        """Associative pre-aggregation of signal rows by destination."""
+        raise NotImplementedError
+
+    # -- collect phase -----------------------------------------------------
+    def collect(
+        self,
+        prev: StateDict,
+        dst: np.ndarray,
+        sig: StateDict,
+        signal_threshold: float,
+    ) -> StateDict:
+        """New {"state", "last", "active", "residual"} for a partition.
+
+        ``prev`` is the full previous state of the partition (sorted by
+        vid); ``(dst, sig)`` are the final-combined incoming signals
+        (dst sorted ascending, subset of prev["vid"]).
+        """
+        raise NotImplementedError
+
+    # -- helpers shared by implementations --------------------------------
+    @staticmethod
+    def _align(prev_vid: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """Positions of dst ids inside the partition's sorted vid array.
+
+        Ids not present are undeliverable signals (reference default
+        handler would raise, ``interfaces/Handlers.scala:26-64``; we drop
+        and count). Returns an int index array with -1 for missing.
+        """
+        idx = np.searchsorted(prev_vid, dst)
+        idx_clipped = np.minimum(idx, len(prev_vid) - 1)
+        ok = (idx < len(prev_vid)) & (prev_vid[idx_clipped] == dst)
+        return np.where(ok, idx_clipped, -1)

@@ -1,0 +1,19 @@
+from signal_collect_ray.algorithms.pagerank import PageRank
+from signal_collect_ray.algorithms.components import ConnectedComponents
+from signal_collect_ray.algorithms.sssp import SSSP
+from signal_collect_ray.algorithms.labelprop import ChineseWhispers
+from signal_collect_ray.algorithms.triangles import (
+    triangle_counts,
+    total_triangles,
+    clustering_coefficient,
+)
+
+__all__ = [
+    "PageRank",
+    "ConnectedComponents",
+    "SSSP",
+    "ChineseWhispers",
+    "triangle_counts",
+    "total_triangles",
+    "clustering_coefficient",
+]

@@ -1,0 +1,70 @@
+"""PageRank — delta formulation, matching the reference exactly.
+
+Reference semantics (``/root/reference/src/main/scala/com/signalcollect/
+examples/PageRank.scala:31-70``): unnormalized, damping 0.85, initial
+state ``1 - d = 0.15``, ``signal = state * weight / sumOfOutWeights``,
+``collect = 0.15 + 0.85 * Σ (most recent signal per in-edge)``,
+``scoreSignal = |state - lastSignalState|`` (residual). No dangling-mass
+redistribution, no normalization.
+
+The most-recent-signal retention of ``DataGraphVertex`` (DataGraphVertex
+.scala:66-77) is reproduced without per-edge state via the delta form
+(``examples/EfficientPageRank.scala:34-63``): an active source sends
+``(state - last) * weight / sum_out_weight`` and the target accumulates
+``state += 0.85 * Σ deltas`` — algebraically identical because the sum
+of retained signals changes by exactly the deltas of re-signaling
+sources. Deltas are additive ⇒ combiner-safe (pre-aggregated per signal
+block before the shuffle — the hub-skew answer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from signal_collect_ray.algorithm import Algorithm, StateDict
+from signal_collect_ray.util import segment_sum
+
+
+class PageRank(Algorithm):
+    name = "pagerank"
+    state_pa_type = pa.float64()
+    signal_fields = [("val", pa.float64())]
+
+    def __init__(self, damping: float = 0.85):
+        self.damping = damping
+        self.baseline = 1.0 - damping
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        return {
+            "state": np.full(n, self.baseline),
+            # lastSignalState is None at start (scoreSignal = 1): encode
+            # as 0.0 so the first delta is the full initial state.
+            "last": np.zeros(n),
+            "active": np.ones(n, dtype=bool),
+            "residual": np.full(n, self.baseline),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        delta = sub["state"] - sub["last"]
+        return {"rate": delta / sub["sum_out_weight"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        return {"val": expanded["rate"] * weight}
+
+    def combine(self, dst, values):
+        d, v = segment_sum(dst, values["val"])
+        return d, {"val": v}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        state = prev["state"].copy()
+        if len(dst):
+            idx = self._align(prev["vid"], dst)
+            state[idx] += self.damping * sig["val"]
+        # every vertex that was active signaled this round → its
+        # lastSignalState catches up to its (previous) state.
+        last = np.where(prev["active"], prev["state"], prev["last"])
+        residual = np.abs(state - last)
+        active = residual > signal_threshold
+        return {"state": state, "last": last, "active": active, "residual": residual}

@@ -1,0 +1,352 @@
+"""Triangle counting & clustering coefficient — join-based.
+
+The reference computes the clustering coefficient by signaling whole
+neighbor sets along every edge and intersecting in collect
+(``/root/reference/src/main/scala/com/signalcollect/examples/
+ClusteringCoefficient.scala:24-47``) — O(Σ deg²) traffic, not
+combiner-friendly. Per SURVEY §7.4.3 we replace it with the standard
+distributed canonical-edge join:
+
+1. symmetrize + dedup to unique undirected edges (one groupby shuffle),
+2. compute undirected degrees (pre-combined per batch, tiny groupby),
+3. orient every edge from the lower-(degree, id) endpoint to the higher
+   — the classic O(E^1.5) bound on shipped adjacency,
+4. co-partition by hash(src): build each source's oriented adjacency
+   list locally and attach it to its out-edges (zero-copy Arrow list
+   columns),
+5. co-partition by hash(dst): intersect N⁺(src) with N⁺(dst) per edge;
+   every common w closes a triangle (src, dst, w), counted once,
+6. per-vertex counts via a final pre-combined groupby(vid).sum.
+
+Per-vertex counts equal the reference's Σ|N(v)∩N(u)|/2; the clustering
+coefficient is 2·tri(v)/(deg·(deg−1)) (ClusteringCoefficient.scala:31-38).
+
+All joins are explicit tagged-union co-partition joins (no broadcast of
+the vertex set), so the pipeline holds at web scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from signal_collect_ray.util import part_of, segment_starts, segment_sum
+
+
+def _np(tbl: pa.Table, col: str) -> np.ndarray:
+    return tbl.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def _unique_undirected(edges_ds):
+    """(src,dst[,weight]) → unique (a,b) with a<b, self-loops dropped."""
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        s, d = _np(tbl, "src"), _np(tbl, "dst")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        # in-batch pre-dedup before the shuffle
+        key = np.stack([a, b], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"a": pa.array(uniq[:, 0], pa.int64()), "b": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    canoned = edges_ds.map_batches(canon, batch_format="pyarrow")
+
+    def dedup_group(tbl: pa.Table) -> pa.Table:
+        a, b = _np(tbl, "a"), _np(tbl, "b")
+        key = np.stack([a, b], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"a": pa.array(uniq[:, 0], pa.int64()), "b": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    # co-partition by hash(a) and dedup within partition — exact, since
+    # equal (a,b) pairs share the partition key a.
+    def add_part(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "gpart", pa.array(part_of(_np(tbl, "a"), 64), pa.int32())
+        )
+
+    return (
+        canoned.map_batches(add_part, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
+
+
+def _degrees(unique_edges_ds):
+    """Undirected degree per vertex: (vid:int64, deg:int64)."""
+    from ray.data.aggregate import Sum
+
+    def contribs(tbl: pa.Table) -> pa.Table:
+        a, b = _np(tbl, "a"), _np(tbl, "b")
+        vid, cnt = segment_sum(
+            np.concatenate([a, b]), np.ones(2 * len(a), dtype=np.int64)
+        )
+        return pa.table(
+            {"vid": pa.array(vid, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+        )
+
+    return (
+        unique_edges_ds.map_batches(contribs, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+
+def _attach(left_ds, left_key, right_ds, right_key, attach_cols, num_partitions=64):
+    """Co-partitioned hash join: gather ``attach_cols`` from right onto left.
+
+    Tagged-union pattern (ray_guide 'Joins and lookups'): both sides get
+    ``jpart = hash(key) % P``; one groupby(jpart) co-locates them; inside
+    the group a vectorized searchsorted gather attaches the columns.
+    Right keys must be unique. Left rows with no match are dropped.
+    """
+
+    def tag(kind, key_col):
+        def fn(tbl: pa.Table) -> pa.Table:
+            k = _np(tbl, key_col)
+            t = tbl
+            if key_col != "jkey":
+                t = t.append_column("jkey", pa.array(k, pa.int64()))
+            t = t.append_column(
+                "jpart", pa.array(part_of(k, num_partitions), pa.int32())
+            )
+            return t.append_column(
+                "jkind", pa.array(np.full(len(t), kind, dtype=np.int8), pa.int8())
+            )
+
+        return fn
+
+    left_t = left_ds.map_batches(tag(1, left_key), batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag(0, right_key), batch_format="pyarrow")
+
+    left_cols = [c for c in left_ds.schema().names]
+
+    def join_group(tbl: pa.Table) -> pa.Table:
+        kind = _np(tbl, "jkind")
+        lmask = kind == 1
+        left = tbl.filter(pa.array(lmask))
+        right = tbl.filter(pa.array(~lmask))
+        rk = _np(right, "jkey")
+        order = np.argsort(rk, kind="stable")
+        rk = rk[order]
+        lk = _np(left, "jkey")
+        pos = np.searchsorted(rk, lk)
+        pos_c = np.minimum(pos, max(len(rk) - 1, 0))
+        ok = (len(rk) > 0) & (pos < len(rk))
+        ok = ok & (rk[pos_c] == lk) if len(rk) else np.zeros(len(lk), dtype=bool)
+        take_left = pa.array(np.flatnonzero(ok), pa.int64())
+        out = left.select(left_cols).take(take_left)
+        ridx = pa.array(order[pos_c[ok]], pa.int64())
+        for col in attach_cols:
+            out = out.append_column(col, right.column(col).combine_chunks().take(ridx))
+        return out
+
+    return (
+        left_t.select_columns(left_cols + ["jkey", "jpart", "jkind"])
+        .union(right_t)
+        .groupby("jpart")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
+class _OrientAndShip:
+    """groupby(spart) stage: build each src's oriented adjacency locally,
+    emit (dpart, dst, src, nbrs_src) edge rows + (dpart, dst=-1, src,
+    nbrs) adjacency-owner rows for the intersect stage."""
+
+    __name__ = "_OrientAndShip"
+
+    def __init__(self, num_partitions: int):
+        self.P = num_partitions
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        s, d = _np(tbl, "src"), _np(tbl, "dst")
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts = segment_starts(s)
+        offsets = np.append(starts, len(s)).astype(np.int32)
+        src_ids = s[starts]
+        adj = pa.ListArray.from_arrays(pa.array(offsets), pa.array(d, pa.int64()))
+        # one row per edge: ship N+(src) to dst's partition
+        edge_rows = pa.table(
+            {
+                "ipart": pa.array(part_of(d, self.P), pa.int32()),
+                "key": pa.array(d, pa.int64()),
+                "other": pa.array(s, pa.int64()),
+                "nbrs": adj.take(
+                    pa.array(
+                        np.repeat(
+                            np.arange(len(src_ids)), np.diff(offsets.astype(np.int64))
+                        ),
+                        pa.int64(),
+                    )
+                ),
+            }
+        )
+        owner_rows = pa.table(
+            {
+                "ipart": pa.array(part_of(src_ids, self.P), pa.int32()),
+                "key": pa.array(src_ids, pa.int64()),
+                "other": pa.array(
+                    np.full(len(src_ids), -1, dtype=np.int64), pa.int64()
+                ),
+                "nbrs": adj,
+            }
+        )
+        return pa.concat_tables([edge_rows, owner_rows])
+
+
+class _Intersect:
+    """groupby(ipart) stage: per edge (src,dst) intersect N+(src), N+(dst);
+    emit pre-combined per-vertex triangle count contributions."""
+
+    __name__ = "_Intersect"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        kind_other = _np(tbl, "other")
+        owners = tbl.filter(pa.array(kind_other < 0))
+        edges = tbl.filter(pa.array(kind_other >= 0))
+        ok = _np(owners, "key")
+        oorder = np.argsort(ok, kind="stable")
+        ok = ok[oorder]
+        onbrs = owners.column("nbrs").combine_chunks().take(pa.array(oorder, pa.int64()))
+        off = onbrs.offsets.to_numpy(zero_copy_only=False)
+        vals = onbrs.values.to_numpy(zero_copy_only=False)
+
+        e_dst = _np(edges, "key")
+        e_src = _np(edges, "other")
+        e_nbrs = edges.column("nbrs").combine_chunks()
+        eoff = e_nbrs.offsets.to_numpy(zero_copy_only=False)
+        evals = e_nbrs.values.to_numpy(zero_copy_only=False)
+
+        pos = np.searchsorted(ok, e_dst)
+        pos_c = np.minimum(pos, max(len(ok) - 1, 0))
+        has_adj = (pos < len(ok)) & (ok[pos_c] == e_dst) if len(ok) else np.zeros(
+            len(e_dst), dtype=bool
+        )
+
+        out_vid: list = []
+        out_cnt: list = []
+        for i in np.flatnonzero(has_adj):
+            p = pos_c[i]
+            nv = vals[off[p] : off[p + 1]]
+            nu = evals[eoff[i] : eoff[i + 1]]
+            w = nu[np.isin(nu, nv, assume_unique=True)]
+            c = len(w)
+            if c:
+                out_vid.append(np.array([e_src[i], e_dst[i]], dtype=np.int64))
+                out_cnt.append(np.array([c, c], dtype=np.int64))
+                out_vid.append(w.astype(np.int64))
+                out_cnt.append(np.ones(c, dtype=np.int64))
+        if not out_vid:
+            return pa.table(
+                {"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())}
+            )
+        vid, cnt = segment_sum(np.concatenate(out_vid), np.concatenate(out_cnt))
+        return pa.table(
+            {"vid": pa.array(vid, pa.int64()), "triangles": pa.array(cnt, pa.int64())}
+        )
+
+
+def _oriented_edges(edges_ds, num_partitions=64):
+    uniq = _unique_undirected(edges_ds).select_columns(["a", "b"])
+    degs = _degrees(uniq)
+    with_da = _attach(uniq, "a", degs.rename_columns(["vid", "deg_a"]), "vid", ["deg_a"])
+    with_db = _attach(
+        with_da, "b", degs.rename_columns(["vid", "deg_b"]), "vid", ["deg_b"]
+    )
+
+    def orient(tbl: pa.Table) -> pa.Table:
+        a, b = _np(tbl, "a"), _np(tbl, "b")
+        da, db = _np(tbl, "deg_a"), _np(tbl, "deg_b")
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table(
+            {
+                "spart": pa.array(part_of(src, num_partitions), pa.int32()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return with_db.map_batches(orient, batch_format="pyarrow"), degs
+
+
+def triangle_counts(edges_ds, num_partitions: int = 64):
+    """Per-vertex triangle counts: Dataset (vid:int64, triangles:int64).
+
+    Vertices on no triangle are absent (count 0).
+    """
+    from ray.data.aggregate import Sum
+
+    oriented, _ = _oriented_edges(edges_ds, num_partitions)
+    shipped = oriented.groupby("spart").map_groups(
+        _OrientAndShip(num_partitions), batch_format="pyarrow"
+    )
+    partials = shipped.groupby("ipart").map_groups(_Intersect(), batch_format="pyarrow")
+    return partials.groupby("vid").aggregate(Sum("triangles", alias_name="triangles"))
+
+
+def total_triangles(edges_ds, num_partitions: int = 64) -> int:
+    """Total distinct triangles in the (undirected-ized) graph."""
+    from ray.data.aggregate import Sum
+
+    per_vertex = triangle_counts(edges_ds, num_partitions)
+    row = per_vertex.aggregate(Sum("triangles", alias_name="t3"))
+    total = row["t3"] if row and row["t3"] is not None else 0
+    return int(total) // 3
+
+
+def clustering_coefficient(edges_ds, num_partitions: int = 64):
+    """Per-vertex local clustering coefficient (reference formula
+    Σ|N(v)∩N(u)| / (deg·(deg−1)) = 2·tri / (deg·(deg−1))).
+
+    Returns Dataset (vid:int64, coefficient:float64) over ALL vertices
+    (0.0 when deg < 2 or no triangles).
+    """
+    uniq = _unique_undirected(edges_ds).select_columns(["a", "b"])
+    degs = _degrees(uniq)
+    tris = triangle_counts(edges_ds, num_partitions)
+    joined = _attach(
+        degs, "vid", tris.rename_columns(["tvid", "triangles"]), "tvid", ["triangles"]
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        deg = _np(tbl, "deg").astype(np.float64)
+        tri = _np(tbl, "triangles").astype(np.float64)
+        denom = deg * (deg - 1.0)
+        coeff = np.where(denom > 0, 2.0 * tri / np.maximum(denom, 1.0), 0.0)
+        return pa.table(
+            {
+                "vid": tbl.column("vid"),
+                "coefficient": pa.array(coeff, pa.float64()),
+            }
+        )
+
+    with_tri = joined.map_batches(finish, batch_format="pyarrow")
+
+    # vertices with no triangles were dropped by the inner join — union
+    # them back with coefficient 0.
+    tri_vids = with_tri.select_columns(["vid"])
+
+    def zero_rows(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": tbl.column("vid"),
+                "coefficient": pa.array(np.zeros(len(tbl)), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    all_zero = degs.map_batches(zero_rows, batch_format="pyarrow")
+    return (
+        with_tri.union(all_zero)
+        .groupby("vid")
+        .aggregate(Max("coefficient", alias_name="coefficient"))
+    )

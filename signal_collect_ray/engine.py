@@ -1,0 +1,591 @@
+"""BSP superstep engine — the rebuild of the reference's execution core.
+
+One superstep ≙ the reference's synchronous signalStep + awaitIdle +
+collectStep loop (``DefaultGraph.scala:311-343``,
+``WorkerImplementation.scala:285-297``), expressed as ONE Ray Data
+pipeline:
+
+    read_parquet(state checkpoint, one shard per partition)
+      → map_batches(SignalStage, zero-copy Arrow, actor pool)
+          # per-partition CSR from the object store; emits signal rows
+          # ALREADY combiner-pre-aggregated per (block, dst) — this is
+          # what makes web-graph hub skew survivable: a hub with 10^8
+          # in-edges receives at most num_blocks pre-combined rows, not
+          # 10^8 raw signals (reference has no combiner at all,
+          # WorkerImplementation.scala:225-272).
+      → groupby(dst_part)          # the ONLY all-to-all exchange
+      → map_groups(CollectStage)   # final combine + vectorized collect,
+          # writes the partition's checkpoint shard + returns a
+          # lineage/metrics row
+
+Convergence ≙ the reference's termination detection
+(``DefaultCoordinator.scala:255-304``): the superstep barrier makes it a
+cheap aggregate — converged when max residual ≤ eps or the active
+frontier is empty. Steps/time limits mirror
+``ExecutionConfiguration.scala:86-97``; the returned
+``ExecutionInformation`` mirrors ``ExecutionInformation.scala:42-79``.
+
+Checkpoints: every superstep writes ``run_dir/step=K/part-*.parquet``
+shards into a temp dir that is atomically renamed after a manifest with
+per-partition lineage + metrics is written — so any run resumes from the
+last complete superstep (richer than the reference's idle-only
+``snapshot``/``restore``, ``WorkerImplementation.scala:457-510``).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from signal_collect_ray.algorithm import Algorithm, StateDict
+from signal_collect_ray.config import EngineConfig
+from signal_collect_ray.util import expand_ranges, part_of
+
+_BASE_STATE_COLS = ["part", "vid", "out_degree", "sum_out_weight"]
+
+
+def _to_np_dict(tbl: pa.Table) -> StateDict:
+    return {
+        name: tbl.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+        for name in tbl.column_names
+    }
+
+
+def _state_table(
+    part: int, vid, out_degree, sum_out_weight, st: StateDict, state_pa_type
+) -> pa.Table:
+    n = len(vid)
+    return pa.table(
+        {
+            "part": pa.array(np.full(n, part, dtype=np.int32), pa.int32()),
+            "vid": pa.array(vid, pa.int64()),
+            "out_degree": pa.array(out_degree, pa.int64()),
+            "sum_out_weight": pa.array(sum_out_weight, pa.float64()),
+            "state": pa.array(st["state"], state_pa_type),
+            "last": pa.array(st["last"], state_pa_type),
+            "active": pa.array(st["active"].astype(bool), pa.bool_()),
+            "residual": pa.array(
+                st.get("residual", np.zeros(n)).astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def _signal_schema(algo: Algorithm) -> pa.Schema:
+    return pa.schema(
+        [("dst_part", pa.int32()), ("dst", pa.int64())]
+        + [(n, t) for n, t in algo.signal_fields]
+    )
+
+
+def _empty_signals(algo: Algorithm) -> pa.Table:
+    return _signal_schema(algo).empty_table()
+
+
+class _InitStage:
+    """map_groups fn over vertex shards: write superstep-0 state shard."""
+
+    __name__ = "_InitStage"
+
+    def __init__(self, algo: Algorithm, out_dir: str):
+        self.algo, self.out_dir = algo, out_dir
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        d = _to_np_dict(tbl)
+        p = int(d["part"][0])
+        st = self.algo.init(d["vid"], d["out_degree"], d["sum_out_weight"])
+        out = _state_table(
+            p, d["vid"], d["out_degree"], d["sum_out_weight"], st,
+            self.algo.state_pa_type,
+        )
+        pq.write_table(out, os.path.join(self.out_dir, f"part-{p:05d}.parquet"))
+        send_mask = (
+            np.ones(len(d["vid"]), dtype=bool)
+            if self.algo.always_signal
+            else st["active"].astype(bool)
+        )
+        return pa.table(
+            {
+                "part": pa.array([p], pa.int32()),
+                "n_vertices": pa.array([len(tbl)], pa.int64()),
+                "n_active": pa.array([int(st["active"].sum())], pa.int64()),
+                "residual_max": pa.array([1.0], pa.float64()),
+                "edges_traversed": pa.array(
+                    [int(d["out_degree"][send_mask].sum())], pa.int64()
+                ),
+                "signal_rows_in": pa.array([0], pa.int64()),
+                "undeliverable": pa.array([0], pa.int64()),
+            }
+        )
+
+
+class SignalStage:
+    """Signal phase: state blocks → pre-combined signal rows.
+
+    Runs as a map_batches actor pool; the per-partition CSR object-store
+    gets are cached per actor (zero-copy numpy views onto shared memory).
+    """
+
+    __name__ = "SignalStage"
+
+    def __init__(
+        self,
+        csr_refs: Dict[int, object],
+        algo: Algorithm,
+        num_partitions: int,
+        signal_threshold: float,
+    ):
+        self.csr_refs = csr_refs
+        self.algo = algo
+        self.P = num_partitions
+        self.threshold = signal_threshold
+        self._csr_cache: Dict[int, dict] = {}
+
+    def _csr(self, p: int):
+        csr = self._csr_cache.get(p)
+        if csr is None:
+            import ray
+
+            ref = self.csr_refs.get(p)
+            csr = ray.get(ref) if ref is not None else None
+            self._csr_cache[p] = csr
+        return csr
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        algo = self.algo
+        d = _to_np_dict(tbl)
+        mask = (
+            np.ones(len(tbl), dtype=bool)
+            if algo.always_signal
+            else d["active"].astype(bool)
+        )
+        mask &= d["out_degree"] > 0
+        if not mask.any():
+            return _empty_signals(algo)
+
+        pieces: List[pa.Table] = []
+        parts_here = np.unique(d["part"][mask])
+        for p in parts_here:
+            csr = self._csr(int(p))
+            if csr is None:
+                continue
+            sel = mask & (d["part"] == p)
+            sub = {k: v[sel] for k, v in d.items()}
+            pos = np.searchsorted(csr["src_ids"], sub["vid"])
+            pos_c = np.minimum(pos, len(csr["src_ids"]) - 1)
+            found = (pos < len(csr["src_ids"])) & (
+                csr["src_ids"][pos_c] == sub["vid"]
+            )
+            if not found.any():
+                continue
+            sub = {k: v[found] for k, v in sub.items()}
+            pos = pos_c[found]
+            starts = csr["indptr"][pos]
+            counts = csr["indptr"][pos + 1] - starts
+            eidx = expand_ranges(starts, counts)
+            src_vals = algo.src_values(sub)
+            expanded = {k: np.repeat(v, counts) for k, v in src_vals.items()}
+            vals = algo.edge_values(expanded, csr["weight"][eidx])
+            dst = csr["dst"][eidx]
+            dst_u, combined = algo.combine(dst, vals)
+            cols = {
+                "dst_part": pa.array(part_of(dst_u, self.P), pa.int32()),
+                "dst": pa.array(dst_u, pa.int64()),
+            }
+            for name, typ in algo.signal_fields:
+                cols[name] = pa.array(combined[name], typ)
+            pieces.append(pa.table(cols))
+        if not pieces:
+            return _empty_signals(algo)
+        return pa.concat_tables(pieces)
+
+
+class CollectStage:
+    """Collect phase (map_groups over dst_part): final combine + state
+    update + checkpoint shard write + lineage/metrics row."""
+
+    __name__ = "CollectStage"
+
+    def __init__(
+        self,
+        algo: Algorithm,
+        prev_dir: str,
+        out_dir: str,
+        signal_threshold: float,
+    ):
+        self.algo = algo
+        self.prev_dir = prev_dir
+        self.out_dir = out_dir
+        self.threshold = signal_threshold
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        algo = self.algo
+        p = int(tbl.column("dst_part")[0].as_py())
+        prev_path = os.path.join(self.prev_dir, f"part-{p:05d}.parquet")
+        if not os.path.exists(prev_path):
+            # signals addressed to a partition with no vertices at all:
+            # every one is undeliverable (reference would invoke the
+            # undeliverable-signal handler, Handlers.scala:26-64).
+            real = int((_to_np_dict(tbl)["dst"] >= 0).sum())
+            return self._metrics(p, 0, 0, 0.0, 0, int(len(tbl)), real)
+        prev = _to_np_dict(pq.read_table(prev_path))
+
+        d = _to_np_dict(tbl)
+        keep = d["dst"] >= 0  # drop engine seed rows
+        dst = d["dst"][keep]
+        vals = {name: d[name][keep] for name, _ in algo.signal_fields}
+        n_sig_rows = int(len(dst))
+        undeliverable = 0
+        if len(dst):
+            dst, vals = algo.combine(dst, vals)
+            idx = Algorithm._align(prev["vid"], dst)
+            bad = idx < 0
+            undeliverable = int(bad.sum())
+            if undeliverable:
+                dst = dst[~bad]
+                vals = {k: v[~bad] for k, v in vals.items()}
+
+        st = algo.collect(prev, dst, vals, self.threshold)
+        out = _state_table(
+            p, prev["vid"], prev["out_degree"], prev["sum_out_weight"], st,
+            algo.state_pa_type,
+        )
+        pq.write_table(out, os.path.join(self.out_dir, f"part-{p:05d}.parquet"))
+        send_mask = (
+            np.ones(len(prev["vid"]), dtype=bool)
+            if algo.always_signal
+            else st["active"].astype(bool)
+        )
+        edges_next = int(prev["out_degree"][send_mask].sum())
+        return self._metrics(
+            p,
+            len(prev["vid"]),
+            int(st["active"].sum()),
+            float(st["residual"].max(initial=0.0)),
+            edges_next,
+            n_sig_rows,
+            undeliverable,
+        )
+
+    @staticmethod
+    def _metrics(p, n_v, n_act, res, edges_next, sig_rows, undeliv) -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array([p], pa.int32()),
+                "n_vertices": pa.array([n_v], pa.int64()),
+                "n_active": pa.array([n_act], pa.int64()),
+                "residual_max": pa.array([res], pa.float64()),
+                "edges_traversed": pa.array([edges_next], pa.int64()),
+                "signal_rows_in": pa.array([sig_rows], pa.int64()),
+                "undeliverable": pa.array([undeliv], pa.int64()),
+            }
+        )
+
+
+@dataclass
+class ExecutionInformation:
+    """≙ the reference's ExecutionInformation (ExecutionInformation.scala:42-79)."""
+
+    algorithm: str
+    supersteps: int
+    converged: bool
+    termination_reason: str  # Converged | StepsLimitReached | TimeLimitReached
+    wall_s: float
+    residual_max: float
+    n_active: int
+    edges_traversed_total: int
+    run_dir: str
+    final_step_dir: str
+    per_step: List[dict] = field(default_factory=list)
+
+    def final_state_ds(self):
+        import ray.data as rd
+
+        return rd.read_parquet(
+            sorted(glob.glob(os.path.join(self.final_step_dir, "part-*.parquet")))
+        )
+
+    def state_table(self) -> pa.Table:
+        tbls = [
+            pq.read_table(f)
+            for f in sorted(
+                glob.glob(os.path.join(self.final_step_dir, "part-*.parquet"))
+            )
+        ]
+        t = pa.concat_tables(tbls)
+        return t.sort_by("vid")
+
+
+class SuperstepEngine:
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+
+    # -- checkpoint dir helpers -------------------------------------------
+    @staticmethod
+    def _step_dir(run_dir: str, k: int) -> str:
+        return os.path.join(run_dir, f"step={k:05d}")
+
+    @staticmethod
+    def _latest_complete_step(run_dir: str) -> Optional[int]:
+        best = None
+        for d in glob.glob(os.path.join(run_dir, "step=*")):
+            if os.path.exists(os.path.join(d, "manifest.json")):
+                k = int(os.path.basename(d).split("=")[1])
+                best = k if best is None else max(best, k)
+        return best
+
+    def _write_manifest(self, step_tmp: str, step_dir: str, manifest: dict):
+        with open(os.path.join(step_tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(step_tmp, step_dir)
+
+    # -- main loop ---------------------------------------------------------
+    def run(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        resume: bool = True,
+        eps: Optional[float] = None,
+        max_supersteps: Optional[int] = None,
+        signal_threshold: Optional[float] = None,
+        time_limit_s: Optional[float] = None,
+    ) -> ExecutionInformation:
+        import ray.data as rd
+
+        cfg = self.config
+        eps = cfg.eps if eps is None else eps
+        max_supersteps = (
+            cfg.max_supersteps if max_supersteps is None else max_supersteps
+        )
+        threshold = (
+            cfg.signal_threshold if signal_threshold is None else signal_threshold
+        )
+        time_limit_s = cfg.time_limit_s if time_limit_s is None else time_limit_s
+        run_dir = run_dir or os.path.join(
+            cfg.checkpoint_root, f"{algo.name}-{os.path.basename(graph.graph_dir)}"
+        )
+        os.makedirs(run_dir, exist_ok=True)
+        P = graph.num_partitions
+        t0 = time.monotonic()
+        per_step: List[dict] = []
+
+        lineage_base = {
+            "graph_dir": os.path.abspath(graph.graph_dir),
+            "algorithm": algo.name,
+            "signal_threshold": threshold,
+            "eps": eps,
+            "num_partitions": P,
+        }
+
+        # -- resume or init ------------------------------------------------
+        start_k = None
+        if resume:
+            latest = self._latest_complete_step(run_dir)
+            if latest is not None:
+                with open(
+                    os.path.join(self._step_dir(run_dir, latest), "manifest.json")
+                ) as f:
+                    m = json.load(f)
+                if m.get("lineage", {}).get("algorithm") == algo.name and m.get(
+                    "lineage", {}
+                ).get("graph_dir") == lineage_base["graph_dir"]:
+                    start_k = latest
+                    per_step = [m]
+        if start_k is None:
+            for d in glob.glob(os.path.join(run_dir, "step=*")) + glob.glob(
+                os.path.join(run_dir, ".tmp-step=*")
+            ):
+                shutil.rmtree(d)
+            tmp0 = os.path.join(run_dir, ".tmp-step=00000")
+            os.makedirs(tmp0, exist_ok=True)
+            vds = rd.read_parquet(graph.vertex_files())
+            rows = (
+                vds.groupby("part")
+                .map_groups(_InitStage(algo, tmp0), batch_format="pyarrow")
+                .take_all()
+            )
+            manifest = self._manifest(0, rows, lineage_base, prev_step=None)
+            self._write_manifest(tmp0, self._step_dir(run_dir, 0), manifest)
+            per_step = [manifest]
+            start_k = 0
+
+        csr_refs = graph.csr_refs()
+        sig_schema = _signal_schema(algo)
+
+        def seed_table(parts: list) -> pa.Table:
+            """One dummy row per partition that must run collect even if
+            it receives no signals (its vertices signaled → their
+            last/active bookkeeping must advance). Dormant partitions
+            (no active vertices, no incoming signals) are skipped and
+            their checkpoint shard is hardlinked instead — the sparse
+            frontier fast path for CC/SSSP-style algorithms."""
+            n = len(parts)
+            cols = {
+                "dst_part": pa.array(np.asarray(parts, dtype=np.int32), pa.int32()),
+                "dst": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            }
+            for name, typ in algo.signal_fields:
+                cols[name] = (
+                    pa.array(np.zeros(n), typ)
+                    if pa.types.is_floating(typ)
+                    else pa.array(np.zeros(n, dtype=np.int64), typ)
+                )
+            return pa.table(cols).cast(sig_schema)
+
+        # -- superstep loop ------------------------------------------------
+        k = start_k
+        last = per_step[-1]
+        converged = self._is_converged(last, eps, k)
+        reason = "Converged" if converged else None
+        while not converged:
+            if k >= max_supersteps:
+                reason = "StepsLimitReached"
+                break
+            if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
+                reason = "TimeLimitReached"
+                break
+            k += 1
+            ts = time.monotonic()
+            prev_dir = self._step_dir(run_dir, k - 1)
+            step_tmp = os.path.join(run_dir, f".tmp-step={k:05d}")
+            if os.path.exists(step_tmp):
+                shutil.rmtree(step_tmp)
+            os.makedirs(step_tmp)
+
+            state = rd.read_parquet(
+                sorted(glob.glob(os.path.join(prev_dir, "part-*.parquet")))
+            )
+            if cfg.signal_mode == "actors":
+                signals = state.map_batches(
+                    SignalStage,
+                    fn_constructor_kwargs=dict(
+                        csr_refs=csr_refs,
+                        algo=algo,
+                        num_partitions=P,
+                        signal_threshold=threshold,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                    concurrency=cfg.resolved_signal_concurrency(),
+                )
+            else:
+                signals = state.map_batches(
+                    SignalStage(
+                        csr_refs=csr_refs,
+                        algo=algo,
+                        num_partitions=P,
+                        signal_threshold=threshold,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+            prev_parts = {p["part"]: p for p in last["parts"]}
+            must_run = [
+                p
+                for p, m in prev_parts.items()
+                if algo.always_signal or m["n_active"] > 0
+            ]
+            allsig = signals.union(rd.from_arrow(seed_table(must_run)))
+            metrics_rows = (
+                allsig.groupby("dst_part")
+                .map_groups(
+                    CollectStage(algo, prev_dir, step_tmp, threshold),
+                    batch_format="pyarrow",
+                )
+                .take_all()
+            )
+            # dormant partitions: carry the shard + metrics forward
+            processed = {int(r["part"]) for r in metrics_rows}
+            for p, m in prev_parts.items():
+                if p not in processed:
+                    fname = f"part-{p:05d}.parquet"
+                    os.link(
+                        os.path.join(prev_dir, fname),
+                        os.path.join(step_tmp, fname),
+                    )
+                    metrics_rows.append(
+                        {
+                            "part": p,
+                            "n_vertices": m["n_vertices"],
+                            "n_active": 0,
+                            "residual_max": m["residual_max"],
+                            "edges_traversed": 0,
+                            "signal_rows_in": 0,
+                            "undeliverable": 0,
+                        }
+                    )
+            manifest = self._manifest(
+                k, metrics_rows, lineage_base, prev_step=k - 1,
+                wall_s=time.monotonic() - ts,
+            )
+            self._write_manifest(step_tmp, self._step_dir(run_dir, k), manifest)
+            per_step.append(manifest)
+            last = manifest
+            converged = self._is_converged(last, eps, k)
+            if converged:
+                reason = "Converged"
+
+        return ExecutionInformation(
+            algorithm=algo.name,
+            supersteps=k,
+            converged=converged,
+            termination_reason=reason or "Converged",
+            wall_s=time.monotonic() - t0,
+            residual_max=last["residual_max"],
+            n_active=last["n_active"],
+            edges_traversed_total=sum(
+                m.get("edges_next", 0) for m in per_step[:-1]
+            ),
+            run_dir=run_dir,
+            final_step_dir=self._step_dir(run_dir, k),
+            per_step=per_step,
+        )
+
+    @staticmethod
+    def _is_converged(manifest: dict, eps: float, k: int) -> bool:
+        if k == 0:
+            return False
+        return manifest["n_active"] == 0 or manifest["residual_max"] <= eps
+
+    @staticmethod
+    def _manifest(k, rows, lineage_base, prev_step, wall_s: float = 0.0) -> dict:
+        parts = sorted(
+            (
+                {
+                    "part": int(r["part"]),
+                    "n_vertices": int(r["n_vertices"]),
+                    "n_active": int(r["n_active"]),
+                    "residual_max": float(r["residual_max"]),
+                    "edges_next": int(r["edges_traversed"]),
+                    "signal_rows_in": int(r["signal_rows_in"]),
+                    "undeliverable": int(r["undeliverable"]),
+                }
+                for r in rows
+            ),
+            key=lambda x: x["part"],
+        )
+        return {
+            "superstep": k,
+            "prev_step": prev_step,
+            "wall_s": wall_s,
+            "n_vertices": sum(p["n_vertices"] for p in parts),
+            "n_active": sum(p["n_active"] for p in parts),
+            "residual_max": max((p["residual_max"] for p in parts), default=0.0),
+            "edges_next": sum(p["edges_next"] for p in parts),
+            "signal_rows": sum(p["signal_rows_in"] for p in parts),
+            "undeliverable": sum(p["undeliverable"] for p in parts),
+            "lineage": lineage_base,
+            "parts": parts,
+        }

@@ -1,0 +1,180 @@
+"""Deterministic Common-Crawl-style pages synthesizer.
+
+Produces the input table from BASELINE.json's input_hint:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Every byte is a pure function of ``(seed, page index)`` — independent of
+batch boundaries, partition count, and execution order — so the same
+table is reproducible at any scale and the link topology has a closed
+form (``page_links``) usable as an analytic oracle (including in SQL).
+
+The embedded anchors match the reference crawler's regex semantics
+(``/root/reference/src/main/scala/com/signalcollect/examples/WebCrawler.scala:28``):
+double- and single-quoted hrefs, optional extra attributes, anchor text,
+closing ``</a>``. Link targets follow a power-law-ish in-degree
+(u^3 concentration) so hub-skew handling is actually exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 64-entry fixed wordlist for filler / anchor text (deterministic).
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu amber basalt cedar dune ember fjord garnet "
+    "harbor inlet jasper krill lagoon mesa nectar onyx prairie quartz reef "
+    "summit tundra vale willow zenith anchor beacon cairn delta2 ebb flume "
+    "grove heath isle knoll ledge marsh notch outcrop pond quay ridge shoal"
+).split()
+assert len(WORDS) == 64
+
+_BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, microseconds
+
+
+def _mix(x: np.ndarray | int) -> np.ndarray | int:
+    """splitmix64/murmur3 finalizer — public-domain integer mixer."""
+    x = np.uint64(x) if np.isscalar(x) else x.astype(np.uint64, copy=False)
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xC4CEB9FE1A85EC53)
+    x = x ^ (x >> np.uint64(33))
+    return x
+
+
+def _h(seed: int, salt: int, i) -> np.ndarray | int:
+    return _mix(
+        np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)
+        + np.uint64(seed) * np.uint64(0x2545F4914F6CDD1D)
+        + np.uint64(salt)
+    )
+
+
+def page_url(i: int, n_pages: int) -> str:
+    n_sites = max(1, n_pages // 100)
+    return f"https://site{i % n_sites}.test/p{i}"
+
+
+def _link_counts(idx: np.ndarray, n_pages: int, avg_links: int, seed: int):
+    return 1 + (_h(seed, 1, idx) % np.uint64(2 * avg_links - 1)).astype(np.int64)
+
+
+def page_links(
+    idx: np.ndarray, n_pages: int, avg_links: int = 8, seed: int = 42
+):
+    """Closed-form link topology: (src_idx, dst_idx) int64 arrays.
+
+    For page i the j-th of k_i links targets
+    ``floor(n * u^3)`` where u = hash(seed, i, j) / 2^64 — power-law-ish
+    hub concentration toward low indices. Self-links are shifted by one.
+    ``k_i = 1 + h % (2*avg_links-1)`` (mean = avg_links).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    counts = _link_counts(idx, n_pages, avg_links, seed)
+    total = int(counts.sum())
+    offs = np.repeat(counts.cumsum() - counts, counts)
+    j = np.arange(total, dtype=np.int64) - offs
+    src = np.repeat(idx, counts)
+    u = _h(seed, 2, src * np.int64(1_000_003) + j).astype(np.float64) / 2.0**64
+    dst = np.floor(n_pages * u**3).astype(np.int64)
+    dst = np.minimum(dst, n_pages - 1)
+    dst = np.where(dst == src, (dst + 1) % n_pages, dst)
+    return src, dst
+
+
+def _words_for(seed: int, salt: int, i: int, n: int) -> list[str]:
+    hs = _h(seed, salt, np.int64(i) * np.int64(131) + np.arange(n, dtype=np.int64))
+    return [WORDS[int(k) & 63] for k in hs]
+
+
+def _render_page(i: int, n_pages: int, avg_links: int, seed: int):
+    """Render one page: (url, ts_us, html_bytes, text, lang).
+
+    ``text`` is built independently from the word sequence (not by
+    stripping the html), so the extractor invariant
+    ``extract_text(html) == text`` is a genuine cross-check.
+    """
+    src, dst = page_links(np.array([i], dtype=np.int64), n_pages, avg_links, seed)
+    n_words = 20 + int(_h(seed, 4, i) % np.uint64(30))
+    words = _words_for(seed, 5, i, n_words)
+    title = f"Page {i}"
+
+    parts = [f"<html><head><title>{title}</title></head><body><h1>{title}</h1><p>"]
+    text_parts = [title, title]
+    k = len(dst)
+    # interleave anchors between filler words at deterministic positions
+    anchor_pos = {
+        int(p): t
+        for t, p in enumerate(
+            (_h(seed, 6, np.int64(i) * 97 + np.arange(k)) % np.uint64(max(n_words, 1))).astype(
+                np.int64
+            )
+        )
+    }
+    for w_i, w in enumerate(words):
+        parts.append(w + " ")
+        text_parts.append(w)
+        t = anchor_pos.get(w_i)
+        if t is not None:
+            href = page_url(int(dst[t]), n_pages)
+            a_words = _words_for(seed, 7, i * 1009 + t, 2)
+            a_text = " ".join(a_words)
+            style = int(_h(seed, 8, i * 1013 + t) % np.uint64(16))
+            if style == 0:
+                parts.append(f"<a href='{href}'>{a_text}</a> ")
+            elif style in (1, 2, 3):
+                parts.append(f'<a href="{href}" class="ext">{a_text}</a> ')
+            else:
+                parts.append(f'<a href="{href}">{a_text}</a> ')
+            text_parts.extend(a_words)
+    parts.append("</p></body></html>")
+    html = "".join(parts)
+    text = " ".join(text_parts)
+    lang = "de" if int(_h(seed, 9, i) % np.uint64(17)) == 0 else "en"
+    ts = _BASE_TS_US + i * 1_000_000
+    return page_url(i, n_pages), ts, html.encode("iso-8859-1"), text, lang
+
+
+class _PageBatchGen:
+    """map_batches callable: page indices → pages rows (actor-pool-safe)."""
+
+    def __init__(self, n_pages: int, avg_links: int, seed: int):
+        self.n_pages, self.avg_links, self.seed = n_pages, avg_links, seed
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        idx = batch["id"]
+        rows = [
+            _render_page(int(i), self.n_pages, self.avg_links, self.seed)
+            for i in idx
+        ]
+        urls, tss, htmls, texts, langs = zip(*rows) if rows else ((),) * 5
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(list(tss), pa.timestamp("us")),
+                "html": pa.array(list(htmls), pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+
+def synthesize_pages_dataset(
+    n_pages: int,
+    avg_links: int = 8,
+    seed: int = 42,
+    override_num_blocks: int | None = None,
+):
+    """Deterministic pages table as a Ray Dataset (lazy, parallel)."""
+    import ray.data as rd
+
+    ds = rd.range(n_pages, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        _PageBatchGen(n_pages, avg_links, seed),
+        batch_format="numpy",
+        batch_size=4096,
+    )

@@ -1,0 +1,92 @@
+"""Small vectorized helpers shared across the engine.
+
+Partitioning mirrors the reference's vertex→worker mapping
+(``DefaultVertexToWorkerMapper.scala:28-35``: hash of the vertex id
+modulo the worker count) with a multiplicative hash so sequential /
+modulo-structured id spaces still spread evenly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# Knuth multiplicative hash constant (2^32 / phi). Public-domain trick.
+_KNUTH = np.uint64(2654435761)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def part_of(vids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic partition id for each vertex id (int64 → int32).
+
+    Mirrors the reference's ``(id.hashCode & MaxValue) % numberOfWorkers``
+    semantics: stable, uniform, independent of data order.
+    """
+    v = vids.astype(np.uint64, copy=False)
+    h = (v * _KNUTH) & _MASK32
+    # fold the high bits of the id in as well so ids > 2^32 still mix
+    h = h ^ (v >> np.uint64(32))
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def url_to_vid(url: str) -> int:
+    """Deterministic 63-bit vertex id for a url (blake2b-8, top bit clear).
+
+    Used instead of a global sort-rank dictionary: fully parallel, no
+    shuffle, stable across runs and partition counts. Collision odds at
+    10^12 urls are ~2.7% for any collision across the whole corpus;
+    acceptable for analytics (and checked to be zero on test fixtures).
+    """
+    d = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def urls_to_vids(urls) -> np.ndarray:
+    """Vectorized-ish wrapper (C-speed hash per url) → int64 array."""
+    return np.fromiter(
+        (url_to_vid(u) for u in urls), dtype=np.int64, count=len(urls)
+    )
+
+
+def segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Start offsets of each run of equal values in a sorted key array."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.empty(len(sorted_keys), dtype=bool)
+    change[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=change[1:])
+    return np.flatnonzero(change)
+
+
+def segment_sum(keys: np.ndarray, vals: np.ndarray):
+    """Group-by-key sum over unsorted arrays. Returns (unique_keys, sums)."""
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    starts = segment_starts(k)
+    if len(starts) == 0:
+        return k[:0], v[:0]
+    return k[starts], np.add.reduceat(v, starts)
+
+
+def segment_min(keys: np.ndarray, vals: np.ndarray):
+    """Group-by-key min over unsorted arrays. Returns (unique_keys, mins)."""
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    starts = segment_starts(k)
+    if len(starts) == 0:
+        return k[:0], v[:0]
+    return k[starts], np.minimum.reduceat(v, starts)
+
+
+def expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate ``arange(s, s+c)`` for each (s, c) pair — vectorized.
+
+    The standard CSR fan-out trick: selects the edge-array index for every
+    out-edge of every selected source vertex without a Python loop.
+    """
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(counts.cumsum() - counts, counts)
+    return np.arange(total, dtype=np.int64) - offs + np.repeat(starts, counts)
