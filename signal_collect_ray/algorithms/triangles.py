@@ -105,25 +105,37 @@ def _attach(left_ds, left_key, right_ds, right_key, attach_cols, num_partitions=
     Right keys must be unique. Left rows with no match are dropped.
     """
 
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    attach_types = {
+        n: right_schema.types[right_schema.names.index(n)] for n in attach_cols
+    }
+    left_types = {n: left_schema.types[left_schema.names.index(n)] for n in left_cols}
+
     def tag(kind, key_col):
         def fn(tbl: pa.Table) -> pa.Table:
             k = _np(tbl, key_col)
-            t = tbl
-            if key_col != "jkey":
-                t = t.append_column("jkey", pa.array(k, pa.int64()))
-            t = t.append_column(
-                "jpart", pa.array(part_of(k, num_partitions), pa.int32())
-            )
-            return t.append_column(
-                "jkind", pa.array(np.full(len(t), kind, dtype=np.int8), pa.int8())
-            )
+            n = len(tbl)
+            cols = {}
+            for c in left_cols:
+                cols[c] = (
+                    tbl.column(c) if c in tbl.column_names and kind == 1
+                    else pa.nulls(n, left_types[c])
+                )
+            for c in attach_cols:
+                cols[c] = (
+                    tbl.column(c) if kind == 0 else pa.nulls(n, attach_types[c])
+                )
+            cols["jkey"] = pa.array(k, pa.int64())
+            cols["jpart"] = pa.array(part_of(k, num_partitions), pa.int32())
+            cols["jkind"] = pa.array(np.full(n, kind, dtype=np.int8), pa.int8())
+            return pa.table(cols)
 
         return fn
 
     left_t = left_ds.map_batches(tag(1, left_key), batch_format="pyarrow")
     right_t = right_ds.map_batches(tag(0, right_key), batch_format="pyarrow")
-
-    left_cols = [c for c in left_ds.schema().names]
 
     def join_group(tbl: pa.Table) -> pa.Table:
         kind = _np(tbl, "jkind")
@@ -146,8 +158,7 @@ def _attach(left_ds, left_key, right_ds, right_key, attach_cols, num_partitions=
         return out
 
     return (
-        left_t.select_columns(left_cols + ["jkey", "jpart", "jkind"])
-        .union(right_t)
+        left_t.union(right_t)
         .groupby("jpart")
         .map_groups(join_group, batch_format="pyarrow")
     )

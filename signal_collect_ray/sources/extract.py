@@ -112,17 +112,25 @@ class _UrlEdgeToVid:
         )
 
 
-def pages_to_edges(pages_ds, keep_urls: bool = False):
+def pages_to_edges(pages_ds, keep_urls: bool = False, concurrency=None):
     """pages Dataset → edge Dataset (src:int64, dst:int64, weight:float64).
 
     Projects away ``html`` immediately after extraction (SURVEY §7.4.6 —
     wide binary columns must not flow past the extract stage). Vertex
     ids are deterministic 63-bit url hashes (``util.url_to_vid``), so no
     global dictionary shuffle is needed — fully parallel at any scale.
+
+    ``concurrency``: None → stateless tasks; an int/tuple → a map_batches
+    actor pool (regexes compiled once per actor).
     """
-    link_rows = pages_ds.select_columns(["url", "html"]).map_batches(
-        LinkExtractor, batch_format="pyarrow", batch_size=512
-    )
+    kwargs = dict(batch_format="pyarrow", batch_size=512)
+    projected = pages_ds.select_columns(["url", "html"])
+    if concurrency is None:
+        link_rows = projected.map_batches(LinkExtractor(), **kwargs)
+    else:
+        link_rows = projected.map_batches(
+            LinkExtractor, concurrency=concurrency, **kwargs
+        )
     if keep_urls:
         return link_rows
     return link_rows.map_batches(_UrlEdgeToVid(), batch_format="pyarrow")

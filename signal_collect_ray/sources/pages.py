@@ -25,8 +25,8 @@ WORDS = (
     "lima mike november oscar papa quebec romeo sierra tango uniform victor "
     "whiskey xray yankee zulu amber basalt cedar dune ember fjord garnet "
     "harbor inlet jasper krill lagoon mesa nectar onyx prairie quartz reef "
-    "summit tundra vale willow zenith anchor beacon cairn delta2 ebb flume "
-    "grove heath isle knoll ledge marsh notch outcrop pond quay ridge shoal"
+    "summit tundra vale willow zenith anchor beacon cairn ebb flume "
+    "grove heath isle knoll ledge marsh notch outcrop pond quay"
 ).split()
 assert len(WORDS) == 64
 
@@ -35,21 +35,23 @@ _BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, microseconds
 
 def _mix(x: np.ndarray | int) -> np.ndarray | int:
     """splitmix64/murmur3 finalizer — public-domain integer mixer."""
-    x = np.uint64(x) if np.isscalar(x) else x.astype(np.uint64, copy=False)
-    x = x ^ (x >> np.uint64(33))
-    x = x * np.uint64(0xFF51AFD7ED558CCD)
-    x = x ^ (x >> np.uint64(33))
-    x = x * np.uint64(0xC4CEB9FE1A85EC53)
-    x = x ^ (x >> np.uint64(33))
-    return x
+    with np.errstate(over="ignore"):
+        x = np.uint64(x) if np.isscalar(x) else x.astype(np.uint64, copy=False)
+        x = x ^ (x >> np.uint64(33))
+        x = x * np.uint64(0xFF51AFD7ED558CCD)
+        x = x ^ (x >> np.uint64(33))
+        x = x * np.uint64(0xC4CEB9FE1A85EC53)
+        x = x ^ (x >> np.uint64(33))
+        return x
 
 
 def _h(seed: int, salt: int, i) -> np.ndarray | int:
-    return _mix(
-        np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)
-        + np.uint64(seed) * np.uint64(0x2545F4914F6CDD1D)
-        + np.uint64(salt)
-    )
+    with np.errstate(over="ignore"):
+        return _mix(
+            np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)
+            + np.uint64(seed) * np.uint64(0x2545F4914F6CDD1D)
+            + np.uint64(salt)
+        )
 
 
 def page_url(i: int, n_pages: int) -> str:
@@ -97,22 +99,16 @@ def _render_page(i: int, n_pages: int, avg_links: int, seed: int):
     ``extract_text(html) == text`` is a genuine cross-check.
     """
     src, dst = page_links(np.array([i], dtype=np.int64), n_pages, avg_links, seed)
-    n_words = 20 + int(_h(seed, 4, i) % np.uint64(30))
+    n_words = max(20 + int(_h(seed, 4, i) % np.uint64(30)), 2 * len(dst))
     words = _words_for(seed, 5, i, n_words)
     title = f"Page {i}"
 
     parts = [f"<html><head><title>{title}</title></head><body><h1>{title}</h1><p>"]
     text_parts = [title, title]
     k = len(dst)
-    # interleave anchors between filler words at deterministic positions
-    anchor_pos = {
-        int(p): t
-        for t, p in enumerate(
-            (_h(seed, 6, np.int64(i) * 97 + np.arange(k)) % np.uint64(max(n_words, 1))).astype(
-                np.int64
-            )
-        )
-    }
+    # interleave anchors between filler words at deterministic,
+    # collision-free positions (k ≤ 2*avg_links-1 < n_words)
+    anchor_pos = {(t * n_words) // max(k, 1): t for t in range(k)}
     for w_i, w in enumerate(words):
         parts.append(w + " ")
         text_parts.append(w)

@@ -1,0 +1,85 @@
+"""Connected components (exact labels) and SSSP conformance
+(IntegrationSpec.scala:196-222, FIXTURES.md §3)."""
+
+import numpy as np
+
+from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+from signal_collect_ray.algorithms import ConnectedComponents, SSSP
+
+from tests import fixtures as fx
+
+
+def _eng(P=4):
+    return SuperstepEngine(EngineConfig(num_partitions=P, eps=1e-9, max_supersteps=200))
+
+
+def test_cc_sym_cycle4(tmp_path):
+    src, dst = fx.sym_cycle4()
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    info = _eng().run(g, ConnectedComponents(), run_dir=str(tmp_path / "r"), resume=False)
+    t = info.state_table()
+    assert t.column("state").to_pylist() == [0, 0, 0, 0]
+
+
+def test_cc_disconnected_exact_labels(tmp_path):
+    src, dst = fx.disconnected()
+    sym_s = np.concatenate([src, dst])
+    sym_d = np.concatenate([dst, src])
+    g = Graph.from_edge_arrays(sym_s, sym_d, str(tmp_path / "g"), num_partitions=4)
+    info = _eng().run(g, ConnectedComponents(), run_dir=str(tmp_path / "r"), resume=False)
+    t = info.state_table()
+    vid = np.array(t.column("vid").to_pylist())
+    lab = np.array(t.column("state").to_pylist())
+    ovid, olab = fx.cc_oracle(sym_s, sym_d)
+    assert (vid == ovid).all()
+    assert (lab == olab).all()
+    assert set(lab) == {0, 10}
+
+
+def test_cc_determinism_across_P(tmp_path):
+    src, dst = fx.two_clusters()
+    labs = {}
+    for P in (1, 3, 8):
+        g = Graph.from_edge_arrays(src, dst, str(tmp_path / f"g{P}"), num_partitions=P)
+        info = _eng(P).run(g, ConnectedComponents(), run_dir=str(tmp_path / f"r{P}"), resume=False)
+        labs[P] = info.state_table().column("state").to_pylist()
+    assert labs[1] == labs[3] == labs[8]
+
+
+def test_sssp_sym_cycle4_dist_equals_id(tmp_path):
+    # IntegrationSpec.scala:196-208 — on the 4-cycle (directed), dist = id
+    src, dst = fx.cycle(4)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=2)
+    info = _eng(2).run(g, SSSP(0), run_dir=str(tmp_path / "r"), resume=False)
+    t = info.state_table()
+    assert t.column("state").to_pylist() == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_sssp_sym_star5(tmp_path):
+    # IntegrationSpec.scala:210-222 — star, source = center 4
+    src, dst = fx.sym_star5()
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    info = _eng().run(g, SSSP(4), run_dir=str(tmp_path / "r"), resume=False)
+    t = info.state_table()
+    vals = dict(zip(t.column("vid").to_pylist(), t.column("state").to_pylist()))
+    assert vals[4] == 0.0
+    for leaf in range(4):
+        assert vals[leaf] == 1.0
+
+
+def test_sssp_oracle_random_graph(tmp_path):
+    rng = np.random.RandomState(7)
+    n = 80
+    src = rng.randint(0, n, 300).astype(np.int64)
+    dst = rng.randint(0, n, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    info = _eng().run(g, SSSP(0), run_dir=str(tmp_path / "r"), resume=False)
+    t = info.state_table()
+    ovid, odist = fx.sssp_oracle(src, dst, 0)
+    assert (np.array(t.column("vid").to_pylist()) == ovid).all()
+    got = np.array(t.column("state").to_pylist())
+    assert np.array_equal(got, odist) or np.allclose(
+        got, odist, equal_nan=True
+    )

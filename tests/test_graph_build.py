@@ -1,0 +1,68 @@
+"""Graph build: partitioning, degrees, CSR layout, weight sums."""
+
+import numpy as np
+import pytest
+
+from signal_collect_ray import Graph
+from signal_collect_ray.util import part_of
+
+from tests import fixtures as fx
+
+
+def test_build_degrees_and_counts(tmp_path):
+    src, dst = fx.star5()
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    assert g.num_vertices == 5
+    assert g.num_edges == 4
+    vt = g.vertices_ds().to_pandas().set_index("vid").sort_index()
+    assert vt.loc[4, "out_degree"] == 0
+    for leaf in range(4):
+        assert vt.loc[leaf, "out_degree"] == 1
+        assert vt.loc[leaf, "sum_out_weight"] == 1.0
+    # partition column matches the canonical mapping
+    assert (
+        vt["part"].values
+        == part_of(vt.index.values.astype(np.int64), 4)
+    ).all()
+
+
+def test_weighted_degrees(tmp_path):
+    src = np.array([0, 0, 1])
+    dst = np.array([1, 2, 2])
+    w = np.array([2.0, 3.0, 5.0])
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), weight=w, num_partitions=2)
+    vt = g.vertices_ds().to_pandas().set_index("vid").sort_index()
+    assert vt.loc[0, "sum_out_weight"] == 5.0
+    assert vt.loc[1, "sum_out_weight"] == 5.0
+    assert vt.loc[2, "sum_out_weight"] == 0.0
+
+
+def test_edge_shards_sorted_and_partitioned(tmp_path):
+    import pyarrow.parquet as pq
+
+    src, dst = fx.torus(4, 4)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    total = 0
+    for f in g.edge_files():
+        t = pq.read_table(f)
+        s = t.column("src").to_numpy()
+        assert (np.diff(s) >= 0).all()
+        p = int(f.split("part-")[1].split(".")[0])
+        assert (part_of(s, 4) == p).all()
+        total += len(t)
+    assert total == g.num_edges
+
+
+def test_csr_refs_roundtrip(tmp_path):
+    import ray
+
+    src, dst = fx.cycle(10)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=3)
+    refs = g.csr_refs()
+    n_edges = 0
+    for p, ref in refs.items():
+        csr = ray.get(ref)
+        n_edges += len(csr["dst"])
+        assert len(csr["indptr"]) == len(csr["src_ids"]) + 1
+        assert (csr["sum_out_weight"] > 0).all()
+    assert n_edges == 10

@@ -1,0 +1,72 @@
+"""Triangle counts & clustering coefficient vs brute-force oracle
+(ClusteringCoefficient.scala:24-47 formula; FIXTURES.md cc_graph6)."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+import pyarrow as pa
+
+from signal_collect_ray.algorithms import (
+    clustering_coefficient,
+    total_triangles,
+    triangle_counts,
+)
+
+from tests import fixtures as fx
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def test_cc_graph6_counts():
+    src, dst = fx.cc_graph6()
+    ovid, otri, ototal = fx.triangle_oracle(src, dst)
+    got = {r["vid"]: r["triangles"] for r in triangle_counts(_edges_ds(src, dst)).take_all()}
+    for v, t in zip(ovid, otri):
+        assert got.get(int(v), 0) == t, (v, t, got)
+    assert total_triangles(_edges_ds(src, dst)) == ototal
+
+
+def test_clustering_coefficient_formula():
+    src, dst = fx.cc_graph6()
+    ovid, otri, _ = fx.triangle_oracle(src, dst)
+    # undirected degree
+    deg = {}
+    for a, b in zip(*fx.cc_graph6()):
+        deg[int(a)] = deg.get(int(a), 0)
+    import collections
+
+    und = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        und[int(a)].add(int(b))
+        und[int(b)].add(int(a))
+    got = {
+        r["vid"]: r["coefficient"]
+        for r in clustering_coefficient(_edges_ds(src, dst)).take_all()
+    }
+    for v, t in zip(ovid, otri):
+        d = len(und[int(v)])
+        expect = 2.0 * t / (d * (d - 1)) if d > 1 else 0.0
+        assert abs(got[int(v)] - expect) < 1e-12, v
+
+
+def test_random_graph_vs_oracle():
+    rng = np.random.RandomState(3)
+    n = 60
+    src = rng.randint(0, n, 400).astype(np.int64)
+    dst = rng.randint(0, n, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ovid, otri, ototal = fx.triangle_oracle(src, dst)
+    got = {r["vid"]: r["triangles"] for r in triangle_counts(_edges_ds(src, dst)).take_all()}
+    for v, t in zip(ovid, otri):
+        assert got.get(int(v), 0) == t
+    assert total_triangles(_edges_ds(src, dst)) == ototal
+
+
+def test_triangle_free_graph():
+    src, dst = fx.cycle(6)  # directed 6-cycle has no triangles
+    assert total_triangles(_edges_ds(src, dst)) == 0
