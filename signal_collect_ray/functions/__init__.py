@@ -1,0 +1,50 @@
+from signal_collect_ray.functions.aggregations import (
+    sum_of_states,
+    product_of_states,
+    count_vertices,
+    sample_vertex_ids,
+    top_k,
+    id_state_map,
+    map_reduce,
+    foreach_vertex,
+    for_vertex_with_id,
+    multi_aggregate,
+)
+from signal_collect_ray.functions.text import (
+    LanguageId,
+    QualityScore,
+    TokenCount,
+    Fingerprint,
+    analyze_documents,
+)
+from signal_collect_ray.functions.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    jaccard_verify,
+    dedup_minhash,
+    simhash_signatures,
+)
+from signal_collect_ray.functions.similarity import (
+    knn_brute_force,
+    lsh_buckets,
+    embedding_dedup_cosine,
+)
+from signal_collect_ray.functions.multimodal import (
+    MEDIA_SCHEMA,
+    synthesize_media_table,
+    MediaFeatureExtractor,
+    extract_media_features,
+)
+
+__all__ = [
+    "sum_of_states", "product_of_states", "count_vertices",
+    "sample_vertex_ids", "top_k", "id_state_map", "map_reduce",
+    "foreach_vertex", "for_vertex_with_id", "multi_aggregate",
+    "LanguageId", "QualityScore", "TokenCount", "Fingerprint",
+    "analyze_documents",
+    "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
+    "dedup_minhash", "simhash_signatures",
+    "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
+    "MEDIA_SCHEMA", "synthesize_media_table", "MediaFeatureExtractor",
+    "extract_media_features",
+]

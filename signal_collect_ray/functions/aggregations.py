@@ -1,0 +1,135 @@
+"""Aggregation operators — the reference's global query surface.
+
+The reference runs every aggregation as a two-phase worker-local →
+coordinator merge (``/root/reference/src/main/scala/com/signalcollect/
+interfaces/AggregationOperation.scala:27-59``), which is exactly Ray
+Data's partial+final aggregate; each wrapper below names the reference
+operator it rebuilds (``AggregationOperations.scala``).
+
+All functions take a Dataset with a ``state`` column (the engine's
+vertex-state checkpoint, ``ExecutionInformation.final_state_ds()``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def sum_of_states(state_ds) -> float:
+    """SumOfStates[N] (AggregationOperations.scala:66-75)."""
+    from ray.data.aggregate import Sum
+
+    row = state_ds.aggregate(Sum("state", alias_name="s"))
+    return float(row["s"]) if row and row["s"] is not None else 0.0
+
+
+def product_of_states(state_ds) -> float:
+    """ProductOfStates[N] (AggregationOperations.scala:80-89) — partial
+    product per block, final product on the driver (sum of logs is not
+    used to preserve signs/zeros exactly)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        p = float(np.prod(tbl.column("state").to_numpy(zero_copy_only=False)))
+        return pa.table({"p": pa.array([p], pa.float64())})
+
+    parts = state_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = 1.0
+    for r in parts:
+        out *= r["p"]
+    return out
+
+
+def count_vertices(state_ds, predicate: Optional[Callable] = None) -> int:
+    """CountVertices[T] (AggregationOperations.scala:113-132). The
+    reference filters by runtime vertex type; here by an optional
+    vectorized predicate over the state table."""
+    if predicate is None:
+        return state_ds.count()
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        mask = np.asarray(predicate(tbl), dtype=bool)
+        return pa.table({"c": pa.array([int(mask.sum())], pa.int64())})
+
+    parts = state_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return int(sum(r["c"] for r in parts))
+
+
+def sample_vertex_ids(state_ds, n: int) -> list:
+    """SampleVertexIds (AggregationOperations.scala:94-106) — first-n."""
+    return [r["vid"] for r in state_ds.select_columns(["vid"]).limit(n).take_all()]
+
+
+def top_k(state_ds, k: int, descending: bool = True):
+    """TopKFinder(k) (AggregationOperations.scala:193-236) — exact top-k
+    by state. Per-block partial top-k before the global sort bounds the
+    shuffle to k rows per block."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("state").to_numpy(zero_copy_only=False)
+        if len(s) <= k:
+            return tbl
+        if descending:
+            idx = np.argpartition(-s, k - 1)[:k]
+        else:
+            idx = np.argpartition(s, k - 1)[:k]
+        return tbl.take(pa.array(np.sort(idx), pa.int64()))
+
+    pruned = state_ds.map_batches(partial, batch_format="pyarrow")
+    return pruned.sort("state", descending=descending).limit(k)
+
+
+def id_state_map(state_ds) -> dict:
+    """IdStateMapAggregator (AggregationOperations.scala:55-61) —
+    materializes id→state on the driver; small graphs/tests only (the
+    reference carries the same caveat)."""
+    return {
+        r["vid"]: r["state"]
+        for r in state_ds.select_columns(["vid", "state"]).take_all()
+    }
+
+
+def map_reduce(
+    state_ds,
+    map_fn: Callable[[pa.Table], np.ndarray],
+    reduce_fn: Callable[[np.ndarray], Any],
+    neutral: Any,
+):
+    """Graph.mapReduce (Graph.scala:168-188): extract per-vertex values,
+    reduce associatively — partial reduce per block, final on driver."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        vals = np.asarray(map_fn(tbl))
+        if len(vals) == 0:
+            return pa.table({"v": pa.array([neutral], pa.float64())})
+        return pa.table({"v": pa.array([float(reduce_fn(vals))], pa.float64())})
+
+    parts = state_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = np.array([r["v"] for r in parts] + [neutral])
+    return reduce_fn(acc)
+
+
+def foreach_vertex(state_ds, fn: Callable[[pa.Table], pa.Table]):
+    """Graph.foreachVertex (Graph.scala:126-144) — batchwise transform
+    over the vertex table."""
+    return state_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def for_vertex_with_id(state_ds, vid: int) -> Optional[dict]:
+    """Graph.forVertexWithId (Graph.scala:109-124) — point lookup."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vid").to_numpy(zero_copy_only=False)
+        return tbl.take(pa.array(np.flatnonzero(v == vid), pa.int64()))
+
+    rows = state_ds.map_batches(flt, batch_format="pyarrow").take(1)
+    return rows[0] if rows else None
+
+
+def multi_aggregate(state_ds, *aggs):
+    """MultiAggregator (AggregationOperations.scala:35-48) — several
+    aggregations in one pass via Ray Data multi-agg."""
+    return state_ds.aggregate(*aggs)

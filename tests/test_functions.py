@@ -1,0 +1,209 @@
+"""Aggregation surface, loaders, text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+from signal_collect_ray.algorithms import PageRank
+from signal_collect_ray.functions import (
+    analyze_documents,
+    count_vertices,
+    dedup_exact,
+    embedding_dedup_cosine,
+    extract_media_features,
+    for_vertex_with_id,
+    id_state_map,
+    knn_brute_force,
+    map_reduce,
+    minhash_lsh_candidates,
+    jaccard_verify,
+    product_of_states,
+    sample_vertex_ids,
+    simhash_signatures,
+    sum_of_states,
+    synthesize_media_table,
+    top_k,
+)
+from signal_collect_ray.sources.loaders import (
+    adjacency_vertices,
+    read_adjacency_list_text,
+    read_edge_list_text,
+)
+
+from tests import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def pr_state(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("aggstate")
+    src, dst = fx.star5()
+    g = Graph.from_edge_arrays(src, dst, str(tmp / "g"), num_partitions=2)
+    eng = SuperstepEngine(EngineConfig(num_partitions=2, eps=1e-8))
+    info = eng.run(g, PageRank(), run_dir=str(tmp / "r"), resume=False)
+    return info.final_state_ds()
+
+
+def test_aggregations(pr_state):
+    total = sum_of_states(pr_state)
+    assert abs(total - (0.66 + 4 * 0.15)) < 1e-4
+    assert count_vertices(pr_state) == 5
+    assert count_vertices(
+        pr_state, lambda t: t.column("state").to_numpy(zero_copy_only=False) > 0.5
+    ) == 1
+    assert len(sample_vertex_ids(pr_state, 3)) == 3
+    tk = top_k(pr_state, 2).take_all()
+    assert tk[0]["vid"] == 4 and abs(tk[0]["state"] - 0.66) < 1e-4
+    m = id_state_map(pr_state)
+    assert set(m) == {0, 1, 2, 3, 4}
+    p = product_of_states(pr_state)
+    assert abs(p - 0.66 * 0.15**4) < 1e-4
+    mx = map_reduce(
+        pr_state,
+        lambda t: t.column("state").to_numpy(zero_copy_only=False),
+        np.max,
+        0.0,
+    )
+    assert abs(mx - 0.66) < 1e-4
+    row = for_vertex_with_id(pr_state, 4)
+    assert row is not None and abs(row["state"] - 0.66) < 1e-4
+
+
+def test_loaders(tmp_path):
+    # edge list with comments (FileReader.scala semantics; notredame2
+    # content per FIXTURES.md: 0→0, 0→1, 1→0, 3→2)
+    p = tmp_path / "edges.txt"
+    p.write_text("# comment\n0 0\n0 1\n1 0\n3 2\n")
+    rows = sorted(
+        (r["src"], r["dst"]) for r in read_edge_list_text(str(p)).take_all()
+    )
+    assert rows == [(0, 0), (0, 1), (1, 0), (3, 2)]
+
+    # adjacency list (AdjacencyListLoader format: id degree targets...)
+    q = tmp_path / "adj.txt"
+    q.write_text("1 0\n4 1 5\n2 3 1 5 4\n5 0\n")
+    rows = sorted(
+        (r["src"], r["dst"]) for r in read_adjacency_list_text(str(q)).take_all()
+    )
+    assert rows == [(2, 1), (2, 4), (2, 5), (4, 5)]
+    vids = sorted(r["vid"] for r in adjacency_vertices(str(q)).take_all())
+    assert vids == [1, 2, 4, 5]
+
+
+def _docs_ds():
+    texts = [
+        "The quick brown fox jumps over the lazy dog and runs to the hills",
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+        "Der schnelle braune Fuchs springt über den faulen Hund und rennt",
+        "completely different content about graph engines and ray data pipelines",
+        "The quick brown fox jumps over the lazy dog and runs to the mountains",
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_text_analysis():
+    out = analyze_documents(_docs_ds()).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "de"
+    assert by_id[0]["n_words"] == 14
+    assert by_id[0]["n_tokens"] >= by_id[0]["n_words"]
+    assert 0.0 <= by_id[0]["quality"] <= 1.0
+    # identical-after-normalization texts share a fingerprint
+    assert by_id[0]["fingerprint"] != by_id[4]["fingerprint"]
+
+
+def test_dedup_exact():
+    kept = sorted(r["doc_id"] for r in dedup_exact(_docs_ds()).take_all())
+    # docs 0 and 1 are case-duplicates → keep 0
+    assert 0 in kept and 1 not in kept
+    assert set(kept) <= {0, 2, 3, 4}
+
+
+def test_minhash_candidates_and_verify():
+    pairs_ds = minhash_lsh_candidates(_docs_ds(), num_perm=64, num_bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
+    assert (0, 1) in pairs
+    verified = jaccard_verify(_docs_ds(), pairs_ds, threshold=0.6).take_all()
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert vp.get((0, 1), 0) == 1.0  # identical after normalization
+
+
+def test_simhash_near_duplicates():
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
+    assert out[0] == out[1]
+    # hamming distance between near-dups is small, unrelated text far
+    h04 = bin(out[0] ^ out[4]).count("1")
+    h03 = bin(out[0] ^ out[3]).count("1")
+    assert h04 < h03
+
+
+def test_knn_brute_force():
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(50, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q = base[7:9]
+    out = knn_brute_force(ds, q, k=3).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["score"], r["id"]))
+    assert sorted(by_q) == [0, 1]
+    assert max(by_q[0])[1] == 7  # nearest neighbor of query 0 is itself
+    assert max(by_q[1])[1] == 8
+
+
+def test_embedding_dedup_cosine():
+    rng = np.random.RandomState(1)
+    base = rng.normal(size=(30, 8))
+    base[13] = base[4] * 1.7 + rng.normal(scale=1e-4, size=8)  # near-dup pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_dedup_cosine(rd.from_arrow(tbl), threshold=0.99).take_all()}
+    assert (4, 13) in pairs
+
+
+def test_multimodal_plumbing():
+    tbl = synthesize_media_table(40, seed=42)
+    ds = rd.from_arrow(tbl)
+    out = extract_media_features(ds, concurrency=2, batch_size=16).take_all()
+    assert len(out) == 40
+    r = out[0]
+    assert len(r["features"]) == 16
+    assert "payload" not in r
+    assert r["payload_bytes"] > 0
+    # deterministic across runs
+    out2 = extract_media_features(rd.from_arrow(tbl), concurrency=2,
+                                  batch_size=16).take_all()
+    a = {r["media_id"]: tuple(r["features"]) for r in out}
+    b = {r["media_id"]: tuple(r["features"]) for r in out2}
+    assert a == b
+
+
+def test_media_real_decoder_is_marked():
+    from signal_collect_ray.functions import MediaFeatureExtractor
+
+    ex = MediaFeatureExtractor(decoder="real")
+    with pytest.raises(NotImplementedError):
+        ex._decode_real(b"xx", "image")
