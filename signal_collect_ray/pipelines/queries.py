@@ -1,0 +1,539 @@
+"""Driver-facing query library: every operator as an sf_dir-parameterized
+callable plus (where SQL-expressible) a DuckDB oracle string.
+
+Graph queries run over a deterministic edge table derived from the
+``lineitem`` table (``src = l_orderkey % V, dst = l_partkey % V``) so
+the identical graph is reconstructible in ANSI SQL; iterative algorithms
+get fixed-k oracles as unrolled CTE chains (k supersteps of the exact
+engine semantics). Float-valued results are rounded identically on both
+sides (column names match exactly — driver hashes sorted-by-name).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+V_GRAPH = 500  # vertex-id space of the derived lineitem graph
+_P = 8  # engine partitions for query-sized graphs
+
+_E_SQL = (
+    f"SELECT DISTINCT l_orderkey % {V_GRAPH} AS src, "
+    f"l_partkey % {V_GRAPH} AS dst FROM lineitem "
+    f"WHERE (l_orderkey % {V_GRAPH}) <> (l_partkey % {V_GRAPH})"
+)
+
+_GRAPH_CACHE: Dict[str, object] = {}
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/scray_queries/{key}/{name}"
+
+
+def derived_edges_ds(sf_dir: str):
+    """Distinct (src, dst) modulo-V edges from lineitem — Ray side of
+    ``_E_SQL``. In-batch dedup, then exact dedup co-partitioned by src."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def mod(tbl: pa.Table) -> pa.Table:
+        o = tbl.column("l_orderkey").to_numpy(zero_copy_only=False) % V_GRAPH
+        p = tbl.column("l_partkey").to_numpy(zero_copy_only=False) % V_GRAPH
+        keep = o != p
+        pairs = np.unique(np.stack([o[keep], p[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(pairs[:, 0], 32), pa.int32()),
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def dedup(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "weight": pa.array(np.ones(len(pairs)), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(mod, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+
+def _sym_dedup(edges_ds):
+    """Symmetrize + dedup (matches SQL ``e UNION reverse(e)``)."""
+    from signal_collect_ray.util import part_of
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        ss = np.concatenate([s, d])
+        dd = np.concatenate([d, s])
+        pairs = np.unique(np.stack([ss, dd], axis=1), axis=0)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(pairs[:, 0], 32), pa.int32()),
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def dedup(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "weight": pa.array(np.ones(len(pairs)), pa.float64()),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+
+def _graph(sf_dir: str, symmetric: bool = False):
+    """Build (once per process per sf_dir) the derived lineitem graph."""
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, symmetric)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        edges = derived_edges_ds(sf_dir)
+        if symmetric:
+            edges = _sym_dedup(edges)
+        name = "graph_sym" if symmetric else "graph"
+        g = Graph.build(edges, _work_dir(sf_dir, name), num_partitions=_P)
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _engine(max_supersteps: int, eps: float = 1e-6):
+    from signal_collect_ray import EngineConfig, SuperstepEngine
+
+    return SuperstepEngine(
+        EngineConfig(num_partitions=_P, eps=eps, max_supersteps=max_supersteps)
+    )
+
+
+def _state(sf_dir, algo, symmetric, max_supersteps, eps=1e-6, tag=""):
+    g = _graph(sf_dir, symmetric)
+    eng = _engine(max_supersteps, eps)
+    info = eng.run(
+        g, algo, run_dir=_work_dir(sf_dir, f"run_{algo.name}{tag}"), resume=False
+    )
+    return info.state_table()
+
+
+# ---------------------------------------------------------------------------
+# SQL generators for the iterative oracles (unrolled fixed-k CTE chains)
+# ---------------------------------------------------------------------------
+
+def _pr_sql(k: int) -> str:
+    ctes = [
+        f"e AS ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.vid, 0.15 + 0.85 * COALESCE(SUM(r{i-1}.r / od.outd), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+
+
+def _cc_sql(k: int) -> str:
+    ctes = [
+        f"e0 AS ({_E_SQL})",
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
+        "v AS (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
+        "l0 AS (SELECT vid, vid AS lab FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS (SELECT v.vid, LEAST(own.lab, COALESCE(MIN(nb.lab), own.lab)) AS lab "
+            f"FROM v JOIN l{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN l{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.lab)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, lab AS label FROM l{k}"
+
+
+def _sssp_sql(k: int, source: int = 0) -> str:
+    ctes = [
+        f"e AS ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"d0 AS (SELECT vid, CASE WHEN vid = {source} THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(1e18 AS DOUBLE) END AS d FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
+            f"FROM v JOIN d{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN d{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.d)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, CASE WHEN d >= 1e17 THEN NULL ELSE d END AS dist FROM d{k}"
+    )
+
+
+_CW1_SQL = f"""
+WITH e0 AS ({_E_SQL}),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+v AS (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0),
+cand AS (
+  SELECT e.dst AS vid, e.src AS label, CAST(1.0 AS DOUBLE) AS w FROM e
+  UNION ALL
+  SELECT vid, vid AS label, CAST(1.0 AS DOUBLE) AS w FROM v
+),
+agg AS (SELECT vid, label, SUM(w) AS s FROM cand GROUP BY vid, label),
+ranked AS (SELECT vid, label,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY s DESC, label ASC) AS rn
+           FROM agg)
+SELECT vid, label FROM ranked WHERE rn = 1
+"""
+
+_TRI_SQL_BASE = f"""
+WITH e0 AS ({_E_SQL}),
+u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 GROUP BY 1, 2),
+tri AS (SELECT x.a AS u, x.b AS v, y.b AS w
+        FROM u x JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def q_graph_edges(sf_dir: str):
+    return derived_edges_ds(sf_dir).select_columns(["src", "dst"])
+
+
+def q_out_degrees(sf_dir: str):
+    g = _graph(sf_dir)
+    ds = g.vertices_ds()
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        outd = tbl.column("out_degree").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(outd > 0)
+        t = tbl.take(pa.array(keep, pa.int64()))
+        return pa.table({"vid": t.column("vid"), "out_degree": t.column("out_degree")})
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _round_state(tbl: pa.Table, col_out: str, digits: int) -> pa.Table:
+    vals = np.round(tbl.column("state").to_numpy(zero_copy_only=False), digits)
+    return pa.table(
+        {"vid": tbl.column("vid"), col_out: pa.array(vals, pa.float64())}
+    )
+
+
+def q_pagerank_k4(sf_dir: str):
+    from signal_collect_ray.algorithms import PageRank
+
+    t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
+    return _round_state(t, "rank", 6)
+
+
+def q_rank_sum_k4(sf_dir: str):
+    from signal_collect_ray.algorithms import PageRank
+
+    t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
+    s = float(t.column("state").to_numpy().sum())
+    return pa.table({"rank_sum": pa.array([round(s, 4)], pa.float64())})
+
+
+def q_top10_pagerank_k4(sf_dir: str):
+    t = q_pagerank_k4(sf_dir)
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    r = t.column("rank").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -r))[:10]
+    return t.take(pa.array(order, pa.int64()))
+
+
+def q_cc_labels(sf_dir: str):
+    from signal_collect_ray.algorithms import ConnectedComponents
+
+    t = _state(sf_dir, ConnectedComponents(), True, 50)
+    return pa.table({"vid": t.column("vid"), "label": t.column("state")})
+
+
+def q_sssp_from0(sf_dir: str):
+    from signal_collect_ray.algorithms import SSSP
+
+    t = _state(sf_dir, SSSP(0), False, 50)
+    d = t.column("state").to_numpy(zero_copy_only=False)
+    dist = [None if not np.isfinite(x) else float(x) for x in d]
+    return pa.table({"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())})
+
+
+def q_chinese_whispers_k1(sf_dir: str):
+    from signal_collect_ray.algorithms import ChineseWhispers
+
+    t = _state(sf_dir, ChineseWhispers(), True, 1, eps=0.0, tag="_k1")
+    return pa.table({"vid": t.column("vid"), "label": t.column("state")})
+
+
+def q_triangle_total(sf_dir: str):
+    from signal_collect_ray.algorithms import total_triangles
+
+    n = total_triangles(derived_edges_ds(sf_dir), num_partitions=32)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def q_triangles_per_vertex(sf_dir: str):
+    from signal_collect_ray.algorithms import triangle_counts
+
+    return triangle_counts(derived_edges_ds(sf_dir), num_partitions=32)
+
+
+def q_doc_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import TokenCount
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(TokenCount(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words"])
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import dedup_exact
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup_exact(ds).select_columns(["doc_id"])
+
+
+def q_knn_vec0_top5(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import knn_brute_force
+
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    min_id = ds.aggregate(Min("vec_id", alias_name="m"))["m"]
+
+    def _is_min(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        return tbl.take(pa.array(np.flatnonzero(v == min_id), pa.int64()))
+
+    first = ds.map_batches(_is_min, batch_format="pyarrow").take(1)[0]
+    q0 = np.asarray(first["embedding"], dtype=np.float64)
+    out = knn_brute_force(ds, q0[None, :], k=5).take_all()
+    ids = [r["id"] for r in out]
+    scores = [round(r["score"], 4) for r in out]
+    return pa.table(
+        {"id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q_pagerank_converged(sf_dir: str):
+    from signal_collect_ray.algorithms import PageRank
+
+    t = _state(sf_dir, PageRank(), False, 200, eps=1e-6, tag="_conv")
+    return _round_state(t, "rank", 5)
+
+
+def q_lang_id_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray.functions.text import LanguageId
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(LanguageId(), batch_format="pyarrow")
+    return out.groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+
+def q_quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(QualityScore(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "quality"])
+
+
+def q_doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import Fingerprint
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(Fingerprint(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_dedup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_lsh_candidates(ds)
+    return jaccard_verify(ds, pairs, threshold=0.5)
+
+
+def q_simhash_signatures(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import simhash_signatures
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_signatures(ds).select_columns(["doc_id", "simhash"])
+
+
+def q_embedding_dedup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import embedding_dedup_cosine
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_dedup_cosine(ds, threshold=0.95)
+
+
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    ds = rd.from_arrow(synthesize_media_table(256, seed=42))
+    return extract_media_features(ds, concurrency=2, batch_size=64)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries():
+    return {
+        "graph_edges": q_graph_edges,
+        "out_degrees": q_out_degrees,
+        "pagerank_k4": q_pagerank_k4,
+        "rank_sum_k4": q_rank_sum_k4,
+        "top10_pagerank_k4": q_top10_pagerank_k4,
+        "connected_components": q_cc_labels,
+        "sssp_from0": q_sssp_from0,
+        "chinese_whispers_k1": q_chinese_whispers_k1,
+        "triangle_total": q_triangle_total,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "knn_vec0_top5": q_knn_vec0_top5,
+        # rows-only checks (not SQL-expressible)
+        "pagerank_converged": q_pagerank_converged,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql():
+    return {
+        "graph_edges": _E_SQL,
+        "out_degrees": (
+            f"WITH e AS ({_E_SQL}) "
+            "SELECT src AS vid, COUNT(*) AS out_degree FROM e GROUP BY src"
+        ),
+        "pagerank_k4": _pr_sql(4),
+        "rank_sum_k4": (
+            _pr_sql(4).replace(
+                "SELECT vid, ROUND(r, 6) AS rank FROM r4",
+                "SELECT ROUND(SUM(r), 4) AS rank_sum FROM r4",
+            )
+        ),
+        "top10_pagerank_k4": (
+            _pr_sql(4).replace(
+                "SELECT vid, ROUND(r, 6) AS rank FROM r4",
+                "SELECT vid, ROUND(r, 6) AS rank FROM r4 "
+                "ORDER BY r DESC, vid ASC LIMIT 10",
+            )
+        ),
+        "connected_components": _cc_sql(8),
+        "sssp_from0": _sssp_sql(8),
+        "chinese_whispers_k1": _CW1_SQL,
+        "triangle_total": _TRI_SQL_BASE
+        + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
+        "triangles_per_vertex": _TRI_SQL_BASE
+        + (
+            "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
+            "(SELECT u AS vid FROM tri UNION ALL SELECT v FROM tri "
+            "UNION ALL SELECT w FROM tri) GROUP BY vid"
+        ),
+        "doc_token_counts": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_words FROM documents"
+        ),
+        "doc_dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        ),
+        "knn_vec0_top5": (
+            "WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) "
+            "SELECT e.vec_id AS id, "
+            "ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS score "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id "
+            "LIMIT 5"
+        ),
+    }

@@ -174,3 +174,53 @@ def synthesize_pages_dataset(
         batch_format="numpy",
         batch_size=4096,
     )
+
+
+class _DocPageGen:
+    """map_batches callable: documents rows → pages rows, embedding the
+    closed-form link topology (page_links) as anchors around the doc text."""
+
+    def __init__(self, n_docs: int, avg_links: int, seed: int):
+        self.n_docs, self.avg_links, self.seed = n_docs, avg_links, seed
+
+    def __call__(self, tbl):
+        import pyarrow as pa
+
+        ids = tbl.column("doc_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        urls, tss, htmls, outs, langs = [], [], [], [], []
+        for i, text in zip(ids, texts):
+            i = int(i)
+            _, dst = page_links(
+                np.array([i], dtype=np.int64), self.n_docs, self.avg_links, self.seed
+            )
+            body = " ".join((text or "").split())
+            parts = [f"<html><body><p>{body} "]
+            tparts = [body] if body else []
+            for t, d in enumerate(dst):
+                href = page_url(int(d), self.n_docs)
+                parts.append(f'<a href="{href}">link {t}</a> ')
+                tparts.extend(["link", str(t)])
+            parts.append("</p></body></html>")
+            urls.append(page_url(i, self.n_docs))
+            tss.append(_BASE_TS_US + i * 1_000_000)
+            htmls.append("".join(parts).encode("iso-8859-1"))
+            outs.append(" ".join(tparts))
+            langs.append("en")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(outs, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+
+def pages_from_documents(docs_ds, n_docs: int, avg_links: int = 6, seed: int = 42):
+    """Wrap a documents table (doc_id, text) into Common-Crawl-style pages
+    whose link graph is the deterministic ``page_links`` topology."""
+    return docs_ds.map_batches(
+        _DocPageGen(n_docs, avg_links, seed), batch_format="pyarrow", batch_size=1024
+    )
