@@ -1,0 +1,313 @@
+"""Benchmark harness (driver contract).
+
+Plain run: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32); prints ONE JSON line.
+
+--scaling: builds one large synthetic web graph (closed-form page_links
+topology, ~40M edges) and runs the identical PageRank job in two fresh
+processes at num_cpus=8 and num_cpus=32; prints both throughputs and the
+scaling efficiency (T8/T32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "1500000"))
+SCALE_AVG_LINKS = int(os.environ.get("GRAFT_SCALE_AVG_LINKS", "26"))
+SCALE_STEPS = int(os.environ.get("GRAFT_SCALE_STEPS", "12"))
+SCALE_GRAPH_DIR = "/tmp/scray_bench/scaling_graph"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+    from signal_collect_ray.algorithms import (
+        ChineseWhispers,
+        ConnectedComponents,
+        PageRank,
+        total_triangles,
+    )
+    from signal_collect_ray.engine_resident import ResidentEngine
+    from signal_collect_ray.functions.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+    from signal_collect_ray.functions.similarity import knn_brute_force
+    from signal_collect_ray.functions.text import analyze_documents
+    from signal_collect_ray.pipelines.queries import _sym_dedup
+    from signal_collect_ray.sources import pages_to_edges
+    from signal_collect_ray.sources.pages import pages_from_documents
+
+    import numpy as np
+
+    work = "/tmp/scray_bench/headline"
+    P = max(2 * num_cpus, 16)
+    cfg = EngineConfig(num_partitions=P, eps=1e-6, max_supersteps=200)
+    queries: dict = {}
+    extra: dict = {}
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+
+    # page-graph scale follows the sf (lineitem rows), not the small
+    # documents table: sf0.1 → ~200k pages / ~1.6M links.
+    import pyarrow.parquet as pq
+
+    n_pages = max(
+        n_docs,
+        pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows // 3,
+    )
+    extra["n_pages"] = n_pages
+
+    # 1. pages synthesis + link extraction + partitioned graph build
+    from signal_collect_ray.sources import synthesize_pages_dataset
+
+    def build():
+        pages = synthesize_pages_dataset(n_pages, avg_links=8, seed=42)
+        edges = pages_to_edges(pages)
+        return Graph.build(edges, os.path.join(work, "graph"), num_partitions=P)
+
+    queries["extract_build"], g = _timed(build)
+    extra["n_vertices"], extra["n_edges"] = g.num_vertices, g.num_edges
+
+    # 2. PageRank to 1e-6 — resident executor (throughput path)
+    res_eng = ResidentEngine(cfg, num_workers=num_cpus)
+    queries["pagerank"], pr = _timed(
+        lambda: res_eng.run(
+            g, PageRank(), run_dir=os.path.join(work, "run_pr"), resume=False,
+            checkpoint_interval=25,
+        )
+    )
+    extra["pagerank_supersteps"] = pr.supersteps
+    extra["pagerank_edges_per_sec"] = int(
+        pr.edges_traversed_total / max(queries["pagerank"], 1e-9)
+    )
+    extra["pagerank_supersteps_per_hour"] = int(
+        pr.supersteps / max(queries["pagerank"], 1e-9) * 3600
+    )
+
+    # 3. the durable per-superstep-checkpointed executor, 5 supersteps
+    sse = SuperstepEngine(cfg)
+    queries["pagerank_durable_k5"], _ = _timed(
+        lambda: sse.run(
+            g, PageRank(), run_dir=os.path.join(work, "run_pr_d"), resume=False,
+            max_supersteps=5, eps=0.0,
+        )
+    )
+
+    # 4. connected components on the symmetrized graph (reuses the
+    # already-extracted edge shards — no second extraction pass)
+    def cc():
+        edges = _sym_dedup(g.edges_ds())
+        gs = Graph.build(edges, os.path.join(work, "graph_sym"), num_partitions=P)
+        return res_eng.run(
+            gs, ConnectedComponents(), run_dir=os.path.join(work, "run_cc"),
+            resume=False, checkpoint_interval=25,
+        )
+
+    queries["cc"], cc_info = _timed(cc)
+    extra["cc_supersteps"] = cc_info.supersteps
+
+    # 5. label propagation, 5 rounds
+    gs = Graph.load(os.path.join(work, "graph_sym"))
+    queries["labelprop5"], _ = _timed(
+        lambda: res_eng.run(
+            gs, ChineseWhispers(), run_dir=os.path.join(work, "run_cw"),
+            resume=False, max_supersteps=5, checkpoint_interval=25,
+        )
+    )
+
+    # 6. triangle counting on the page graph
+    queries["triangles"], extra["n_triangles"] = _timed(
+        lambda: total_triangles(g.edges_ds(), num_partitions=64)
+    )
+
+    # 7. minhash near-dup candidates + jaccard verify over documents
+    def dedup():
+        pairs = minhash_lsh_candidates(docs, num_perm=64, num_bands=16)
+        return jaccard_verify(docs, pairs, threshold=0.5).count()
+
+    queries["dedup_minhash"], extra["n_near_dup_pairs"] = _timed(dedup)
+
+    # 8. ANN brute-force cosine top-10, 8 queries
+    def knn():
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        rows = emb.take(8)
+        q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        return knn_brute_force(emb, q, k=10).count()
+
+    queries["knn"], _ = _timed(knn)
+
+    # 9. full text-analysis chain over documents
+    queries["text_analysis"], _ = _timed(
+        lambda: analyze_documents(docs).count()
+    )
+
+    total = sum(queries.values())
+    return {
+        "metric": "e2e_linkgraph_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+def _build_scaling_graph():
+    """Build the shared large graph once (untimed, parent process)."""
+    import numpy as np
+    import pyarrow as pa
+
+    _init_ray(NUM_CPUS)
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray import Graph
+    from signal_collect_ray.sources.pages import page_links
+
+    if os.path.exists(os.path.join(SCALE_GRAPH_DIR, "meta.json")):
+        return
+
+    n = SCALE_PAGES
+
+    def gen(batch) -> pa.Table:
+        idx = batch["id"].astype(np.int64)
+        src, dst = page_links(idx, n, SCALE_AVG_LINKS, seed=42)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(np.ones(len(src)), pa.float64()),
+            }
+        )
+
+    edges = rd.range(n).map_batches(gen, batch_format="numpy", batch_size=65536)
+    g = Graph.build(edges, SCALE_GRAPH_DIR, num_partitions=64)
+    print(
+        f"# scaling graph: {g.num_vertices} vertices, {g.num_edges} edges",
+        file=sys.stderr,
+    )
+    ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    import ray
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    g = Graph.load(SCALE_GRAPH_DIR)
+    cfg = EngineConfig(num_partitions=g.num_partitions, eps=0.0)
+    eng = ResidentEngine(cfg, num_workers=num_cpus)
+    # untimed warm-up run loads CSR blocks into the object store / page cache
+    eng.run(
+        g, PageRank(), run_dir=f"/tmp/scray_bench/scale_warm_{num_cpus}",
+        resume=False, max_supersteps=1, checkpoint_interval=10**9,
+    )
+    t0 = time.monotonic()
+    info = eng.run(
+        g, PageRank(), run_dir=f"/tmp/scray_bench/scale_run_{num_cpus}",
+        resume=False, max_supersteps=SCALE_STEPS, checkpoint_interval=10**9,
+    )
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "num_cpus": num_cpus,
+                "supersteps": info.supersteps,
+                "wall_sec": round(wall, 3),
+                "edges_traversed": info.edges_traversed_total,
+                "edges_per_sec": int(info.edges_traversed_total / wall),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def run_scaling() -> dict:
+    _build_scaling_graph()
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = child(8), child(32)
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["wall_sec"],
+        "sec_32": hi["wall_sec"],
+        "edges_per_sec_8": lo["edges_per_sec"],
+        "edges_per_sec_32": hi["edges_per_sec"],
+        "supersteps": lo["supersteps"],
+        "scale_pages": SCALE_PAGES,
+        "scale_avg_links": SCALE_AVG_LINKS,
+    }
+
+
+def main():
+    if "--scaling-child" in sys.argv:
+        _scaling_child(NUM_CPUS)
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    _init_ray(NUM_CPUS)
+    import ray
+
+    out = run_headline(SF_DIR, NUM_CPUS)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

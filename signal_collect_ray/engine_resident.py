@@ -1,0 +1,453 @@
+"""Resident BSP executor — the low-latency counterpart of engine.py.
+
+The Ray-Data superstep engine (engine.py) pays one streaming-pipeline
+launch (~0.5-1 s) per superstep — the right trade for durable,
+per-superstep-checkpointed production runs, but pure overhead when a
+superstep's compute is milliseconds. This executor mirrors the
+reference's physical layout instead (one worker per core, partitions
+hashed across workers — ``DefaultGraph.scala:171-205``,
+``DefaultVertexToWorkerMapper.scala:28-35``): W Ray actors each hold
+their partitions' CSR and vertex-state numpy arrays for the whole run;
+a superstep is two actor rounds (signal → exchange refs → collect) with
+signals pre-combined per destination partition before they enter the
+object store (same combiner as engine.py's SignalStage).
+
+Semantics are IDENTICAL to engine.py — both drive the same vectorized
+``Algorithm`` kernels, and equality is asserted in tests. Checkpoint
+shards + manifests use the same format, so a run started under one
+executor resumes under the other. Durability is every
+``checkpoint_interval`` supersteps (+ always at termination) instead of
+every superstep.
+
+Scale note: this is the executor for the throughput/scaling benchmarks
+(BASELINE.md): worker count = cluster cores, exchange = P×P pre-combined
+blocks through the object store — the same shuffle a multi-node Ray
+cluster performs, minus per-step pipeline setup.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from signal_collect_ray.algorithm import Algorithm
+from signal_collect_ray.config import EngineConfig
+from signal_collect_ray.engine import (
+    ExecutionInformation,
+    SuperstepEngine,
+    _state_table,
+    _to_np_dict,
+)
+from signal_collect_ray.util import expand_ranges, part_of
+
+
+class _Worker:
+    """One resident worker: owns `parts`, their CSR and state arrays."""
+
+    def __init__(
+        self,
+        worker_id: int,
+        parts: List[int],
+        csr_refs_wrapped: list,
+        algo: Algorithm,
+        num_partitions: int,
+        num_workers: int,
+        signal_threshold: float,
+    ):
+        import ray
+
+        self.wid = worker_id
+        self.parts = parts
+        self.algo = algo
+        self.P = num_partitions
+        self.W = num_workers
+        self.threshold = signal_threshold
+        csr_refs = csr_refs_wrapped[0]
+        self.csr = {p: ray.get(csr_refs[p]) for p in parts if p in csr_refs}
+        self.state: Dict[int, dict] = {}
+        self.meta: Dict[int, dict] = {}
+
+    # -- state lifecycle ---------------------------------------------------
+    def init_from_vertices(self, vertex_files: Dict[int, str]):
+        for p in self.parts:
+            f = vertex_files.get(p)
+            if f is None:
+                continue
+            d = _to_np_dict(pq.read_table(f))
+            st = self.algo.init(d["vid"], d["out_degree"], d["sum_out_weight"])
+            st.setdefault("residual", np.ones(len(d["vid"])))
+            self.meta[p] = {
+                "vid": d["vid"],
+                "out_degree": d["out_degree"],
+                "sum_out_weight": d["sum_out_weight"],
+            }
+            self.state[p] = st
+        return self._metrics()
+
+    def load_checkpoint(self, step_dir: str):
+        for p in self.parts:
+            f = os.path.join(step_dir, f"part-{p:05d}.parquet")
+            if not os.path.exists(f):
+                continue
+            d = _to_np_dict(pq.read_table(f))
+            self.meta[p] = {
+                "vid": d["vid"],
+                "out_degree": d["out_degree"],
+                "sum_out_weight": d["sum_out_weight"],
+            }
+            self.state[p] = {
+                "state": d["state"],
+                "last": d["last"],
+                "active": d["active"].astype(bool),
+                "residual": d["residual"],
+            }
+        return self._metrics()
+
+    # -- superstep ---------------------------------------------------------
+    def signal(self):
+        """Compute this worker's outgoing signals, pre-combined per
+        destination partition, grouped per destination WORKER. The whole
+        outbox is the task's return value — ONE object-store entry per
+        worker per superstep; receivers map it zero-copy and slice only
+        their pieces (numpy buffers ride pickle5 out-of-band in plasma)."""
+        algo = self.algo
+        outbox: Dict[int, list] = {w: [] for w in range(self.W)}
+        for p in self.parts:
+            st = self.state.get(p)
+            csr = self.csr.get(p)
+            if st is None or csr is None:
+                continue
+            m = self.meta[p]
+            mask = (
+                np.ones(len(m["vid"]), dtype=bool)
+                if algo.always_signal
+                else st["active"]
+            )
+            mask = mask & (m["out_degree"] > 0)
+            if not mask.any():
+                continue
+            sub = {
+                "vid": m["vid"][mask],
+                "out_degree": m["out_degree"][mask],
+                "sum_out_weight": m["sum_out_weight"][mask],
+                "state": st["state"][mask],
+                "last": st["last"][mask],
+            }
+            pos = np.searchsorted(csr["src_ids"], sub["vid"])
+            pos_c = np.minimum(pos, len(csr["src_ids"]) - 1)
+            found = (pos < len(csr["src_ids"])) & (
+                csr["src_ids"][pos_c] == sub["vid"]
+            )
+            if not found.any():
+                continue
+            sub = {k: v[found] for k, v in sub.items()}
+            pos = pos_c[found]
+            starts = csr["indptr"][pos]
+            counts = csr["indptr"][pos + 1] - starts
+            eidx = expand_ranges(starts, counts)
+            src_vals = algo.src_values(sub)
+            expanded = {k: np.repeat(v, counts) for k, v in src_vals.items()}
+            vals = algo.edge_values(expanded, csr["weight"][eidx])
+            dst = csr["dst"][eidx]
+            dst_u, combined = algo.combine(dst, vals)
+            dparts = part_of(dst_u, self.P)
+            dwids = dparts % self.W
+            order = np.argsort(dwids, kind="stable")
+            dst_u, dparts, dwids = dst_u[order], dparts[order], dwids[order]
+            combined = {k: v[order] for k, v in combined.items()}
+            bounds = np.searchsorted(dwids, np.arange(self.W + 1))
+            for w in range(self.W):
+                lo, hi = bounds[w], bounds[w + 1]
+                if lo == hi:
+                    continue
+                outbox[w].append(
+                    (dparts[lo:hi], dst_u[lo:hi], {k: v[lo:hi] for k, v in combined.items()})
+                )
+        return {w: pieces for w, pieces in outbox.items() if pieces}
+
+    def collect(self, outbox_refs: list):
+        """Apply incoming signals to owned partitions; returns metrics.
+
+        ``outbox_refs`` are the OTHER workers' signal() return refs —
+        fetched in one batched zero-copy ray.get, then sliced to this
+        worker's pieces."""
+        import ray
+
+        algo = self.algo
+        field_names = [n for n, _ in algo.signal_fields]
+        per_part: Dict[int, list] = {p: [] for p in self.parts}
+        inbox = []
+        for outbox in ray.get(outbox_refs):
+            pieces = outbox.get(self.wid)
+            if pieces:
+                inbox.extend(pieces)
+        for dparts, dst, vals in inbox:
+                order = np.argsort(dparts, kind="stable")
+                dp, ds = dparts[order], dst[order]
+                vv = {k: v[order] for k, v in vals.items()}
+                bounds = np.searchsorted(dp, np.arange(self.P + 1))
+                for p in self.parts:
+                    lo, hi = bounds[p], bounds[p + 1]
+                    if lo < hi:
+                        per_part[p].append(
+                            (ds[lo:hi], {k: v[lo:hi] for k, v in vv.items()})
+                        )
+        self._undeliverable = 0
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            pieces = per_part[p]
+            if pieces:
+                dst = np.concatenate([x[0] for x in pieces])
+                vals = {
+                    k: np.concatenate([x[1][k] for x in pieces])
+                    for k in field_names
+                }
+                dst, vals = algo.combine(dst, vals)
+                idx = Algorithm._align(m["vid"], dst)
+                bad = idx < 0
+                if bad.any():
+                    self._undeliverable += int(bad.sum())
+                    dst = dst[~bad]
+                    vals = {k: v[~bad] for k, v in vals.items()}
+            else:
+                dst = np.empty(0, dtype=np.int64)
+                vals = {k: np.empty(0) for k in field_names}
+            prev = {
+                "vid": m["vid"],
+                "out_degree": m["out_degree"],
+                "sum_out_weight": m["sum_out_weight"],
+                "state": st["state"],
+                "last": st["last"],
+                "active": st["active"],
+            }
+            self.state[p] = algo.collect(prev, dst, vals, self.threshold)
+        return self._metrics()
+
+    # -- durability --------------------------------------------------------
+    def checkpoint(self, out_dir: str):
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            tbl = _state_table(
+                p, m["vid"], m["out_degree"], m["sum_out_weight"], st,
+                self.algo.state_pa_type,
+            )
+            pq.write_table(tbl, os.path.join(out_dir, f"part-{p:05d}.parquet"))
+        return True
+
+    def _metrics(self):
+        rows = []
+        algo = self.algo
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            send = (
+                np.ones(len(m["vid"]), dtype=bool)
+                if algo.always_signal
+                else st["active"].astype(bool)
+            )
+            rows.append(
+                {
+                    "part": p,
+                    "n_vertices": int(len(m["vid"])),
+                    "n_active": int(st["active"].sum()),
+                    "residual_max": float(st["residual"].max(initial=0.0)),
+                    "edges_traversed": int(m["out_degree"][send].sum()),
+                    "signal_rows_in": 0,
+                    "undeliverable": int(getattr(self, "_undeliverable", 0)),
+                }
+            )
+        return rows
+
+
+class ResidentEngine:
+    """Actor-resident BSP executor; same Algorithm/checkpoint contracts
+    as SuperstepEngine."""
+
+    def __init__(self, config: Optional[EngineConfig] = None, num_workers: Optional[int] = None):
+        import ray
+
+        self.config = config or EngineConfig()
+        if num_workers is None:
+            num_workers = max(1, int(ray.cluster_resources().get("CPU", 4)))
+        self.W = num_workers
+
+    def run(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        resume: bool = True,
+        eps: Optional[float] = None,
+        max_supersteps: Optional[int] = None,
+        signal_threshold: Optional[float] = None,
+        checkpoint_interval: Optional[int] = None,
+        time_limit_s: Optional[float] = None,
+    ) -> ExecutionInformation:
+        import ray
+
+        cfg = self.config
+        eps = cfg.eps if eps is None else eps
+        max_supersteps = (
+            cfg.max_supersteps if max_supersteps is None else max_supersteps
+        )
+        threshold = (
+            cfg.signal_threshold if signal_threshold is None else signal_threshold
+        )
+        ckpt_int = (
+            cfg.checkpoint_interval if checkpoint_interval is None else checkpoint_interval
+        )
+        time_limit_s = cfg.time_limit_s if time_limit_s is None else time_limit_s
+        run_dir = run_dir or os.path.join(
+            cfg.checkpoint_root,
+            f"{algo.name}-{os.path.basename(graph.graph_dir)}-resident",
+        )
+        os.makedirs(run_dir, exist_ok=True)
+        P = graph.num_partitions
+        W = min(self.W, P)
+        t0 = time.monotonic()
+
+        lineage_base = {
+            "graph_dir": os.path.abspath(graph.graph_dir),
+            "algorithm": algo.name,
+            "signal_threshold": threshold,
+            "eps": eps,
+            "num_partitions": P,
+            "executor": "resident",
+        }
+
+        csr_refs = graph.csr_refs()
+        vertex_files = {
+            int(os.path.basename(f).split("-")[1].split(".")[0]): f
+            for f in graph.vertex_files()
+        }
+        parts_by_worker = {w: [p for p in range(P) if p % W == w] for w in range(W)}
+        WorkerActor = ray.remote(_Worker)
+        workers = [
+            WorkerActor.options(num_cpus=1).remote(
+                w, parts_by_worker[w], [csr_refs], algo, P, W, threshold
+            )
+            for w in range(W)
+        ]
+
+        per_step: List[dict] = []
+        start_k = None
+        if resume:
+            latest = SuperstepEngine._latest_complete_step(run_dir)
+            if latest is not None:
+                with open(
+                    os.path.join(
+                        SuperstepEngine._step_dir(run_dir, latest), "manifest.json"
+                    )
+                ) as f:
+                    m = json.load(f)
+                lg = m.get("lineage", {})
+                if (
+                    lg.get("algorithm") == algo.name
+                    and lg.get("graph_dir") == lineage_base["graph_dir"]
+                ):
+                    rows = _flatten(
+                        ray.get(
+                            [
+                                w.load_checkpoint.remote(
+                                    SuperstepEngine._step_dir(run_dir, latest)
+                                )
+                                for w in workers
+                            ]
+                        )
+                    )
+                    start_k = latest
+                    per_step = [m]
+        if start_k is None:
+            for d in glob.glob(os.path.join(run_dir, "step=*")) + glob.glob(
+                os.path.join(run_dir, ".tmp-step=*")
+            ):
+                shutil.rmtree(d)
+            rows = _flatten(
+                ray.get([w.init_from_vertices.remote(vertex_files) for w in workers])
+            )
+            manifest = SuperstepEngine._manifest(0, rows, lineage_base, None)
+            self._checkpoint(workers, run_dir, 0, manifest)
+            per_step = [manifest]
+            start_k = 0
+
+        k = start_k
+        last = per_step[-1]
+        converged = SuperstepEngine._is_converged(last, eps, k)
+        reason = "Converged" if converged else None
+        while not converged:
+            if k >= max_supersteps:
+                reason = "StepsLimitReached"
+                break
+            if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
+                reason = "TimeLimitReached"
+                break
+            k += 1
+            ts = time.monotonic()
+            # the outbox refs are never fetched on the driver — workers
+            # exchange them directly through the object store
+            sig_refs = [w.signal.remote() for w in workers]
+            rows = _flatten(
+                ray.get([w.collect.remote(sig_refs) for w in workers])
+            )
+            manifest = SuperstepEngine._manifest(
+                k, rows, lineage_base, prev_step=k - 1, wall_s=time.monotonic() - ts
+            )
+            per_step.append(manifest)
+            last = manifest
+            converged = SuperstepEngine._is_converged(last, eps, k)
+            if converged:
+                reason = "Converged"
+            if converged or (ckpt_int and k % ckpt_int == 0):
+                self._checkpoint(workers, run_dir, k, manifest)
+        if reason in ("StepsLimitReached", "TimeLimitReached"):
+            self._checkpoint(workers, run_dir, k, last)
+
+        return ExecutionInformation(
+            algorithm=algo.name,
+            supersteps=k,
+            converged=converged,
+            termination_reason=reason or "Converged",
+            wall_s=time.monotonic() - t0,
+            residual_max=last["residual_max"],
+            n_active=last["n_active"],
+            edges_traversed_total=sum(m.get("edges_next", 0) for m in per_step[:-1]),
+            run_dir=run_dir,
+            final_step_dir=SuperstepEngine._step_dir(run_dir, k),
+            per_step=per_step,
+        )
+
+    @staticmethod
+    def _checkpoint(workers, run_dir: str, k: int, manifest: dict):
+        import ray
+
+        step_dir = SuperstepEngine._step_dir(run_dir, k)
+        if os.path.exists(step_dir):
+            return
+        tmp = os.path.join(run_dir, f".tmp-step={k:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        ray.get([w.checkpoint.remote(tmp) for w in workers])
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(tmp, step_dir)
+
+
+def _flatten(lists):
+    return [r for rows in lists for r in rows]

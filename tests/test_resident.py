@@ -1,0 +1,91 @@
+"""Resident executor ≡ Ray Data executor: identical results, shared
+checkpoint format (cross-executor resume)."""
+
+import numpy as np
+
+from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+from signal_collect_ray.algorithms import ChineseWhispers, ConnectedComponents, PageRank
+from signal_collect_ray.engine_resident import ResidentEngine
+
+from tests import fixtures as fx
+
+
+def _graph(tmp_path, P=4):
+    rng = np.random.RandomState(5)
+    n = 300
+    src = rng.randint(0, n, 1500).astype(np.int64)
+    dst = rng.randint(0, n, 1500).astype(np.int64)
+    keep = src != dst
+    return Graph.from_edge_arrays(src[keep], dst[keep], str(tmp_path / "g"), num_partitions=P)
+
+
+def test_pagerank_identical(tmp_path):
+    g = _graph(tmp_path)
+    cfg = EngineConfig(num_partitions=4, eps=1e-8, max_supersteps=200)
+    a = SuperstepEngine(cfg).run(g, PageRank(), run_dir=str(tmp_path / "rd"), resume=False)
+    b = ResidentEngine(cfg, num_workers=3).run(
+        g, PageRank(), run_dir=str(tmp_path / "res"), resume=False
+    )
+    assert a.supersteps == b.supersteps
+    ta, tb = a.state_table(), b.state_table()
+    assert ta.column("vid").to_pylist() == tb.column("vid").to_pylist()
+    # float sums differ only in summation order between executors
+    assert np.allclose(
+        ta.column("state").to_numpy(), tb.column("state").to_numpy(),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_cw_identical(tmp_path):
+    src, dst = fx.two_clusters()
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    cfg = EngineConfig(num_partitions=4, max_supersteps=20)
+    a = SuperstepEngine(cfg).run(g, ChineseWhispers(), run_dir=str(tmp_path / "rd"), resume=False)
+    b = ResidentEngine(cfg, num_workers=2).run(
+        g, ChineseWhispers(), run_dir=str(tmp_path / "res"), resume=False
+    )
+    assert a.state_table().column("state").to_pylist() == b.state_table().column(
+        "state"
+    ).to_pylist()
+
+
+def test_cross_executor_resume(tmp_path):
+    g = _graph(tmp_path)
+    cfg = EngineConfig(num_partitions=4, eps=1e-8, max_supersteps=300)
+    full = ResidentEngine(cfg, num_workers=2).run(
+        g, PageRank(), run_dir=str(tmp_path / "full"), resume=False
+    )
+    # start under the Ray Data executor, resume under the resident one
+    SuperstepEngine(cfg).run(
+        g, PageRank(), run_dir=str(tmp_path / "x"), resume=False, max_supersteps=4
+    )
+    resumed = ResidentEngine(cfg, num_workers=2).run(
+        g, PageRank(), run_dir=str(tmp_path / "x"), resume=True
+    )
+    assert resumed.converged
+    assert resumed.supersteps == full.supersteps
+    assert np.allclose(
+        resumed.state_table().column("state").to_numpy(),
+        full.state_table().column("state").to_numpy(),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_resident_checkpoint_interval(tmp_path):
+    import glob
+    import os
+
+    g = _graph(tmp_path)
+    cfg = EngineConfig(num_partitions=4, eps=1e-8, max_supersteps=50)
+    info = ResidentEngine(cfg, num_workers=2).run(
+        g, PageRank(), run_dir=str(tmp_path / "r"), resume=False,
+        checkpoint_interval=10,
+    )
+    steps = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(str(tmp_path / "r" / "step=*"))
+    )
+    # step 0, every 10th, and the terminal step
+    assert 0 in steps
+    assert info.supersteps == steps[-1]
+    assert all(s % 10 == 0 or s == info.supersteps for s in steps)
