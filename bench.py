@@ -21,10 +21,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "1500000"))
-SCALE_AVG_LINKS = int(os.environ.get("GRAFT_SCALE_AVG_LINKS", "26"))
-SCALE_STEPS = int(os.environ.get("GRAFT_SCALE_STEPS", "12"))
-SCALE_GRAPH_DIR = "/tmp/scray_bench/scaling_graph"
+SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "150000"))
+SCALE_AVG_LINKS = int(os.environ.get("GRAFT_SCALE_AVG_LINKS", "8"))
+SCALE_CPUS_LO = int(os.environ.get("GRAFT_SCALE_CPUS_LO", "8"))
+SCALE_CPUS_HI = int(os.environ.get("GRAFT_SCALE_CPUS_HI", "32"))
 
 
 def _init_ray(num_cpus: int):
@@ -194,73 +194,55 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 # scaling mode
 # ---------------------------------------------------------------------------
 
-def _build_scaling_graph():
-    """Build the shared large graph once (untimed, parent process)."""
-    import numpy as np
-    import pyarrow as pa
-
-    _init_ray(NUM_CPUS)
-    import ray
-    import ray.data as rd
-
-    from signal_collect_ray import Graph
-    from signal_collect_ray.sources.pages import page_links
-
-    if os.path.exists(os.path.join(SCALE_GRAPH_DIR, "meta.json")):
-        return
-
-    n = SCALE_PAGES
-
-    def gen(batch) -> pa.Table:
-        idx = batch["id"].astype(np.int64)
-        src, dst = page_links(idx, n, SCALE_AVG_LINKS, seed=42)
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "weight": pa.array(np.ones(len(src)), pa.float64()),
-            }
-        )
-
-    edges = rd.range(n).map_batches(gen, batch_format="numpy", batch_size=65536)
-    g = Graph.build(edges, SCALE_GRAPH_DIR, num_partitions=64)
-    print(
-        f"# scaling graph: {g.num_vertices} vertices, {g.num_edges} edges",
-        file=sys.stderr,
-    )
-    ray.shutdown()
-
-
 def _scaling_child(num_cpus: int) -> None:
+    """The identical flagship job (pages → reference-regex link
+    extraction → partitioned graph build → PageRank to 1e-6) on the same
+    deterministic input, at whatever parallelism this process was given.
+    Prints one JSON line with wall time + stage split + PR throughput."""
+    import shutil
+
     _init_ray(num_cpus)
     import ray
 
     from signal_collect_ray import EngineConfig, Graph
     from signal_collect_ray.algorithms import PageRank
     from signal_collect_ray.engine_resident import ResidentEngine
+    from signal_collect_ray.sources import pages_to_edges, synthesize_pages_dataset
 
-    g = Graph.load(SCALE_GRAPH_DIR)
-    cfg = EngineConfig(num_partitions=g.num_partitions, eps=0.0)
-    eng = ResidentEngine(cfg, num_workers=num_cpus)
-    # untimed warm-up run loads CSR blocks into the object store / page cache
-    eng.run(
-        g, PageRank(), run_dir=f"/tmp/scray_bench/scale_warm_{num_cpus}",
-        resume=False, max_supersteps=1, checkpoint_interval=10**9,
-    )
+    work = f"/tmp/scray_bench/scale_{num_cpus}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    # untimed warm-up (tiny) so code paths / JIT-ish costs don't skew
+    wp = synthesize_pages_dataset(500, avg_links=4, seed=1)
+    Graph.build(pages_to_edges(wp), os.path.join(work, "warm"), num_partitions=8)
+
     t0 = time.monotonic()
-    info = eng.run(
-        g, PageRank(), run_dir=f"/tmp/scray_bench/scale_run_{num_cpus}",
-        resume=False, max_supersteps=SCALE_STEPS, checkpoint_interval=10**9,
+    pages = synthesize_pages_dataset(SCALE_PAGES, avg_links=SCALE_AVG_LINKS, seed=42)
+    g = Graph.build(
+        pages_to_edges(pages), os.path.join(work, "graph"), num_partitions=64
     )
+    t_build = time.monotonic() - t0
+
+    cfg = EngineConfig(num_partitions=64, eps=1e-6, max_supersteps=200)
+    eng = ResidentEngine(cfg, num_workers=num_cpus)
+    t1 = time.monotonic()
+    info = eng.run(
+        g, PageRank(), run_dir=os.path.join(work, "run"), resume=False,
+        checkpoint_interval=50,
+    )
+    t_pr = time.monotonic() - t1
     wall = time.monotonic() - t0
     print(
         json.dumps(
             {
                 "num_cpus": num_cpus,
-                "supersteps": info.supersteps,
                 "wall_sec": round(wall, 3),
+                "build_sec": round(t_build, 3),
+                "pagerank_sec": round(t_pr, 3),
+                "supersteps": info.supersteps,
+                "n_edges": g.num_edges,
                 "edges_traversed": info.edges_traversed_total,
-                "edges_per_sec": int(info.edges_traversed_total / wall),
+                "pr_edges_per_sec": int(info.edges_traversed_total / max(t_pr, 1e-9)),
             }
         )
     )
@@ -268,8 +250,6 @@ def _scaling_child(num_cpus: int) -> None:
 
 
 def run_scaling() -> dict:
-    _build_scaling_graph()
-
     def child(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -278,17 +258,17 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = child(8), child(32)
-    eff = (lo["wall_sec"] / hi["wall_sec"]) / (32 / 8)
+    lo, hi = child(SCALE_CPUS_LO), child(SCALE_CPUS_HI)
+    ratio = SCALE_CPUS_HI / SCALE_CPUS_LO
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / ratio
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{SCALE_CPUS_LO}_to_{SCALE_CPUS_HI}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["wall_sec"],
-        "sec_32": hi["wall_sec"],
-        "edges_per_sec_8": lo["edges_per_sec"],
-        "edges_per_sec_32": hi["edges_per_sec"],
-        "supersteps": lo["supersteps"],
+        f"sec_{SCALE_CPUS_LO}": lo["wall_sec"],
+        f"sec_{SCALE_CPUS_HI}": hi["wall_sec"],
+        "detail_lo": lo,
+        "detail_hi": hi,
         "scale_pages": SCALE_PAGES,
         "scale_avg_links": SCALE_AVG_LINKS,
     }

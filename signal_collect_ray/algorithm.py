@@ -26,7 +26,7 @@ Semantics mapping:
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -48,6 +48,26 @@ class Algorithm:
     #: on the reference's most-recent-signal retention,
     #: DataGraphVertex.scala:66-77).
     always_signal: bool = False
+
+    #: Dense scatter aggregation (resident executor fast path): "sum" or
+    #: "min" when the per-edge signal is a single value combined with a
+    #: commutative monoid — aggregation becomes bincount/minimum.at over
+    #: the global dense vertex index (no sorting in the superstep hot
+    #: path) and the exchange ships dense per-partition vectors. None →
+    #: sparse rows always (e.g. Chinese Whispers' (label, weight) mode).
+    dense_agg: Optional[str] = None
+    #: Identity element of the dense monoid (0.0 for sum; +inf / an
+    #: int sentinel for min).
+    dense_identity: float = 0.0
+    #: numpy dtype of the dense vector.
+    dense_dtype = np.float64
+
+    def collect_dense(
+        self, prev: StateDict, inc: np.ndarray, signal_threshold: float
+    ) -> StateDict:
+        """Collect from a dense aggregated-incoming vector aligned with
+        the partition's sorted vid array (identity where no signal)."""
+        raise NotImplementedError
 
     # -- lifecycle ---------------------------------------------------------
     def init(

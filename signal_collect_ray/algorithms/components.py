@@ -17,10 +17,16 @@ from signal_collect_ray.algorithm import Algorithm, StateDict
 from signal_collect_ray.util import segment_min
 
 
+_SENTINEL = np.int64(2**62)
+
+
 class ConnectedComponents(Algorithm):
     name = "connected_components"
     state_pa_type = pa.int64()
     signal_fields = [("val", pa.int64())]
+    dense_agg = "min"
+    dense_identity = float(2**62)
+    dense_dtype = np.int64
 
     def init(self, vid, out_degree, sum_out_weight) -> StateDict:
         n = len(vid)
@@ -46,6 +52,16 @@ class ConnectedComponents(Algorithm):
         if len(dst):
             idx = self._align(prev["vid"], dst)
             state[idx] = np.minimum(state[idx], sig["val"])
+        changed = state != prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }
+
+    def collect_dense(self, prev, inc, signal_threshold):
+        state = np.minimum(prev["state"], inc.astype(np.int64))
         changed = state != prev["state"]
         return {
             "state": state,

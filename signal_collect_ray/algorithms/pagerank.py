@@ -30,6 +30,9 @@ class PageRank(Algorithm):
     name = "pagerank"
     state_pa_type = pa.float64()
     signal_fields = [("val", pa.float64())]
+    dense_agg = "sum"
+    dense_identity = 0.0
+    dense_dtype = np.float64
 
     def __init__(self, damping: float = 0.85):
         self.damping = damping
@@ -64,6 +67,13 @@ class PageRank(Algorithm):
             state[idx] += self.damping * sig["val"]
         # every vertex that was active signaled this round → its
         # lastSignalState catches up to its (previous) state.
+        last = np.where(prev["active"], prev["state"], prev["last"])
+        residual = np.abs(state - last)
+        active = residual > signal_threshold
+        return {"state": state, "last": last, "active": active, "residual": residual}
+
+    def collect_dense(self, prev, inc, signal_threshold):
+        state = prev["state"] + self.damping * inc
         last = np.where(prev["active"], prev["state"], prev["last"])
         residual = np.abs(state - last)
         active = residual > signal_threshold

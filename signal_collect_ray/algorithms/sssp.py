@@ -21,6 +21,9 @@ class SSSP(Algorithm):
     name = "sssp"
     state_pa_type = pa.float64()
     signal_fields = [("val", pa.float64())]
+    dense_agg = "min"
+    dense_identity = np.inf
+    dense_dtype = np.float64
 
     def __init__(self, source_vid: int):
         self.source = int(source_vid)
@@ -52,6 +55,16 @@ class SSSP(Algorithm):
         if len(dst):
             idx = self._align(prev["vid"], dst)
             state[idx] = np.minimum(state[idx], sig["val"])
+        changed = state < prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }
+
+    def collect_dense(self, prev, inc, signal_threshold):
+        state = np.minimum(prev["state"], inc)
         changed = state < prev["state"]
         return {
             "state": state,

@@ -61,6 +61,8 @@ class _Worker:
         num_partitions: int,
         num_workers: int,
         signal_threshold: float,
+        part_offsets=None,
+        part_sizes=None,
     ):
         import ray
 
@@ -74,6 +76,9 @@ class _Worker:
         self.csr = {p: ray.get(csr_refs[p]) for p in parts if p in csr_refs}
         self.state: Dict[int, dict] = {}
         self.meta: Dict[int, dict] = {}
+        self.offsets = part_offsets
+        self.sizes = part_sizes
+        self.V = int(part_sizes.sum()) if part_sizes is not None else 0
 
     # -- state lifecycle ---------------------------------------------------
     def init_from_vertices(self, vertex_files: Dict[int, str]):
@@ -112,6 +117,84 @@ class _Worker:
         return self._metrics()
 
     # -- superstep ---------------------------------------------------------
+    def _active_edges(self, p: int):
+        """Shared src selection + CSR fan-out for one owned partition.
+        Returns (sub, eidx, counts) or None when nothing signals."""
+        algo = self.algo
+        st = self.state.get(p)
+        csr = self.csr.get(p)
+        if st is None or csr is None:
+            return None
+        m = self.meta[p]
+        mask = (
+            np.ones(len(m["vid"]), dtype=bool)
+            if algo.always_signal
+            else st["active"]
+        )
+        mask = mask & (m["out_degree"] > 0)
+        if not mask.any():
+            return None
+        sub = {
+            "vid": m["vid"][mask],
+            "out_degree": m["out_degree"][mask],
+            "sum_out_weight": m["sum_out_weight"][mask],
+            "state": st["state"][mask],
+            "last": st["last"][mask],
+        }
+        pos = np.searchsorted(csr["src_ids"], sub["vid"])
+        pos_c = np.minimum(pos, len(csr["src_ids"]) - 1)
+        found = (pos < len(csr["src_ids"])) & (csr["src_ids"][pos_c] == sub["vid"])
+        if not found.any():
+            return None
+        sub = {k: v[found] for k, v in sub.items()}
+        pos = pos_c[found]
+        starts = csr["indptr"][pos]
+        counts = csr["indptr"][pos + 1] - starts
+        return sub, expand_ranges(starts, counts), counts
+
+    def signal_dense(self):
+        """Dense fast path: per-edge values scatter into ONE dense vector
+        over the global vertex index (bincount for sum, minimum.at for
+        min) — no sorting anywhere; the exchange ships dense per-
+        partition slices. Used when the signaling frontier is dense
+        (edges_next ≥ num_vertices), where it strictly dominates the
+        sparse row exchange in both compute and volume."""
+        algo = self.algo
+        field0 = algo.signal_fields[0][0]
+        is_sum = algo.dense_agg == "sum"
+        total = None
+        for p in self.parts:
+            sel = self._active_edges(p)
+            if sel is None:
+                continue
+            sub, eidx, counts = sel
+            csr = self.csr[p]
+            src_vals = algo.src_values(sub)
+            expanded = {k: np.repeat(v, counts) for k, v in src_vals.items()}
+            vals = algo.edge_values(expanded, csr["weight"][eidx])[field0]
+            gidx = csr["dst_gidx"][eidx]
+            if total is None:
+                total = (
+                    np.zeros(self.V, dtype=np.float64)
+                    if is_sum
+                    else np.full(self.V, algo.dense_identity, dtype=algo.dense_dtype)
+                )
+            if is_sum:
+                total += np.bincount(gidx, weights=vals, minlength=self.V)
+            else:
+                np.minimum.at(total, gidx, vals.astype(algo.dense_dtype))
+        if total is None:
+            return {}
+        outbox: Dict[int, list] = {}
+        ident = algo.dense_identity
+        for p in range(self.P):
+            lo = self.offsets[p]
+            sl = total[lo : lo + self.sizes[p]]
+            has = sl.any() if is_sum else (sl != ident).any()
+            if has:
+                outbox.setdefault(p % self.W, []).append((p, sl))
+        return outbox
+
     def signal(self):
         """Compute this worker's outgoing signals, pre-combined per
         destination partition, grouped per destination WORKER. The whole
@@ -172,6 +255,50 @@ class _Worker:
                     (dparts[lo:hi], dst_u[lo:hi], {k: v[lo:hi] for k, v in combined.items()})
                 )
         return {w: pieces for w, pieces in outbox.items() if pieces}
+
+    def collect_dense(self, outbox_refs: list):
+        """Dense collect: elementwise sum/min of the received dense
+        per-partition slices, then the algorithm's vectorized dense
+        collect. Zero sorting, zero searching."""
+        import ray
+
+        algo = self.algo
+        is_sum = algo.dense_agg == "sum"
+        acc: Dict[int, np.ndarray] = {}
+        for outbox in ray.get(outbox_refs):
+            for p, arr in outbox.get(self.wid, ()):
+                cur = acc.get(p)
+                if cur is None:
+                    acc[p] = arr.copy()
+                elif is_sum:
+                    np.add(cur, arr, out=cur)
+                else:
+                    np.minimum(cur, arr, out=cur)
+        self._undeliverable = 0
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            inc = acc.get(p)
+            if inc is None:
+                inc = (
+                    np.zeros(len(m["vid"]))
+                    if is_sum
+                    else np.full(
+                        len(m["vid"]), algo.dense_identity, dtype=algo.dense_dtype
+                    )
+                )
+            prev = {
+                "vid": m["vid"],
+                "out_degree": m["out_degree"],
+                "sum_out_weight": m["sum_out_weight"],
+                "state": st["state"],
+                "last": st["last"],
+                "active": st["active"],
+            }
+            self.state[p] = algo.collect_dense(prev, inc, self.threshold)
+        return self._metrics()
 
     def collect(self, outbox_refs: list):
         """Apply incoming signals to owned partitions; returns metrics.
@@ -319,7 +446,10 @@ class ResidentEngine:
         )
         os.makedirs(run_dir, exist_ok=True)
         P = graph.num_partitions
-        W = min(self.W, P)
+        # cap the pool so each worker has enough per-step work to amortize
+        # the barrier (~50k edges/worker floor); explicit num_workers in
+        # the constructor is a hint, never exceeded
+        W = max(1, min(self.W, P, graph.num_edges // 50_000 + 1))
         t0 = time.monotonic()
 
         lineage_base = {
@@ -337,10 +467,15 @@ class ResidentEngine:
             for f in graph.vertex_files()
         }
         parts_by_worker = {w: [p for p in range(P) if p % W == w] for w in range(W)}
+        offsets, sizes = (None, None)
+        dense_capable = algo.dense_agg is not None and "part_sizes" in graph.meta
+        if dense_capable:
+            offsets, sizes = graph.part_offsets()
         WorkerActor = ray.remote(_Worker)
         workers = [
             WorkerActor.options(num_cpus=1).remote(
-                w, parts_by_worker[w], [csr_refs], algo, P, W, threshold
+                w, parts_by_worker[w], [csr_refs], algo, P, W, threshold,
+                offsets, sizes,
             )
             for w in range(W)
         ]
@@ -399,12 +534,21 @@ class ResidentEngine:
                 break
             k += 1
             ts = time.monotonic()
+            # dense scatter exchange when the frontier is dense enough
+            # that raw signal rows would exceed one dense vector
+            dense = dense_capable and last.get("edges_next", 0) >= graph.num_vertices
             # the outbox refs are never fetched on the driver — workers
             # exchange them directly through the object store
-            sig_refs = [w.signal.remote() for w in workers]
-            rows = _flatten(
-                ray.get([w.collect.remote(sig_refs) for w in workers])
-            )
+            if dense:
+                sig_refs = [w.signal_dense.remote() for w in workers]
+                rows = _flatten(
+                    ray.get([w.collect_dense.remote(sig_refs) for w in workers])
+                )
+            else:
+                sig_refs = [w.signal.remote() for w in workers]
+                rows = _flatten(
+                    ray.get([w.collect.remote(sig_refs) for w in workers])
+                )
             manifest = SuperstepEngine._manifest(
                 k, rows, lineage_base, prev_step=k - 1, wall_s=time.monotonic() - ts
             )

@@ -135,13 +135,16 @@ def _load_csr(path: str) -> Dict[str, np.ndarray]:
     starts = segment_starts(src)
     indptr = np.append(starts, len(src)).astype(np.int64)
     sumw = np.add.reduceat(weight, starts) if len(starts) else weight[:0]
-    return {
+    csr = {
         "src_ids": src[starts] if len(starts) else src[:0],
         "indptr": indptr,
         "dst": dst,
         "weight": weight,
         "sum_out_weight": sumw,
     }
+    if "dst_gidx" in tbl.column_names:
+        csr["dst_gidx"] = _to_np(tbl, "dst_gidx")
+    return csr
 
 
 class Graph:
@@ -200,15 +203,19 @@ class Graph:
         os.rename(vertices_tmp, os.path.join(graph_dir, "vertices"))
         # partitions with no vertices get no shard file — that is fine;
         # the engine iterates over existing shards only.
+        part_sizes = {int(r["part"]): int(r["n_vertices"]) for r in rows}
         meta = {
             "num_partitions": P,
             "num_vertices": int(sum(r["n_vertices"] for r in rows)),
             "num_edges": int(sum(r["n_edges_out"] for r in rows)),
             "parts_with_vertices": sorted(int(r["part"]) for r in rows),
+            "part_sizes": {str(p): n for p, n in sorted(part_sizes.items())},
         }
         with open(os.path.join(graph_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
-        return cls(graph_dir)
+        g = cls(graph_dir)
+        g._add_dst_gidx()
+        return g
 
     @classmethod
     def from_edge_arrays(
@@ -267,6 +274,56 @@ class Graph:
         import ray.data as rd
 
         return rd.read_parquet(self.vertex_files())
+
+    def part_offsets(self):
+        """Global dense index layout: partition p's vertices (sorted by
+        vid) occupy ``[offset[p], offset[p] + size[p])`` of one dense
+        vector of length num_vertices. Returns (offsets, sizes) int64
+        arrays of length num_partitions."""
+        sizes = np.zeros(self.num_partitions, dtype=np.int64)
+        for p, n in self.meta.get("part_sizes", {}).items():
+            sizes[int(p)] = n
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        return offsets, sizes
+
+    def _add_dst_gidx(self):
+        """Post-build pass: annotate every edge with the global dense
+        index of its destination (the GraphX-style routing-table join).
+        Lets executors aggregate signals with bincount / minimum.at —
+        no sorting in the superstep hot path. One parallel rewrite of
+        the edge shards; vertex vid arrays are shared via the object
+        store (at true web scale this becomes a co-partitioned join,
+        same as every other join in this repo)."""
+        import ray
+
+        offsets, _ = self.part_offsets()
+        vid_refs = {}
+        for f in self.vertex_files():
+            p = int(os.path.basename(f).split("-")[1].split(".")[0])
+            vid_refs[p] = ray.put(
+                pq.read_table(f, columns=["vid"]).column("vid").combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+
+        @ray.remote
+        def annotate(path, vid_refs_w, offsets):
+            vid_refs = vid_refs_w[0]
+            tbl = pq.read_table(path)
+            dst = tbl.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            P = len(offsets)
+            dparts = part_of(dst, P)
+            gidx = np.empty(len(dst), dtype=np.int64)
+            for p in np.unique(dparts):
+                sel = dparts == p
+                vids = ray.get(vid_refs[int(p)])
+                gidx[sel] = offsets[p] + np.searchsorted(vids, dst[sel])
+            out = tbl.append_column("dst_gidx", pa.array(gidx, pa.int64()))
+            pq.write_table(out, path)
+            return True
+
+        ray.get(
+            [annotate.remote(f, [vid_refs], offsets) for f in self.edge_files()]
+        )
 
     def csr_refs(self) -> Dict[int, "object"]:
         """{part → ObjectRef[CSR dict]} — built once, shared zero-copy by
