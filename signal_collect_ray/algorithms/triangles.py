@@ -212,60 +212,88 @@ class _OrientAndShip:
 
 
 class _Intersect:
-    """groupby(ipart) stage: per edge (src,dst) intersect N+(src), N+(dst);
-    emit pre-combined per-vertex triangle count contributions."""
+    """groupby(ipart) stage: close wedges against the partition's local
+    edge set — fully vectorized.
+
+    The shipped edge rows ARE the wedge set: row (u→v, N+(u)) flattens
+    to wedges (u, v, w) for w ∈ N+(u); wedge (u,v,w) closes a triangle
+    iff (v,w) is an oriented edge, and all (v,*) edges live in THIS
+    partition (routed by hash(v)). Membership = 64-bit pair-hash
+    pre-filter (vectorized searchsorted) + EXACT per-candidate verify
+    (binary search in N+(v)) — hash collisions only cost verify time,
+    never correctness."""
 
     __name__ = "_Intersect"
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        from signal_collect_ray.util import pair_hash
+
         kind_other = _np(tbl, "other")
         owners = tbl.filter(pa.array(kind_other < 0))
         edges = tbl.filter(pa.array(kind_other >= 0))
+        empty = pa.table(
+            {"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())}
+        )
+        if len(owners) == 0 or len(edges) == 0:
+            return empty
         ok = _np(owners, "key")
         oorder = np.argsort(ok, kind="stable")
         ok = ok[oorder]
-        onbrs = owners.column("nbrs").combine_chunks().take(pa.array(oorder, pa.int64()))
-        off = onbrs.offsets.to_numpy(zero_copy_only=False)
+        onbrs = owners.column("nbrs").combine_chunks().take(
+            pa.array(oorder, pa.int64())
+        )
+        off = onbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = onbrs.values.to_numpy(zero_copy_only=False)
+
+        # local oriented-edge key set (v, w) for membership tests
+        ocounts = np.diff(off)
+        v_rep = np.repeat(ok, ocounts)
+        ekeys = np.sort(pair_hash(v_rep, vals))
 
         e_dst = _np(edges, "key")
         e_src = _np(edges, "other")
         e_nbrs = edges.column("nbrs").combine_chunks()
-        eoff = e_nbrs.offsets.to_numpy(zero_copy_only=False)
+        eoff = e_nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         evals = e_nbrs.values.to_numpy(zero_copy_only=False)
 
-        pos = np.searchsorted(ok, e_dst)
-        pos_c = np.minimum(pos, max(len(ok) - 1, 0))
-        has_adj = (pos < len(ok)) & (ok[pos_c] == e_dst) if len(ok) else np.zeros(
-            len(e_dst), dtype=bool
-        )
+        ecounts = np.diff(eoff)
+        wedge_u = np.repeat(e_src, ecounts)
+        wedge_v = np.repeat(e_dst, ecounts)
+        wedge_w = evals
 
-        out_vid: list = []
-        out_cnt: list = []
-        for i in np.flatnonzero(has_adj):
-            p = pos_c[i]
-            nv = vals[off[p] : off[p + 1]]
-            nu = evals[eoff[i] : eoff[i + 1]]
-            w = nu[np.isin(nu, nv, assume_unique=True)]
-            c = len(w)
-            if c:
-                out_vid.append(np.array([e_src[i], e_dst[i]], dtype=np.int64))
-                out_cnt.append(np.array([c, c], dtype=np.int64))
-                out_vid.append(w.astype(np.int64))
-                out_cnt.append(np.ones(c, dtype=np.int64))
-        if not out_vid:
-            return pa.table(
-                {"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())}
-            )
-        vid, cnt = segment_sum(np.concatenate(out_vid), np.concatenate(out_cnt))
+        wkeys = pair_hash(wedge_v, wedge_w)
+        pos = np.searchsorted(ekeys, wkeys)
+        pos_c = np.minimum(pos, len(ekeys) - 1)
+        cand = ekeys[pos_c] == wkeys
+
+        # exact verification of the (few) hash matches
+        ci = np.flatnonzero(cand)
+        if len(ci) == 0:
+            return empty
+        vl = np.searchsorted(ok, wedge_v[ci])
+        verified = np.zeros(len(ci), dtype=bool)
+        for j in range(len(ci)):
+            s, e = off[vl[j]], off[vl[j] + 1]
+            w = wedge_w[ci[j]]
+            k = np.searchsorted(vals[s:e], w)
+            verified[j] = k < (e - s) and vals[s + k] == w
+        tri = ci[verified]
+        if len(tri) == 0:
+            return empty
+        contrib_vid = np.concatenate([wedge_u[tri], wedge_v[tri], wedge_w[tri]])
+        contrib_cnt = np.ones(3 * len(tri), dtype=np.int64)
+        vid, cnt = segment_sum(contrib_vid, contrib_cnt)
         return pa.table(
             {"vid": pa.array(vid, pa.int64()), "triangles": pa.array(cnt, pa.int64())}
         )
 
 
 def _oriented_edges(edges_ds, num_partitions=64):
-    uniq = _unique_undirected(edges_ds).select_columns(["a", "b"])
-    degs = _degrees(uniq)
+    # uniq/degs feed multiple consumers — materialize once (small:
+    # O(E) ids / O(V) degree rows) instead of re-executing the lineage
+    # per consumer (Ray Datasets are lazy; branches recompute).
+    uniq = _unique_undirected(edges_ds).select_columns(["a", "b"]).materialize()
+    degs = _degrees(uniq).materialize()
     with_da = _attach(uniq, "a", degs.rename_columns(["vid", "deg_a"]), "vid", ["deg_a"])
     with_db = _attach(
         with_da, "b", degs.rename_columns(["vid", "deg_b"]), "vid", ["deg_b"]
@@ -320,8 +348,8 @@ def clustering_coefficient(edges_ds, num_partitions: int = 64):
     Returns Dataset (vid:int64, coefficient:float64) over ALL vertices
     (0.0 when deg < 2 or no triangles).
     """
-    uniq = _unique_undirected(edges_ds).select_columns(["a", "b"])
-    degs = _degrees(uniq)
+    uniq = _unique_undirected(edges_ds).select_columns(["a", "b"]).materialize()
+    degs = _degrees(uniq).materialize()
     tris = triangle_counts(edges_ds, num_partitions)
     joined = _attach(
         degs, "vid", tris.rename_columns(["tvid", "triangles"]), "tvid", ["triangles"]

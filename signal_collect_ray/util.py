@@ -79,6 +79,28 @@ def segment_min(keys: np.ndarray, vals: np.ndarray):
     return k[starts], np.minimum.reduceat(v, starts)
 
 
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64/murmur3 finalizer over uint64 arrays (public domain)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+        return x
+
+
+def pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """64-bit hash of id pairs — used as a pre-filter (collisions are
+    resolved by exact verification, never trusted)."""
+    with np.errstate(over="ignore"):
+        return mix64(
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ mix64(b.astype(np.uint64))
+        )
+
+
 def expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Concatenate ``arange(s, s+c)`` for each (s, c) pair — vectorized.
 
