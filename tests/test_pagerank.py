@@ -8,14 +8,30 @@ import pytest
 
 from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
 from signal_collect_ray.algorithms import PageRank
+from signal_collect_ray.engine_resident import ResidentEngine
 
 from tests import fixtures as fx
 
 
 def _run_pr(tmp_path, src, dst, P=4, eps=1e-8, max_supersteps=400, **kw):
+    """Convergence-length runs go through the resident executor (the
+    throughput path); per-step equality of the durable Ray Data executor
+    with this one is pinned by test_resident.py, and its short anchors
+    below run on it directly."""
     g = Graph.from_edge_arrays(src, dst, str(tmp_path / f"g{P}"), num_partitions=P)
-    eng = SuperstepEngine(EngineConfig(num_partitions=P, eps=eps, max_supersteps=max_supersteps))
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=P, eps=eps, max_supersteps=max_supersteps),
+        num_workers=2,
+    )
     info = eng.run(g, PageRank(), run_dir=str(tmp_path / f"run{P}"), resume=False, **kw)
+    t = info.state_table()
+    return info, t.column("vid").to_numpy(), t.column("state").to_numpy()
+
+
+def _run_pr_durable(tmp_path, src, dst, P=4, eps=1e-8, max_supersteps=400, **kw):
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / f"gd{P}"), num_partitions=P)
+    eng = SuperstepEngine(EngineConfig(num_partitions=P, eps=eps, max_supersteps=max_supersteps))
+    info = eng.run(g, PageRank(), run_dir=str(tmp_path / f"rund{P}"), resume=False, **kw)
     t = info.state_table()
     return info, t.column("vid").to_numpy(), t.column("state").to_numpy()
 
@@ -54,8 +70,9 @@ def test_torus5x5_all_one(tmp_path):
 def test_cycle1000_one_superstep_anchor(tmp_path):
     # ComputationTerminationSpec.scala:79-97 — exactly one synchronous
     # step on a 1000-cycle with threshold 0 gives state 0.2775.
+    # Runs on the durable Ray Data executor (cheap: 1 superstep).
     src, dst = fx.cycle(1000)
-    info, vid, r = _run_pr(tmp_path, src, dst, max_supersteps=1)
+    info, vid, r = _run_pr_durable(tmp_path, src, dst, max_supersteps=1)
     assert info.supersteps == 1
     assert np.allclose(r, 0.2775, atol=1e-12)
 
@@ -82,10 +99,11 @@ def test_disconnected_components_converge(tmp_path):
 
 
 def test_determinism_across_partition_counts(tmp_path):
+    # durable executor: identical bits regardless of partition count P
     src, dst = fx.torus(4, 4)
     results = {}
     for P in (1, 2, 8):
-        _, vid, r = _run_pr(tmp_path, src, dst, P=P, max_supersteps=25)
+        _, vid, r = _run_pr_durable(tmp_path, src, dst, P=P, max_supersteps=10)
         results[P] = (vid, r)
     v1, r1 = results[1]
     for P in (2, 8):
@@ -100,7 +118,7 @@ def test_weighted_pagerank_matches_oracle(tmp_path):
     dst = np.array([1, 2, 3, 3, 0, 1], dtype=np.int64)
     w = np.array([2.0, 1.0, 4.0, 1.0, 1.0, 3.0])
     g = Graph.from_edge_arrays(src, dst, str(tmp_path / "gw"), weight=w, num_partitions=2)
-    eng = SuperstepEngine(EngineConfig(num_partitions=2, eps=1e-9))
+    eng = ResidentEngine(EngineConfig(num_partitions=2, eps=1e-9), num_workers=2)
     info = eng.run(g, PageRank(), run_dir=str(tmp_path / "runw"), resume=False)
     t = info.state_table()
     ovid, orank = fx.pagerank_oracle(src, dst, weight=w)

@@ -19,14 +19,17 @@ def _graph(tmp_path, P=4):
     return Graph.from_edge_arrays(src[keep], dst[keep], str(tmp_path / "g"), num_partitions=P)
 
 
-def test_pagerank_identical(tmp_path):
+def test_pagerank_identical_per_step(tmp_path):
+    # 12 bounded supersteps: per-step state equality pins both executors
+    # to the same semantics (convergence-length parity is covered by the
+    # cheaper CC case below and cross-executor resume).
     g = _graph(tmp_path)
-    cfg = EngineConfig(num_partitions=4, eps=1e-8, max_supersteps=200)
+    cfg = EngineConfig(num_partitions=4, eps=1e-8, max_supersteps=12)
     a = SuperstepEngine(cfg).run(g, PageRank(), run_dir=str(tmp_path / "rd"), resume=False)
     b = ResidentEngine(cfg, num_workers=3).run(
         g, PageRank(), run_dir=str(tmp_path / "res"), resume=False
     )
-    assert a.supersteps == b.supersteps
+    assert a.supersteps == b.supersteps == 12
     ta, tb = a.state_table(), b.state_table()
     assert ta.column("vid").to_pylist() == tb.column("vid").to_pylist()
     # float sums differ only in summation order between executors
@@ -34,6 +37,25 @@ def test_pagerank_identical(tmp_path):
         ta.column("state").to_numpy(), tb.column("state").to_numpy(),
         rtol=0, atol=1e-12,
     )
+    assert ta.column("active").to_pylist() == tb.column("active").to_pylist()
+
+
+def test_cc_identical_at_convergence(tmp_path):
+    g = _graph(tmp_path)
+    from signal_collect_ray.pipelines.queries import _sym_dedup
+    gs = Graph.build(
+        _sym_dedup(g.edges_ds()), str(tmp_path / "gs"), num_partitions=4
+    )
+    cfg = EngineConfig(num_partitions=4, max_supersteps=50)
+    a = SuperstepEngine(cfg).run(gs, ConnectedComponents(), run_dir=str(tmp_path / "rdc"), resume=False)
+    b = ResidentEngine(cfg, num_workers=3).run(
+        gs, ConnectedComponents(), run_dir=str(tmp_path / "resc"), resume=False
+    )
+    assert a.converged and b.converged
+    assert a.supersteps == b.supersteps
+    assert a.state_table().column("state").to_pylist() == b.state_table().column(
+        "state"
+    ).to_pylist()
 
 
 def test_cw_identical(tmp_path):
