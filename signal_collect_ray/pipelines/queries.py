@@ -78,6 +78,67 @@ def derived_edges_ds(sf_dir: str):
     )
 
 
+_EW_SQL = (
+    f"SELECT l_orderkey % {V_GRAPH} AS src, l_partkey % {V_GRAPH} AS dst, "
+    f"CAST(COUNT(*) AS DOUBLE) AS weight FROM lineitem "
+    f"WHERE (l_orderkey % {V_GRAPH}) <> (l_partkey % {V_GRAPH}) GROUP BY 1, 2"
+)
+
+
+def derived_edges_weighted_ds(sf_dir: str):
+    """Weighted variant: weight = multiplicity of the (src, dst) pair in
+    lineitem — Ray side of ``_EW_SQL``. Per-batch partial counts, then a
+    final combine co-partitioned by src (CompanyValuation-style weighted
+    edges, reference examples/CompanyValuation.scala:25-33)."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        o = tbl.column("l_orderkey").to_numpy(zero_copy_only=False) % V_GRAPH
+        p = tbl.column("l_partkey").to_numpy(zero_copy_only=False) % V_GRAPH
+        keep = o != p
+        pairs, counts = np.unique(
+            np.stack([o[keep], p[keep]], axis=1), axis=0, return_counts=True
+        )
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(pairs[:, 0], 32), pa.int32()),
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "weight": pa.array(counts.astype(np.float64), pa.float64()),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w = tbl.column("weight").to_numpy(zero_copy_only=False)
+        pairs, inv = np.unique(
+            np.stack([s, d], axis=1), axis=0, return_inverse=True
+        )
+        tot = np.zeros(len(pairs))
+        np.add.at(tot, inv, w)
+        return pa.table(
+            {
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "weight": pa.array(tot, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def _sym_dedup(edges_ds):
     """Symmetrize + dedup (matches SQL ``e UNION reverse(e)``)."""
     from signal_collect_ray.util import part_of
@@ -165,6 +226,26 @@ def _pr_sql(k: int) -> str:
             f"FROM v LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
             f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+
+
+def _prw_sql(k: int) -> str:
+    """Weighted PageRank oracle: signal = r * weight / sum_out_weight
+    (reference PageRank.scala:44-46 with non-unit edge weights)."""
+    ctes = [
+        f"e AS ({_EW_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "sw AS (SELECT src, SUM(weight) AS sw FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.vid, 0.15 + 0.85 * "
+            f"COALESCE(SUM(r{i-1}.r * e.weight / sw.sw), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN sw ON sw.src = e.src GROUP BY v.vid)"
         )
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
@@ -279,6 +360,50 @@ def q_top10_pagerank_k4(sf_dir: str):
     r = t.column("rank").to_numpy(zero_copy_only=False)
     order = np.lexsort((vid, -r))[:10]
     return t.take(pa.array(order, pa.int64()))
+
+
+def q_in_degrees(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        derived_edges_ds(sf_dir)
+        .select_columns(["src", "dst"])
+        .groupby("dst")
+        .aggregate(Count(alias_name="in_degree"))
+        .rename_columns({"dst": "vid"})
+    )
+
+
+def q_pagerank_weighted_k4(sf_dir: str):
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import PageRank
+
+    key = (sf_dir, "weighted")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = Graph.build(
+            derived_edges_weighted_ds(sf_dir),
+            _work_dir(sf_dir, "graph_w"),
+            num_partitions=_P,
+        )
+        _GRAPH_CACHE[key] = g
+    eng = _engine(4, eps=0.0)
+    info = eng.run(
+        g, PageRank(), run_dir=_work_dir(sf_dir, "run_prw_k4"), resume=False
+    )
+    return _round_state(info.state_table(), "rank", 6)
+
+
+def q_component_sizes(sf_dir: str):
+    t = q_cc_labels(sf_dir)
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    u, c = np.unique(lab, return_counts=True)
+    return pa.table(
+        {
+            "label": pa.array(u, pa.int64()),
+            "n_vertices": pa.array(c.astype(np.int64), pa.int64()),
+        }
+    )
 
 
 def q_cc_labels(sf_dir: str):
@@ -468,7 +593,10 @@ def queries():
         "pagerank_k4": q_pagerank_k4,
         "rank_sum_k4": q_rank_sum_k4,
         "top10_pagerank_k4": q_top10_pagerank_k4,
+        "in_degrees": q_in_degrees,
+        "pagerank_weighted_k4": q_pagerank_weighted_k4,
         "connected_components": q_cc_labels,
+        "component_sizes": q_component_sizes,
         "sssp_from0": q_sssp_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "triangle_total": q_triangle_total,
@@ -509,7 +637,17 @@ def oracle_sql():
                 "ORDER BY r DESC, vid ASC LIMIT 10",
             )
         ),
+        "in_degrees": (
+            f"WITH e AS ({_E_SQL}) "
+            "SELECT dst AS vid, COUNT(*) AS in_degree FROM e GROUP BY dst"
+        ),
+        "pagerank_weighted_k4": _prw_sql(4),
         "connected_components": _cc_sql(8),
+        "component_sizes": (
+            f"WITH cc AS ({_cc_sql(8)}) "
+            "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+            "FROM cc GROUP BY label"
+        ),
         "sssp_from0": _sssp_sql(8),
         "chinese_whispers_k1": _CW1_SQL,
         "triangle_total": _TRI_SQL_BASE
