@@ -76,9 +76,37 @@ def _unique_undirected(edges_ds):
     )
 
 
-def _degrees(unique_edges_ds):
+def _sum_by_key(ds, key_col, val_col, num_partitions=64):
+    """hash-partitioned exact sum-by-key: per-batch partial segment_sum,
+    one groupby on the (low-cardinality int32) partition id, vectorized
+    final sum per group. Much cheaper than the native high-cardinality
+    ``groupby(key).aggregate(Sum)`` (which sorts every row by key)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        k, c = segment_sum(_np(tbl, key_col), _np(tbl, val_col))
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(k, num_partitions), pa.int32()),
+                key_col: pa.array(k, pa.int64()),
+                val_col: pa.array(c, pa.int64()),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        k, c = segment_sum(_np(tbl, key_col), _np(tbl, val_col))
+        return pa.table(
+            {key_col: pa.array(k, pa.int64()), val_col: pa.array(c, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _degrees(unique_edges_ds, num_partitions=64):
     """Undirected degree per vertex: (vid:int64, deg:int64)."""
-    from ray.data.aggregate import Sum
 
     def contribs(tbl: pa.Table) -> pa.Table:
         a, b = _np(tbl, "a"), _np(tbl, "b")
@@ -89,10 +117,11 @@ def _degrees(unique_edges_ds):
             {"vid": pa.array(vid, pa.int64()), "deg": pa.array(cnt, pa.int64())}
         )
 
-    return (
-        unique_edges_ds.map_batches(contribs, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("deg", alias_name="deg"))
+    return _sum_by_key(
+        unique_edges_ds.map_batches(contribs, batch_format="pyarrow"),
+        "vid",
+        "deg",
+        num_partitions,
     )
 
 
@@ -266,17 +295,29 @@ class _Intersect:
         pos_c = np.minimum(pos, len(ekeys) - 1)
         cand = ekeys[pos_c] == wkeys
 
-        # exact verification of the (few) hash matches
+        # exact verification of the hash matches — vectorized ragged
+        # binary search: each candidate searches its owner's sorted
+        # adjacency segment, all candidates advanced together per
+        # bisection round (≤ log2(max_deg) vectorized passes).
         ci = np.flatnonzero(cand)
         if len(ci) == 0:
             return empty
         vl = np.searchsorted(ok, wedge_v[ci])
-        verified = np.zeros(len(ci), dtype=bool)
-        for j in range(len(ci)):
-            s, e = off[vl[j]], off[vl[j] + 1]
-            w = wedge_w[ci[j]]
-            k = np.searchsorted(vals[s:e], w)
-            verified[j] = k < (e - s) and vals[s + k] == w
+        w_q = wedge_w[ci]
+        lo = off[vl].copy()
+        hi = off[vl + 1].copy()
+        while True:
+            open_m = lo < hi
+            if not open_m.any():
+                break
+            mid = (lo + hi) >> 1
+            mv = vals[np.minimum(mid, len(vals) - 1)]
+            go_right = open_m & (mv < w_q)
+            go_left = open_m & ~go_right
+            lo[go_right] = mid[go_right] + 1
+            hi[go_left] = mid[go_left]
+        in_range = lo < off[vl + 1]
+        verified = in_range & (vals[np.minimum(lo, len(vals) - 1)] == w_q)
         tri = ci[verified]
         if len(tri) == 0:
             return empty
@@ -288,12 +329,75 @@ class _Intersect:
         )
 
 
+# Above this many vertices the degree table is joined (two co-partition
+# shuffles) instead of broadcast. 20M vertices ≈ 320 MB of (vid, deg)
+# int64 pairs in the object store — read zero-copy by every orient task,
+# shipped once per node, not per batch.
+BROADCAST_DEGREE_LIMIT = 20_000_000
+
+
 def _oriented_edges(edges_ds, num_partitions=64):
     # uniq/degs feed multiple consumers — materialize once (small:
     # O(E) ids / O(V) degree rows) instead of re-executing the lineage
     # per consumer (Ray Datasets are lazy; branches recompute).
     uniq = _unique_undirected(edges_ds).select_columns(["a", "b"]).materialize()
-    degs = _degrees(uniq).materialize()
+    degs = _degrees(uniq, num_partitions).materialize()
+
+    n_vertices = degs.count()
+    if n_vertices <= BROADCAST_DEGREE_LIMIT:
+        # broadcast path: ray.put the sorted (vid, deg) arrays once;
+        # every orient batch does two zero-copy searchsorted lookups.
+        import ray
+
+        dt = pa.concat_tables(
+            [pa.table(b) if not isinstance(b, pa.Table) else b
+             for b in degs.iter_batches(batch_format="pyarrow", batch_size=None)]
+        ).sort_by("vid")
+        deg_ref = ray.put(
+            {
+                "vid": dt.column("vid").combine_chunks().to_numpy(),
+                "deg": dt.column("deg").combine_chunks().to_numpy(),
+            }
+        )
+
+        class _OrientBroadcast:
+            __name__ = "_OrientBroadcast"
+
+            def __init__(self, deg_ref, P):
+                self.deg_ref, self.P = deg_ref, P
+                self._deg = None
+
+            def _lookup(self, ids):
+                if self._deg is None:
+                    import ray as _r
+
+                    self._deg = _r.get(self.deg_ref)
+                pos = np.searchsorted(self._deg["vid"], ids)
+                return self._deg["deg"][pos]
+
+            def __call__(self, tbl: pa.Table) -> pa.Table:
+                a, b = _np(tbl, "a"), _np(tbl, "b")
+                da, db = self._lookup(a), self._lookup(b)
+                a_first = (da < db) | ((da == db) & (a < b))
+                src = np.where(a_first, a, b)
+                dst = np.where(a_first, b, a)
+                return pa.table(
+                    {
+                        "spart": pa.array(part_of(src, self.P), pa.int32()),
+                        "src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64()),
+                    }
+                )
+
+        return (
+            uniq.map_batches(
+                _OrientBroadcast(deg_ref, num_partitions), batch_format="pyarrow"
+            ),
+            degs,
+        )
+
+    # join path (vertex set too large to broadcast): two co-partitioned
+    # hash joins attach deg_a / deg_b.
     with_da = _attach(uniq, "a", degs.rename_columns(["vid", "deg_a"]), "vid", ["deg_a"])
     with_db = _attach(
         with_da, "b", degs.rename_columns(["vid", "deg_b"]), "vid", ["deg_b"]
@@ -321,22 +425,30 @@ def triangle_counts(edges_ds, num_partitions: int = 64):
 
     Vertices on no triangle are absent (count 0).
     """
-    from ray.data.aggregate import Sum
+    return _sum_by_key(
+        _triangle_partials(edges_ds, num_partitions),
+        "vid",
+        "triangles",
+        num_partitions,
+    )
 
+
+def _triangle_partials(edges_ds, num_partitions: int = 64):
     oriented, _ = _oriented_edges(edges_ds, num_partitions)
     shipped = oriented.groupby("spart").map_groups(
         _OrientAndShip(num_partitions), batch_format="pyarrow"
     )
-    partials = shipped.groupby("ipart").map_groups(_Intersect(), batch_format="pyarrow")
-    return partials.groupby("vid").aggregate(Sum("triangles", alias_name="triangles"))
+    return shipped.groupby("ipart").map_groups(_Intersect(), batch_format="pyarrow")
 
 
 def total_triangles(edges_ds, num_partitions: int = 64) -> int:
-    """Total distinct triangles in the (undirected-ized) graph."""
+    """Total distinct triangles in the (undirected-ized) graph.
+
+    Sums the per-partition partials directly — no per-vertex shuffle."""
     from ray.data.aggregate import Sum
 
-    per_vertex = triangle_counts(edges_ds, num_partitions)
-    row = per_vertex.aggregate(Sum("triangles", alias_name="t3"))
+    partials = _triangle_partials(edges_ds, num_partitions)
+    row = partials.aggregate(Sum("triangles", alias_name="t3"))
     total = row["t3"] if row and row["t3"] is not None else 0
     return int(total) // 3
 
@@ -381,11 +493,30 @@ def clustering_coefficient(edges_ds, num_partitions: int = 64):
             }
         )
 
-    from ray.data.aggregate import Max
-
     all_zero = degs.map_batches(zero_rows, batch_format="pyarrow")
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "gpart", pa.array(part_of(_np(tbl, "vid"), num_partitions), pa.int32())
+        )
+
+    def max_by_vid(tbl: pa.Table) -> pa.Table:
+        vid = _np(tbl, "vid")
+        c = _np(tbl, "coefficient")
+        order = np.argsort(vid, kind="stable")
+        vid, c = vid[order], c[order]
+        starts = segment_starts(vid)
+        out = np.maximum.reduceat(c, starts) if len(vid) else c
+        return pa.table(
+            {
+                "vid": pa.array(vid[starts], pa.int64()),
+                "coefficient": pa.array(out, pa.float64()),
+            }
+        )
+
     return (
         with_tri.union(all_zero)
-        .groupby("vid")
-        .aggregate(Max("coefficient", alias_name="coefficient"))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(max_by_vid, batch_format="pyarrow")
     )
