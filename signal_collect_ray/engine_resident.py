@@ -361,6 +361,19 @@ class _Worker:
             self.state[p] = algo.collect(prev, dst, vals, self.threshold)
         return self._metrics()
 
+    def collect_and_signal(self, outbox_refs: list, mode_collect: str, mode_signal: str):
+        """Fused superstep round: collect step k's signals, then
+        immediately compute step k+1's outbox — ONE actor barrier per
+        superstep instead of two. Returns (outbox, metrics); the driver
+        keeps the outbox as an unfetched ref for the next round."""
+        rows = (
+            self.collect_dense(outbox_refs)
+            if mode_collect == "dense"
+            else self.collect(outbox_refs)
+        )
+        outbox = self.signal_dense() if mode_signal == "dense" else self.signal()
+        return outbox, rows
+
     # -- durability --------------------------------------------------------
     def checkpoint(self, out_dir: str):
         for p in self.parts:
@@ -450,6 +463,13 @@ class ResidentEngine:
         # the barrier (~50k edges/worker floor); explicit num_workers in
         # the constructor is a hint, never exceeded
         W = max(1, min(self.W, P, graph.num_edges // 50_000 + 1))
+        # dense-exchange algorithms ship O(V/P) slices per partition and
+        # touch an O(V) accumulator per worker, so past E/(2V) workers the
+        # per-worker O(V) term dominates and extra workers only add
+        # barrier traffic (measured: W=4 beats W=32 on an 8-edges/vertex
+        # graph). Sparse-only algorithms keep the edge-count cap.
+        if algo.dense_agg is not None and graph.num_vertices > 0:
+            W = max(1, min(W, graph.num_edges // (2 * graph.num_vertices) + 1))
         t0 = time.monotonic()
 
         lineage_base = {
@@ -525,6 +545,31 @@ class ResidentEngine:
         last = per_step[-1]
         converged = SuperstepEngine._is_converged(last, eps, k)
         reason = "Converged" if converged else None
+
+        def _mode(manifest) -> str:
+            # dense scatter exchange when the frontier is dense enough
+            # that raw signal rows would exceed one dense vector
+            return (
+                "dense"
+                if dense_capable
+                and manifest.get("edges_next", 0) >= graph.num_vertices
+                else "sparse"
+            )
+
+        # Fused loop: ONE actor barrier per superstep. Step k's signal
+        # phase runs inside the same actor call that collects step k-1,
+        # so the mode for step k+1's signals is decided from manifest
+        # k-1 (one step stale — mode choice affects only performance,
+        # never results). Outbox refs are never fetched on the driver —
+        # workers exchange them directly through the object store.
+        sig_refs = None
+        pending_mode = None
+        if not converged:
+            pending_mode = _mode(last)
+            sig_refs = [
+                (w.signal_dense.remote() if pending_mode == "dense" else w.signal.remote())
+                for w in workers
+            ]
         while not converged:
             if k >= max_supersteps:
                 reason = "StepsLimitReached"
@@ -534,21 +579,16 @@ class ResidentEngine:
                 break
             k += 1
             ts = time.monotonic()
-            # dense scatter exchange when the frontier is dense enough
-            # that raw signal rows would exceed one dense vector
-            dense = dense_capable and last.get("edges_next", 0) >= graph.num_vertices
-            # the outbox refs are never fetched on the driver — workers
-            # exchange them directly through the object store
-            if dense:
-                sig_refs = [w.signal_dense.remote() for w in workers]
-                rows = _flatten(
-                    ray.get([w.collect_dense.remote(sig_refs) for w in workers])
+            next_mode = _mode(last)
+            rets = [
+                w.collect_and_signal.options(num_returns=2).remote(
+                    sig_refs, pending_mode, next_mode
                 )
-            else:
-                sig_refs = [w.signal.remote() for w in workers]
-                rows = _flatten(
-                    ray.get([w.collect.remote(sig_refs) for w in workers])
-                )
+                for w in workers
+            ]
+            out_refs = [r[0] for r in rets]
+            rows = _flatten(ray.get([r[1] for r in rets]))
+            sig_refs, pending_mode = out_refs, next_mode
             manifest = SuperstepEngine._manifest(
                 k, rows, lineage_base, prev_step=k - 1, wall_s=time.monotonic() - ts
             )

@@ -199,20 +199,91 @@ def minhash_lsh_candidates(
     )
 
 
+# Above this many candidate pairs the verify joins texts via two
+# co-partitioned attach shuffles; below it the involved texts (≤ 2·pairs)
+# are broadcast once through the object store.
+BROADCAST_PAIR_LIMIT = 500_000
+
+
+def _verify_batch(tbl: pa.Table, lookup, shingle_k: int, threshold: float) -> pa.Table:
+    ta = lookup(tbl, "a")
+    tb = lookup(tbl, "b")
+    jac = np.empty(len(ta))
+    for i, (x, y) in enumerate(zip(ta, tb)):
+        sa, sb = set(_shingles(x, shingle_k)), set(_shingles(y, shingle_k))
+        inter = len(sa & sb)
+        jac[i] = inter / max(len(sa | sb), 1)
+    out = tbl.select(["id_a", "id_b"]).append_column(
+        "jaccard", pa.array(jac, pa.float64())
+    )
+    keep = np.flatnonzero(jac >= threshold)
+    return out.take(pa.array(keep, pa.int64()))
+
+
 def jaccard_verify(
     docs_ds, pairs_ds, id_col: str = "doc_id", shingle_k: int = 5,
     threshold: float = 0.8,
 ):
     """Exact n-gram Jaccard over candidate pairs.
 
-    The text side is co-partitioned with the pairs by hash(id): pair rows
-    are routed to id_a's partition together with both texts via two
-    attach passes (explicit repartition join — no broadcast)."""
+    Small candidate sets (≤ BROADCAST_PAIR_LIMIT, the common case after
+    LSH): one semi-join filter pass over the corpus gathers the involved
+    texts (≤ 2·pairs rows), ``ray.put`` once, verify in a stateless
+    map over the pairs. Large candidate sets fall back to two explicit
+    co-partitioned attach shuffles — no driver materialization."""
+    texts = docs_ds.select_columns([id_col, "text"])
+    pairs_small = pairs_ds.materialize()
+    n_pairs = pairs_small.count()
+
+    if n_pairs <= BROADCAST_PAIR_LIMIT:
+        import ray
+
+        pair_tbl = pa.concat_tables(
+            list(pairs_small.iter_batches(batch_format="pyarrow", batch_size=None))
+        ) if n_pairs else pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        need = np.unique(
+            np.concatenate(
+                [
+                    pair_tbl.column("id_a").to_numpy(zero_copy_only=False),
+                    pair_tbl.column("id_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        ) if n_pairs else np.empty(0, np.int64)
+        need_ref = ray.put(need)
+
+        def semi(tbl: pa.Table) -> pa.Table:
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            n = ray.get(need_ref)
+            pos = np.searchsorted(n, ids)
+            pos_c = np.minimum(pos, max(len(n) - 1, 0))
+            hit = (len(n) > 0) & (pos < len(n))
+            hit = hit & (n[pos_c] == ids) if len(n) else np.zeros(len(ids), bool)
+            return tbl.take(pa.array(np.flatnonzero(hit), pa.int64()))
+
+        involved = texts.map_batches(semi, batch_format="pyarrow")
+        tmap = {}
+        for b in involved.iter_batches(batch_format="pyarrow", batch_size=None):
+            for i, t in zip(b.column(id_col).to_pylist(), b.column("text").to_pylist()):
+                tmap[i] = t
+        tmap_ref = ray.put(tmap)
+
+        def verify(tbl: pa.Table) -> pa.Table:
+            tm = ray.get(tmap_ref)
+
+            def lookup(t, side):
+                return [tm.get(i, "") for i in t.column(f"id_{side}").to_pylist()]
+
+            return _verify_batch(tbl, lookup, shingle_k, threshold)
+
+        return pairs_small.map_batches(verify, batch_format="pyarrow")
+
+    # join fallback: pair rows routed with both texts via attach passes
     from signal_collect_ray.algorithms.triangles import _attach
 
-    texts = docs_ds.select_columns([id_col, "text"])
     a_side = _attach(
-        pairs_ds, "id_a",
+        pairs_small, "id_a",
         texts.rename_columns({"text": "text_a", id_col: "aid"}), "aid", ["text_a"],
     )
     b_side = _attach(
@@ -220,21 +291,13 @@ def jaccard_verify(
         texts.rename_columns({"text": "text_b", id_col: "bid"}), "bid", ["text_b"],
     )
 
-    def verify(tbl: pa.Table) -> pa.Table:
-        ta = tbl.column("text_a").to_pylist()
-        tb = tbl.column("text_b").to_pylist()
-        jac = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = set(_shingles(x, shingle_k)), set(_shingles(y, shingle_k))
-            inter = len(sa & sb)
-            jac[i] = inter / max(len(sa | sb), 1)
-        out = tbl.select(["id_a", "id_b"]).append_column(
-            "jaccard", pa.array(jac, pa.float64())
-        )
-        keep = np.flatnonzero(jac >= threshold)
-        return out.take(pa.array(keep, pa.int64()))
+    def verify_joined(tbl: pa.Table) -> pa.Table:
+        def lookup(t, side):
+            return t.column(f"text_{side}").to_pylist()
 
-    return b_side.map_batches(verify, batch_format="pyarrow")
+        return _verify_batch(tbl, lookup, shingle_k, threshold)
+
+    return b_side.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def dedup_minhash(docs_ds, id_col: str = "doc_id", threshold: float = 0.8, **kw):
