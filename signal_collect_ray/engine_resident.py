@@ -462,7 +462,10 @@ class ResidentEngine:
         # cap the pool so each worker has enough per-step work to amortize
         # the barrier (~50k edges/worker floor); explicit num_workers in
         # the constructor is a hint, never exceeded
-        W = max(1, min(self.W, P, graph.num_edges // 50_000 + 1))
+        # leave ≥2 CPUs for the driver + raylet: at W == cluster CPUs the
+        # barrier collapses ~5x from oversubscription (measured)
+        cpu_cap = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        W = max(1, min(self.W, cpu_cap, P, graph.num_edges // 50_000 + 1))
         # dense-exchange algorithms ship O(V/P) slices per partition and
         # touch an O(V) accumulator per worker, so past E/(2V) workers the
         # per-worker O(V) term dominates and extra workers only add
