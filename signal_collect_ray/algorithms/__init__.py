@@ -2,6 +2,7 @@ from signal_collect_ray.algorithms.pagerank import PageRank
 from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
+from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -13,6 +14,7 @@ __all__ = [
     "ConnectedComponents",
     "SSSP",
     "ChineseWhispers",
+    "VertexColoring",
     "triangle_counts",
     "total_triangles",
     "clustering_coefficient",

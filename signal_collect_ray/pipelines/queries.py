@@ -193,10 +193,16 @@ def _graph(sf_dir: str, symmetric: bool = False):
 
 
 def _engine(max_supersteps: int, eps: float = 1e-6):
-    from signal_collect_ray import EngineConfig, SuperstepEngine
+    """Resident executor — bit-identical to the durable Ray Data
+    executor (equality pinned in tests/test_resident.py) at ~5x lower
+    per-superstep latency; the durable path is exercised by entry() and
+    bench.py's pagerank_durable stage."""
+    from signal_collect_ray import EngineConfig
+    from signal_collect_ray.engine_resident import ResidentEngine
 
-    return SuperstepEngine(
-        EngineConfig(num_partitions=_P, eps=eps, max_supersteps=max_supersteps)
+    return ResidentEngine(
+        EngineConfig(num_partitions=_P, eps=eps, max_supersteps=max_supersteps),
+        num_workers=4,
     )
 
 
@@ -204,7 +210,8 @@ def _state(sf_dir, algo, symmetric, max_supersteps, eps=1e-6, tag=""):
     g = _graph(sf_dir, symmetric)
     eng = _engine(max_supersteps, eps)
     info = eng.run(
-        g, algo, run_dir=_work_dir(sf_dir, f"run_{algo.name}{tag}"), resume=False
+        g, algo, run_dir=_work_dir(sf_dir, f"run_{algo.name}{tag}"), resume=False,
+        checkpoint_interval=50,
     )
     return info.state_table()
 
@@ -389,7 +396,8 @@ def q_pagerank_weighted_k4(sf_dir: str):
         _GRAPH_CACHE[key] = g
     eng = _engine(4, eps=0.0)
     info = eng.run(
-        g, PageRank(), run_dir=_work_dir(sf_dir, "run_prw_k4"), resume=False
+        g, PageRank(), run_dir=_work_dir(sf_dir, "run_prw_k4"), resume=False,
+        checkpoint_interval=50,
     )
     return _round_state(info.state_table(), "rank", 6)
 
@@ -490,6 +498,13 @@ def q_knn_vec0_top5(sf_dir: str):
 
 
 # -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q_vertex_coloring(sf_dir: str):
+    from signal_collect_ray.algorithms import VertexColoring
+
+    t = _state(sf_dir, VertexColoring(num_colors=48), True, 100, tag="_col")
+    return pa.table({"vid": t.column("vid"), "color": t.column("state")})
+
 
 def q_pagerank_converged(sf_dir: str):
     from signal_collect_ray.algorithms import PageRank
@@ -605,6 +620,7 @@ def queries():
         "doc_dedup_exact": q_doc_dedup_exact,
         "knn_vec0_top5": q_knn_vec0_top5,
         # rows-only checks (not SQL-expressible)
+        "vertex_coloring": q_vertex_coloring,
         "pagerank_converged": q_pagerank_converged,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
