@@ -160,9 +160,37 @@ class SignalStage:
             self._csr_cache[p] = csr
         return csr
 
+    def _seed_rows(self, d) -> Optional[pa.Table]:
+        """One dst=-1 seed row per partition in this block that must run
+        collect even if it receives no signals (its vertices signaled →
+        their last/active bookkeeping must advance). Emitted here so the
+        engine needs no extra union stage per superstep."""
+        algo = self.algo
+        act = (
+            np.ones(len(d["part"]), dtype=bool)
+            if algo.always_signal
+            else d["active"].astype(bool)
+        )
+        parts = np.unique(d["part"][act])
+        if not len(parts):
+            return None
+        n = len(parts)
+        cols = {
+            "dst_part": pa.array(parts.astype(np.int32), pa.int32()),
+            "dst": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+        }
+        for name, typ in algo.signal_fields:
+            cols[name] = (
+                pa.array(np.zeros(n), typ)
+                if pa.types.is_floating(typ)
+                else pa.array(np.zeros(n, dtype=np.int64), typ)
+            )
+        return pa.table(cols)
+
     def __call__(self, tbl: pa.Table) -> pa.Table:
         algo = self.algo
         d = _to_np_dict(tbl)
+        seeds = self._seed_rows(d)
         mask = (
             np.ones(len(tbl), dtype=bool)
             if algo.always_signal
@@ -170,9 +198,11 @@ class SignalStage:
         )
         mask &= d["out_degree"] > 0
         if not mask.any():
-            return _empty_signals(algo)
+            return seeds if seeds is not None else _empty_signals(algo)
 
         pieces: List[pa.Table] = []
+        if seeds is not None:
+            pieces.append(seeds)
         parts_here = np.unique(d["part"][mask])
         for p in parts_here:
             csr = self._csr(int(p))
@@ -420,27 +450,11 @@ class SuperstepEngine:
             start_k = 0
 
         csr_refs = graph.csr_refs()
-        sig_schema = _signal_schema(algo)
-
-        def seed_table(parts: list) -> pa.Table:
-            """One dummy row per partition that must run collect even if
-            it receives no signals (its vertices signaled → their
-            last/active bookkeeping must advance). Dormant partitions
-            (no active vertices, no incoming signals) are skipped and
-            their checkpoint shard is hardlinked instead — the sparse
-            frontier fast path for CC/SSSP-style algorithms."""
-            n = len(parts)
-            cols = {
-                "dst_part": pa.array(np.asarray(parts, dtype=np.int32), pa.int32()),
-                "dst": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
-            }
-            for name, typ in algo.signal_fields:
-                cols[name] = (
-                    pa.array(np.zeros(n), typ)
-                    if pa.types.is_floating(typ)
-                    else pa.array(np.zeros(n, dtype=np.int64), typ)
-                )
-            return pa.table(cols).cast(sig_schema)
+        # Seed rows (dst=-1, one per must-run partition) are emitted by
+        # SignalStage itself; dormant partitions (no active vertices, no
+        # incoming signals) are skipped entirely and their checkpoint
+        # shard is hardlinked — the sparse frontier fast path for
+        # CC/SSSP-style algorithms.
 
         # -- superstep loop ------------------------------------------------
         k = start_k
@@ -492,14 +506,8 @@ class SuperstepEngine:
                     zero_copy_batch=True,
                 )
             prev_parts = {p["part"]: p for p in last["parts"]}
-            must_run = [
-                p
-                for p, m in prev_parts.items()
-                if algo.always_signal or m["n_active"] > 0
-            ]
-            allsig = signals.union(rd.from_arrow(seed_table(must_run)))
             metrics_rows = (
-                allsig.groupby("dst_part")
+                signals.groupby("dst_part")
                 .map_groups(
                     CollectStage(algo, prev_dir, step_tmp, threshold),
                     batch_format="pyarrow",
