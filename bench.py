@@ -67,7 +67,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     )
     from signal_collect_ray.functions.similarity import knn_brute_force
     from signal_collect_ray.functions.text import analyze_documents
-    from signal_collect_ray.pipelines.queries import _sym_dedup
+    from signal_collect_ray.pipelines.queries import sym_edges
     from signal_collect_ray.sources import pages_to_edges
     from signal_collect_ray.sources.pages import pages_from_documents
 
@@ -133,8 +133,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     # 4. connected components on the symmetrized graph (reuses the
     # already-extracted edge shards — no second extraction pass)
     def cc():
-        edges = _sym_dedup(g.edges_ds())
-        gs = Graph.build(edges, os.path.join(work, "graph_sym"), num_partitions=P)
+        edges = sym_edges(g.edges_ds())
+        gs = Graph.build(
+            edges, os.path.join(work, "graph_sym"), num_partitions=P, dedup=True
+        )
         return res_eng.run(
             gs, ConnectedComponents(), run_dir=os.path.join(work, "run_cc"),
             resume=False, checkpoint_interval=25,

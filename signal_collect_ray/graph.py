@@ -51,9 +51,10 @@ class _EdgeShardWriter:
 
     __name__ = "_EdgeShardWriter"
 
-    def __init__(self, edges_tmp_dir: str, num_partitions: int):
+    def __init__(self, edges_tmp_dir: str, num_partitions: int, dedup: bool = False):
         self.dir = edges_tmp_dir
         self.P = num_partitions
+        self.dedup = dedup
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         src = _to_np(tbl, "src")
@@ -62,6 +63,15 @@ class _EdgeShardWriter:
         p = int(_to_np(tbl, "part")[0])
         order = np.lexsort((dst, src))
         src, dst, weight = src[order], dst[order], weight[order]
+        if self.dedup and len(src):
+            # exact global (src,dst) dedup — all rows with this src hash
+            # land in this group, and rows arrive sorted by (src,dst).
+            # Keeps the FIRST weight (unique-pair semantics, not summed).
+            keep = np.empty(len(src), dtype=bool)
+            keep[0] = True
+            np.not_equal(src[1:], src[:-1], out=keep[1:])
+            keep[1:] |= dst[1:] != dst[:-1]
+            src, dst, weight = src[keep], dst[keep], weight[keep]
         out = pa.table(
             {
                 "src": pa.array(src, pa.int64()),
@@ -162,10 +172,16 @@ class Graph:
 
     # -- construction ------------------------------------------------------
     @classmethod
-    def build(cls, edges_ds, graph_dir: str, num_partitions: int = 8) -> "Graph":
+    def build(
+        cls, edges_ds, graph_dir: str, num_partitions: int = 8,
+        dedup: bool = False,
+    ) -> "Graph":
         """Build partitioned graph storage from an edge Dataset.
 
         ``edges_ds`` columns: src:int64, dst:int64 [, weight:float64=1.0].
+        ``dedup=True`` drops exact duplicate (src, dst) rows inside the
+        build's own shuffle (keeping the first weight) — free global
+        dedup with no extra exchange.
         """
         import pyarrow.compute as pc
 
@@ -192,7 +208,7 @@ class Graph:
 
         prepared = edges_ds.map_batches(add_cols, batch_format="pyarrow")
         contribs = prepared.groupby("part").map_groups(
-            _EdgeShardWriter(edges_tmp, P), batch_format="pyarrow"
+            _EdgeShardWriter(edges_tmp, P, dedup), batch_format="pyarrow"
         )
         stats = contribs.groupby("vpart").map_groups(
             _VertexShardWriter(vertices_tmp), batch_format="pyarrow"

@@ -139,6 +139,25 @@ def derived_edges_weighted_ds(sf_dir: str):
     )
 
 
+def sym_edges(edges_ds):
+    """Shuffle-free symmetrization: emit each edge both ways (duplicates
+    allowed — pair with ``Graph.build(..., dedup=True)``, which dedups
+    inside the build's own shuffle)."""
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                "weight": pa.array(np.ones(2 * len(s)), pa.float64()),
+            }
+        )
+
+    return edges_ds.map_batches(sym, batch_format="pyarrow")
+
+
 def _sym_dedup(edges_ds):
     """Symmetrize + dedup (matches SQL ``e UNION reverse(e)``)."""
     from signal_collect_ray.util import part_of
@@ -185,9 +204,11 @@ def _graph(sf_dir: str, symmetric: bool = False):
     if g is None:
         edges = derived_edges_ds(sf_dir)
         if symmetric:
-            edges = _sym_dedup(edges)
+            edges = sym_edges(edges)
         name = "graph_sym" if symmetric else "graph"
-        g = Graph.build(edges, _work_dir(sf_dir, name), num_partitions=_P)
+        g = Graph.build(
+            edges, _work_dir(sf_dir, name), num_partitions=_P, dedup=symmetric
+        )
         _GRAPH_CACHE[key] = g
     return g
 

@@ -66,3 +66,25 @@ def test_csr_refs_roundtrip(tmp_path):
         assert len(csr["indptr"]) == len(csr["src_ids"]) + 1
         assert (csr["sum_out_weight"] > 0).all()
     assert n_edges == 10
+
+
+def test_build_dedup_equals_pre_deduped(tmp_path):
+    # sym_edges + dedup=True build ≡ _sym_dedup + plain build
+    import numpy as np
+
+    from signal_collect_ray.pipelines.queries import _sym_dedup, sym_edges
+
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 50, 400).astype(np.int64)
+    dst = rng.randint(0, 50, 400).astype(np.int64)
+    keep = src != dst
+    g0 = Graph.from_edge_arrays(src[keep], dst[keep], str(tmp_path / "g0"), num_partitions=4)
+    a = Graph.build(_sym_dedup(g0.edges_ds()), str(tmp_path / "ga"), num_partitions=4)
+    b = Graph.build(
+        sym_edges(g0.edges_ds()), str(tmp_path / "gb"), num_partitions=4, dedup=True
+    )
+    assert a.num_vertices == b.num_vertices
+    assert a.num_edges == b.num_edges
+    ta = a.edges_ds().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    tb = b.edges_ds().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (ta[["src", "dst", "weight"]].values == tb[["src", "dst", "weight"]].values).all()
