@@ -22,12 +22,18 @@ caller (driver, bench.py, or the pytest fixture).
 from signal_collect_ray.config import EngineConfig
 from signal_collect_ray.graph import Graph
 from signal_collect_ray.engine import SuperstepEngine, ExecutionInformation
+from signal_collect_ray.engine_resident import ResidentEngine
+from signal_collect_ray.algorithm import Algorithm, GlobalTermination, SumStatesTermination
 
 __all__ = [
     "EngineConfig",
     "Graph",
     "SuperstepEngine",
+    "ResidentEngine",
     "ExecutionInformation",
+    "Algorithm",
+    "GlobalTermination",
+    "SumStatesTermination",
 ]
 
 __version__ = "0.1.0"

@@ -128,3 +128,50 @@ class Algorithm:
         idx_clipped = np.minimum(idx, len(prev_vid) - 1)
         ok = (idx < len(prev_vid)) & (prev_vid[idx_clipped] == dst)
         return np.where(ok, idx_clipped, -1)
+
+
+class GlobalTermination:
+    """User predicate on a global state aggregate, checked every
+    ``interval`` supersteps — the rebuild of the reference's
+    ``GlobalTerminationDetection`` (``ExecutionConfiguration.scala:147-180``:
+    ``aggregationOperation`` + ``aggregationInterval`` + ``shouldTerminate``).
+
+    Two-phase like every reference aggregation
+    (``interfaces/AggregationOperation.scala:27-59``): a worker-local
+    ``aggregate_partition`` over each partition's state arrays, then a
+    coordinator-side ``reduce`` over the partials.
+    """
+
+    interval: int = 1
+
+    def __init__(self, interval: int = 1):
+        self.interval = interval
+
+    def aggregate_partition(self, state: StateDict):
+        """Partial aggregate of one partition ({vid, state, ...} arrays)."""
+        raise NotImplementedError
+
+    def reduce(self, partials: list):
+        raise NotImplementedError
+
+    def should_terminate(self, aggregate) -> bool:
+        raise NotImplementedError
+
+
+class SumStatesTermination(GlobalTermination):
+    """Terminate when Σ state ≥ threshold (mirrors the reference's
+    ComputationTerminationSpec global-termination test, which stops
+    PageRank once the rank sum crosses a bound)."""
+
+    def __init__(self, threshold: float, interval: int = 1):
+        super().__init__(interval)
+        self.threshold = threshold
+
+    def aggregate_partition(self, state: StateDict):
+        return float(np.asarray(state["state"], dtype=np.float64).sum())
+
+    def reduce(self, partials: list):
+        return float(sum(partials))
+
+    def should_terminate(self, aggregate) -> bool:
+        return aggregate >= self.threshold

@@ -389,6 +389,7 @@ class SuperstepEngine:
         max_supersteps: Optional[int] = None,
         signal_threshold: Optional[float] = None,
         time_limit_s: Optional[float] = None,
+        global_termination=None,
     ) -> ExecutionInformation:
         import ray.data as rd
 
@@ -544,6 +545,32 @@ class SuperstepEngine:
             converged = self._is_converged(last, eps, k)
             if converged:
                 reason = "Converged"
+            if (
+                not converged
+                and global_termination is not None
+                and k % max(global_termination.interval, 1) == 0
+            ):
+                import ray
+
+                @ray.remote
+                def _part_agg(path, gt):
+                    return gt.aggregate_partition(
+                        _to_np_dict(pq.read_table(path))
+                    )
+
+                shards = sorted(
+                    glob.glob(
+                        os.path.join(self._step_dir(run_dir, k), "part-*.parquet")
+                    )
+                )
+                agg = global_termination.reduce(
+                    ray.get(
+                        [_part_agg.remote(f, global_termination) for f in shards]
+                    )
+                )
+                if global_termination.should_terminate(agg):
+                    converged = True
+                    reason = "GlobalConstraintMet"
 
         return ExecutionInformation(
             algorithm=algo.name,

@@ -374,6 +374,20 @@ class _Worker:
         outbox = self.signal_dense() if mode_signal == "dense" else self.signal()
         return outbox, rows
 
+    def aggregate_states(self, gt):
+        """Worker-local phase of a global aggregation
+        (≙ aggregationOnWorker, interfaces/AggregationOperation.scala:27-59)."""
+        partials = []
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            partials.append(
+                gt.aggregate_partition({**m, **st})
+            )
+        return partials
+
     # -- durability --------------------------------------------------------
     def checkpoint(self, out_dir: str):
         for p in self.parts:
@@ -438,6 +452,7 @@ class ResidentEngine:
         signal_threshold: Optional[float] = None,
         checkpoint_interval: Optional[int] = None,
         time_limit_s: Optional[float] = None,
+        global_termination=None,
     ) -> ExecutionInformation:
         import ray
 
@@ -600,6 +615,19 @@ class ResidentEngine:
             converged = SuperstepEngine._is_converged(last, eps, k)
             if converged:
                 reason = "Converged"
+            if (
+                not converged
+                and global_termination is not None
+                and k % max(global_termination.interval, 1) == 0
+            ):
+                agg = global_termination.reduce(
+                    _flatten(
+                        ray.get([w.aggregate_states.remote(global_termination) for w in workers])
+                    )
+                )
+                if global_termination.should_terminate(agg):
+                    converged = True
+                    reason = "GlobalConstraintMet"
             if converged or (ckpt_int and k % ckpt_int == 0):
                 self._checkpoint(workers, run_dir, k, manifest)
         if reason in ("StepsLimitReached", "TimeLimitReached"):

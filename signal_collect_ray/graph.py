@@ -63,6 +63,23 @@ class _EdgeShardWriter:
         p = int(_to_np(tbl, "part")[0])
         order = np.lexsort((dst, src))
         src, dst, weight = src[order], dst[order], weight[order]
+        if "kind" in tbl.column_names and len(src):
+            # mutation path (Graph.update): any (src,dst) pair carrying a
+            # removal marker (kind=1) is dropped entirely — all rows of
+            # the pair share this group (hashed by src) and are adjacent
+            # after the sort.
+            kind = _to_np(tbl, "kind")[order]
+            # exact pair boundaries: new pair where src or dst changes
+            bound = np.empty(len(src), dtype=bool)
+            bound[0] = True
+            np.not_equal(src[1:], src[:-1], out=bound[1:])
+            bound[1:] |= dst[1:] != dst[:-1]
+            starts = np.flatnonzero(bound)
+            removed = np.maximum.reduceat(kind, starts) > 0
+            keep = ~np.repeat(
+                removed, np.diff(np.append(starts, len(src)))
+            )
+            src, dst, weight = src[keep], dst[keep], weight[keep]
         if self.dedup and len(src):
             # exact global (src,dst) dedup — all rows with this src hash
             # land in this group, and rows arrive sorted by (src,dst).
@@ -202,6 +219,8 @@ class Graph:
                 cols["weight"] = pa.array(
                     np.ones(len(tbl)), pa.float64()
                 )
+            if "kind" in tbl.column_names:
+                cols["kind"] = tbl.column("kind")
             src = tbl.column("src").combine_chunks().to_numpy(zero_copy_only=False)
             cols["part"] = pa.array(part_of(src, P), pa.int32())
             return pa.table(cols)
@@ -271,6 +290,63 @@ class Graph:
     @classmethod
     def load(cls, graph_dir: str) -> "Graph":
         return cls(graph_dir)
+
+    def update(
+        self,
+        graph_dir: str,
+        add_edges_ds=None,
+        remove_edges_ds=None,
+        dedup: bool = True,
+    ) -> "Graph":
+        """Batch graph mutation: rebuild into ``graph_dir`` with edges
+        added and/or removed — the batch-analytics rebuild of the
+        reference's ``GraphEditor.addEdge``/``removeEdge``
+        (``GraphEditor.scala:37-201``). ``dedup=True`` mirrors the
+        reference's idempotent duplicate-add handling
+        (``features/MultipleVertexAdditionsSpec.scala``).
+
+        One co-partitioned exchange: current edges ∪ additions ∪
+        removal markers all hash to the same src partition; removals are
+        applied vectorized inside the group before the shard write.
+        """
+        import ray.data as rd
+        import pyarrow.compute as pc
+
+        def with_kind(ds, kind: int, default_weight: float = 1.0):
+            def fn(tbl: pa.Table) -> pa.Table:
+                n = len(tbl)
+                w = (
+                    pc.cast(tbl.column("weight"), pa.float64())
+                    if "weight" in tbl.column_names
+                    else pa.array(np.full(n, default_weight), pa.float64())
+                )
+                return pa.table(
+                    {
+                        "src": pc.cast(tbl.column("src"), pa.int64()),
+                        "dst": pc.cast(tbl.column("dst"), pa.int64()),
+                        "weight": w,
+                        "kind": pa.array(
+                            np.full(n, kind, dtype=np.int8), pa.int8()
+                        ),
+                    }
+                )
+
+            return ds.map_batches(fn, batch_format="pyarrow")
+
+        parts = [with_kind(self.edges_ds(), 0)]
+        if add_edges_ds is not None:
+            parts.append(with_kind(add_edges_ds, 0))
+        if remove_edges_ds is not None:
+            parts.append(with_kind(remove_edges_ds, 1))
+        combined = parts[0]
+        for extra in parts[1:]:
+            combined = combined.union(extra)
+        return Graph.build(
+            combined,
+            graph_dir,
+            num_partitions=self.num_partitions,
+            dedup=dedup,
+        )
 
     # -- accessors ---------------------------------------------------------
     def edge_files(self):

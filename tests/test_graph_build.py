@@ -88,3 +88,41 @@ def test_build_dedup_equals_pre_deduped(tmp_path):
     ta = a.edges_ds().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     tb = b.edges_ds().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert (ta[["src", "dst", "weight"]].values == tb[["src", "dst", "weight"]].values).all()
+
+
+def test_graph_update_add_remove(tmp_path):
+    # GraphEditor.addEdge/removeEdge parity (batch rebuild), idempotent
+    # duplicate adds (MultipleVertexAdditionsSpec semantics)
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 0], dtype=np.int64)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+
+    adds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([5, 5, 0], pa.int64()),   # 5->6 added twice
+                "dst": pa.array([6, 6, 2], pa.int64()),
+            }
+        )
+    )
+    removes = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 9], pa.int64()),      # remove 1->2; 9->9 absent
+                "dst": pa.array([2, 9], pa.int64()),
+            }
+        )
+    )
+    g2 = g.update(str(tmp_path / "g2"), add_edges_ds=adds, remove_edges_ds=removes)
+    edges = sorted(
+        (r["src"], r["dst"]) for r in g2.edges_ds().take_all()
+    )
+    assert edges == [(0, 1), (0, 2), (2, 3), (3, 0), (5, 6)]
+    # vertices: endpoints of surviving edges only
+    vids = sorted(r["vid"] for r in g2.vertices_ds().take_all())
+    assert vids == [0, 1, 2, 3, 5, 6]
+    assert g2.num_edges == 5
