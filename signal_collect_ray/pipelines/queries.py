@@ -471,6 +471,29 @@ def q_triangles_per_vertex(sf_dir: str):
     return triangle_counts(derived_edges_ds(sf_dir), num_partitions=32)
 
 
+def q_clustering_coefficient(sf_dir: str):
+    from signal_collect_ray.algorithms import clustering_coefficient
+
+    t = pa.concat_tables(
+        list(
+            clustering_coefficient(derived_edges_ds(sf_dir), num_partitions=32)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    coeff = np.round(t.column("coefficient").to_numpy(zero_copy_only=False), 6)
+    return pa.table(
+        {"vid": t.column("vid"), "coefficient": pa.array(coeff, pa.float64())}
+    )
+
+
+def q_largest_components(sf_dir: str):
+    t = q_component_sizes(sf_dir)
+    n = t.column("n_vertices").to_numpy(zero_copy_only=False)
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    order = np.lexsort((lab, -n))[:5]
+    return t.take(pa.array(order, pa.int64()))
+
+
 def q_doc_token_counts(sf_dir: str):
     import ray.data as rd
 
@@ -637,6 +660,8 @@ def queries():
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "triangle_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "clustering_coefficient": q_clustering_coefficient,
+        "largest_components": q_largest_components,
         "doc_token_counts": q_doc_token_counts,
         "doc_dedup_exact": q_doc_dedup_exact,
         "knn_vec0_top5": q_knn_vec0_top5,
@@ -694,6 +719,23 @@ def oracle_sql():
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
             "(SELECT u AS vid FROM tri UNION ALL SELECT v FROM tri "
             "UNION ALL SELECT w FROM tri) GROUP BY vid"
+        ),
+        "clustering_coefficient": _TRI_SQL_BASE
+        + (
+            ", deg AS (SELECT v AS vid, COUNT(*) AS deg FROM "
+            "(SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v), "
+            "tc AS (SELECT vid, COUNT(*) AS t FROM "
+            "(SELECT u AS vid FROM tri UNION ALL SELECT v FROM tri "
+            "UNION ALL SELECT w FROM tri) GROUP BY vid) "
+            "SELECT deg.vid, ROUND(CASE WHEN deg.deg > 1 THEN "
+            "2.0 * COALESCE(tc.t, 0) / (deg.deg * (deg.deg - 1.0)) "
+            "ELSE 0.0 END, 6) AS coefficient "
+            "FROM deg LEFT JOIN tc ON tc.vid = deg.vid"
+        ),
+        "largest_components": (
+            f"WITH cc AS ({_cc_sql(8)}) "
+            "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM cc "
+            "GROUP BY label ORDER BY n_vertices DESC, label LIMIT 5"
         ),
         "doc_token_counts": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
