@@ -243,7 +243,7 @@ def _state(sf_dir, algo, symmetric, max_supersteps, eps=1e-6, tag=""):
 
 def _pr_sql(k: int) -> str:
     ctes = [
-        f"e AS ({_E_SQL})",
+        f"e AS MATERIALIZED ({_E_SQL})",
         "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
         "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
         "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
@@ -262,7 +262,7 @@ def _prw_sql(k: int) -> str:
     """Weighted PageRank oracle: signal = r * weight / sum_out_weight
     (reference PageRank.scala:44-46 with non-unit edge weights)."""
     ctes = [
-        f"e AS ({_EW_SQL})",
+        f"e AS MATERIALIZED ({_EW_SQL})",
         "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
         "sw AS (SELECT src, SUM(weight) AS sw FROM e GROUP BY src)",
         "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
@@ -280,7 +280,7 @@ def _prw_sql(k: int) -> str:
 
 def _cc_sql(k: int) -> str:
     ctes = [
-        f"e0 AS ({_E_SQL})",
+        f"e0 AS MATERIALIZED ({_E_SQL})",
         "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
         "v AS (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
         "l0 AS (SELECT vid, vid AS lab FROM v)",
@@ -297,7 +297,7 @@ def _cc_sql(k: int) -> str:
 
 def _sssp_sql(k: int, source: int = 0) -> str:
     ctes = [
-        f"e AS ({_E_SQL})",
+        f"e AS MATERIALIZED ({_E_SQL})",
         "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
         f"d0 AS (SELECT vid, CASE WHEN vid = {source} THEN CAST(0 AS DOUBLE) "
         "ELSE CAST(1e18 AS DOUBLE) END AS d FROM v)",
@@ -305,6 +305,28 @@ def _sssp_sql(k: int, source: int = 0) -> str:
     for i in range(1, k + 1):
         ctes.append(
             f"d{i} AS (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
+            f"FROM v JOIN d{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN d{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.d)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, CASE WHEN d >= 1e17 THEN NULL ELSE d END AS dist FROM d{k}"
+    )
+
+
+def _ssspw_sql(k: int, source: int = 0) -> str:
+    """Weighted SSSP oracle over the multiplicity-weighted edges
+    (reference Sssp.scala Path edge: signal = dist + weight)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EW_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"d0 AS (SELECT vid, CASE WHEN vid = {source} THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(1e18 AS DOUBLE) END AS d FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + e.weight), 1e18)) AS d "
             f"FROM v JOIN d{i-1} own ON own.vid = v.vid "
             f"LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN d{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.d)"
@@ -403,18 +425,9 @@ def q_in_degrees(sf_dir: str):
 
 
 def q_pagerank_weighted_k4(sf_dir: str):
-    from signal_collect_ray import Graph
     from signal_collect_ray.algorithms import PageRank
 
-    key = (sf_dir, "weighted")
-    g = _GRAPH_CACHE.get(key)
-    if g is None:
-        g = Graph.build(
-            derived_edges_weighted_ds(sf_dir),
-            _work_dir(sf_dir, "graph_w"),
-            num_partitions=_P,
-        )
-        _GRAPH_CACHE[key] = g
+    g = _graph_weighted(sf_dir)
     eng = _engine(4, eps=0.0)
     info = eng.run(
         g, PageRank(), run_dir=_work_dir(sf_dir, "run_prw_k4"), resume=False,
@@ -446,6 +459,36 @@ def q_sssp_from0(sf_dir: str):
     from signal_collect_ray.algorithms import SSSP
 
     t = _state(sf_dir, SSSP(0), False, 50)
+    d = t.column("state").to_numpy(zero_copy_only=False)
+    dist = [None if not np.isfinite(x) else float(x) for x in d]
+    return pa.table({"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())})
+
+
+def _graph_weighted(sf_dir: str):
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, "weighted")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = Graph.build(
+            derived_edges_weighted_ds(sf_dir),
+            _work_dir(sf_dir, "graph_w"),
+            num_partitions=_P,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def q_sssp_weighted_from0(sf_dir: str):
+    from signal_collect_ray.algorithms import SSSP
+
+    g = _graph_weighted(sf_dir)
+    eng = _engine(50)
+    info = eng.run(
+        g, SSSP(0), run_dir=_work_dir(sf_dir, "run_ssspw"), resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
     d = t.column("state").to_numpy(zero_copy_only=False)
     dist = [None if not np.isfinite(x) else float(x) for x in d]
     return pa.table({"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())})
@@ -657,6 +700,7 @@ def queries():
         "connected_components": q_cc_labels,
         "component_sizes": q_component_sizes,
         "sssp_from0": q_sssp_from0,
+        "sssp_weighted_from0": q_sssp_weighted_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "triangle_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -711,6 +755,7 @@ def oracle_sql():
             "FROM cc GROUP BY label"
         ),
         "sssp_from0": _sssp_sql(8),
+        "sssp_weighted_from0": _ssspw_sql(12),
         "chinese_whispers_k1": _CW1_SQL,
         "triangle_total": _TRI_SQL_BASE
         + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
