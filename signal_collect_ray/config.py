@@ -60,6 +60,16 @@ class EngineConfig:
     # Actor pool size when signal_mode="actors" (None → autoscale).
     signal_concurrency: int | tuple[int, int] | None = None
 
+    # Salted two-stage signal aggregation (hub-skew handling, north
+    # rule): when > 1, signal rows are pre-combined per
+    # (dst_part, hash(dst) % salt_buckets) bucket before the final
+    # groupby(dst_part) — the largest collect group is then bounded by
+    # the partition's distinct-dst count (≤ V/P) regardless of how many
+    # signal blocks fed it. Worth turning on when blocks-per-superstep is
+    # large (web-scale inputs); off by default because the extra exchange
+    # costs more than it saves at test scale.
+    salt_buckets: int = 1
+
     # Where runs live unless an explicit run_dir is passed.
     checkpoint_root: str = "/tmp/scray_runs"
 

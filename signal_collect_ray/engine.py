@@ -239,6 +239,46 @@ class SignalStage:
         return pa.concat_tables(pieces)
 
 
+class SaltedPreCombine:
+    """Optional two-stage aggregation (map_groups over
+    ``dst_part * S + hash(dst) % S`` buckets): rows for the same dst
+    always share a bucket, so each bucket combines to one row per dst
+    and the final groupby(dst_part) receives at most the partition's
+    distinct-dst count — hub in-degree and block count no longer matter
+    (north rule: salted repartitioning + combiner pre-aggregation)."""
+
+    __name__ = "SaltedPreCombine"
+
+    def __init__(self, algo: Algorithm):
+        self.algo = algo
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        algo = self.algo
+        d = _to_np_dict(tbl)
+        keep = d["dst"] >= 0
+        seeds = tbl.filter(pa.array(~keep)).drop_columns(["salt_key"])
+        if not keep.any():
+            return seeds
+        dst = d["dst"][keep]
+        vals = {name: d[name][keep] for name, _ in algo.signal_fields}
+        dst_u, combined = algo.combine(dst, vals)
+        # dst_part is a pure function of dst: realign it with the
+        # combined (sorted-unique) dst array.
+        from signal_collect_ray.util import segment_starts
+
+        order = np.argsort(dst, kind="stable")
+        sorted_part = d["dst_part"][keep][order]
+        starts = segment_starts(dst[order])
+        cols = {
+            "dst_part": pa.array(sorted_part[starts], pa.int32()),
+            "dst": pa.array(dst_u, pa.int64()),
+        }
+        for name, typ in algo.signal_fields:
+            cols[name] = pa.array(combined[name], typ)
+        out = pa.table(cols)
+        return pa.concat_tables([out, seeds]) if len(seeds) else out
+
+
 class CollectStage:
     """Collect phase (map_groups over dst_part): final combine + state
     update + checkpoint shard write + lineage/metrics row."""
@@ -505,6 +545,29 @@ class SuperstepEngine:
                     batch_format="pyarrow",
                     batch_size=None,
                     zero_copy_batch=True,
+                )
+            if cfg.salt_buckets > 1:
+                S = cfg.salt_buckets
+
+                def add_salt(tbl: pa.Table) -> pa.Table:
+                    dstv = tbl.column("dst").combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    with np.errstate(over="ignore"):
+                        h = (dstv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                    dpart = tbl.column("dst_part").combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    skey = dpart * S + (h % np.uint64(S)).astype(np.int64)
+                    # seed rows (dst = -1) must reach every bucket's
+                    # pre-combine unharmed — key them by partition alone
+                    skey = np.where(dstv < 0, dpart * S, skey)
+                    return tbl.append_column("salt_key", pa.array(skey, pa.int64()))
+
+                signals = (
+                    signals.map_batches(add_salt, batch_format="pyarrow")
+                    .groupby("salt_key")
+                    .map_groups(SaltedPreCombine(algo), batch_format="pyarrow")
                 )
             prev_parts = {p["part"]: p for p in last["parts"]}
             metrics_rows = (
