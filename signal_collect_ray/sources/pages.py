@@ -86,9 +86,12 @@ def page_links(
     return src, dst
 
 
+_WORDS_ARR = np.array(WORDS, dtype=object)
+
+
 def _words_for(seed: int, salt: int, i: int, n: int) -> list[str]:
     hs = _h(seed, salt, np.int64(i) * np.int64(131) + np.arange(n, dtype=np.int64))
-    return [WORDS[int(k) & 63] for k in hs]
+    return _WORDS_ARR[(hs & np.uint64(63)).astype(np.int64)].tolist()
 
 
 def _render_page(i: int, n_pages: int, avg_links: int, seed: int):
@@ -107,24 +110,41 @@ def _render_page(i: int, n_pages: int, avg_links: int, seed: int):
     text_parts = [title, title]
     k = len(dst)
     # interleave anchors between filler words at deterministic,
-    # collision-free positions (k ≤ 2*avg_links-1 < n_words)
+    # collision-free positions (k ≤ 2*avg_links-1 < n_words); loop over
+    # the k anchors with C-speed word-slice joins between them, not over
+    # every word (byte-identical to the per-word form: ``" ".join(ws) +
+    # " "`` ≡ ``"".join(w + " " for w in ws)``).
     anchor_pos = {(t * n_words) // max(k, 1): t for t in range(k)}
-    for w_i, w in enumerate(words):
-        parts.append(w + " ")
-        text_parts.append(w)
-        t = anchor_pos.get(w_i)
-        if t is not None:
-            href = page_url(int(dst[t]), n_pages)
-            a_words = _words_for(seed, 7, i * 1009 + t, 2)
-            a_text = " ".join(a_words)
-            style = int(_h(seed, 8, i * 1013 + t) % np.uint64(16))
-            if style == 0:
-                parts.append(f"<a href='{href}'>{a_text}</a> ")
-            elif style in (1, 2, 3):
-                parts.append(f'<a href="{href}" class="ext">{a_text}</a> ')
-            else:
-                parts.append(f'<a href="{href}">{a_text}</a> ')
-            text_parts.extend(a_words)
+    ts = np.arange(k, dtype=np.int64)
+    a_word_hs = _h(
+        seed, 7, (i * np.int64(1009) + ts)[:, None] * np.int64(131)
+        + np.arange(2, dtype=np.int64)[None, :],
+    )
+    a_word_idx = (a_word_hs & np.uint64(63)).astype(np.int64)
+    styles = (_h(seed, 8, i * np.int64(1013) + ts) % np.uint64(16)).astype(np.int64)
+    prev = 0
+    for pos in sorted(anchor_pos):
+        t = anchor_pos[pos]
+        seg = words[prev : pos + 1]
+        if seg:
+            parts.append(" ".join(seg) + " ")
+            text_parts.extend(seg)
+        prev = pos + 1
+        href = page_url(int(dst[t]), n_pages)
+        a_words = [WORDS[a_word_idx[t, 0]], WORDS[a_word_idx[t, 1]]]
+        a_text = " ".join(a_words)
+        style = int(styles[t])
+        if style == 0:
+            parts.append(f"<a href='{href}'>{a_text}</a> ")
+        elif style in (1, 2, 3):
+            parts.append(f'<a href="{href}" class="ext">{a_text}</a> ')
+        else:
+            parts.append(f'<a href="{href}">{a_text}</a> ')
+        text_parts.extend(a_words)
+    tail = words[prev:]
+    if tail:
+        parts.append(" ".join(tail) + " ")
+        text_parts.extend(tail)
     parts.append("</p></body></html>")
     html = "".join(parts)
     text = " ".join(text_parts)
