@@ -537,6 +537,44 @@ def q_largest_components(sf_dir: str):
     return t.take(pa.array(order, pa.int64()))
 
 
+def q_graph_update_events(sf_dir: str):
+    """Batch graph mutation driven by the events table: 'click' events
+    add edges (user_id%V → event_id*7%V), 'error' events remove them —
+    Graph.update in one co-partitioned exchange (GraphEditor parity)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def derive(kind):
+        def fn(tbl: pa.Table) -> pa.Table:
+            et = tbl.column("event_type").to_pylist()
+            keep = np.array([e == kind for e in et], dtype=bool)
+            u = tbl.column("user_id").to_numpy(zero_copy_only=False)[keep] % V_GRAPH
+            e = (
+                tbl.column("event_id").to_numpy(zero_copy_only=False)[keep] * 7
+            ) % V_GRAPH
+            ok = u != e
+            return pa.table(
+                {
+                    "src": pa.array(u[ok], pa.int64()),
+                    "dst": pa.array(e[ok], pa.int64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    g = _graph(sf_dir)
+    g2 = g.update(
+        _work_dir(sf_dir, "graph_upd"),
+        add_edges_ds=derive("click"),
+        remove_edges_ds=derive("error"),
+    )
+    return g2.edges_ds().select_columns(["src", "dst"])
+
+
 def q_doc_token_counts(sf_dir: str):
     import ray.data as rd
 
@@ -691,6 +729,7 @@ def q_media_features(sf_dir: str):
 def queries():
     return {
         "graph_edges": q_graph_edges,
+        "graph_update_events": q_graph_update_events,
         "out_degrees": q_out_degrees,
         "pagerank_k4": q_pagerank_k4,
         "rank_sum_k4": q_rank_sum_k4,
@@ -725,6 +764,19 @@ def queries():
 def oracle_sql():
     return {
         "graph_edges": _E_SQL,
+        "graph_update_events": (
+            f"WITH base AS ({_E_SQL}), "
+            f"adds AS (SELECT DISTINCT user_id % {V_GRAPH} AS src, "
+            f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
+            f"WHERE event_type = 'click' "
+            f"AND user_id % {V_GRAPH} <> (event_id * 7) % {V_GRAPH}), "
+            f"rems AS (SELECT user_id % {V_GRAPH} AS src, "
+            f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
+            "WHERE event_type = 'error') "
+            "SELECT src, dst FROM "
+            "(SELECT src, dst FROM base UNION SELECT src, dst FROM adds) "
+            "EXCEPT SELECT src, dst FROM rems"
+        ),
         "out_degrees": (
             f"WITH e AS ({_E_SQL}) "
             "SELECT src AS vid, COUNT(*) AS out_degree FROM e GROUP BY src"
