@@ -101,6 +101,87 @@ def knn_brute_force(
     return partials.groupby("qid").map_groups(_FinalTopK(), batch_format="pyarrow")
 
 
+def knn_lsh(
+    embeddings_ds,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate cosine top-k via random-hyperplane LSH — the scale
+    path: a batch row is scored ONLY against queries whose bucket code
+    matches in at least one table, so compute per batch is
+    O(nb · n_tables) code compares instead of a full matmul against
+    every query. Planes + query codes broadcast once; exact re-ranking
+    on the surviving candidates. Recall < 1 by design (raise n_tables /
+    lower n_planes to trade compute for recall)."""
+    import ray
+
+    qn = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    d = qn.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, d))
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+    qcodes = np.stack(
+        [((qn @ planes[t].T) > 0).astype(np.int64) @ pow2 for t in range(n_tables)]
+    )  # (n_tables, nq)
+    state_ref = ray.put({"planes": planes, "q": qn, "qcodes": qcodes})
+
+    class _LshScore:
+        __name__ = "_LshScore"
+
+        def __init__(self):
+            self._s = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._s is None:
+                self._s = ray.get(state_ref)
+            planes_, qn_, qcodes_ = (
+                self._s["planes"], self._s["q"], self._s["qcodes"],
+            )
+            m = _normalize(_emb_matrix(tbl, emb_col))
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            match = np.zeros((len(m), qn_.shape[0]), dtype=bool)
+            for t in range(planes_.shape[0]):
+                codes = ((m @ planes_[t].T) > 0).astype(np.int64) @ pow2
+                match |= codes[:, None] == qcodes_[t][None, :]
+            ri, qi = np.nonzero(match)
+            if not len(ri):
+                return pa.table(
+                    {
+                        "qid": pa.array([], pa.int64()),
+                        "id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            scores = np.einsum("ij,ij->i", m[ri], qn_[qi])
+            return pa.table(
+                {
+                    "qid": pa.array(qi.astype(np.int64), pa.int64()),
+                    "id": pa.array(ids[ri], pa.int64()),
+                    "score": pa.array(scores, pa.float64()),
+                }
+            )
+
+    partials = embeddings_ds.select_columns([id_col, emb_col]).map_batches(
+        _LshScore(), batch_format="pyarrow", batch_size=4096
+    )
+
+    class _FinalTopK:
+        __name__ = "_FinalTopK"
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            s = tbl.column("score").to_numpy(zero_copy_only=False)
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -s))[:k]
+            return tbl.take(pa.array(order, pa.int64()))
+
+    return partials.groupby("qid").map_groups(_FinalTopK(), batch_format="pyarrow")
+
+
 class _LshBucket:
     """Random-hyperplane signatures → (table_id, bucket, id) rows."""
 

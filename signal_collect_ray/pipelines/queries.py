@@ -631,6 +631,31 @@ def q_vertex_coloring(sf_dir: str):
     return pa.table({"vid": t.column("vid"), "color": t.column("state")})
 
 
+def q_knn_lsh_vec0_top5(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import knn_lsh
+
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    min_id = ds.aggregate(Min("vec_id", alias_name="m"))["m"]
+
+    def _is_min(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        return tbl.take(pa.array(np.flatnonzero(v == min_id), pa.int64()))
+
+    first = ds.map_batches(_is_min, batch_format="pyarrow").take(1)[0]
+    q0 = np.asarray(first["embedding"], dtype=np.float64)
+    out = knn_lsh(ds, q0[None, :], k=5, n_planes=8, n_tables=8).take_all()
+    return pa.table(
+        {
+            "id": pa.array([r["id"] for r in out], pa.int64()),
+            "score": pa.array([round(r["score"], 4) for r in out], pa.float64()),
+        }
+    )
+
+
 def q_pagerank_converged(sf_dir: str):
     from signal_collect_ray.algorithms import PageRank
 
@@ -750,6 +775,7 @@ def queries():
         "knn_vec0_top5": q_knn_vec0_top5,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
+        "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
         "pagerank_converged": q_pagerank_converged,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,

@@ -207,3 +207,44 @@ def test_media_real_decoder_is_marked():
     ex = MediaFeatureExtractor(decoder="real")
     with pytest.raises(NotImplementedError):
         ex._decode_real(b"xx", "image")
+
+
+def test_knn_lsh_approximates_brute_force():
+    import numpy as np
+
+    from signal_collect_ray.functions.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.RandomState(3)
+    n, d = 2000, 16
+    emb = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q = emb[:3] + rng.normal(scale=0.01, size=(3, d))
+    exact = {r["qid"]: [] for r in range(0)}
+    exact_rows = knn_brute_force(ds, q, k=5).take_all()
+    lsh_rows = knn_lsh(ds, q, k=5, n_planes=8, n_tables=8).take_all()
+    exact_top = {}
+    for r in exact_rows:
+        exact_top.setdefault(r["qid"], set()).add(r["id"])
+    lsh_top = {}
+    for r in lsh_rows:
+        lsh_top.setdefault(r["qid"], set()).add(r["id"])
+    # the near-identical vector itself must always be found, and overall
+    # recall over the 3 queries should be high at 8x8 tables
+    total, hit = 0, 0
+    for qid, ids in exact_top.items():
+        assert qid in lsh_top and int(qid) in lsh_top[qid]
+        total += len(ids)
+        hit += len(ids & lsh_top.get(qid, set()))
+    assert hit / total >= 0.6
+    # scores for ids found by both must be identical (exact re-rank)
+    es = {(r["qid"], r["id"]): r["score"] for r in exact_rows}
+    for r in lsh_rows:
+        key = (r["qid"], r["id"])
+        if key in es:
+            assert abs(es[key] - r["score"]) < 1e-12
