@@ -34,17 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from signal_collect_ray.algorithm import Algorithm, StateDict
-
-
-def _mix(x: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        x = x.astype(np.uint64, copy=False)
-        x = x ^ (x >> np.uint64(33))
-        x = x * np.uint64(0xFF51AFD7ED558CCD)
-        x = x ^ (x >> np.uint64(33))
-        x = x * np.uint64(0xC4CEB9FE1A85EC53)
-        x = x ^ (x >> np.uint64(33))
-        return x
+from signal_collect_ray.util import mix64 as _mix
 
 
 class VertexColoring(Algorithm):

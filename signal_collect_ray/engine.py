@@ -249,8 +249,9 @@ class SaltedPreCombine:
 
     __name__ = "SaltedPreCombine"
 
-    def __init__(self, algo: Algorithm):
+    def __init__(self, algo: Algorithm, num_partitions: int):
         self.algo = algo
+        self.P = num_partitions
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         algo = self.algo
@@ -262,15 +263,11 @@ class SaltedPreCombine:
         dst = d["dst"][keep]
         vals = {name: d[name][keep] for name, _ in algo.signal_fields}
         dst_u, combined = algo.combine(dst, vals)
-        # dst_part is a pure function of dst: realign it with the
-        # combined (sorted-unique) dst array.
-        from signal_collect_ray.util import segment_starts
-
-        order = np.argsort(dst, kind="stable")
-        sorted_part = d["dst_part"][keep][order]
-        starts = segment_starts(dst[order])
+        # dst_part is a pure function of dst — recompute it rather than
+        # realigning, so combiners that emit multiple rows per dst
+        # (e.g. Chinese Whispers' (dst, label) rows) stay valid.
         cols = {
-            "dst_part": pa.array(sorted_part[starts], pa.int32()),
+            "dst_part": pa.array(part_of(dst_u, self.P), pa.int32()),
             "dst": pa.array(dst_u, pa.int64()),
         }
         for name, typ in algo.signal_fields:
@@ -359,6 +356,25 @@ class CollectStage:
                 "undeliverable": pa.array([undeliv], pa.int64()),
             }
         )
+
+
+def _part_agg(path, gt):
+    """Worker-local phase of a global aggregation over one checkpoint
+    shard (≙ aggregationOnWorker)."""
+    return gt.aggregate_partition(_to_np_dict(pq.read_table(path)))
+
+
+_PART_AGG_REMOTE = None
+
+
+def _part_agg_remote():
+    """ray.remote wrapper created once per process (not per superstep)."""
+    global _PART_AGG_REMOTE
+    if _PART_AGG_REMOTE is None:
+        import ray
+
+        _PART_AGG_REMOTE = ray.remote(_part_agg)
+    return _PART_AGG_REMOTE
 
 
 @dataclass
@@ -567,7 +583,7 @@ class SuperstepEngine:
                 signals = (
                     signals.map_batches(add_salt, batch_format="pyarrow")
                     .groupby("salt_key")
-                    .map_groups(SaltedPreCombine(algo), batch_format="pyarrow")
+                    .map_groups(SaltedPreCombine(algo, P), batch_format="pyarrow")
                 )
             prev_parts = {p["part"]: p for p in last["parts"]}
             metrics_rows = (
@@ -615,12 +631,6 @@ class SuperstepEngine:
             ):
                 import ray
 
-                @ray.remote
-                def _part_agg(path, gt):
-                    return gt.aggregate_partition(
-                        _to_np_dict(pq.read_table(path))
-                    )
-
                 shards = sorted(
                     glob.glob(
                         os.path.join(self._step_dir(run_dir, k), "part-*.parquet")
@@ -628,7 +638,10 @@ class SuperstepEngine:
                 )
                 agg = global_termination.reduce(
                     ray.get(
-                        [_part_agg.remote(f, global_termination) for f in shards]
+                        [
+                            _part_agg_remote().remote(f, global_termination)
+                            for f in shards
+                        ]
                     )
                 )
                 if global_termination.should_terminate(agg):

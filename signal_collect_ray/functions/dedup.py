@@ -203,6 +203,10 @@ def minhash_lsh_candidates(
 # co-partitioned attach shuffles; below it the involved texts (≤ 2·pairs)
 # are broadcast once through the object store.
 BROADCAST_PAIR_LIMIT = 500_000
+# ... and regardless of pair count, the broadcast text map may not
+# exceed this many bytes on the driver — past it the join path streams
+# texts with no driver materialization.
+BROADCAST_TEXT_BYTES_LIMIT = 1 << 30
 
 
 def _verify_batch(tbl: pa.Table, lookup, shingle_k: int, threshold: float) -> pa.Table:
@@ -264,20 +268,28 @@ def jaccard_verify(
 
         involved = texts.map_batches(semi, batch_format="pyarrow")
         tmap = {}
+        total_bytes = 0
         for b in involved.iter_batches(batch_format="pyarrow", batch_size=None):
             for i, t in zip(b.column(id_col).to_pylist(), b.column("text").to_pylist()):
                 tmap[i] = t
-        tmap_ref = ray.put(tmap)
+                total_bytes += len(t or "")
+            if total_bytes > BROADCAST_TEXT_BYTES_LIMIT:
+                # the candidates are few but their texts are huge —
+                # don't hold them on the driver; stream via the joins.
+                tmap = None
+                break
+        if tmap is not None:
+            tmap_ref = ray.put(tmap)
 
-        def verify(tbl: pa.Table) -> pa.Table:
-            tm = ray.get(tmap_ref)
+            def verify(tbl: pa.Table) -> pa.Table:
+                tm = ray.get(tmap_ref)
 
-            def lookup(t, side):
-                return [tm.get(i, "") for i in t.column(f"id_{side}").to_pylist()]
+                def lookup(t, side):
+                    return [tm.get(i, "") for i in t.column(f"id_{side}").to_pylist()]
 
-            return _verify_batch(tbl, lookup, shingle_k, threshold)
+                return _verify_batch(tbl, lookup, shingle_k, threshold)
 
-        return pairs_small.map_batches(verify, batch_format="pyarrow")
+            return pairs_small.map_batches(verify, batch_format="pyarrow")
 
     # join fallback: pair rows routed with both texts via attach passes
     from signal_collect_ray.algorithms.triangles import _attach

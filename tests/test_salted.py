@@ -41,3 +41,21 @@ def test_salted_sssp_min_agg(tmp_path):
         EngineConfig(num_partitions=4, max_supersteps=100, salt_buckets=3)
     ).run(g, SSSP(0), run_dir=str(tmp_path / "r"), resume=False)
     assert a.state_table().column("state").to_pylist() == [float(i) for i in range(64)]
+
+
+def test_salted_multi_row_combiner_cw(tmp_path):
+    # Chinese Whispers' combiner emits multiple rows per dst (one per
+    # label) — the salted pre-combine must handle that (regression).
+    from signal_collect_ray.algorithms import ChineseWhispers
+
+    src, dst = fx.two_clusters()
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    a = SuperstepEngine(
+        EngineConfig(num_partitions=4, max_supersteps=10, salt_buckets=1)
+    ).run(g, ChineseWhispers(), run_dir=str(tmp_path / "a"), resume=False)
+    b = SuperstepEngine(
+        EngineConfig(num_partitions=4, max_supersteps=10, salt_buckets=3)
+    ).run(g, ChineseWhispers(), run_dir=str(tmp_path / "b"), resume=False)
+    assert a.state_table().column("state").to_pylist() == b.state_table().column(
+        "state"
+    ).to_pylist()
