@@ -137,16 +137,17 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         gs = Graph.build(
             edges, os.path.join(work, "graph_sym"), num_partitions=P, dedup=True
         )
-        return res_eng.run(
+        info = res_eng.run(
             gs, ConnectedComponents(), run_dir=os.path.join(work, "run_cc"),
             resume=False, checkpoint_interval=25,
         )
+        return gs, info
 
-    queries["cc"], cc_info = _timed(cc)
+    queries["cc"], (gs, cc_info) = _timed(cc)
     extra["cc_supersteps"] = cc_info.supersteps
 
-    # 5. label propagation, 5 rounds
-    gs = Graph.load(os.path.join(work, "graph_sym"))
+    # 5. label propagation, 5 rounds (reuses graph_sym's CSR object-store
+    # blocks — no reload)
     queries["labelprop5"], _ = _timed(
         lambda: res_eng.run(
             gs, ChineseWhispers(), run_dir=os.path.join(work, "run_cw"),
