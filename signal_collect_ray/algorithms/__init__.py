@@ -3,6 +3,7 @@ from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
 from signal_collect_ray.algorithms.coloring import VertexColoring
+from signal_collect_ray.algorithms.cellular import GameOfLife, SchellingSegregation
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -15,6 +16,8 @@ __all__ = [
     "SSSP",
     "ChineseWhispers",
     "VertexColoring",
+    "GameOfLife",
+    "SchellingSegregation",
     "triangle_counts",
     "total_triangles",
     "clustering_coefficient",

@@ -22,9 +22,10 @@ from typing import Tuple
 import numpy as np
 import pyarrow as pa
 
-from signal_collect_ray.util import segment_starts
+from signal_collect_ray.util import mix64, segment_starts
 
 _MERSENNE = (1 << 61) - 1
+_POLY_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 
 def _norm(t: str) -> str:
@@ -80,14 +81,26 @@ def dedup_exact(docs_ds, id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingle 64-bit hashes of normalized text."""
+    """Word k-shingle 64-bit hashes of normalized text — vectorized.
+
+    Each UNIQUE word is hashed once (C-level blake2b); k-shingles are
+    combined from word hashes with a vectorized uint64 polynomial fold
+    over sliding windows + a splitmix64 finalizer. Injective up to hash
+    collisions (~n²/2^64), so set-Jaccard over these hashes equals
+    string-shingle Jaccard for all practical corpus sizes.
+    """
     words = _norm(text).split()
     if len(words) < k:
         return np.array([_hash64(" ".join(words))], dtype=np.uint64)
-    return np.array(
-        [_hash64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)],
-        dtype=np.uint64,
-    )
+    uniq, inv = np.unique(np.array(words, dtype=object), return_inverse=True)
+    uh = np.fromiter((_hash64(w) for w in uniq), dtype=np.uint64, count=len(uniq))
+    wh = uh[inv]
+    win = np.lib.stride_tricks.sliding_window_view(wh, k)  # (n-k+1, k)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(win), dtype=np.uint64)
+        for j in range(k):  # k iterations, not n·k
+            acc = acc * _POLY_BASE + win[:, j]
+    return mix64(acc)
 
 
 class MinHasher:
@@ -143,11 +156,13 @@ class _BandEmit:
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         band_ids, band_hashes, out_ids = [], [], []
         for b in range(self.num_bands):
-            chunk = sig[:, b * rows_per : (b + 1) * rows_per]
-            hashes = np.array(
-                [_hash64(chunk[i].tobytes().hex()) for i in range(len(chunk))],
-                dtype=np.int64,
-            )
+            chunk = sig[:, b * rows_per : (b + 1) * rows_per].astype(np.uint64)
+            # vectorized polynomial fold over the band's rows + finalizer
+            with np.errstate(over="ignore"):
+                acc = np.full(len(chunk), np.uint64(b + 1), dtype=np.uint64)
+                for j in range(rows_per):
+                    acc = acc * _POLY_BASE + chunk[:, j]
+            hashes = (mix64(acc) >> np.uint64(1)).astype(np.int64)
             band_ids.append(np.full(len(chunk), b, dtype=np.int32))
             band_hashes.append(hashes)
             out_ids.append(ids)
@@ -161,9 +176,18 @@ class _BandEmit:
 
 
 class _BucketPairs:
-    """bucket group → candidate pairs (smaller id first, deduped)."""
+    """bucket group → candidate pairs (smaller id first, deduped).
+
+    Small buckets (≤ ``all_pairs_cap`` members) emit ALL pairs — a true
+    near-dup bucket is small, and all-pairs maximizes verified-link
+    recall for the transitive-closure step. Oversized buckets (hash
+    skew, boilerplate shingles) fall back to min-linking every member to
+    the bucket minimum: O(n) pairs, still links the whole bucket."""
 
     __name__ = "_BucketPairs"
+
+    def __init__(self, all_pairs_cap: int = 64):
+        self.cap = all_pairs_cap
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         ids = np.unique(tbl.column("id").to_numpy(zero_copy_only=False))
@@ -171,11 +195,14 @@ class _BucketPairs:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
-        # pair every member with the bucket minimum — enough to link the
-        # duplicate cluster (transitive closure via CC if needed)
-        a = np.full(len(ids) - 1, ids[0], dtype=np.int64)
+        if len(ids) <= self.cap:
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a, b = ids[ia], ids[ib]
+        else:
+            a = np.full(len(ids) - 1, ids[0], dtype=np.int64)
+            b = ids[1:]
         return pa.table(
-            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(ids[1:], pa.int64())}
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )
 
 
@@ -270,9 +297,11 @@ def jaccard_verify(
         tmap = {}
         total_bytes = 0
         for b in involved.iter_batches(batch_format="pyarrow", batch_size=None):
+            # UTF-8 byte accounting (len() counts code points, which can
+            # undercount the driver-memory cost 4x on non-ASCII corpora)
+            total_bytes += b.column("text").combine_chunks().nbytes
             for i, t in zip(b.column(id_col).to_pylist(), b.column("text").to_pylist()):
                 tmap[i] = t
-                total_bytes += len(t or "")
             if total_bytes > BROADCAST_TEXT_BYTES_LIMIT:
                 # the candidates are few but their texts are huge —
                 # don't hold them on the driver; stream via the joins.
@@ -312,53 +341,319 @@ def jaccard_verify(
     return b_side.map_batches(verify_joined, batch_format="pyarrow")
 
 
-def dedup_minhash(docs_ds, id_col: str = "doc_id", threshold: float = 0.8, **kw):
-    """Near-dup dedup: LSH candidates → Jaccard verify → drop the larger
-    id of each verified pair (cluster-min retention via min-link pairs)."""
+# Broadcast cap for the duplicate-id array (int64): 32M ids = 256 MiB
+# through the object store. Past it, the drop falls back to a
+# co-partitioned anti-join — no driver/object-store blowup.
+BROADCAST_DUPE_IDS_LIMIT = 32_000_000
+
+
+def duplicate_ids_from_pairs(pairs_ds, workdir: str):
+    """Verified near-duplicate pairs → ids to DROP, with transitive
+    closure: connected components over the pair graph (the engine's own
+    ConnectedComponents — min-label propagation), keep each cluster's
+    min id. A~B, B~C therefore keeps exactly {A}, not {A, C}.
+
+    Returns a Dataset with one ``id`` column (the non-representative
+    cluster members). The pair graph is tiny relative to the corpus
+    (only docs with a verified near-dup appear)."""
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import ConnectedComponents
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    pairs_mat = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    if pairs_mat.count() == 0:
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+
+    def to_sym_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    g = Graph.build(
+        pairs_mat.map_batches(to_sym_edges, batch_format="pyarrow"),
+        f"{workdir}/pair_graph",
+        num_partitions=4,
+        dedup=True,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=64),
+        num_workers=2,
+    )
+    info = eng.run(
+        g, ConnectedComponents(), run_dir=f"{workdir}/pair_cc", resume=False,
+        checkpoint_interval=100,
+    )
+
+    def non_min(tbl: pa.Table) -> pa.Table:
+        vid = tbl.column("vid").to_numpy(zero_copy_only=False)
+        lab = tbl.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.flatnonzero(vid != lab)
+        return pa.table({"id": pa.array(vid[keep], pa.int64())})
+
+    return info.final_state_ds().map_batches(non_min, batch_format="pyarrow")
+
+
+def drop_ids(ds, dupes_ds, id_col: str = "doc_id"):
+    """Anti-join: remove rows of ``ds`` whose id appears in ``dupes_ds``.
+
+    Small dupe sets (≤ BROADCAST_DUPE_IDS_LIMIT) broadcast ONE sorted
+    int64 array via ``ray.put`` and filter per batch with searchsorted.
+    Larger sets fall back to a co-partitioned anti-join (both sides
+    hashed on the id — one exchange, no driver materialization)."""
+    import ray
+
+    from signal_collect_ray.util import part_of
+
+    dupes_mat = dupes_ds.materialize()
+    n_dupes = dupes_mat.count()
+    if n_dupes == 0:
+        return ds
+
+    if n_dupes <= BROADCAST_DUPE_IDS_LIMIT:
+        arrs = [
+            b.column("id").to_numpy(zero_copy_only=False)
+            for b in dupes_mat.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        dupe_arr = np.unique(np.concatenate(arrs))
+        ref = ray.put(dupe_arr)
+
+        def drop(tbl: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, ids)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = (pos < len(d)) & (d[pos_c] == ids)
+            return tbl.take(pa.array(np.flatnonzero(~hit), pa.int64()))
+
+        return ds.map_batches(drop, batch_format="pyarrow")
+
+    # co-partitioned anti-join fallback (the _attach tagged-union
+    # pattern, inverted to KEEP non-matches): marker rows are padded
+    # with NULLs to the doc schema so the union is well-typed, both
+    # sides hash to the same partition, and each group drops its own
+    # matches — one exchange, no driver materialization.
+    n_parts = 64
+    schema = ds.schema()
+    names = list(schema.names)
+    types = {n: schema.types[i] for i, n in enumerate(names)}
+
+    def tag_docs(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        return tbl.select(names).append_column(
+            "__apart", pa.array(part_of(ids, n_parts), pa.int32())
+        ).append_column(
+            "__isdupe", pa.array(np.zeros(len(tbl), np.int8), pa.int8())
+        )
+
+    def tag_dupes(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        cols = {
+            n: (pa.array(ids, pa.int64()) if n == id_col else pa.nulls(len(ids), types[n]))
+            for n in names
+        }
+        out = pa.table(cols)
+        return out.append_column(
+            "__apart", pa.array(part_of(ids, n_parts), pa.int32())
+        ).append_column(
+            "__isdupe", pa.array(np.ones(len(ids), np.int8), pa.int8())
+        )
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        isd = tbl.column("__isdupe").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        bad = np.unique(ids[isd == 1])
+        pos = np.searchsorted(bad, ids)
+        pos_c = np.minimum(pos, max(len(bad) - 1, 0))
+        hit = (len(bad) > 0) & (pos < len(bad))
+        hit = hit & (bad[pos_c] == ids) if len(bad) else np.zeros(len(ids), bool)
+        keep = (isd == 0) & ~hit
+        return tbl.take(pa.array(np.flatnonzero(keep), pa.int64())).drop_columns(
+            ["__apart", "__isdupe"]
+        )
+
+    docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow")
+    dupes_tagged = dupes_mat.map_batches(tag_dupes, batch_format="pyarrow")
+    return docs_tagged.union(dupes_tagged).groupby("__apart").map_groups(
+        anti, batch_format="pyarrow"
+    )
+
+
+def dedup_minhash(
+    docs_ds, id_col: str = "doc_id", threshold: float = 0.8,
+    workdir: str = "/tmp/scray_dedup_minhash", **kw,
+):
+    """Near-dup dedup end-to-end: LSH candidates → exact Jaccard verify →
+    transitive closure over verified pairs (ConnectedComponents) → keep
+    each cluster's min id. The dupe-id set is broadcast byte-capped with
+    a co-partitioned anti-join fallback — no unbounded driver state."""
     pairs = minhash_lsh_candidates(docs_ds, id_col, **kw)
     verified = jaccard_verify(docs_ds, pairs, id_col, threshold=threshold)
-    dupes = verified.select_columns(["id_b"]).rename_columns({"id_b": id_col})
-    from signal_collect_ray.algorithms.triangles import _attach  # noqa: F401
-
-    dupe_ids = {r[id_col] for r in dupes.take_all()}
-
-    def drop(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.flatnonzero(~np.isin(ids, np.fromiter(dupe_ids, np.int64, len(dupe_ids)) if dupe_ids else np.empty(0, np.int64)))
-        return tbl.take(pa.array(keep, pa.int64()))
-
-    return docs_ds.map_batches(drop, batch_format="pyarrow")
+    dupes = duplicate_ids_from_pairs(verified, workdir)
+    return drop_ids(docs_ds, dupes, id_col)
 
 
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
+_BIT_RANGE = np.arange(64, dtype=np.uint64)
+# per-byte popcount lookup table (for vectorized hamming distance)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (byte-LUT sum)."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1
+    ).astype(np.int64)
+
+
 class SimHasher:
-    """64-bit simhash over word-shingle hashes (Charikar 2002)."""
+    """64-bit simhash over word-shingle hashes (Charikar 2002) — fully
+    batch-vectorized: all docs' shingle hashes are concatenated, bit
+    contributions (+1/−1) computed as one (n_shingles, 64) matrix, and
+    per-doc sums taken with one ``np.add.reduceat``."""
 
     __name__ = "SimHasher"
 
     def __init__(self, shingle_k: int = 3):
         self.k = shingle_k
 
-    def simhash(self, text: str) -> int:
-        sh = _shingles(text, self.k)
-        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        with np.errstate(over="ignore"):
-            for b in range(64):
-                if v[b] > 0:
-                    out |= np.uint64(1) << np.uint64(b)
-        return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))
-
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        hs = [self.simhash(t) for t in tbl.column("text").to_pylist()]
-        return tbl.append_column("simhash", pa.array(hs, pa.int64()))
+        texts = tbl.column("text").to_pylist()
+        if not texts:
+            return tbl.append_column("simhash", pa.array([], pa.int64()))
+        shs = [_shingles(t, self.k) for t in texts]
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
+        allsh = np.concatenate(shs)
+        bits = (
+            (allsh[:, None] >> _BIT_RANGE[None, :]) & np.uint64(1)
+        ).astype(np.int32)
+        contrib = 2 * bits - 1
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        v = np.add.reduceat(contrib, offsets, axis=0)  # (n_docs, 64)
+        pos = (v > 0).astype(np.uint64)
+        out = (pos << _BIT_RANGE[None, :]).sum(axis=1, dtype=np.uint64)
+        out = (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return tbl.append_column("simhash", pa.array(out, pa.int64()))
 
 
 def simhash_signatures(docs_ds, shingle_k: int = 3):
     return docs_ds.map_batches(SimHasher(shingle_k), batch_format="pyarrow")
+
+
+class _BlockEmit:
+    """simhash → one (block_id, block_key, id, simhash) row per block.
+
+    Splitting the 64-bit signature into ``n_blocks`` contiguous blocks
+    guarantees (pigeonhole) that any pair within hamming distance
+    ``n_blocks - 1`` agrees EXACTLY on at least one block — so bucketing
+    on each block key has recall 1 for that radius (Manku, Jain & Das
+    Sarma, WWW 2007 — the rotated-prefix / block-permutation scheme)."""
+
+    __name__ = "_BlockEmit"
+
+    def __init__(self, n_blocks: int, id_col: str):
+        self.n_blocks = n_blocks
+        self.id_col = id_col
+        base = 64 // n_blocks
+        widths = np.full(n_blocks, base, dtype=np.uint64)
+        widths[: 64 - base * n_blocks] += 1  # distribute remainder bits
+        self.shifts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+        self.masks = ((np.uint64(1) << widths) - np.uint64(1)).astype(np.uint64)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        h = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        blk, keys, out_ids, out_h = [], [], [], []
+        for b in range(self.n_blocks):
+            key = (h >> self.shifts[b]) & self.masks[b]
+            blk.append(np.full(len(h), b, dtype=np.int32))
+            keys.append(key.astype(np.int64))
+            out_ids.append(ids)
+            out_h.append(h.astype(np.int64))
+        return pa.table(
+            {
+                "block_id": pa.array(np.concatenate(blk), pa.int32()),
+                "block_key": pa.array(np.concatenate(keys), pa.int64()),
+                "id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+
+class _HammingBucketPairs:
+    """bucket group → exact-hamming-verified pairs (id_a < id_b).
+
+    Buckets ≤ ``all_pairs_cap``: all-pairs popcount verify. Oversized
+    buckets (boilerplate-dominated signatures): min-link every member
+    against the bucket minimum — O(n) verifies, still links the bucket
+    for transitive-closure dedup (documented recall trade at the cap)."""
+
+    __name__ = "_HammingBucketPairs"
+
+    def __init__(self, max_hamming: int, all_pairs_cap: int = 1024):
+        self.d = max_hamming
+        self.cap = all_pairs_cap
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        h = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq, first_idx = np.unique(ids, return_index=True)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(uniq) < 2:
+            return empty
+        hu = h[first_idx]
+        if len(uniq) <= self.cap:
+            ia, ib = np.triu_indices(len(uniq), k=1)
+            dist = _popcount64(hu[ia] ^ hu[ib])
+        else:
+            ia = np.zeros(len(uniq) - 1, dtype=np.int64)
+            ib = np.arange(1, len(uniq), dtype=np.int64)
+            dist = _popcount64(hu[ia] ^ hu[ib])
+        keep = dist <= self.d
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[ia[keep]], pa.int64()),
+                "id_b": pa.array(uniq[ib[keep]], pa.int64()),
+                "hamming": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+
+def simhash_dedup_pairs(
+    docs_ds, id_col: str = "doc_id", max_hamming: int = 3, shingle_k: int = 3,
+    all_pairs_cap: int = 1024,
+):
+    """Near-duplicate pairs by simhash hamming distance ≤ ``max_hamming``.
+
+    signature → block-key buckets (n_blocks = max_hamming + 1, the only
+    shuffle) → exact popcount verify per bucket → global pair dedup.
+    Recall is EXACT for the given radius up to the oversized-bucket
+    min-link fallback (``all_pairs_cap``)."""
+    n_blocks = max_hamming + 1
+    sigs = docs_ds.select_columns([id_col, "text"]).map_batches(
+        SimHasher(shingle_k), batch_format="pyarrow"
+    )
+    blocks = sigs.map_batches(_BlockEmit(n_blocks, id_col), batch_format="pyarrow")
+    pairs = blocks.groupby(["block_id", "block_key"]).map_groups(
+        _HammingBucketPairs(max_hamming, all_pairs_cap), batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda t: t.take(pa.array([0], pa.int64())), batch_format="pyarrow"
+    )

@@ -182,6 +182,97 @@ def knn_lsh(
     return partials.groupby("qid").map_groups(_FinalTopK(), batch_format="pyarrow")
 
 
+# Broadcast cap for the exact all-pairs path: a 1 GiB normalized
+# matrix (float64) ≈ 2M vectors at d=64. Past it, exact all-pairs is
+# O(n²) by definition — use the LSH-bucketed variant instead.
+BROADCAST_EMB_BYTES_LIMIT = 1 << 30
+
+
+def embedding_pairs_exact(
+    embeddings_ds,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+):
+    """EXACT all-pairs cosine ≥ threshold — the brute-force baseline for
+    the LSH near-dup path (and its recall oracle). The normalized
+    matrix is broadcast ONCE via ``ray.put`` (byte-capped); every batch
+    runs a column-chunked matmul against it and keeps pairs with
+    id_a < id_b. Returns (id_a, id_b, cosine[rounded])."""
+    import ray
+
+    mats, idss, nbytes = [], [], 0
+    for b in embeddings_ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        m = _emb_matrix(b, emb_col).astype(np.float64)
+        nbytes += m.nbytes
+        if nbytes > BROADCAST_EMB_BYTES_LIMIT:
+            raise ValueError(
+                "embedding matrix exceeds the exact-all-pairs broadcast cap "
+                f"({BROADCAST_EMB_BYTES_LIMIT} bytes) — use "
+                "embedding_dedup_cosine (LSH-bucketed) at this scale"
+            )
+        mats.append(m)
+        idss.append(b.column(id_col).to_numpy(zero_copy_only=False).copy())
+    full_ids = np.concatenate(idss) if idss else np.empty(0, np.int64)
+    full_m = (
+        _normalize(np.concatenate(mats)) if mats else np.empty((0, 0))
+    )
+    order = np.argsort(full_ids)
+    full_ids, full_m = full_ids[order], full_m[order]
+    ref = ray.put({"m": full_m, "ids": full_ids})
+
+    col_chunk = 16384
+
+    class _ExactPairs:
+        __name__ = "_ExactPairs"
+
+        def __init__(self):
+            self._s = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._s is None:
+                self._s = ray.get(ref)
+            M, ids = self._s["m"], self._s["ids"]
+            mb = _normalize(_emb_matrix(tbl, emb_col).astype(np.float64))
+            idb = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            out_a, out_b, out_c = [], [], []
+            for c0 in range(0, len(ids), col_chunk):
+                sims = mb @ M[c0 : c0 + col_chunk].T  # (nb, chunk)
+                mask = (sims >= threshold) & (
+                    idb[:, None] < ids[None, c0 : c0 + col_chunk]
+                )
+                ri, ci = np.nonzero(mask)
+                if len(ri):
+                    out_a.append(idb[ri])
+                    out_b.append(ids[c0 + ci])
+                    out_c.append(sims[ri, ci])
+            if not out_a:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            cos = np.concatenate(out_c)
+            if round_digits is not None:
+                cos = np.round(cos, round_digits)
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                    "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                    "cosine": pa.array(cos, pa.float64()),
+                }
+            )
+
+    return embeddings_ds.select_columns([id_col, emb_col]).map_batches(
+        _ExactPairs(), batch_format="pyarrow", batch_size=512
+    )
+
+
 class _LshBucket:
     """Random-hyperplane signatures → (table_id, bucket, id) rows."""
 
@@ -254,11 +345,21 @@ def embedding_dedup_cosine(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_partners: int | None = None,
+    verify_chunk: int = 1024,
 ):
     """Near-duplicate pairs (id_a < id_b, cosine ≥ threshold) found via
     LSH buckets then exact in-bucket verification. Candidate generation
     never compares across buckets — the scale path; exact verification
-    happens on bucket-local matrices."""
+    happens on bucket-local matrices, CHUNKED so a degenerate bucket
+    (mass-duplicated embedding — hyperplane splitting cannot separate
+    identical vectors) never materializes an n×n similarity matrix.
+
+    ``max_partners``: optional per-row output cap for dedup workloads —
+    each row keeps only its first ``max_partners`` partners in ascending
+    id order, which preserves cluster connectivity (every id links to
+    its successors) while bounding output to O(n·max_partners) instead
+    of O(n²) on duplicate-heavy buckets."""
     import ray
 
     first = embeddings_ds.take(1)[0]
@@ -312,17 +413,44 @@ def embedding_dedup_cosine(
                         "cosine": pa.array([], pa.float64()),
                     }
                 )
+            # uniq is ascending → row i's partners j>i have larger ids;
+            # chunked upper-triangle matmul bounds transient memory to
+            # verify_chunk × n regardless of bucket size
             m = _normalize(
                 _emb_matrix(tbl.take(pa.array(first_idx, pa.int64())), "emb")
             )
-            sims = m @ m.T
-            ia, ib = np.triu_indices(len(uniq), k=1)
-            keep = sims[ia, ib] >= threshold
+            n = len(uniq)
+            out_a, out_b, out_c = [], [], []
+            for c0 in range(0, n, verify_chunk):
+                c1 = min(c0 + verify_chunk, n)
+                sims = m[c0:c1] @ m.T  # (chunk, n)
+                # upper triangle only: global col > global row
+                cols = np.arange(n)[None, :]
+                rows = np.arange(c0, c1)[:, None]
+                mask = (cols > rows) & (sims >= threshold)
+                if max_partners is not None and mask.any():
+                    # keep the first max_partners True cols per row
+                    # (ascending id — preserves chain connectivity)
+                    csum = np.cumsum(mask, axis=1)
+                    mask &= csum <= max_partners
+                ri, ci = np.nonzero(mask)
+                if len(ri):
+                    out_a.append(uniq[c0 + ri])
+                    out_b.append(uniq[ci])
+                    out_c.append(sims[ri, ci])
+            if not out_a:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
             return pa.table(
                 {
-                    "id_a": pa.array(uniq[ia[keep]], pa.int64()),
-                    "id_b": pa.array(uniq[ib[keep]], pa.int64()),
-                    "cosine": pa.array(sims[ia[keep], ib[keep]], pa.float64()),
+                    "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                    "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_c), pa.float64()),
                 }
             )
 

@@ -8,6 +8,7 @@ exist; per-document work is regex/C-level.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -36,32 +37,41 @@ _PUNCT_RE = re.compile(r"[^\w\s]")
 
 class LanguageId:
     """n-gram/stopword-marker language ID → adds ``lang_pred``,
-    ``lang_score`` columns. Deterministic; ties break by language order."""
+    ``lang_score`` columns. Deterministic; ties break by language order.
+
+    Scoring is plain (non-overlapping) substring counts of each marker
+    in the lowercased text, per 1000 chars — C-level ``str.count`` per
+    marker, and exactly mirrorable in ANSI SQL via
+    ``(length(t) - length(replace(t, m, ''))) / length(m)``."""
 
     __name__ = "LanguageId"
 
     def __init__(self):
-        self.markers = {
-            lang: [re.compile(rf"(?<![a-z]){m}(?![a-z])" if len(m) > 3 else re.escape(m))
-                   for m in ms]
-            for lang, ms in _LANG_MARKERS.items()
-        }
+        self.langs = list(_LANG_MARKERS)
+        self.marker_lists = [_LANG_MARKERS[lang] for lang in self.langs]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         texts = tbl.column("text").to_pylist()
-        preds, scores = [], []
-        for t in texts:
+        n_docs = len(texts)
+        counts = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        lens = np.ones(n_docs, dtype=np.int64)
+        for i, t in enumerate(texts):
             tl = (t or "").lower()
-            n = max(len(tl), 1)
-            best_lang, best = "unknown", 0.0
-            for lang, pats in self.markers.items():
-                s = sum(len(p.findall(tl)) for p in pats) / n * 1000.0
-                if s > best:
-                    best_lang, best = lang, s
-            preds.append(best_lang)
-            scores.append(best)
+            lens[i] = max(len(tl), 1)
+            for j, ms in enumerate(self.marker_lists):
+                counts[i, j] = sum(tl.count(m) for m in ms)
+        scores = counts / lens[:, None] * 1000.0
+        # first max in language order wins (strict > over a 0.0 start:
+        # an all-zero row is 'unknown')
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n_docs), best]
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = [
+            lang_arr[b] if s > 0 else "unknown"
+            for b, s in zip(best, best_score)
+        ]
         return tbl.append_column("lang_pred", pa.array(preds, pa.string())) \
-                  .append_column("lang_score", pa.array(scores, pa.float64()))
+                  .append_column("lang_score", pa.array(best_score, pa.float64()))
 
 
 class QualityScore:
@@ -123,24 +133,19 @@ class TokenCount:
 
 
 class Fingerprint:
-    """Deterministic 64-bit document fingerprint: polynomial rolling hash
-    of the whitespace-normalized text (stable across partitioning)."""
+    """Deterministic 128-bit document fingerprint: md5 hex digest of the
+    whitespace-normalized text (stable across partitioning). One C-level
+    hash call per document, and exactly mirrorable in SQL as
+    ``md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
 
     __name__ = "Fingerprint"
 
-    _MOD = (1 << 61) - 1
-    _BASE = 1_000_003
-
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column("text").to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            norm = " ".join((t or "").split())
-            h = 0
-            for ch in norm.encode("utf-8"):
-                h = (h * self._BASE + ch) % self._MOD
-            out[i] = h
-        return tbl.append_column("fingerprint", pa.array(out, pa.int64()))
+        out = [
+            hashlib.md5(" ".join((t or "").split()).encode("utf-8")).hexdigest()
+            for t in tbl.column("text").to_pylist()
+        ]
+        return tbl.append_column("fingerprint", pa.array(out, pa.string()))
 
 
 def analyze_documents(docs_ds, concurrency=None):

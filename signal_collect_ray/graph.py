@@ -200,8 +200,9 @@ class Graph:
 
         ``edges_ds`` columns: src:int64, dst:int64 [, weight:float64=1.0].
         ``dedup=True`` drops exact duplicate (src, dst) rows inside the
-        build's own shuffle (keeping the first weight) — free global
-        dedup with no extra exchange.
+        build's own shuffle (keeping the MAX weight per pair, which is
+        deterministic regardless of arrival order) — free global dedup
+        with no extra exchange.
         """
         import pyarrow.compute as pc
 

@@ -96,27 +96,16 @@ def run_flagship(
     }
 
     if run_cc:
-        # undirected components need the symmetrized edge table
-        edges = pages_to_edges(pages_ds)
-
-        def sym(tbl: pa.Table) -> pa.Table:
-            return pa.concat_tables(
-                [
-                    tbl,
-                    pa.table(
-                        {
-                            "src": tbl.column("dst"),
-                            "dst": tbl.column("src"),
-                            "weight": tbl.column("weight"),
-                        }
-                    ),
-                ]
-            )
+        # undirected components need the symmetrized edge table — reuse
+        # the already-built edge shards instead of re-running the full
+        # link-extraction pass (same as bench.py's cc stage)
+        from signal_collect_ray.pipelines.queries import sym_edges
 
         g_sym = Graph.build(
-            edges.map_batches(sym, batch_format="pyarrow"),
+            sym_edges(g.edges_ds()),
             os.path.join(workdir, "graph_sym"),
             num_partitions=num_partitions,
+            dedup=True,
         )
         cc_info = eng.run(
             g_sym,

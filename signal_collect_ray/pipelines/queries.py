@@ -26,6 +26,17 @@ _E_SQL = (
     f"WHERE (l_orderkey % {V_GRAPH}) <> (l_partkey % {V_GRAPH})"
 )
 
+# Oracle round counts for the to-convergence queries (engine side runs
+# to its true fixpoint; the unrolled-CTE oracle must use enough rounds
+# to reach the same fixpoint). The derived graph has a FIXED 500-vertex
+# id space at every scale factor and only gets denser as sf grows, so
+# its (un)directed diameter shrinks with scale: 12 rounds is a safe
+# upper bound (sf0.001 converges in <=8; convergence is asserted by the
+# engine's own termination detection, and extra oracle rounds past the
+# fixpoint are idempotent).
+_CC_K = 12
+_BFS_K = 12
+
 _GRAPH_CACHE: Dict[str, object] = {}
 _RESULT_CACHE: Dict[tuple, object] = {}  # memo for reused query results
 
@@ -705,7 +716,14 @@ def q_quality_scores(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = ds.map_batches(QualityScore(), batch_format="pyarrow")
-    return out.select_columns(["doc_id", "quality"])
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "quality": pa.array(q, pa.float64())}
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -718,6 +736,123 @@ def q_doc_fingerprints(sf_dir: str):
     )
     out = ds.map_batches(Fingerprint(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_pagerank_k20(sf_dir: str):
+    """Fixed-20-step PageRank — the oracle-checkable stand-in for the
+    converged run (pagerank_converged itself stays rows-only: its step
+    count is data-dependent)."""
+    from signal_collect_ray.algorithms import PageRank
+
+    t = _state(sf_dir, PageRank(), False, 20, eps=0.0, tag="_k20")
+    return _round_state(t, "rank", 6)
+
+
+_GOL_W = 16  # cellular-query grid side (256 cells, fixed at every sf)
+
+
+def _cellular_graph(sf_dir: str, tag: str):
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms.cellular import grid8_edges
+
+    key = (sf_dir, tag)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        src, dst = grid8_edges(_GOL_W, _GOL_W)
+        g = Graph.from_edge_arrays(
+            src, dst, _work_dir(sf_dir, f"graph_{tag}"), num_partitions=4
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _cellular_state(sf_dir, algo, steps, tag):
+    from signal_collect_ray import EngineConfig
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    g = _cellular_graph(sf_dir, "grid8")
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=steps),
+        num_workers=2,
+    )
+    info = eng.run(
+        g, algo, run_dir=_work_dir(sf_dir, f"run_{tag}"), resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    return pa.table({"vid": t.column("vid"), "alive": t.column("state")})
+
+
+def q_game_of_life_k8(sf_dir: str):
+    """Conway's Game of Life, 8 synchronous steps on a 16×16 grid with a
+    deterministic vid-derived seed pattern (reference
+    examples/GameOfLife.scala rules; oracle = unrolled SQL over the
+    same grid)."""
+    from signal_collect_ray.algorithms import GameOfLife
+
+    def init_fn(vid):
+        x, y = vid % _GOL_W, vid // _GOL_W
+        return ((x * 7 + y * 13) % 3 == 0).astype(np.int64)
+
+    return _cellular_state(sf_dir, GameOfLife(init_fn=init_fn), 8, "gol8")
+
+
+def q_schelling_k8(sf_dir: str):
+    """Schelling segregation (threshold 0.45), 8 steps on the same grid
+    (reference examples/SchellingSegregation.scala rule)."""
+    from signal_collect_ray.algorithms import SchellingSegregation
+
+    def init_fn(vid):
+        x, y = vid % _GOL_W, vid // _GOL_W
+        return ((x * 5 + y * 3) % 2).astype(np.int64)
+
+    return _cellular_state(
+        sf_dir, SchellingSegregation(0.45, init_fn=init_fn), 8, "schelling8"
+    )
+
+
+def q_dedup_minhash_survivors(sf_dir: str):
+    """End-to-end near-dup dedup retention: LSH candidates → exact
+    Jaccard ≥ 0.8 verify → transitive closure (ConnectedComponents over
+    the verified-pair graph) → survivors = cluster minima + untouched
+    docs. Oracle: exact all-pairs Jaccard in SQL + unrolled min-label
+    CC — parity additionally requires the LSH candidate pass to link
+    the same clusters the exact pair set does (bands=32 × rows=2 ⇒
+    recall ≈ 1 − (1 − J²)³² > 0.9999 at J = 0.8)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import dedup_minhash
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = dedup_minhash(
+        ds, threshold=0.8, workdir=_work_dir(sf_dir, "dedup_minhash"),
+        num_perm=64, num_bands=32,
+    )
+    return out.select_columns(["doc_id"])
+
+
+def q_simhash_dedup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import simhash_dedup_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_dedup_pairs(ds, max_hamming=3, shingle_k=3)
+
+
+def q_embedding_dedup_pairs_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs — the 100-TB scale path (recall < 1
+    by design; the exact variant above is its oracle-checked baseline)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import embedding_dedup_cosine
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_dedup_cosine(ds, threshold=0.95, max_partners=8)
 
 
 def q_minhash_dedup_pairs(sf_dir: str):
@@ -747,12 +882,15 @@ def q_simhash_signatures(sf_dir: str):
 
 
 def q_embedding_dedup_pairs(sf_dir: str):
+    """EXACT all-pairs cosine ≥ 0.5 (brute-force baseline, broadcast
+    matrix + chunked matmul per batch) — DuckDB-oracle-checked via
+    list_cosine_similarity. The LSH scale path is the _lsh variant."""
     import ray.data as rd
 
-    from signal_collect_ray.functions.similarity import embedding_dedup_cosine
+    from signal_collect_ray.functions.similarity import embedding_pairs_exact
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_dedup_cosine(ds, threshold=0.95)
+    return embedding_pairs_exact(ds, threshold=0.5, round_digits=4)
 
 
 def q_media_features(sf_dir: str):
@@ -765,6 +903,186 @@ def q_media_features(sf_dir: str):
 
     ds = rd.from_arrow(synthesize_media_table(256, seed=42))
     return extract_media_features(ds, concurrency=2, batch_size=64)
+
+
+# ---------------------------------------------------------------------------
+# SQL generators for the document / embedding oracles
+# ---------------------------------------------------------------------------
+
+def _lang_sql() -> str:
+    """Exact SQL mirror of functions.text.LanguageId: per-language marker
+    substring counts per 1000 chars (non-overlapping counts via the
+    replace-length trick, identical to ``str.count``), argmax with
+    first-in-language-order tie-break, 'unknown' when every score is 0.
+    Float parity is exact: each count and length is an exact-integer
+    double, and the op order ``(count / n) * 1000.0`` matches numpy's."""
+    from signal_collect_ray.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in _LANG_MARKERS[lang]
+        )
+        score_cols.append(f"(({terms}) / n) * 1000.0 AS s_{lang}")
+    all_zero = " AND ".join(f"s_{lang} <= 0" for lang in langs)
+    cases = [f"WHEN {all_zero} THEN 'unknown'"]
+    for i, lang in enumerate(langs):
+        if i == len(langs) - 1:
+            cases.append(f"ELSE '{lang}'")
+        else:
+            geq = " AND ".join(
+                f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+            )
+            cases.append(f"WHEN {geq} THEN '{lang}'")
+    return (
+        "WITH s AS (SELECT doc_id, lower(COALESCE(text, '')) AS t, "
+        "GREATEST(length(COALESCE(text, '')), 1) AS n FROM documents), "
+        "sc AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM s), "
+        "pred AS (SELECT doc_id, CASE " + " ".join(cases) + " END AS lang_pred "
+        "FROM sc) "
+        "SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred"
+    )
+
+
+# Exact SQL mirror of functions.text.QualityScore. Word regex [a-z]+ over
+# lowered text, punct regex [^\w\s] over the raw text (ASCII corpus: RE2
+# and Python re agree), ratios as int/int double division, and the
+# composite in the same left-associative op order as the numpy
+# expression — bit-identical doubles before the shared ROUND(,6).
+_QUALITY_SQL = (
+    "WITH f AS (SELECT doc_id, length(COALESCE(text, '')) AS n_chars, "
+    "len(regexp_extract_all(COALESCE(text, ''), '[^\\w\\s]')) AS n_punct, "
+    "regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS words "
+    "FROM documents), "
+    "g AS (SELECT doc_id, n_chars, "
+    "n_punct / GREATEST(n_chars, 1) AS punct_ratio, "
+    "len(list_filter(words, x -> list_contains("
+    "['the','and','of','a','to','in','is','it','that','for','on','as','with',"
+    "'was','at','by','an','be','this','are','or'], x))) "
+    "/ GREATEST(len(words), 1) AS stop_ratio, "
+    "COALESCE(list_sum(list_transform(words, x -> length(x))), 0) "
+    "/ GREATEST(len(words), 1) AS mean_wlen FROM f) "
+    "SELECT doc_id, ROUND("
+    "LEAST(GREATEST(n_chars / 500.0, 0), 1) * 0.3 "
+    "+ LEAST(GREATEST(1.0 - punct_ratio * 4.0, 0), 1) * 0.2 "
+    "+ LEAST(GREATEST(stop_ratio * 3.0, 0), 1) * 0.3 "
+    "+ LEAST(GREATEST(1.0 - abs(mean_wlen - 5.0) / 5.0, 0), 1) * 0.2, 6) "
+    "AS quality FROM g"
+)
+
+# Exact SQL mirror of functions.text.Fingerprint: md5 of the
+# whitespace-normalized text (Python " ".join(t.split())).
+_FINGERPRINT_SQL = (
+    "SELECT doc_id, md5(trim(regexp_replace(COALESCE(text, ''), "
+    "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"
+)
+
+# Exact all-pairs cosine ≥ 0.5 over the embeddings table — oracle for
+# functions.similarity.embedding_pairs_exact. Lists cast to DOUBLE[] so
+# both sides accumulate in float64; ROUND(,4) absorbs summation-order
+# ulps between DuckDB's dot/norm form and numpy's normalize-then-matmul.
+_EMB_PAIRS_SQL = (
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.5"
+)
+
+
+def _cellular_sql(kind: str, k: int, w: int = _GOL_W, threshold: float = 0.45) -> str:
+    """Unrolled SQL oracle for the cellular queries: the same 8-neighbor
+    grid, vid-derived seed and per-step rule as the GameOfLife /
+    SchellingSegregation algorithms, k synchronous steps. Self-contained
+    (grid from range()) — no input table needed. Extra rounds past a
+    fixed point are idempotent, mirroring early engine termination."""
+    init = {
+        "gol": "(x * 7 + y * 13) % 3 = 0",
+        "schelling": "(x * 5 + y * 3) % 2 = 1",
+    }[kind]
+    if kind == "gol":
+        rule = (
+            "CASE WHEN SUM(n.s) = 3 THEN 1 WHEN SUM(n.s) = 2 THEN own.s "
+            "ELSE 0 END"
+        )
+    else:
+        rule = (
+            "CASE WHEN (CASE WHEN own.s = 1 THEN CAST(SUM(n.s) AS BIGINT) "
+            "ELSE COUNT(*) - CAST(SUM(n.s) AS BIGINT) END) / COUNT(*) "
+            f">= {threshold} THEN own.s ELSE (own.s + 1) % 2 END"
+        )
+    ctes = [
+        f"cells AS MATERIALIZED (SELECT x + y * {w} AS vid, x, y "
+        f"FROM range({w}) tx(x), range({w}) ty(y))",
+        "e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst "
+        "FROM cells a JOIN cells b ON abs(a.x - b.x) <= 1 "
+        "AND abs(a.y - b.y) <= 1 AND NOT (a.x = b.x AND a.y = b.y))",
+        f"s0 AS MATERIALIZED (SELECT vid, CASE WHEN {init} THEN 1 ELSE 0 END "
+        "AS s FROM cells)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT c.vid, {rule} AS s "
+            f"FROM cells c JOIN s{i-1} own ON own.vid = c.vid "
+            f"JOIN e ON e.dst = c.vid JOIN s{i-1} n ON n.vid = e.src "
+            "GROUP BY c.vid, own.s)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, CAST(s AS BIGINT) AS alive FROM s{k}"
+    )
+
+
+def _survivors_sql(k: int = 16, threshold: float = 0.8) -> str:
+    """Oracle for dedup_minhash end-to-end retention: EXACT all-pairs
+    word-5-shingle Jaccard ≥ threshold (the LSH pass at 32 bands × 2
+    rows has recall > 1 − 1e-14 at J = 0.8, so candidate sets agree),
+    then k rounds of unrolled min-label propagation over the duplicate
+    graph; survivors are vertices whose converged label is their own id
+    (cluster minima + untouched docs). Every CTE is MATERIALIZED —
+    DuckDB otherwise expands the self-referencing round CTEs
+    exponentially (fd exhaustion). k = 16 bounds the duplicate-chain
+    diameter; near-dup clusters are copy groups, far smaller than that."""
+    ctes = [
+        "docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array("
+        "trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM documents)",
+        (
+            "sh AS MATERIALIZED ("
+            "SELECT doc_id, array_to_string(w, ' ') AS s FROM docs WHERE len(w) < 5 "
+            "UNION ALL "
+            "SELECT d.doc_id, array_to_string(d.w[i.i:i.i+4], ' ') AS s "
+            "FROM docs d, LATERAL (SELECT unnest(range(1, len(d.w) - 3)) AS i) i "
+            "WHERE len(d.w) >= 5)"
+        ),
+        "shs AS MATERIALIZED (SELECT doc_id, list(DISTINCT s) AS S "
+        "FROM sh GROUP BY doc_id)",
+        (
+            "p AS MATERIALIZED (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+            "len(list_intersect(a.S, b.S)) / GREATEST(len(a.S) + len(b.S) "
+            "- len(list_intersect(a.S, b.S)), 1) AS j "
+            "FROM shs a JOIN shs b ON a.doc_id < b.doc_id)"
+        ),
+        f"dup AS MATERIALIZED (SELECT ida, idb FROM p WHERE j >= {threshold})",
+        "e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dup "
+        "UNION SELECT idb, ida FROM dup)",
+        "v AS MATERIALIZED (SELECT doc_id AS vid FROM documents)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS lab FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.vid, "
+            f"LEAST(own.lab, COALESCE(MIN(nb.lab), own.lab)) AS lab "
+            f"FROM v JOIN l{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN l{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.lab)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid AS doc_id FROM l{k} WHERE lab = vid"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -793,16 +1111,22 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_dedup_exact": q_doc_dedup_exact,
         "knn_vec0_top5": q_knn_vec0_top5,
+        "pagerank_k20": q_pagerank_k20,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprints": q_doc_fingerprints,
+        "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "dedup_minhash_survivors": q_dedup_minhash_survivors,
+        "game_of_life_k8": q_game_of_life_k8,
+        "schelling_k8": q_schelling_k8,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
         "pagerank_converged": q_pagerank_converged,
-        "lang_id_counts": q_lang_id_counts,
-        "quality_scores": q_quality_scores,
-        "doc_fingerprints": q_doc_fingerprints,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_signatures": q_simhash_signatures,
-        "embedding_dedup_pairs": q_embedding_dedup_pairs,
+        "simhash_dedup_pairs": q_simhash_dedup_pairs,
+        "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
         "media_features": q_media_features,
     }
 
@@ -846,13 +1170,13 @@ def oracle_sql():
             "SELECT dst AS vid, COUNT(*) AS in_degree FROM e GROUP BY dst"
         ),
         "pagerank_weighted_k4": _prw_sql(4),
-        "connected_components": _cc_sql(8),
+        "connected_components": _cc_sql(_CC_K),
         "component_sizes": (
-            f"WITH cc AS ({_cc_sql(8)}) "
+            f"WITH cc AS ({_cc_sql(_CC_K)}) "
             "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices "
             "FROM cc GROUP BY label"
         ),
-        "sssp_from0": _sssp_sql(8),
+        "sssp_from0": _sssp_sql(_BFS_K),
         "sssp_weighted_from0": _ssspw_sql(12),
         "chinese_whispers_k1": _CW1_SQL,
         "triangle_total": _TRI_SQL_BASE
@@ -876,7 +1200,7 @@ def oracle_sql():
             "FROM deg LEFT JOIN tc ON tc.vid = deg.vid"
         ),
         "largest_components": (
-            f"WITH cc AS ({_cc_sql(8)}) "
+            f"WITH cc AS ({_cc_sql(_CC_K)}) "
             "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM cc "
             "GROUP BY label ORDER BY n_vertices DESC, label LIMIT 5"
         ),
@@ -896,4 +1220,12 @@ def oracle_sql():
             "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id "
             "LIMIT 5"
         ),
+        "pagerank_k20": _pr_sql(20),
+        "lang_id_counts": _lang_sql(),
+        "quality_scores": _QUALITY_SQL,
+        "doc_fingerprints": _FINGERPRINT_SQL,
+        "embedding_dedup_pairs": _EMB_PAIRS_SQL,
+        "dedup_minhash_survivors": _survivors_sql(16, 0.8),
+        "game_of_life_k8": _cellular_sql("gol", 8),
+        "schelling_k8": _cellular_sql("schelling", 8),
     }

@@ -50,6 +50,22 @@ def torus(w: int, h: int):
     return np.array(src, dtype=np.int64), np.array(dst, dtype=np.int64)
 
 
+def grid8(w: int, h: int):
+    """8-neighborhood grid, both directions (GameOfLife.scala:85-92 /
+    SchellingSegregation.scala:76-83 neighbors())."""
+    offs = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+    src, dst = [], []
+    for y in range(h):
+        for x in range(w):
+            v = y * w + x
+            for dx, dy in offs:
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < w and 0 <= ny < h:
+                    src.append(v)
+                    dst.append(ny * w + nx)
+    return np.array(src, dtype=np.int64), np.array(dst, dtype=np.int64)
+
+
 def sym_cycle4():
     s, d = cycle(4)
     return np.concatenate([s, d]), np.concatenate([d, s])
@@ -169,6 +185,38 @@ def sssp_oracle(src, dst, source):
                 dist[u] = nd
                 heapq.heappush(q, (nd, u))
     return vids, np.array([dist[int(v)] for v in vids])
+
+
+def cellular_oracle(src, dst, state0, rule, k):
+    """k synchronous steps of a neighborhood-sum cellular rule on an
+    arbitrary edge list. ``rule(state, nsum, deg) -> state`` — coded
+    against plain adjacency scatter, independent of the engine."""
+    vids = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(vids)}
+    si = np.array([idx[int(v)] for v in src])
+    di = np.array([idx[int(v)] for v in dst])
+    deg = np.zeros(len(vids), dtype=np.int64)
+    np.add.at(deg, si, 1)
+    state = np.asarray(state0, dtype=np.int64).copy()
+    for _ in range(k):
+        nsum = np.zeros(len(vids), dtype=np.int64)
+        np.add.at(nsum, di, state[si])
+        state = rule(state, nsum, deg)
+    return vids, state
+
+
+def gol_rule(state, nsum, deg):
+    return np.where(nsum == 3, 1, np.where(nsum == 2, state, 0)).astype(np.int64)
+
+
+def schelling_rule(threshold):
+    def rule(state, nsum, deg):
+        equal = np.where(state == 1, nsum, deg - nsum)
+        frac = equal / np.maximum(deg, 1)
+        content = (frac >= threshold) | (deg == 0)
+        return np.where(content, state, (state + 1) % 2).astype(np.int64)
+
+    return rule
 
 
 def triangle_oracle(src, dst):
