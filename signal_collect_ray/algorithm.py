@@ -49,6 +49,15 @@ class Algorithm:
     #: DataGraphVertex.scala:66-77).
     always_signal: bool = False
 
+    #: ResetStateAfterSignaling mixin (reference
+    #: ``ResetStateAfterSignaling.scala:22-33``): when True, every vertex
+    #: that executed its signal operation this superstep has its state
+    #: overwritten with ``reset_value`` BEFORE the collect phase sees it —
+    #: PathQuery-style message-passing algorithms (tokens forwarded, not
+    #: accumulated). Applied identically by both executors.
+    reset_after_signal: bool = False
+    reset_value = 0.0
+
     #: Dense scatter aggregation (resident executor fast path): "sum" or
     #: "min" when the per-edge signal is a single value combined with a
     #: commutative monoid — aggregation becomes bincount/minimum.at over

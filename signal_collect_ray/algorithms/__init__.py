@@ -4,6 +4,7 @@ from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
 from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.cellular import GameOfLife, SchellingSegregation
+from signal_collect_ray.algorithms.tokens import TokenDiffusion
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -18,6 +19,7 @@ __all__ = [
     "VertexColoring",
     "GameOfLife",
     "SchellingSegregation",
+    "TokenDiffusion",
     "triangle_counts",
     "total_triangles",
     "clustering_coefficient",

@@ -60,6 +60,15 @@ class EngineConfig:
     # Actor pool size when signal_mode="actors" (None → autoscale).
     signal_concurrency: int | tuple[int, int] | None = None
 
+    # Undeliverable-signal handler (reference Handlers.scala:26-64 /
+    # DefaultHandlerFactory): "drop" (count in manifests — our default),
+    # "raise" (reference default: throw), or "create" (auto-create the
+    # missing vertex via algo.init with no out-edges and deliver —
+    # NonExistentVertexHandlerSpec behavior). "raise"/"create" are
+    # honored by the durable SuperstepEngine; the resident executor's
+    # dense path requires a closed vertex set and supports "drop" only.
+    on_undeliverable: str = "drop"
+
     # Salted two-stage signal aggregation (hub-skew handling, north
     # rule): when > 1, signal rows are pre-combined per
     # (dst_part, hash(dst) % salt_buckets) bucket before the final

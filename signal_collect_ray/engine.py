@@ -276,6 +276,45 @@ class SaltedPreCombine:
         return pa.concat_tables([out, seeds]) if len(seeds) else out
 
 
+def _migrate_shard(new_vfile: str, prev_dir: str, algo: Algorithm, out_dir: str) -> dict:
+    """Mid-run mutation state migration for one partition: surviving
+    vertices keep their state, vertices new to the mutated graph get
+    ``algo.init`` values, refreshed degrees come from the new vertex
+    shard, and everything is re-enqueued (the reference pairs GraphEditor
+    mutations with ``recalculateScores``,
+    ``WorkerImplementation.scala:396-414``)."""
+    tbl = pq.read_table(new_vfile)
+    d = _to_np_dict(tbl)
+    vid, outd, sumw = d["vid"], d["out_degree"], d["sum_out_weight"]
+    p = int(d["part"][0]) if len(vid) else int(
+        os.path.basename(new_vfile).split("-")[1].split(".")[0]
+    )
+    st = algo.init(vid, outd, sumw)
+    old_path = os.path.join(prev_dir, f"part-{p:05d}.parquet")
+    if os.path.exists(old_path) and len(vid):
+        old = _to_np_dict(pq.read_table(old_path))
+        pos = np.searchsorted(vid, old["vid"])
+        pos_c = np.minimum(pos, len(vid) - 1)
+        found = (pos < len(vid)) & (vid[pos_c] == old["vid"])
+        for col in ("state", "last"):
+            arr = np.asarray(st[col]).copy()
+            arr[pos_c[found]] = old[col][found]
+            st[col] = arr
+    st["active"] = np.ones(len(vid), dtype=bool)
+    st["residual"] = np.full(len(vid), 1e18)
+    out = _state_table(p, vid, outd, sumw, st, algo.state_pa_type)
+    pq.write_table(out, os.path.join(out_dir, f"part-{p:05d}.parquet"))
+    return {
+        "part": p,
+        "n_vertices": int(len(vid)),
+        "n_active": int(len(vid)),
+        "residual_max": 1e18,
+        "edges_traversed": 0,
+        "signal_rows_in": 0,
+        "undeliverable": 0,
+    }
+
+
 class CollectStage:
     """Collect phase (map_groups over dst_part): final combine + state
     update + checkpoint shard write + lineage/metrics row."""
@@ -288,23 +327,84 @@ class CollectStage:
         prev_dir: str,
         out_dir: str,
         signal_threshold: float,
+        on_undeliverable: str = "drop",
     ):
         self.algo = algo
         self.prev_dir = prev_dir
         self.out_dir = out_dir
         self.threshold = signal_threshold
+        self.on_undeliverable = on_undeliverable
+
+    @staticmethod
+    def _empty_prev() -> dict:
+        return {
+            "vid": np.empty(0, dtype=np.int64),
+            "out_degree": np.empty(0, dtype=np.int64),
+            "sum_out_weight": np.empty(0),
+            "state": np.empty(0),
+            "last": np.empty(0),
+            "active": np.empty(0, dtype=bool),
+        }
+
+    def _create_vertices(self, prev: dict, new_vids: np.ndarray) -> dict:
+        """Auto-create missing signal targets (reference
+        ``DefaultHandlerFactory.undeliverableSignalHandler`` vertex-creating
+        variant, ``Handlers.scala:26-44`` / ``NonExistentVertexHandlerSpec``):
+        fresh vertices with no out-edges, state from ``algo.init``, merged
+        sorted into the partition."""
+        algo = self.algo
+        zi = np.zeros(len(new_vids), dtype=np.int64)
+        zf = np.zeros(len(new_vids))
+        st_new = algo.init(new_vids, zi, zf)
+        vid = np.concatenate([prev["vid"], new_vids])
+        order = np.argsort(vid, kind="stable")
+        merged = {
+            "vid": vid[order],
+            "out_degree": np.concatenate([prev["out_degree"], zi])[order],
+            "sum_out_weight": np.concatenate([prev["sum_out_weight"], zf])[order],
+        }
+        for col in ("state", "last", "active"):
+            merged[col] = np.concatenate(
+                [prev[col], np.asarray(st_new[col])]
+            )[order]
+        return merged
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         algo = self.algo
         p = int(tbl.column("dst_part")[0].as_py())
         prev_path = os.path.join(self.prev_dir, f"part-{p:05d}.parquet")
-        if not os.path.exists(prev_path):
+        have_shard = os.path.exists(prev_path)
+        if not have_shard and self.on_undeliverable != "create":
             # signals addressed to a partition with no vertices at all:
             # every one is undeliverable (reference would invoke the
             # undeliverable-signal handler, Handlers.scala:26-64).
             real = int((_to_np_dict(tbl)["dst"] >= 0).sum())
+            if real and self.on_undeliverable == "raise":
+                raise RuntimeError(
+                    f"{real} undeliverable signals to empty partition {p} "
+                    "(on_undeliverable='raise', reference default handler "
+                    "semantics Handlers.scala:36-40)"
+                )
             return self._metrics(p, 0, 0, 0.0, 0, int(len(tbl)), real)
-        prev = _to_np_dict(pq.read_table(prev_path))
+        prev = (
+            _to_np_dict(pq.read_table(prev_path))
+            if have_shard
+            else self._empty_prev()
+        )
+        if algo.reset_after_signal and len(prev["vid"]):
+            # ResetStateAfterSignaling.scala:22-33 — vertices that ran
+            # their signal operation see the reset state at collect time.
+            sched = (
+                np.ones(len(prev["vid"]), dtype=bool)
+                if algo.always_signal
+                else prev["active"].astype(bool)
+            )
+            # only vertices that actually emitted (≥1 out-edge) reset —
+            # a scheduled sink sent nothing, so it keeps its state
+            sched &= np.asarray(prev["out_degree"]) > 0
+            state = np.asarray(prev["state"]).copy()
+            state[sched] = algo.reset_value
+            prev = dict(prev, state=state)
 
         d = _to_np_dict(tbl)
         keep = d["dst"] >= 0  # drop engine seed rows
@@ -316,8 +416,17 @@ class CollectStage:
             dst, vals = algo.combine(dst, vals)
             idx = Algorithm._align(prev["vid"], dst)
             bad = idx < 0
-            undeliverable = int(bad.sum())
-            if undeliverable:
+            n_bad = int(bad.sum())
+            if n_bad and self.on_undeliverable == "raise":
+                raise RuntimeError(
+                    f"{n_bad} undeliverable signals in partition {p}, e.g. "
+                    f"dst={dst[bad][:5].tolist()} (on_undeliverable='raise', "
+                    "reference Handlers.scala:36-40)"
+                )
+            if n_bad and self.on_undeliverable == "create":
+                prev = self._create_vertices(prev, np.unique(dst[bad]))
+            elif n_bad:
+                undeliverable = n_bad
                 dst = dst[~bad]
                 vals = {k: v[~bad] for k, v in vals.items()}
 
@@ -434,6 +543,44 @@ class SuperstepEngine:
             json.dump(manifest, f, indent=2)
         os.rename(step_tmp, step_dir)
 
+    @classmethod
+    def recalculate_scores(cls, run_dir: str) -> int:
+        """Re-enqueue every vertex of the latest checkpoint — the rebuild
+        of the reference's ``Graph.recalculateScores``
+        (``DefaultGraph.scala`` → ``WorkerImplementation.scala:396-414``:
+        re-evaluate scoreSignal/scoreCollect for all vertices and
+        reschedule). Sets the active mask true in every state shard and
+        un-converges the manifest, so the next ``run(resume=True)`` —
+        durable or resident — replays a full signal/collect round and
+        recomputes exact scores. Returns the number of re-enqueued
+        vertices."""
+        latest = cls._latest_complete_step(run_dir)
+        if latest is None:
+            raise FileNotFoundError(f"no complete checkpoint under {run_dir}")
+        step_dir = cls._step_dir(run_dir, latest)
+        n = 0
+        for f in sorted(glob.glob(os.path.join(step_dir, "part-*.parquet"))):
+            tbl = pq.read_table(f)
+            i = tbl.schema.get_field_index("active")
+            tbl = tbl.set_column(
+                i, "active", pa.array(np.ones(len(tbl), dtype=bool), pa.bool_())
+            )
+            pq.write_table(tbl, f)
+            n += len(tbl)
+        mpath = os.path.join(step_dir, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["n_active"] = n
+        # large finite stand-in for "scores unknown" — _is_converged must
+        # see a non-converged state until the next collect recomputes
+        m["residual_max"] = 1e18
+        for part in m.get("parts", ()):
+            part["n_active"] = part["n_vertices"]
+            part["residual_max"] = 1e18
+        with open(mpath, "w") as f:
+            json.dump(m, f, indent=2)
+        return n
+
     # -- main loop ---------------------------------------------------------
     def run(
         self,
@@ -446,7 +593,18 @@ class SuperstepEngine:
         signal_threshold: Optional[float] = None,
         time_limit_s: Optional[float] = None,
         global_termination=None,
+        edge_deltas=None,
     ) -> ExecutionInformation:
+        """``edge_deltas``: optional ``step -> None | {"add_edges_ds",
+        "remove_edges_ds"}`` callback polled before each superstep — the
+        mid-computation GraphEditor mutation path
+        (``GraphEditor.scala:37-201``: edits interleave with computation
+        rounds). A non-None result consumes one superstep index: the
+        graph is rebuilt via ``Graph.update`` under ``run_dir``, state
+        migrates (survivors keep state, new vertices ``algo.init``), and
+        every vertex is re-enqueued (recalculateScores semantics). The
+        durable engine only — the resident executor binds CSR blocks at
+        start."""
         import ray.data as rd
 
         cfg = self.config
@@ -518,13 +676,68 @@ class SuperstepEngine:
         last = per_step[-1]
         converged = self._is_converged(last, eps, k)
         reason = "Converged" if converged else None
-        while not converged:
+
+        def mutate(deltas, k_new):
+            nonlocal graph, csr_refs, lineage_base, last
+            import ray
+
+            gdir = os.path.join(run_dir, f"graph-mut-{k_new:05d}")
+            graph = graph.update(
+                gdir,
+                add_edges_ds=deltas.get("add_edges_ds"),
+                remove_edges_ds=deltas.get("remove_edges_ds"),
+            )
+            csr_refs = graph.csr_refs()
+            lineage_base = dict(
+                lineage_base, graph_dir=os.path.abspath(graph.graph_dir)
+            )
+            prev_dir = self._step_dir(run_dir, k_new - 1)
+            step_tmp = os.path.join(run_dir, f".tmp-step={k_new:05d}")
+            if os.path.exists(step_tmp):
+                shutil.rmtree(step_tmp)
+            os.makedirs(step_tmp)
+            mig = ray.remote(_migrate_shard)
+            rows = ray.get(
+                [
+                    mig.remote(vf, prev_dir, algo, step_tmp)
+                    for vf in graph.vertex_files()
+                ]
+            )
+            manifest = self._manifest(k_new, rows, lineage_base, prev_step=k_new - 1)
+            manifest["mutation"] = True
+            self._write_manifest(step_tmp, self._step_dir(run_dir, k_new), manifest)
+            per_step.append(manifest)
+            last = manifest
+
+        while True:
+            if converged:
+                # a converged computation still drains pending edits —
+                # streaming arrivals re-open it (GraphEditor semantics).
+                # GlobalConstraintMet is terminal: the user predicate won.
+                deltas = (
+                    edge_deltas(k)
+                    if edge_deltas is not None and reason != "GlobalConstraintMet"
+                    else None
+                )
+                if not deltas:
+                    break
+                k += 1
+                mutate(deltas, k)
+                converged = False
+                reason = None
+                continue
             if k >= max_supersteps:
                 reason = "StepsLimitReached"
                 break
             if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
                 reason = "TimeLimitReached"
                 break
+            if edge_deltas is not None:
+                deltas = edge_deltas(k)
+                if deltas:
+                    k += 1
+                    mutate(deltas, k)
+                    continue
             k += 1
             ts = time.monotonic()
             prev_dir = self._step_dir(run_dir, k - 1)
@@ -589,7 +802,10 @@ class SuperstepEngine:
             metrics_rows = (
                 signals.groupby("dst_part")
                 .map_groups(
-                    CollectStage(algo, prev_dir, step_tmp, threshold),
+                    CollectStage(
+                        algo, prev_dir, step_tmp, threshold,
+                        on_undeliverable=cfg.on_undeliverable,
+                    ),
                     batch_format="pyarrow",
                 )
                 .take_all()

@@ -1,0 +1,370 @@
+"""Asynchronous execution — the PureAsynchronous / OptimizedAsynchronous
+rebuild (reference ``configuration/ExecutionMode.scala:34-88``).
+
+No global barriers: each worker actor, whenever scheduled, runs one local
+round — signal its scheduled vertices (with the reference's
+post-signal bookkeeping: lastSignalState catch-up, ResetStateAfterSignaling,
+de-schedule), then collect whatever signals have arrived in its inbox —
+and pushes outgoing signals directly into peer actors' inboxes. Workers
+are stepped only while they have work, so partitions progress at
+different rates and signals interleave in arbitrary order, exactly the
+chaotic relaxation the reference's async workers perform
+(``WorkerImplementation.scala`` scheduling loop).
+
+Termination is the reference coordinator's quiescence condition
+(``DefaultCoordinator.scala:255-304`` ``isIdle``): every worker idle
+(empty inbox, no scheduled vertices) AND the global sent-message count
+equals the received count — in-flight pushes keep the computation alive.
+
+Only fold-on-delivery algorithms (the reference's ``DataFlowVertex``,
+``DataFlowVertex.scala:47-54``) are async-eligible: delta PageRank,
+SSSP, ConnectedComponents, TokenDiffusion — their collect is an
+associative fold over any subset of incoming signals, so every
+interleaving reaches the same fixpoint. Snapshot algorithms
+(``always_signal``: Chinese Whispers, cellular automata) need the full
+neighborhood each round and must run synchronously — the same ordering
+caveat the reference documents for its async modes
+(``ExecutionMode.scala:52-60``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from signal_collect_ray.algorithm import Algorithm
+from signal_collect_ray.config import EngineConfig
+from signal_collect_ray.engine import (
+    ExecutionInformation,
+    _state_table,
+    _to_np_dict,
+)
+from signal_collect_ray.util import expand_ranges, part_of
+
+
+class _AsyncWorker:
+    """One async worker: owns partitions, their CSR and state, an inbox
+    of unprocessed signal pieces, and sent/received message counters."""
+
+    def __init__(
+        self,
+        worker_id: int,
+        parts: List[int],
+        csr_refs_wrapped: list,
+        algo: Algorithm,
+        num_partitions: int,
+        num_workers: int,
+        signal_threshold: float,
+        vertex_files: Dict[int, str],
+    ):
+        import ray
+
+        self.wid = worker_id
+        self.parts = parts
+        self.algo = algo
+        self.P = num_partitions
+        self.W = num_workers
+        self.threshold = signal_threshold
+        csr_refs = csr_refs_wrapped[0]
+        self.csr = {p: ray.get(csr_refs[p]) for p in parts if p in csr_refs}
+        self.meta: Dict[int, dict] = {}
+        self.state: Dict[int, dict] = {}
+        for p in parts:
+            f = vertex_files.get(p)
+            if f is None:
+                continue
+            d = _to_np_dict(pq.read_table(f))
+            self.meta[p] = {
+                "vid": d["vid"],
+                "out_degree": d["out_degree"],
+                "sum_out_weight": d["sum_out_weight"],
+            }
+            st = algo.init(d["vid"], d["out_degree"], d["sum_out_weight"])
+            st.setdefault("residual", np.ones(len(d["vid"])))
+            self.state[p] = st
+        self.peers = None
+        self.inbox: list = []
+        self.sent = 0
+        self.received = 0
+        self.undeliverable = 0
+        self.rounds = 0
+
+    def set_peers(self, handles):
+        self.peers = handles
+
+    def push(self, pieces, n_rows: int):
+        self.inbox.extend(pieces)
+        self.received += n_rows
+
+    def status(self) -> dict:
+        has_active = any(
+            bool(st["active"].any()) for st in self.state.values()
+        )
+        res = max(
+            (float(st["residual"].max(initial=0.0)) for st in self.state.values()),
+            default=0.0,
+        )
+        return {
+            "wid": self.wid,
+            "has_work": bool(self.inbox) or has_active,
+            "sent": self.sent,
+            "received": self.received,
+            "residual_max": res,
+            "n_active": int(
+                sum(int(st["active"].sum()) for st in self.state.values())
+            ),
+            "rounds": self.rounds,
+            "undeliverable": self.undeliverable,
+        }
+
+    # -- one local round: signal scheduled vertices, then collect inbox ----
+    def step(self) -> dict:
+        self._signal_phase()
+        self._collect_phase()
+        self.rounds += 1
+        return self.status()
+
+    def _signal_phase(self):
+        import ray
+
+        algo = self.algo
+        out_per_worker: Dict[int, list] = {}
+        for p in self.parts:
+            st = self.state.get(p)
+            csr = self.csr.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            sched = st["active"].astype(bool)
+            emit = sched & (m["out_degree"] > 0)
+            if emit.any() and csr is not None:
+                sub = {
+                    "vid": m["vid"][emit],
+                    "out_degree": m["out_degree"][emit],
+                    "sum_out_weight": m["sum_out_weight"][emit],
+                    "state": st["state"][emit],
+                    "last": st["last"][emit],
+                }
+                pos = np.searchsorted(csr["src_ids"], sub["vid"])
+                pos_c = np.minimum(pos, len(csr["src_ids"]) - 1)
+                found = (pos < len(csr["src_ids"])) & (
+                    csr["src_ids"][pos_c] == sub["vid"]
+                )
+                if found.any():
+                    sub2 = {k: v[found] for k, v in sub.items()}
+                    pos2 = pos_c[found]
+                    starts = csr["indptr"][pos2]
+                    counts = csr["indptr"][pos2 + 1] - starts
+                    eidx = expand_ranges(starts, counts)
+                    src_vals = algo.src_values(sub2)
+                    expanded = {
+                        k: np.repeat(v, counts) for k, v in src_vals.items()
+                    }
+                    vals = algo.edge_values(expanded, csr["weight"][eidx])
+                    dst = csr["dst"][eidx]
+                    dst_u, combined = algo.combine(dst, vals)
+                    dw = part_of(dst_u, self.P) % self.W
+                    order = np.argsort(dw, kind="stable")
+                    dst_u, dw = dst_u[order], dw[order]
+                    combined = {k: v[order] for k, v in combined.items()}
+                    bounds = np.searchsorted(dw, np.arange(self.W + 1))
+                    for w in range(self.W):
+                        lo, hi = bounds[w], bounds[w + 1]
+                        if lo < hi:
+                            out_per_worker.setdefault(w, []).append(
+                                (
+                                    dst_u[lo:hi],
+                                    {k: v[lo:hi] for k, v in combined.items()},
+                                )
+                            )
+            # post-signal bookkeeping for EVERY scheduled vertex (signal
+            # op executes even when it emits nothing — reference
+            # AbstractVertex.executeSignalOperation):
+            if sched.any():
+                st["last"] = np.where(sched, st["state"], st["last"])
+                if algo.reset_after_signal:
+                    new_state = st["state"].copy()
+                    new_state[emit] = algo.reset_value
+                    st["state"] = new_state
+                st["active"] = sched & False
+                st["residual"] = np.where(sched, 0.0, st["residual"])
+        for w, pieces in out_per_worker.items():
+            n = int(sum(len(x[0]) for x in pieces))
+            self.sent += n
+            if w == self.wid:
+                self.push(pieces, n)
+            else:
+                self.peers[w].push.remote(pieces, n)
+
+    def _collect_phase(self):
+        algo = self.algo
+        if not self.inbox:
+            return
+        pieces, self.inbox = self.inbox, []
+        field_names = [n for n, _ in algo.signal_fields]
+        per_part: Dict[int, list] = {}
+        for dst, vals in pieces:
+            dp = part_of(dst, self.P)
+            order = np.argsort(dp, kind="stable")
+            dp, dsts = dp[order], dst[order]
+            vv = {k: v[order] for k, v in vals.items()}
+            bounds = np.searchsorted(dp, np.arange(self.P + 1))
+            for p in self.parts:
+                lo, hi = bounds[p], bounds[p + 1]
+                if lo < hi:
+                    per_part.setdefault(p, []).append(
+                        (dsts[lo:hi], {k: v[lo:hi] for k, v in vv.items()})
+                    )
+        for p, plist in per_part.items():
+            st = self.state.get(p)
+            if st is None:
+                self.undeliverable += int(sum(len(x[0]) for x in plist))
+                continue
+            m = self.meta[p]
+            dst = np.concatenate([x[0] for x in plist])
+            vals = {
+                k: np.concatenate([x[1][k] for x in plist]) for k in field_names
+            }
+            dst, vals = algo.combine(dst, vals)
+            idx = Algorithm._align(m["vid"], dst)
+            bad = idx < 0
+            if bad.any():
+                self.undeliverable += int(bad.sum())
+                dst = dst[~bad]
+                vals = {k: v[~bad] for k, v in vals.items()}
+            prev = {
+                "vid": m["vid"],
+                "out_degree": m["out_degree"],
+                "sum_out_weight": m["sum_out_weight"],
+                "state": st["state"],
+                "last": st["last"],
+                "active": st["active"],
+            }
+            new_st = algo.collect(prev, dst, vals, self.threshold)
+            # async schedule: only signal recipients re-activate; the
+            # fold made other vertices' activity impossible to change
+            self.state[p] = new_st
+
+    def write_final(self, out_dir: str):
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            m = self.meta[p]
+            tbl = _state_table(
+                p, m["vid"], m["out_degree"], m["sum_out_weight"], st,
+                self.algo.state_pa_type,
+            )
+            pq.write_table(tbl, os.path.join(out_dir, f"part-{p:05d}.parquet"))
+        return True
+
+
+class AsyncEngine:
+    """PureAsynchronous executor. ``run`` drives worker-local rounds with
+    no global superstep barrier and stops at coordinator quiescence."""
+
+    def __init__(
+        self, config: Optional[EngineConfig] = None,
+        num_workers: Optional[int] = None,
+    ):
+        import ray
+
+        self.config = config or EngineConfig()
+        if num_workers is None:
+            num_workers = max(
+                1, min(8, int(ray.cluster_resources().get("CPU", 4)) - 2)
+            )
+        self.W = num_workers
+
+    def run(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        resume: bool = False,  # signature parity; async runs are one-shot
+        max_rounds: int = 100_000,
+        signal_threshold: Optional[float] = None,
+        time_limit_s: Optional[float] = None,
+    ) -> ExecutionInformation:
+        import ray
+
+        if algo.always_signal:
+            raise NotImplementedError(
+                f"{algo.name} needs a full neighborhood snapshot per round "
+                "(always_signal) — not async-eligible; run a synchronous "
+                "executor (reference ExecutionMode.scala:52-60 caveat)"
+            )
+        cfg = self.config
+        threshold = (
+            cfg.signal_threshold if signal_threshold is None else signal_threshold
+        )
+        run_dir = run_dir or os.path.join(
+            cfg.checkpoint_root,
+            f"{algo.name}-{os.path.basename(graph.graph_dir)}-async",
+        )
+        final_dir = os.path.join(run_dir, "final")
+        os.makedirs(final_dir, exist_ok=True)
+        P = graph.num_partitions
+        W = max(1, min(self.W, P))
+        t0 = time.monotonic()
+
+        csr_refs = graph.csr_refs()
+        vfiles = {
+            int(os.path.basename(f).split("-")[1].split(".")[0]): f
+            for f in graph.vertex_files()
+        }
+        Actor = ray.remote(_AsyncWorker)
+        workers = [
+            Actor.remote(
+                w, [p for p in range(P) if p % W == w], [csr_refs], algo, P, W,
+                threshold, vfiles,
+            )
+            for w in range(W)
+        ]
+        ray.get([w.set_peers.remote(workers) for w in workers])
+
+        rounds = 0
+        converged = False
+        reason = None
+        while True:
+            stats = ray.get([w.status.remote() for w in workers])
+            busy = [i for i, s in enumerate(stats) if s["has_work"]]
+            sent = sum(s["sent"] for s in stats)
+            recv = sum(s["received"] for s in stats)
+            if not busy and sent == recv:
+                converged = True
+                reason = "Converged"
+                break
+            if rounds >= max_rounds:
+                reason = "StepsLimitReached"
+                break
+            if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
+                reason = "TimeLimitReached"
+                break
+            if busy:
+                # chaotic relaxation: only workers with work run a local
+                # round; completion order is arbitrary
+                ray.get([workers[i].step.remote() for i in busy])
+                rounds += 1
+            else:
+                time.sleep(0.002)  # in-flight pushes draining
+
+        ray.get([w.write_final.remote(final_dir) for w in workers])
+        stats = ray.get([w.status.remote() for w in workers])
+        return ExecutionInformation(
+            algorithm=algo.name,
+            supersteps=rounds,
+            converged=converged,
+            termination_reason=reason or "Converged",
+            wall_s=time.monotonic() - t0,
+            residual_max=max(s["residual_max"] for s in stats),
+            n_active=sum(s["n_active"] for s in stats),
+            edges_traversed_total=sum(s["sent"] for s in stats),
+            run_dir=run_dir,
+            final_step_dir=final_dir,
+            per_step=[],
+        )

@@ -293,12 +293,30 @@ class _Worker:
                 "vid": m["vid"],
                 "out_degree": m["out_degree"],
                 "sum_out_weight": m["sum_out_weight"],
-                "state": st["state"],
+                "state": self._reset_state(st, m),
                 "last": st["last"],
                 "active": st["active"],
             }
             self.state[p] = algo.collect_dense(prev, inc, self.threshold)
         return self._metrics()
+
+    def _reset_state(self, st, m):
+        """ResetStateAfterSignaling.scala:22-33: vertices that executed
+        the signal op this superstep expose the reset state to collect."""
+        algo = self.algo
+        if not algo.reset_after_signal:
+            return st["state"]
+        sched = (
+            np.ones(len(m["vid"]), dtype=bool)
+            if algo.always_signal
+            else st["active"].astype(bool)
+        )
+        # only vertices that actually emitted (≥1 out-edge) reset — a
+        # scheduled sink sent nothing, so it keeps its state
+        sched &= m["out_degree"] > 0
+        state = np.asarray(st["state"]).copy()
+        state[sched] = algo.reset_value
+        return state
 
     def collect(self, outbox_refs: list):
         """Apply incoming signals to owned partitions; returns metrics.
@@ -354,7 +372,7 @@ class _Worker:
                 "vid": m["vid"],
                 "out_degree": m["out_degree"],
                 "sum_out_weight": m["sum_out_weight"],
-                "state": st["state"],
+                "state": self._reset_state(st, m),
                 "last": st["last"],
                 "active": st["active"],
             }
@@ -433,6 +451,14 @@ class ResidentEngine:
     """Actor-resident BSP executor; same Algorithm/checkpoint contracts
     as SuperstepEngine."""
 
+    @staticmethod
+    def recalculate_scores(run_dir: str) -> int:
+        """Checkpoint-level operation shared with the durable engine
+        (same shard format) — see SuperstepEngine.recalculate_scores."""
+        from signal_collect_ray.engine import SuperstepEngine
+
+        return SuperstepEngine.recalculate_scores(run_dir)
+
     def __init__(self, config: Optional[EngineConfig] = None, num_workers: Optional[int] = None):
         import ray
 
@@ -457,6 +483,18 @@ class ResidentEngine:
         import ray
 
         cfg = self.config
+        if cfg.on_undeliverable != "drop":
+            raise NotImplementedError(
+                "the resident executor's dense routing requires a closed "
+                "vertex set; use SuperstepEngine for "
+                f"on_undeliverable={cfg.on_undeliverable!r}"
+            )
+        if graph.meta.get("n_dangling", 0):
+            raise NotImplementedError(
+                f"graph has {graph.meta['n_dangling']} edges to missing "
+                "vertices; the resident dense path would misroute them — "
+                "run SuperstepEngine (on_undeliverable drop/raise/create)"
+            )
         eps = cfg.eps if eps is None else eps
         max_supersteps = (
             cfg.max_supersteps if max_supersteps is None else max_supersteps

@@ -125,14 +125,25 @@ class _VertexShardWriter:
 
     __name__ = "_VertexShardWriter"
 
-    def __init__(self, vertices_tmp_dir: str):
+    def __init__(self, vertices_tmp_dir: str, exclude: Optional[np.ndarray] = None):
         self.dir = vertices_tmp_dir
+        self.exclude = exclude  # sorted vid array, or None
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         p = int(_to_np(tbl, "vpart")[0])
         vid = _to_np(tbl, "vid")
         outd = _to_np(tbl, "out_degree")
         sumw = _to_np(tbl, "sum_out_weight")
+        if self.exclude is not None and len(vid):
+            # explicit vertex-set hole (reference graphs are addVertex-
+            # defined; an edge may target a vertex that was never added —
+            # NonExistentVertexHandlerSpec). Drop excluded vids here; the
+            # engine's undeliverable handler decides what happens to
+            # signals addressed to them.
+            pos = np.searchsorted(self.exclude, vid)
+            pos_c = np.minimum(pos, len(self.exclude) - 1)
+            hit = (pos < len(self.exclude)) & (self.exclude[pos_c] == vid)
+            vid, outd, sumw = vid[~hit], outd[~hit], sumw[~hit]
         order = np.argsort(vid, kind="stable")
         vid, outd, sumw = vid[order], outd[order], sumw[order]
         starts = segment_starts(vid)
@@ -194,7 +205,7 @@ class Graph:
     @classmethod
     def build(
         cls, edges_ds, graph_dir: str, num_partitions: int = 8,
-        dedup: bool = False,
+        dedup: bool = False, exclude_vertices=None,
     ) -> "Graph":
         """Build partitioned graph storage from an edge Dataset.
 
@@ -203,6 +214,12 @@ class Graph:
         build's own shuffle (keeping the MAX weight per pair, which is
         deterministic regardless of arrival order) — free global dedup
         with no extra exchange.
+
+        ``exclude_vertices``: optional vid array removed from the vertex
+        table (addVertex-defined graphs where an edge targets a vertex
+        that was never added). Edges to them stay in the CSR with
+        ``dst_gidx = -1`` and ``meta["n_dangling"]`` counts them; the
+        durable engine's ``on_undeliverable`` handler decides their fate.
         """
         import pyarrow.compute as pc
 
@@ -233,8 +250,13 @@ class Graph:
         contribs = prepared.groupby("part").map_groups(
             _EdgeShardWriter(edges_tmp, P, dedup), batch_format="pyarrow"
         )
+        excl = (
+            np.unique(np.asarray(exclude_vertices, dtype=np.int64))
+            if exclude_vertices is not None
+            else None
+        )
         stats = contribs.groupby("vpart").map_groups(
-            _VertexShardWriter(vertices_tmp), batch_format="pyarrow"
+            _VertexShardWriter(vertices_tmp, excl), batch_format="pyarrow"
         )
         rows = stats.take_all()
 
@@ -253,7 +275,11 @@ class Graph:
         with open(os.path.join(graph_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
         g = cls(graph_dir)
-        g._add_dst_gidx()
+        n_dangling = g._add_dst_gidx()
+        if n_dangling:
+            g.meta["n_dangling"] = n_dangling
+            with open(os.path.join(graph_dir, "meta.json"), "w") as f:
+                json.dump(g.meta, f, indent=2)
         return g
 
     @classmethod
@@ -265,6 +291,7 @@ class Graph:
         weight=None,
         num_partitions: int = 8,
         symmetric: bool = False,
+        exclude_vertices=None,
     ) -> "Graph":
         """Test/fixture helper: build from in-memory edge arrays."""
         import ray.data as rd
@@ -289,7 +316,10 @@ class Graph:
                 "weight": pa.array(w, pa.float64()),
             }
         )
-        return cls.build(rd.from_arrow(tbl), graph_dir, num_partitions)
+        return cls.build(
+            rd.from_arrow(tbl), graph_dir, num_partitions,
+            exclude_vertices=exclude_vertices,
+        )
 
     @classmethod
     def load(cls, graph_dir: str) -> "Graph":
@@ -382,44 +412,147 @@ class Graph:
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         return offsets, sizes
 
-    def _add_dst_gidx(self):
+    def _add_dst_gidx(self) -> int:
         """Post-build pass: annotate every edge with the global dense
         index of its destination (the GraphX-style routing-table join).
         Lets executors aggregate signals with bincount / minimum.at —
-        no sorting in the superstep hot path. One parallel rewrite of
-        the edge shards; vertex vid arrays are shared via the object
-        store (at true web scale this becomes a co-partitioned join,
-        same as every other join in this repo)."""
-        import ray
+        no sorting in the superstep hot path.
 
+        Implemented as a co-partitioned tagged-union join (the same
+        ``_attach`` pattern as ``algorithms/triangles.py``): (vid, gidx)
+        mapping rows from each vertex shard and (shard, row, dst) probe
+        rows from each edge shard are hashed to the SAME ``dpart`` key,
+        resolved per group with one searchsorted, then routed back by
+        edge shard for an ordered in-place rewrite — two exchanges of
+        3 ints/edge, no driver-side loop, no per-task fetch of all
+        vertex partitions. Destinations missing from the vertex table
+        (``exclude_vertices`` builds) get ``dst_gidx = -1``; returns how
+        many (``meta["n_dangling"]``)."""
+        import ray.data as rd
+
+        P = self.num_partitions
         offsets, _ = self.part_offsets()
-        vid_refs = {}
-        for f in self.vertex_files():
-            p = int(os.path.basename(f).split("-")[1].split(".")[0])
-            vid_refs[p] = ray.put(
-                pq.read_table(f, columns=["vid"]).column("vid").combine_chunks()
-                .to_numpy(zero_copy_only=False)
+        vfiles = self.vertex_files()
+        efiles = self.edge_files()
+        if not efiles:
+            return 0
+
+        def _pnum(path: str) -> int:
+            return int(os.path.basename(path).split("-")[1].split(".")[0])
+
+        def emit_mapping(tbl: pa.Table) -> pa.Table:
+            pieces = []
+            for path in tbl.column("path").to_pylist():
+                p = _pnum(path)
+                vids = (
+                    pq.read_table(path, columns=["vid"]).column("vid")
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                )
+                n = len(vids)
+                pieces.append(
+                    pa.table(
+                        {
+                            "dpart": pa.array(
+                                np.full(n, p, dtype=np.int32), pa.int32()
+                            ),
+                            "shard": pa.array(
+                                np.full(n, -1, dtype=np.int32), pa.int32()
+                            ),
+                            "row": pa.array(np.zeros(n, np.int64), pa.int64()),
+                            "key": pa.array(vids, pa.int64()),
+                            # vertex shards are vid-sorted → dense rank
+                            "gidx": pa.array(
+                                offsets[p] + np.arange(n, dtype=np.int64),
+                                pa.int64(),
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(pieces)
+
+        def emit_probes(tbl: pa.Table) -> pa.Table:
+            pieces = []
+            for path in tbl.column("path").to_pylist():
+                p = _pnum(path)
+                dst = (
+                    pq.read_table(path, columns=["dst"]).column("dst")
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                )
+                n = len(dst)
+                pieces.append(
+                    pa.table(
+                        {
+                            "dpart": pa.array(part_of(dst, P), pa.int32()),
+                            "shard": pa.array(
+                                np.full(n, p, dtype=np.int32), pa.int32()
+                            ),
+                            "row": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                            "key": pa.array(dst, pa.int64()),
+                            "gidx": pa.array(
+                                np.full(n, -1, dtype=np.int64), pa.int64()
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(pieces)
+
+        def resolve(tbl: pa.Table) -> pa.Table:
+            shard = _to_np(tbl, "shard")
+            row = _to_np(tbl, "row")
+            key = _to_np(tbl, "key")
+            gidx = _to_np(tbl, "gidx")
+            ism = shard < 0
+            mv, mg = key[ism], gidx[ism]
+            order = np.argsort(mv, kind="stable")
+            mv, mg = mv[order], mg[order]
+            ek, es, er = key[~ism], shard[~ism], row[~ism]
+            out = np.full(len(ek), -1, dtype=np.int64)
+            if len(mv) and len(ek):
+                pos = np.searchsorted(mv, ek)
+                pos_c = np.minimum(pos, len(mv) - 1)
+                found = (pos < len(mv)) & (mv[pos_c] == ek)
+                out[found] = mg[pos_c[found]]
+            return pa.table(
+                {
+                    "shard": pa.array(es, pa.int32()),
+                    "row": pa.array(er, pa.int64()),
+                    "gidx": pa.array(out, pa.int64()),
+                }
             )
 
-        @ray.remote
-        def annotate(path, vid_refs_w, offsets):
-            vid_refs = vid_refs_w[0]
-            tbl = pq.read_table(path)
-            dst = tbl.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-            P = len(offsets)
-            dparts = part_of(dst, P)
-            gidx = np.empty(len(dst), dtype=np.int64)
-            for p in np.unique(dparts):
-                sel = dparts == p
-                vids = ray.get(vid_refs[int(p)])
-                gidx[sel] = offsets[p] + np.searchsorted(vids, dst[sel])
-            out = tbl.append_column("dst_gidx", pa.array(gidx, pa.int64()))
-            pq.write_table(out, path)
-            return True
+        edge_dir = os.path.join(self.graph_dir, "edges")
 
-        ray.get(
-            [annotate.remote(f, [vid_refs], offsets) for f in self.edge_files()]
+        def rewrite(tbl: pa.Table) -> pa.Table:
+            p = int(tbl.column("shard")[0].as_py())
+            row = _to_np(tbl, "row")
+            gidx = _to_np(tbl, "gidx")
+            g = np.empty(len(row), dtype=np.int64)
+            g[row] = gidx
+            path = os.path.join(edge_dir, f"part-{p:05d}.parquet")
+            etbl = pq.read_table(path)
+            etbl = etbl.append_column("dst_gidx", pa.array(g, pa.int64()))
+            pq.write_table(etbl, path)
+            return pa.table(
+                {"n_dangling": pa.array([int((g < 0).sum())], pa.int64())}
+            )
+
+        def _paths_ds(paths):
+            return rd.from_arrow(
+                pa.table({"path": pa.array(paths, pa.string())})
+            ).repartition(len(paths))
+
+        mapping = _paths_ds(vfiles).map_batches(
+            emit_mapping, batch_format="pyarrow"
+        ) if vfiles else None
+        probes = _paths_ds(efiles).map_batches(emit_probes, batch_format="pyarrow")
+        both = probes.union(mapping) if mapping is not None else probes
+        resolved = both.groupby("dpart").map_groups(
+            resolve, batch_format="pyarrow"
         )
+        counts = resolved.groupby("shard").map_groups(
+            rewrite, batch_format="pyarrow"
+        ).take_all()
+        return int(sum(r["n_dangling"] for r in counts))
 
     def csr_refs(self) -> Dict[int, "object"]:
         """{part → ObjectRef[CSR dict]} — built once, shared zero-copy by

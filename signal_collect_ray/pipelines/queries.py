@@ -811,6 +811,16 @@ def q_schelling_k8(sf_dir: str):
     )
 
 
+def q_token_diffusion_k4(sf_dir: str):
+    """4 steps of token forwarding from vertex 0 — drives the
+    ResetStateAfterSignaling mixin (algorithms/tokens.py) through the
+    oracle gate."""
+    from signal_collect_ray.algorithms import TokenDiffusion
+
+    t = _state(sf_dir, TokenDiffusion(0), False, 4, eps=0.0, tag="_tok4")
+    return _round_state(t, "mass", 6)
+
+
 def q_dedup_minhash_survivors(sf_dir: str):
     """End-to-end near-dup dedup retention: LSH candidates → exact
     Jaccard ≥ 0.8 verify → transitive closure (ConnectedComponents over
@@ -993,6 +1003,36 @@ _EMB_PAIRS_SQL = (
 )
 
 
+def _token_sql(k: int, source: int = 0) -> str:
+    """Oracle for TokenDiffusion (ResetStateAfterSignaling semantics):
+    per step, every vertex with out-edges forwards its whole mass split
+    evenly over them and resets to 0; sinks accumulate. Unrolled k-step
+    CTE over the derived lineitem graph."""
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
+        f"t0 AS (SELECT vid, CASE WHEN vid = {source} THEN CAST(1.0 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS s FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"t{i} AS (SELECT v.vid, "
+            "CASE WHEN myod.outd IS NULL THEN own.s ELSE 0.0 END "
+            f"+ COALESCE(SUM(nb.s / srcod.outd), 0.0) AS s "
+            f"FROM v JOIN t{i-1} own ON own.vid = v.vid "
+            "LEFT JOIN od myod ON myod.src = v.vid "
+            "LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN t{i-1} nb ON nb.vid = e.src "
+            "LEFT JOIN od srcod ON srcod.src = e.src "
+            "GROUP BY v.vid, own.s, myod.outd)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, ROUND(s, 6) AS mass FROM t{k}"
+    )
+
+
 def _cellular_sql(kind: str, k: int, w: int = _GOL_W, threshold: float = 0.45) -> str:
     """Unrolled SQL oracle for the cellular queries: the same 8-neighbor
     grid, vid-derived seed and per-step rule as the GameOfLife /
@@ -1119,6 +1159,7 @@ def queries():
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "game_of_life_k8": q_game_of_life_k8,
         "schelling_k8": q_schelling_k8,
+        "token_diffusion_k4": q_token_diffusion_k4,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
@@ -1228,4 +1269,5 @@ def oracle_sql():
         "dedup_minhash_survivors": _survivors_sql(16, 0.8),
         "game_of_life_k8": _cellular_sql("gol", 8),
         "schelling_k8": _cellular_sql("schelling", 8),
+        "token_diffusion_k4": _token_sql(4),
     }

@@ -91,3 +91,128 @@ def adjacency_vertices(paths):
         return pa.table({"vid": pa.array(out, pa.int64())})
 
     return rd.read_text(paths).map_batches(vids, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# binary split loader (web-split varint format)
+# ---------------------------------------------------------------------------
+# The reference's fastest loading path (``examples/EfficientSssp.scala:64-86``
+# ``loadSplit``): each split file is a stream of
+# ``[varint vertexId, varint outDegree, outDegree × varint targetId]``
+# records, varints in the LEB128-style encoding of
+# ``util/Ints.scala:82-142`` (7 data bits per byte, little-endian groups,
+# MSB = continuation). One Ray task decodes one split — the same
+# parallelism contract as the reference's one-GraphEditor-per-split.
+
+
+def _encode_varints(vals: np.ndarray) -> np.ndarray:
+    """Vectorized unsigned-varint encoder (Ints.writeUnsignedVarInt)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    nb = np.select(
+        [vals < 1 << 7, vals < 1 << 14, vals < 1 << 21, vals < 1 << 28],
+        [1, 2, 3, 4],
+        default=5,
+    ).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for j in range(5):
+        sel = nb > j
+        if not sel.any():
+            break
+        byte = (vals[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = np.where(nb[sel] > j + 1, 0x80, 0).astype(np.uint64)
+        out[starts[sel] + j] = (byte | cont).astype(np.uint8)
+    return out
+
+
+def _decode_varints(buf: np.ndarray) -> np.ndarray:
+    """Vectorized unsigned-varint decoder (Ints.readUnsignedVarInt):
+    terminator bytes have MSB 0; each byte contributes 7 bits shifted by
+    its position within its group. One bincount, no Python loop."""
+    if not len(buf):
+        return np.empty(0, dtype=np.int64)
+    ends = (buf & 0x80) == 0
+    gid = np.zeros(len(buf), dtype=np.int64)
+    gid[1:] = np.cumsum(ends)[:-1]
+    group_start = np.flatnonzero(np.concatenate([[True], ends[:-1]]))
+    pos_in = np.arange(len(buf), dtype=np.int64) - group_start[gid]
+    contrib = (buf & np.uint8(0x7F)).astype(np.int64) << (7 * pos_in)
+    # exact: every contribution < 2^35, float64 bincount is lossless here
+    return np.bincount(gid, weights=contrib).astype(np.int64)
+
+
+def write_binary_splits(
+    src: np.ndarray, dst: np.ndarray, out_dir: str, num_splits: int = 8,
+    prefix: str = "web-split-",
+):
+    """Write edge arrays as reference-format binary splits (vertex → split
+    by ``vid % num_splits``, matching the modulo mapper the loader's
+    per-split GraphEditor assignment implies). Returns the file paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    boundaries = np.flatnonzero(np.concatenate([[True], src[1:] != src[:-1]]))
+    vids = src[boundaries]
+    degs = np.diff(np.append(boundaries, len(src)))
+    paths = []
+    for s in range(num_splits):
+        sel = np.flatnonzero(vids % num_splits == s)
+        stream = []
+        for i in sel:
+            b = boundaries[i]
+            stream.append([vids[i], degs[i]])
+            stream.append(dst[b : b + degs[i]])
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64).ravel() for x in stream])
+            if stream
+            else np.empty(0, dtype=np.int64)
+        )
+        path = os.path.join(out_dir, f"{prefix}{s}")
+        _encode_varints(flat).tofile(path)
+        paths.append(path)
+    return paths
+
+
+def read_binary_splits(paths):
+    """Binary web-split files → edge Dataset (src, dst, weight=1).
+
+    One decode task per split file; the varint stream is decoded
+    vectorized, then the ``[vid, deg, targets…]`` records are segmented
+    with a per-VERTEX (not per-byte) scan and expanded into edge arrays
+    with repeat/fancy-indexing."""
+    import ray.data as rd
+
+    def decode(batch) -> pa.Table:
+        srcs, dsts = [], []
+        for path in batch["path"]:
+            vals = _decode_varints(np.fromfile(path, dtype=np.uint8))
+            starts, degs, vlist = [], [], []
+            i = 0
+            while i < len(vals):
+                deg = int(vals[i + 1])
+                vlist.append(vals[i])
+                degs.append(deg)
+                starts.append(i + 2)
+                i += 2 + deg
+            if not vlist:
+                continue
+            degs = np.asarray(degs, dtype=np.int64)
+            starts = np.asarray(starts, dtype=np.int64)
+            from signal_collect_ray.util import expand_ranges
+
+            dsts.append(vals[expand_ranges(starts, degs)])
+            srcs.append(np.repeat(np.asarray(vlist, dtype=np.int64), degs))
+        if not srcs:
+            return _edge_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        return _edge_table(np.concatenate(srcs), np.concatenate(dsts))
+
+    paths = list(paths)
+    return (
+        rd.from_arrow(pa.table({"path": pa.array(paths, pa.string())}))
+        .repartition(len(paths))
+        .map_batches(decode, batch_format="numpy")
+    )
