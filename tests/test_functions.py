@@ -284,3 +284,51 @@ def test_binary_split_roundtrip(ray_session, tmp_path):
     d1 = eng.run(g1, SSSP(0), run_dir=str(tmp_path / "r1"), resume=False).state_table()
     d2 = eng.run(g2, SSSP(0), run_dir=str(tmp_path / "r2"), resume=False).state_table()
     assert d1.equals(d2)
+
+
+def test_batch_shingles_and_minhash_match_per_doc(ray_session):
+    """The batch-flat shingle/minhash path must be bit-identical to the
+    per-document reference path (_shingles / MinHasher.signature)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from signal_collect_ray.functions.dedup import (
+        MinHasher,
+        SimHasher,
+        _batch_shingles,
+        _shingles,
+    )
+
+    texts = [
+        "",
+        "one",
+        "a b c d",
+        "the quick brown fox jumps over the lazy dog",
+        "to be or not to be that is the question " * 5,
+        "  spaced   OUT   Words  with CASE  ",
+    ] * 3
+    flat, counts = _batch_shingles(texts, 5)
+    off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(
+            _shingles(t, 5), flat[off[i] : off[i] + counts[i]], err_msg=str(i)
+        )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    mh = MinHasher(32, 5, 7)
+    vals = (
+        mh(tbl).column("minhash").combine_chunks().values
+        .to_numpy(zero_copy_only=False).reshape(len(texts), 32)
+    )
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(
+            vals[i], mh.signature(t).astype(np.int64), err_msg=str(i)
+        )
+    # simhash of identical docs must be identical across batch positions
+    sh = SimHasher(3)(tbl).column("simhash").to_pylist()
+    assert sh[3] == sh[9] == sh[15]
