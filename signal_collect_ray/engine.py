@@ -370,6 +370,7 @@ class CollectStage:
         return merged
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        t_start = time.perf_counter()
         algo = self.algo
         p = int(tbl.column("dst_part")[0].as_py())
         prev_path = os.path.join(self.prev_dir, f"part-{p:05d}.parquet")
@@ -450,10 +451,13 @@ class CollectStage:
             edges_next,
             n_sig_rows,
             undeliverable,
+            collect_s=time.perf_counter() - t_start,
         )
 
     @staticmethod
-    def _metrics(p, n_v, n_act, res, edges_next, sig_rows, undeliv) -> pa.Table:
+    def _metrics(
+        p, n_v, n_act, res, edges_next, sig_rows, undeliv, collect_s=0.0
+    ) -> pa.Table:
         return pa.table(
             {
                 "part": pa.array([p], pa.int32()),
@@ -463,6 +467,7 @@ class CollectStage:
                 "edges_traversed": pa.array([edges_next], pa.int64()),
                 "signal_rows_in": pa.array([sig_rows], pa.int64()),
                 "undeliverable": pa.array([undeliv], pa.int64()),
+                "collect_s": pa.array([collect_s], pa.float64()),
             }
         )
 
@@ -898,6 +903,8 @@ class SuperstepEngine:
                     "edges_next": int(r["edges_traversed"]),
                     "signal_rows_in": int(r["signal_rows_in"]),
                     "undeliverable": int(r["undeliverable"]),
+                    "signal_s": float(r.get("signal_s", 0.0) or 0.0),
+                    "collect_s": float(r.get("collect_s", 0.0) or 0.0),
                 }
                 for r in rows
             ),

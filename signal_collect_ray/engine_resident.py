@@ -384,12 +384,24 @@ class _Worker:
         immediately compute step k+1's outbox — ONE actor barrier per
         superstep instead of two. Returns (outbox, metrics); the driver
         keeps the outbox as an unfetched ref for the next round."""
+        t0 = time.perf_counter()
         rows = (
             self.collect_dense(outbox_refs)
             if mode_collect == "dense"
             else self.collect(outbox_refs)
         )
+        t1 = time.perf_counter()
         outbox = self.signal_dense() if mode_signal == "dense" else self.signal()
+        t2 = time.perf_counter()
+        # Timeable rebuild (Timeable.scala:7-66) at partition granularity:
+        # the vectorized engine processes a partition's vertices in one
+        # fused kernel, so per-vertex timers are meaningless — worker
+        # phase wall is attributed to owned partitions by vertex count.
+        n_total = sum(len(self.meta[p]["vid"]) for p in self.parts if p in self.meta)
+        for r in rows:
+            frac = r["n_vertices"] / max(n_total, 1)
+            r["collect_s"] = (t1 - t0) * frac
+            r["signal_s"] = (t2 - t1) * frac
         return outbox, rows
 
     def aggregate_states(self, gt):

@@ -133,3 +133,35 @@ def multi_aggregate(state_ds, *aggs):
     """MultiAggregator (AggregationOperations.scala:35-48) — several
     aggregations in one pass via Ray Data multi-agg."""
     return state_ds.aggregate(*aggs)
+
+
+def top_activity(info, k: int = 5) -> pa.Table:
+    """TopActivityAggregator / Timeable rebuild (reference
+    ``Timeable.scala:7-66``, ``AggregationOperations`` top-k by
+    instrumented per-vertex signal/collect time): the k busiest
+    PARTITIONS by cumulative phase wall time across the run's supersteps.
+
+    Granularity deviation, documented: the vectorized engine fuses a
+    partition's vertices into one kernel, so time is measured per
+    partition per phase (resident executor attributes worker phase wall
+    by vertex count; the durable executor times each CollectStage call
+    exactly). Returns (part, signal_s, collect_s, total_s) descending.
+    """
+    sig: dict = {}
+    col: dict = {}
+    for m in getattr(info, "per_step", info):
+        for pr in m.get("parts", ()):
+            p = int(pr["part"])
+            sig[p] = sig.get(p, 0.0) + float(pr.get("signal_s", 0.0))
+            col[p] = col.get(p, 0.0) + float(pr.get("collect_s", 0.0))
+    parts = sorted(sig, key=lambda p: -(sig[p] + col[p]))[:k]
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int32()),
+            "signal_s": pa.array([sig[p] for p in parts], pa.float64()),
+            "collect_s": pa.array([col[p] for p in parts], pa.float64()),
+            "total_s": pa.array(
+                [sig[p] + col[p] for p in parts], pa.float64()
+            ),
+        }
+    )

@@ -49,3 +49,33 @@ def test_aggregation_interval_respected(tmp_path):
     )
     assert info.termination_reason == "GlobalConstraintMet"
     assert info.supersteps % 5 == 0
+
+
+def test_top_activity_partition_timing(ray_session, tmp_path):
+    """Timeable/TopActivityAggregator rebuild: both executors record
+    per-partition phase wall time in manifests; top_activity ranks."""
+    import numpy as np
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.engine import SuperstepEngine
+    from signal_collect_ray.engine_resident import ResidentEngine
+    from signal_collect_ray.functions.aggregations import top_activity
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 100, 600).astype(np.int64)
+    dst = rng.integers(0, 100, 600).astype(np.int64)
+    keep = src != dst
+    g = Graph.from_edge_arrays(
+        src[keep], dst[keep], str(tmp_path / "g"), num_partitions=4
+    )
+    for name, eng in (
+        ("durable", SuperstepEngine(EngineConfig(num_partitions=4, max_supersteps=5, eps=0.0))),
+        ("resident", ResidentEngine(EngineConfig(num_partitions=4, max_supersteps=5, eps=0.0), num_workers=2)),
+    ):
+        info = eng.run(g, PageRank(), run_dir=str(tmp_path / f"r{name}"), resume=False)
+        t = top_activity(info, k=3)
+        assert t.num_rows == 3
+        totals = t.column("total_s").to_pylist()
+        assert totals == sorted(totals, reverse=True)
+        assert totals[0] > 0.0, name
