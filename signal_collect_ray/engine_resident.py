@@ -379,11 +379,17 @@ class _Worker:
             self.state[p] = algo.collect(prev, dst, vals, self.threshold)
         return self._metrics()
 
-    def collect_and_signal(self, outbox_refs: list, mode_collect: str, mode_signal: str):
+    def collect_and_signal(
+        self, outbox_refs: list, mode_collect: str, mode_signal: str,
+        skip_signal: bool = False,
+    ):
         """Fused superstep round: collect step k's signals, then
         immediately compute step k+1's outbox — ONE actor barrier per
         superstep instead of two. Returns (outbox, metrics); the driver
-        keeps the outbox as an unfetched ref for the next round."""
+        keeps the outbox as an unfetched ref for the next round.
+        ``skip_signal`` elides the signal half on the run's final
+        possible step (its outbox could never be collected — notable for
+        always_signal algorithms on fixed-k runs)."""
         t0 = time.perf_counter()
         rows = (
             self.collect_dense(outbox_refs)
@@ -391,7 +397,10 @@ class _Worker:
             else self.collect(outbox_refs)
         )
         t1 = time.perf_counter()
-        outbox = self.signal_dense() if mode_signal == "dense" else self.signal()
+        if skip_signal:
+            outbox = {}
+        else:
+            outbox = self.signal_dense() if mode_signal == "dense" else self.signal()
         t2 = time.perf_counter()
         # Timeable rebuild (Timeable.scala:7-66) at partition granularity:
         # the vectorized engine processes a partition's vertices in one
@@ -650,7 +659,8 @@ class ResidentEngine:
             next_mode = _mode(last)
             rets = [
                 w.collect_and_signal.options(num_returns=2).remote(
-                    sig_refs, pending_mode, next_mode
+                    sig_refs, pending_mode, next_mode,
+                    k >= max_supersteps,  # final step's outbox is dead
                 )
                 for w in workers
             ]

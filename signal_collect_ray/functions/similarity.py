@@ -469,3 +469,150 @@ def embedding_dedup_cosine(
             return tbl.take(pa.array([0], pa.int64()))
 
     return pairs.groupby(["id_a", "id_b"]).map_groups(_First(), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruning scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    embeddings_ds, n_clusters: int = 64, sample_size: int = 65536,
+    n_iter: int = 10, seed: int = 42, emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd, cosine assignment) on a bounded sample —
+    the IVF coarse quantizer. The sample is the SMALL side (≤ sample_size
+    rows through the driver, documented); at 100 TB the sample is still a
+    fixed-size draw, never the corpus. Returns (n_clusters, d) normalized
+    centroids."""
+    rows = embeddings_ds.select_columns([emb_col]).limit(sample_size).take_all()
+    m = _normalize(
+        np.array([r[emb_col] for r in rows], dtype=np.float64)
+    )
+    rng = np.random.default_rng(seed)
+    n_clusters = min(n_clusters, len(m))
+    C = m[rng.choice(len(m), n_clusters, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(m @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=n_clusters)
+        empty = counts == 0
+        C = np.where(empty[:, None], C, sums / np.maximum(counts, 1)[:, None])
+        C = _normalize(C)
+    return C
+
+
+def ivf_assign(
+    embeddings_ds, centroids: np.ndarray, emb_col: str = "embedding",
+):
+    """Add an ``ivf_cell`` column (nearest centroid by cosine) — write
+    the result partitioned by cell (``write_parquet(partition_cols=
+    ["ivf_cell"])``) and later reads prune whole cells at the file
+    listing, the IVF index proper."""
+    import ray
+
+    ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    class _Assign:
+        __name__ = "_Assign"
+
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._c is None:
+                self._c = ray.get(ref)
+            m = _normalize(_emb_matrix(tbl, emb_col))
+            cell = np.argmax(m @ self._c.T, axis=1).astype(np.int32)
+            return tbl.append_column("ivf_cell", pa.array(cell, pa.int32()))
+
+    return embeddings_ds.map_batches(_Assign(), batch_format="pyarrow")
+
+
+def knn_ivf(
+    embeddings_ds,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+):
+    """IVF cosine top-k: score only rows whose cell is among the
+    ``n_probe`` nearest centroids of SOME query (recall < 1, controlled
+    by n_probe/n_clusters). One pass, no shuffle: each batch assigns its
+    rows to cells, masks to probed cells, partial top-k, final per-query
+    merge — same skeleton as knn_brute_force with candidate pruning.
+    Pass precomputed ``centroids`` to reuse a trained quantizer."""
+    import ray
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings_ds, n_clusters, seed=seed, emb_col=emb_col
+        )
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    probe = np.argpartition(-(qn @ C.T), min(n_probe, len(C)) - 1, axis=1)[
+        :, : min(n_probe, len(C))
+    ]
+    allowed = np.zeros(len(C), dtype=bool)
+    allowed[np.unique(probe)] = True
+    ref = ray.put({"C": C, "q": qn, "allowed": allowed})
+
+    class _IvfScore:
+        __name__ = "_IvfScore"
+
+        def __init__(self):
+            self._s = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._s is None:
+                self._s = ray.get(ref)
+            C, q, allowed = self._s["C"], self._s["q"], self._s["allowed"]
+            m = _normalize(_emb_matrix(tbl, emb_col))
+            cell = np.argmax(m @ C.T, axis=1)
+            keep = np.flatnonzero(allowed[cell])
+            empty = pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+            if not len(keep):
+                return empty
+            m = m[keep]
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)[keep]
+            scores = m @ q.T  # (nb, nq)
+            nb, nq = scores.shape
+            kk = min(k, nb)
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            out_ids = ids[top.reshape(-1)]
+            out_q = np.repeat(
+                np.arange(nq, dtype=np.int64)[None, :], kk, axis=0
+            ).reshape(-1)
+            out_s = scores[top.reshape(-1), np.tile(np.arange(nq), kk)]
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "id": pa.array(out_ids, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings_ds.select_columns([id_col, emb_col]).map_batches(
+        _IvfScore(), batch_format="pyarrow", batch_size=4096
+    )
+
+    class _FinalTopK:
+        __name__ = "_FinalTopK"
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            s = tbl.column("score").to_numpy(zero_copy_only=False)
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -s))[:k]
+            return tbl.take(pa.array(order, pa.int64()))
+
+    return partials.groupby("qid").map_groups(_FinalTopK(), batch_format="pyarrow")

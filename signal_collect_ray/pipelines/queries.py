@@ -903,6 +903,56 @@ def q_embedding_dedup_pairs(sf_dir: str):
     return embedding_pairs_exact(ds, threshold=0.5, round_digits=4)
 
 
+def q_embedding_dedup_survivors(sf_dir: str):
+    """End-to-end embedding near-dup retention: exact pairs (cosine ≥
+    0.5) → transitive closure (ConnectedComponents on the pair graph) →
+    keep each cluster's min vec_id. Oracle: all-pairs cosine SQL +
+    unrolled min-label CC."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import (
+        drop_ids,
+        duplicate_ids_from_pairs,
+    )
+    from signal_collect_ray.functions.similarity import embedding_pairs_exact
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_pairs_exact(ds, threshold=0.5, round_digits=None)
+    dupes = duplicate_ids_from_pairs(
+        pairs, _work_dir(sf_dir, "emb_dedup_cc")
+    )
+    out = drop_ids(ds.select_columns(["vec_id"]), dupes, "vec_id")
+    return out.select_columns(["vec_id"])
+
+
+def q_knn_ivf_vec0_top5(sf_dir: str):
+    """IVF-bucketed ANN (coarse-quantizer cells + n_probe search) — the
+    partition-pruning scale path; rows-only (k-means centroids are not
+    SQL-expressible), recall pinned vs brute force in tests."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Min
+
+    from signal_collect_ray.functions.similarity import knn_ivf
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    min_id = ds.aggregate(Min("vec_id", alias_name="m"))["m"]
+
+    def _is_min(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        return tbl.take(pa.array(np.flatnonzero(v == min_id), pa.int64()))
+
+    first = ds.map_batches(_is_min, batch_format="pyarrow").take(1)[0]
+    q0 = np.asarray(first["embedding"], dtype=np.float64)
+    out = knn_ivf(ds, q0[None, :], k=5, n_clusters=16, n_probe=8).take_all()
+    return pa.table(
+        {
+            "id": pa.array([r["id"] for r in out], pa.int64()),
+            "score": pa.array([round(r["score"], 4) for r in out], pa.float64()),
+        }
+    )
+
+
 def q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -1076,6 +1126,44 @@ def _cellular_sql(kind: str, k: int, w: int = _GOL_W, threshold: float = 0.45) -
     )
 
 
+def _closure_survivors_sql(
+    dup_pairs_sql: str, vtable: str, id_col: str, k: int = 16,
+    extra_ctes: str = "",
+) -> str:
+    """Generic transitive-closure retention oracle: duplicate pairs
+    (columns ida, idb) → k rounds of unrolled min-label propagation →
+    survivors = vertices whose converged label is their own id. Every
+    CTE MATERIALIZED (DuckDB expands self-referencing round CTEs
+    exponentially otherwise — fd exhaustion)."""
+    ctes = [
+        f"dup AS MATERIALIZED ({dup_pairs_sql})",
+        "e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dup "
+        "UNION SELECT idb, ida FROM dup)",
+        f"v AS MATERIALIZED (SELECT {id_col} AS vid FROM {vtable})",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS lab FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.vid, "
+            f"LEAST(own.lab, COALESCE(MIN(nb.lab), own.lab)) AS lab "
+            f"FROM v JOIN l{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN l{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.lab)"
+        )
+    return (
+        "WITH " + (extra_ctes + ", " if extra_ctes else "") + ", ".join(ctes)
+        + f" SELECT vid AS {id_col} FROM l{k} WHERE lab = vid"
+    )
+
+
+_EMB_DUP_PAIRS_SQL = (
+    "SELECT a.vec_id AS ida, b.vec_id AS idb "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.5"
+)
+
+
 def _survivors_sql(k: int = 16, threshold: float = 0.8) -> str:
     """Oracle for dedup_minhash end-to-end retention: EXACT all-pairs
     word-5-shingle Jaccard ≥ threshold (the LSH pass at 32 bands × 2
@@ -1160,6 +1248,7 @@ def queries():
         "game_of_life_k8": q_game_of_life_k8,
         "schelling_k8": q_schelling_k8,
         "token_diffusion_k4": q_token_diffusion_k4,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
@@ -1168,6 +1257,7 @@ def queries():
         "simhash_signatures": q_simhash_signatures,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
+        "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
         "media_features": q_media_features,
     }
 
@@ -1270,4 +1360,7 @@ def oracle_sql():
         "game_of_life_k8": _cellular_sql("gol", 8),
         "schelling_k8": _cellular_sql("schelling", 8),
         "token_diffusion_k4": _token_sql(4),
+        "embedding_dedup_survivors": _closure_survivors_sql(
+            _EMB_DUP_PAIRS_SQL, "embeddings", "vec_id", 16
+        ),
     }

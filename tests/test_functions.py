@@ -332,3 +332,46 @@ def test_batch_shingles_and_minhash_match_per_doc(ray_session):
     # simhash of identical docs must be identical across batch positions
     sh = SimHasher(3)(tbl).column("simhash").to_pylist()
     assert sh[3] == sh[9] == sh[15]
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN recall vs exact brute force on clustered synthetic data:
+    with enough probes the probed cells contain the true neighbors."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import (
+        knn_brute_force,
+        knn_ivf,
+        train_ivf_centroids,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(8, 16))
+    pts = np.concatenate(
+        [c + 0.05 * rng.normal(size=(250, 16)) for c in centers]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(pts)), pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        )
+    )
+    q = pts[:4]
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = knn_ivf(ds, q, k=10, n_clusters=16, n_probe=4, seed=1).to_pandas()
+    recalls = []
+    for qid in range(4):
+        e = set(exact[exact["qid"] == qid]["id"])
+        a = set(approx[approx["qid"] == qid]["id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+
+    cents = train_ivf_centroids(ds, n_clusters=16, seed=1)
+    cells = ivf_assign(ds, cents).to_pandas()
+    assert set(cells.columns) >= {"vec_id", "embedding", "ivf_cell"}
+    assert cells["ivf_cell"].nunique() > 1
