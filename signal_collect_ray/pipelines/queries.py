@@ -953,6 +953,27 @@ def q_knn_ivf_vec0_top5(sf_dir: str):
     )
 
 
+def q_pagerank_async(sf_dir: str):
+    """Delta PageRank under the PureAsynchronous executor (chaotic
+    worker-local rounds, coordinator quiescence) — rows-only: the async
+    schedule is nondeterministic between runs, but the fixpoint agrees
+    with the synchronous run within the signal threshold (equivalence
+    pinned exactly in tests/test_async.py); ranks here are rounded to 4
+    decimals where the 1e-9-threshold fixpoints coincide."""
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.engine_async import AsyncEngine
+    from signal_collect_ray import EngineConfig
+
+    g = _graph(sf_dir)
+    eng = AsyncEngine(
+        EngineConfig(num_partitions=_P, signal_threshold=1e-9), num_workers=4
+    )
+    info = eng.run(
+        g, PageRank(), run_dir=_work_dir(sf_dir, "run_pr_async")
+    )
+    return _round_state(info.state_table(), "rank", 4)
+
+
 def q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -1258,6 +1279,7 @@ def queries():
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
         "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
+        "pagerank_async": q_pagerank_async,
         "media_features": q_media_features,
     }
 

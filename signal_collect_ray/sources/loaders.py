@@ -216,3 +216,72 @@ def read_binary_splits(paths):
         .repartition(len(paths))
         .map_batches(decode, batch_format="numpy")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-Triples loader (LodNeighbourhoodPageRank source)
+# ---------------------------------------------------------------------------
+
+def read_ntriples(paths, subject_prefix: str = ""):
+    """N-Triples lines → IRI edge Dataset (src_url, dst_url, src, dst,
+    weight) with deterministic hash vids (``util.url_to_vid`` — no
+    global dictionary shuffle).
+
+    The reference's ``LodNeighbourhoodPageRank``
+    (``examples/LodNeighbourhoodPageRank.scala:30-59``) streams dbpedia
+    ``.ntriples`` and adds a PageRank edge subject→object for every
+    IRI-valued object; this loader reproduces that extraction over LOCAL
+    ntriples text (no network in this environment): lines
+    ``<s> <p> <o> .`` keep IRI objects only (literals dropped, like the
+    reference's startswith filter); ``subject_prefix`` optionally
+    restricts objects to a namespace the way the reference restricts to
+    ``http://dbpedia.org/resource/``."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import urls_to_vids
+
+    def parse(batch) -> pa.Table:
+        src_urls, dst_urls = [], []
+        for line in batch["text"]:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            # <s> <p> <o> .   — object must be an IRI (starts with '<')
+            parts = line.split(None, 2)
+            if len(parts) < 3 or not (
+                parts[0].startswith("<") and parts[2].startswith("<")
+            ):
+                continue
+            obj = parts[2]
+            end = obj.find(">")
+            if end < 0:
+                continue
+            s = parts[0][1:-1]
+            o = obj[1:end]
+            if subject_prefix and not o.startswith(subject_prefix):
+                continue
+            if s == o:
+                continue
+            src_urls.append(s)
+            dst_urls.append(o)
+        if not src_urls:
+            return pa.table(
+                {
+                    "src_url": pa.array([], pa.string()),
+                    "dst_url": pa.array([], pa.string()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "src_url": pa.array(src_urls, pa.string()),
+                "dst_url": pa.array(dst_urls, pa.string()),
+                "src": pa.array(urls_to_vids(src_urls), pa.int64()),
+                "dst": pa.array(urls_to_vids(dst_urls), pa.int64()),
+                "weight": pa.array(np.ones(len(src_urls)), pa.float64()),
+            }
+        )
+
+    return rd.read_text(paths).map_batches(parse, batch_format="numpy")

@@ -375,3 +375,43 @@ def test_knn_ivf_recall(ray_session):
     cells = ivf_assign(ds, cents).to_pandas()
     assert set(cells.columns) >= {"vec_id", "embedding", "ivf_cell"}
     assert cells["ivf_cell"].nunique() > 1
+
+
+def test_ntriples_loader_and_pagerank(ray_session, tmp_path):
+    """LodNeighbourhoodPageRank source rebuild: parse local ntriples,
+    keep IRI objects in the namespace, run PageRank on the link graph."""
+    import numpy as np
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.engine_resident import ResidentEngine
+    from signal_collect_ray.sources.loaders import read_ntriples
+
+    nt = tmp_path / "data.nt"
+    R = "http://example.org/resource/"
+    nt.write_text(
+        f"<{R}A> <{R}links> <{R}B> .\n"
+        f"<{R}B> <{R}links> <{R}C> .\n"
+        f"<{R}C> <{R}links> <{R}A> .\n"
+        f'<{R}A> <{R}label> "literal dropped" .\n'
+        f"<{R}A> <{R}links> <http://other.org/X> .\n"
+        "# comment\n"
+    )
+    edges = read_ntriples([str(nt)], subject_prefix=R).to_pandas()
+    assert len(edges) == 3  # literal + off-namespace object dropped
+    assert set(edges["src_url"]) == {R + "A", R + "B", R + "C"}
+
+    g = Graph.build(
+        read_ntriples([str(nt)], subject_prefix=R).drop_columns(
+            ["src_url", "dst_url"]
+        ),
+        str(tmp_path / "g"),
+        num_partitions=2,
+    )
+    eng = ResidentEngine(EngineConfig(num_partitions=2, max_supersteps=50), num_workers=1)
+    info = eng.run(g, PageRank(), run_dir=str(tmp_path / "r"), resume=False)
+    t = info.state_table()
+    # symmetric 3-cycle: all ranks equal 1.0 at the fixed point
+    np.testing.assert_allclose(
+        t.column("state").to_numpy(zero_copy_only=False), 1.0, atol=1e-3
+    )
