@@ -46,6 +46,16 @@ class EngineConfig:
     max_supersteps: int = 500
     time_limit_s: float | None = None
 
+    # Resident-executor sync batching: the driver submits this many
+    # superstep rounds before fetching metrics (worker rounds chain
+    # through object-ref dependencies, actor-to-actor). 1 (default) =
+    # check convergence after every superstep, exact round-1 behavior;
+    # > 1 amortizes the driver barrier over short supersteps at the cost
+    # of up to interval-1 overshoot rounds past an eps fixpoint
+    # (fixed-k runs are unaffected). Checkpoint / global-termination
+    # cadences force syncs at their own multiples regardless.
+    convergence_check_interval: int = 1
+
     # Checkpointing: every superstep by default (the north rule requires
     # per-superstep resumable checkpoints). Raise to trade durability for
     # speed on long runs.

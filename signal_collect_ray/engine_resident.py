@@ -500,6 +500,7 @@ class ResidentEngine:
         checkpoint_interval: Optional[int] = None,
         time_limit_s: Optional[float] = None,
         global_termination=None,
+        convergence_check_interval: Optional[int] = None,
     ) -> ExecutionInformation:
         import ray
 
@@ -525,6 +526,11 @@ class ResidentEngine:
         )
         ckpt_int = (
             cfg.checkpoint_interval if checkpoint_interval is None else checkpoint_interval
+        )
+        conv_int = (
+            cfg.convergence_check_interval
+            if convergence_check_interval is None
+            else convergence_check_interval
         )
         time_limit_s = cfg.time_limit_s if time_limit_s is None else time_limit_s
         run_dir = run_dir or os.path.join(
@@ -647,15 +653,72 @@ class ResidentEngine:
                 (w.signal_dense.remote() if pending_mode == "dense" else w.signal.remote())
                 for w in workers
             ]
+        # Sync batching: rounds are SUBMITTED without fetching metrics —
+        # worker round r+1 depends on round r's outbox refs, so Ray
+        # chains the supersteps actor-to-actor and the driver pays ONE
+        # metrics fetch per `eff_int` rounds instead of one blocking
+        # barrier per superstep (the dominant cost of small supersteps
+        # under scheduler jitter). eff_int = 1 (default) is the exact
+        # round-1 behavior: convergence checked after every superstep.
+        # With eff_int > 1 an eps-run may overshoot the first converged
+        # round by up to eff_int-1 extra rounds (harmless: the engine
+        # keeps iterating the same fixpoint map; fixed-k runs still stop
+        # at exactly k). Checkpoints and global-termination checks force
+        # the sync cadence down to their own intervals.
+        eff_int = max(1, conv_int)
+
+        def _must_sync(kk: int) -> bool:
+            # batch boundary, end of run, or a cadence the user asked to
+            # observe exactly (checkpoint / global-termination multiples)
+            return (
+                len(pending) >= eff_int
+                or kk >= max_supersteps
+                or (bool(ckpt_int) and kk % ckpt_int == 0)
+                or (
+                    global_termination is not None
+                    and kk % max(global_termination.interval, 1) == 0
+                )
+            )
+        pending: List[tuple] = []  # (k, metrics_refs) awaiting sync
+
+        def drain_pending():
+            nonlocal last, converged, reason
+            if not pending:
+                return
+            t_sync0 = pending_started[0]
+            flat = ray.get([r for _, refs in pending for r in refs])
+            per_round_wall = (time.monotonic() - t_sync0) / len(pending)
+            i = 0
+            for kk, refs in pending:
+                rows = _flatten(flat[i : i + len(refs)])
+                i += len(refs)
+                manifest = SuperstepEngine._manifest(
+                    kk, rows, lineage_base, prev_step=kk - 1,
+                    wall_s=per_round_wall,
+                )
+                per_step.append(manifest)
+                last = manifest
+                if not converged and SuperstepEngine._is_converged(
+                    manifest, eps, kk
+                ):
+                    converged = True
+                    reason = "Converged"
+            pending.clear()
+
+        pending_started = [time.monotonic()]
         while not converged:
             if k >= max_supersteps:
                 reason = "StepsLimitReached"
                 break
             if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
+                drain_pending()
+                if converged:
+                    break
                 reason = "TimeLimitReached"
                 break
             k += 1
-            ts = time.monotonic()
+            if not pending:
+                pending_started[0] = time.monotonic()
             next_mode = _mode(last)
             rets = [
                 w.collect_and_signal.options(num_returns=2).remote(
@@ -664,17 +727,12 @@ class ResidentEngine:
                 )
                 for w in workers
             ]
-            out_refs = [r[0] for r in rets]
-            rows = _flatten(ray.get([r[1] for r in rets]))
-            sig_refs, pending_mode = out_refs, next_mode
-            manifest = SuperstepEngine._manifest(
-                k, rows, lineage_base, prev_step=k - 1, wall_s=time.monotonic() - ts
-            )
-            per_step.append(manifest)
-            last = manifest
-            converged = SuperstepEngine._is_converged(last, eps, k)
-            if converged:
-                reason = "Converged"
+            sig_refs = [r[0] for r in rets]
+            pending.append((k, [r[1] for r in rets]))
+            pending_mode = next_mode
+            if not _must_sync(k):
+                continue
+            drain_pending()
             if (
                 not converged
                 and global_termination is not None
@@ -689,7 +747,8 @@ class ResidentEngine:
                     converged = True
                     reason = "GlobalConstraintMet"
             if converged or (ckpt_int and k % ckpt_int == 0):
-                self._checkpoint(workers, run_dir, k, manifest)
+                self._checkpoint(workers, run_dir, k, last)
+        drain_pending()
         if reason in ("StepsLimitReached", "TimeLimitReached"):
             self._checkpoint(workers, run_dir, k, last)
 
