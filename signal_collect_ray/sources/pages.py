@@ -94,63 +94,103 @@ def _words_for(seed: int, salt: int, i: int, n: int) -> list[str]:
     return _WORDS_ARR[(hs & np.uint64(63)).astype(np.int64)].tolist()
 
 
-def _render_page(i: int, n_pages: int, avg_links: int, seed: int):
-    """Render one page: (url, ts_us, html_bytes, text, lang).
+def _render_pages_batch(idx: np.ndarray, n_pages: int, avg_links: int, seed: int):
+    """Render a whole BATCH of pages: list of (url, ts_us, html_bytes,
+    text, lang) rows.
 
     ``text`` is built independently from the word sequence (not by
     stripping the html), so the extractor invariant
     ``extract_text(html) == text`` is a genuine cross-check.
-    """
-    src, dst = page_links(np.array([i], dtype=np.int64), n_pages, avg_links, seed)
-    n_words = max(20 + int(_h(seed, 4, i) % np.uint64(30)), 2 * len(dst))
-    words = _words_for(seed, 5, i, n_words)
-    title = f"Page {i}"
 
-    parts = [f"<html><head><title>{title}</title></head><body><h1>{title}</h1><p>"]
-    text_parts = [title, title]
-    k = len(dst)
-    # interleave anchors between filler words at deterministic,
-    # collision-free positions (k ≤ 2*avg_links-1 < n_words); loop over
-    # the k anchors with C-speed word-slice joins between them, not over
-    # every word (byte-identical to the per-word form: ``" ".join(ws) +
-    # " "`` ≡ ``"".join(w + " " for w in ws)``).
-    anchor_pos = {(t * n_words) // max(k, 1): t for t in range(k)}
-    ts = np.arange(k, dtype=np.int64)
-    a_word_hs = _h(
-        seed, 7, (i * np.int64(1009) + ts)[:, None] * np.int64(131)
-        + np.arange(2, dtype=np.int64)[None, :],
+    All hash/index math (link topology, word choices, anchor words,
+    styles, langs) is computed ONCE as flat batch arrays — the per-page
+    loop only does C-speed string joins. Byte-identical to rendering
+    each page alone (``_render_page`` delegates here; pinned by the
+    extractor-invariant tests)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    counts = _link_counts(idx, n_pages, avg_links, seed)
+    _, dst_all = page_links(idx, n_pages, avg_links, seed)
+    link_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nw = np.maximum(
+        20 + (_h(seed, 4, idx) % np.uint64(30)).astype(np.int64), 2 * counts
     )
-    a_word_idx = (a_word_hs & np.uint64(63)).astype(np.int64)
-    styles = (_h(seed, 8, i * np.int64(1013) + ts) % np.uint64(16)).astype(np.int64)
-    prev = 0
-    for pos in sorted(anchor_pos):
-        t = anchor_pos[pos]
-        seg = words[prev : pos + 1]
-        if seg:
-            parts.append(" ".join(seg) + " ")
-            text_parts.extend(seg)
-        prev = pos + 1
-        href = page_url(int(dst[t]), n_pages)
-        a_words = [WORDS[a_word_idx[t, 0]], WORDS[a_word_idx[t, 1]]]
-        a_text = " ".join(a_words)
-        style = int(styles[t])
-        if style == 0:
-            parts.append(f"<a href='{href}'>{a_text}</a> ")
-        elif style in (1, 2, 3):
-            parts.append(f'<a href="{href}" class="ext">{a_text}</a> ')
-        else:
-            parts.append(f'<a href="{href}">{a_text}</a> ')
-        text_parts.extend(a_words)
-    tail = words[prev:]
-    if tail:
-        parts.append(" ".join(tail) + " ")
-        text_parts.extend(tail)
-    parts.append("</p></body></html>")
-    html = "".join(parts)
-    text = " ".join(text_parts)
-    lang = "de" if int(_h(seed, 9, i) % np.uint64(17)) == 0 else "en"
-    ts = _BASE_TS_US + i * 1_000_000
-    return page_url(i, n_pages), ts, html.encode("iso-8859-1"), text, lang
+    word_off = np.concatenate([[0], np.cumsum(nw)[:-1]])
+    total_w = int(nw.sum())
+    rep_i = np.repeat(idx, nw)
+    jw = np.arange(total_w, dtype=np.int64) - np.repeat(word_off, nw)
+    widx = (
+        _h(seed, 5, rep_i * np.int64(131) + jw) & np.uint64(63)
+    ).astype(np.int64)
+    all_words = _WORDS_ARR[widx]
+    total_l = int(counts.sum())
+    il = np.repeat(idx, counts)
+    tl = np.arange(total_l, dtype=np.int64) - np.repeat(link_off, counts)
+    base7 = (il * np.int64(1009) + tl) * np.int64(131)
+    aw0 = (_h(seed, 7, base7) & np.uint64(63)).astype(np.int64)
+    aw1 = (_h(seed, 7, base7 + np.int64(1)) & np.uint64(63)).astype(np.int64)
+    styles_all = (
+        _h(seed, 8, il * np.int64(1013) + tl) % np.uint64(16)
+    ).astype(np.int64)
+    langs_de = (_h(seed, 9, idx) % np.uint64(17)).astype(np.int64) == 0
+
+    rows = []
+    for b in range(len(idx)):
+        i = int(idx[b])
+        k = int(counts[b])
+        n_words = int(nw[b])
+        w0, l0 = int(word_off[b]), int(link_off[b])
+        words = all_words[w0 : w0 + n_words].tolist()
+        title = f"Page {i}"
+        parts = [
+            f"<html><head><title>{title}</title></head><body><h1>{title}</h1><p>"
+        ]
+        text_parts = [title, title]
+        # interleave anchors between filler words at deterministic,
+        # collision-free positions (k ≤ 2*avg_links-1 < n_words); loop
+        # over the k anchors with C-speed word-slice joins between them.
+        anchor_pos = {(t * n_words) // max(k, 1): t for t in range(k)}
+        prev = 0
+        for pos in sorted(anchor_pos):
+            t = anchor_pos[pos]
+            seg = words[prev : pos + 1]
+            if seg:
+                parts.append(" ".join(seg) + " ")
+                text_parts.extend(seg)
+            prev = pos + 1
+            href = page_url(int(dst_all[l0 + t]), n_pages)
+            a_words = [WORDS[aw0[l0 + t]], WORDS[aw1[l0 + t]]]
+            a_text = " ".join(a_words)
+            style = int(styles_all[l0 + t])
+            if style == 0:
+                parts.append(f"<a href='{href}'>{a_text}</a> ")
+            elif style in (1, 2, 3):
+                parts.append(f'<a href="{href}" class="ext">{a_text}</a> ')
+            else:
+                parts.append(f'<a href="{href}">{a_text}</a> ')
+            text_parts.extend(a_words)
+        tail = words[prev:]
+        if tail:
+            parts.append(" ".join(tail) + " ")
+            text_parts.extend(tail)
+        parts.append("</p></body></html>")
+        lang = "de" if langs_de[b] else "en"
+        rows.append(
+            (
+                page_url(i, n_pages),
+                _BASE_TS_US + i * 1_000_000,
+                "".join(parts).encode("iso-8859-1"),
+                " ".join(text_parts),
+                lang,
+            )
+        )
+    return rows
+
+
+def _render_page(i: int, n_pages: int, avg_links: int, seed: int):
+    """Render one page (single-element batch)."""
+    return _render_pages_batch(
+        np.array([i], dtype=np.int64), n_pages, avg_links, seed
+    )[0]
 
 
 class _PageBatchGen:
@@ -163,10 +203,10 @@ class _PageBatchGen:
         import pyarrow as pa
 
         idx = batch["id"]
-        rows = [
-            _render_page(int(i), self.n_pages, self.avg_links, self.seed)
-            for i in idx
-        ]
+        rows = _render_pages_batch(
+            np.asarray(idx, dtype=np.int64), self.n_pages, self.avg_links,
+            self.seed,
+        )
         urls, tss, htmls, texts, langs = zip(*rows) if rows else ((),) * 5
         return pa.table(
             {
