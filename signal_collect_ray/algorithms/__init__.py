@@ -5,6 +5,7 @@ from signal_collect_ray.algorithms.labelprop import ChineseWhispers
 from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.cellular import GameOfLife, SchellingSegregation
 from signal_collect_ray.algorithms.tokens import TokenDiffusion
+from signal_collect_ray.algorithms.sudoku import Sudoku
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -20,6 +21,7 @@ __all__ = [
     "GameOfLife",
     "SchellingSegregation",
     "TokenDiffusion",
+    "Sudoku",
     "triangle_counts",
     "total_triangles",
     "clustering_coefficient",

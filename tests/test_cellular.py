@@ -97,3 +97,32 @@ def test_schelling_random_grid_matches_oracle(tmp_path):
     )
     got = _states(out, vids)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sudoku_constraint_propagation(tmp_path):
+    """Sudoku conformance (reference examples/Sudoku.scala:33-62):
+    naked-singles propagation on an 81-cell peer graph solves a puzzle
+    whose solution is recoverable by singles, on both executors."""
+    from signal_collect_ray.algorithms.sudoku import Sudoku, sudoku_edges
+
+    sol = np.array(
+        [(i * 3 + i // 3 + j) % 9 + 1 for i in range(9) for j in range(9)],
+        dtype=np.int64,
+    )
+    rng = np.random.default_rng(0)
+    removed = set(rng.choice(81, 35, replace=False).tolist())
+    givens = {c: int(sol[c]) for c in range(81) if c not in removed}
+
+    src, dst = sudoku_edges()
+    for resident in (True, False):
+        out = _run(
+            tmp_path, Sudoku(givens), src, dst, 30, f"sud{resident}",
+            resident=resident,
+        )
+        digits = {v: int(np.log2(m)) for v, m in out.items()}
+        assert all(
+            bin(int(m)).count("1") == 1 for m in out.values()
+        ), "unsolved cells"
+        np.testing.assert_array_equal(
+            np.array([digits[c] for c in range(81)]), sol
+        )
