@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from signal_collect_ray.algorithm import Algorithm, StateDict
-from signal_collect_ray.util import segment_sum
+from signal_collect_ray.util import isin_sorted, segment_sum
 
 
 def _binary_init(
@@ -44,11 +44,7 @@ def _binary_init(
     if alive_vids is None:
         return np.zeros(len(vid), dtype=np.int64)
     alive = np.sort(np.asarray(alive_vids, dtype=np.int64))
-    pos = np.searchsorted(alive, vid)
-    pos_c = np.minimum(pos, max(len(alive) - 1, 0))
-    hit = (pos < len(alive)) & (alive[pos_c] == vid) if len(alive) else np.zeros(
-        len(vid), bool
-    )
+    hit, _ = isin_sorted(alive, vid)
     return hit.astype(np.int64)
 
 

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from signal_collect_ray.algorithm import Algorithm, StateDict
+from signal_collect_ray.util import isin_sorted
 
 ALL_DIGITS = np.int64(0x3FE)  # bits 1..9 set
 
@@ -69,13 +70,7 @@ class Sudoku(Algorithm):
 
     def init(self, vid, out_degree, sum_out_weight) -> StateDict:
         state = np.full(len(vid), ALL_DIGITS, dtype=np.int64)
-        pos = np.searchsorted(self.g_cells, vid)
-        pos_c = np.minimum(pos, max(len(self.g_cells) - 1, 0))
-        hit = (
-            (pos < len(self.g_cells)) & (self.g_cells[pos_c] == vid)
-            if len(self.g_cells)
-            else np.zeros(len(vid), bool)
-        )
+        hit, pos_c = isin_sorted(self.g_cells, vid)
         state[hit] = self.g_masks[pos_c[hit]]
         determined = _POP10[state] == 1
         return {

@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from signal_collect_ray.algorithm import Algorithm, StateDict
 from signal_collect_ray.config import EngineConfig
-from signal_collect_ray.util import expand_ranges, part_of
+from signal_collect_ray.util import expand_ranges, isin_sorted, part_of
 
 _BASE_STATE_COLS = ["part", "vid", "out_degree", "sum_out_weight"]
 
@@ -293,9 +293,7 @@ def _migrate_shard(new_vfile: str, prev_dir: str, algo: Algorithm, out_dir: str)
     old_path = os.path.join(prev_dir, f"part-{p:05d}.parquet")
     if os.path.exists(old_path) and len(vid):
         old = _to_np_dict(pq.read_table(old_path))
-        pos = np.searchsorted(vid, old["vid"])
-        pos_c = np.minimum(pos, len(vid) - 1)
-        found = (pos < len(vid)) & (vid[pos_c] == old["vid"])
+        found, pos_c = isin_sorted(vid, old["vid"])
         for col in ("state", "last"):
             arr = np.asarray(st[col]).copy()
             arr[pos_c[found]] = old[col][found]

@@ -60,8 +60,11 @@ class _AsyncWorker:
         num_workers: int,
         signal_threshold: float,
         vertex_files: Dict[int, str],
+        on_undeliverable: str = "drop",
     ):
         import ray
+
+        self.on_undeliverable = on_undeliverable
 
         self.wid = worker_id
         self.parts = parts
@@ -222,7 +225,13 @@ class _AsyncWorker:
         for p, plist in per_part.items():
             st = self.state.get(p)
             if st is None:
-                self.undeliverable += int(sum(len(x[0]) for x in plist))
+                n_bad = int(sum(len(x[0]) for x in plist))
+                if self.on_undeliverable == "raise":
+                    raise RuntimeError(
+                        f"{n_bad} undeliverable signals to empty partition "
+                        f"{p} (on_undeliverable='raise', Handlers.scala:36-40)"
+                    )
+                self.undeliverable += n_bad
                 continue
             m = self.meta[p]
             dst = np.concatenate([x[0] for x in plist])
@@ -233,6 +242,12 @@ class _AsyncWorker:
             idx = Algorithm._align(m["vid"], dst)
             bad = idx < 0
             if bad.any():
+                if self.on_undeliverable == "raise":
+                    raise RuntimeError(
+                        f"{int(bad.sum())} undeliverable signals in partition "
+                        f"{p}, e.g. dst={dst[bad][:5].tolist()} "
+                        "(on_undeliverable='raise', Handlers.scala:36-40)"
+                    )
                 self.undeliverable += int(bad.sum())
                 dst = dst[~bad]
                 vals = {k: v[~bad] for k, v in vals.items()}
@@ -248,6 +263,13 @@ class _AsyncWorker:
             # async schedule: only signal recipients re-activate; the
             # fold made other vertices' activity impossible to change
             self.state[p] = new_st
+
+    def drain_inbox(self) -> dict:
+        """Collect-only round: fold any delivered-but-unprocessed signals
+        into state WITHOUT signaling — used to close a limit-terminated
+        run on a consistent boundary before the final snapshot."""
+        self._collect_phase()
+        return self.status()
 
     def write_final(self, out_dir: str):
         for p in self.parts:
@@ -299,9 +321,16 @@ class AsyncEngine:
                 "executor (reference ExecutionMode.scala:52-60 caveat)"
             )
         cfg = self.config
+        if cfg.on_undeliverable == "create":
+            raise NotImplementedError(
+                "on_undeliverable='create' needs the durable engine "
+                "(vertex creation is a checkpoint-shard operation); the "
+                "async executor supports 'drop' and 'raise'"
+            )
         threshold = (
             cfg.signal_threshold if signal_threshold is None else signal_threshold
         )
+        time_limit_s = cfg.time_limit_s if time_limit_s is None else time_limit_s
         run_dir = run_dir or os.path.join(
             cfg.checkpoint_root,
             f"{algo.name}-{os.path.basename(graph.graph_dir)}-async",
@@ -321,7 +350,7 @@ class AsyncEngine:
         workers = [
             Actor.remote(
                 w, [p for p in range(P) if p % W == w], [csr_refs], algo, P, W,
-                threshold, vfiles,
+                threshold, vfiles, cfg.on_undeliverable,
             )
             for w in range(W)
         ]
@@ -353,6 +382,19 @@ class AsyncEngine:
             else:
                 time.sleep(0.002)  # in-flight pushes draining
 
+        if not converged:
+            # limit-terminated: close on a consistent boundary — wait for
+            # in-flight pushes to land (sent == received), then fold the
+            # delivered-but-unprocessed inboxes WITHOUT further signaling
+            # (no new sends, so one drain reaches a stable snapshot)
+            for _ in range(200):
+                stats = ray.get([w.status.remote() for w in workers])
+                if sum(s["sent"] for s in stats) == sum(
+                    s["received"] for s in stats
+                ):
+                    break
+                time.sleep(0.01)
+            ray.get([w.drain_inbox.remote() for w in workers])
         ray.get([w.write_final.remote(final_dir) for w in workers])
         stats = ray.get([w.status.remote() for w in workers])
         return ExecutionInformation(
@@ -366,5 +408,12 @@ class AsyncEngine:
             edges_traversed_total=sum(s["sent"] for s in stats),
             run_dir=run_dir,
             final_step_dir=final_dir,
-            per_step=[],
+            per_step=[
+                {
+                    "superstep": rounds,
+                    "undeliverable": sum(s["undeliverable"] for s in stats),
+                    "signal_rows": sum(s["sent"] for s in stats),
+                    "parts": [],
+                }
+            ],
         )

@@ -712,9 +712,8 @@ class ResidentEngine:
                 break
             if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
                 drain_pending()
-                if converged:
-                    break
-                reason = "TimeLimitReached"
+                if not converged:
+                    reason = "TimeLimitReached"
                 break
             k += 1
             if not pending:
@@ -749,7 +748,11 @@ class ResidentEngine:
             if converged or (ckpt_int and k % ckpt_int == 0):
                 self._checkpoint(workers, run_dir, k, last)
         drain_pending()
-        if reason in ("StepsLimitReached", "TimeLimitReached"):
+        # the final step must exist on disk whatever path ended the loop
+        # (in-loop converged/interval checkpoints make this a no-op)
+        if not os.path.exists(
+            os.path.join(SuperstepEngine._step_dir(run_dir, k), "manifest.json")
+        ):
             self._checkpoint(workers, run_dir, k, last)
 
         return ExecutionInformation(

@@ -22,7 +22,7 @@ from typing import Tuple
 import numpy as np
 import pyarrow as pa
 
-from signal_collect_ray.util import mix64, segment_starts
+from signal_collect_ray.util import isin_sorted, mix64, segment_starts
 
 _MERSENNE = (1 << 61) - 1
 _POLY_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
@@ -355,11 +355,7 @@ def jaccard_verify(
 
         def semi(tbl: pa.Table) -> pa.Table:
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            n = ray.get(need_ref)
-            pos = np.searchsorted(n, ids)
-            pos_c = np.minimum(pos, max(len(n) - 1, 0))
-            hit = (len(n) > 0) & (pos < len(n))
-            hit = hit & (n[pos_c] == ids) if len(n) else np.zeros(len(ids), bool)
+            hit, _ = isin_sorted(ray.get(need_ref), ids)
             return tbl.take(pa.array(np.flatnonzero(hit), pa.int64()))
 
         involved = texts.map_batches(semi, batch_format="pyarrow")
@@ -496,9 +492,7 @@ def drop_ids(ds, dupes_ds, id_col: str = "doc_id"):
         def drop(tbl: pa.Table) -> pa.Table:
             d = ray.get(ref)
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(d, ids)
-            pos_c = np.minimum(pos, len(d) - 1)
-            hit = (pos < len(d)) & (d[pos_c] == ids)
+            hit, _ = isin_sorted(d, ids)
             return tbl.take(pa.array(np.flatnonzero(~hit), pa.int64()))
 
         return ds.map_batches(drop, batch_format="pyarrow")
@@ -538,10 +532,7 @@ def drop_ids(ds, dupes_ds, id_col: str = "doc_id"):
         isd = tbl.column("__isdupe").to_numpy(zero_copy_only=False)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         bad = np.unique(ids[isd == 1])
-        pos = np.searchsorted(bad, ids)
-        pos_c = np.minimum(pos, max(len(bad) - 1, 0))
-        hit = (len(bad) > 0) & (pos < len(bad))
-        hit = hit & (bad[pos_c] == ids) if len(bad) else np.zeros(len(ids), bool)
+        hit, _ = isin_sorted(bad, ids)
         keep = (isd == 0) & ~hit
         return tbl.take(pa.array(np.flatnonzero(keep), pa.int64())).drop_columns(
             ["__apart", "__isdupe"]
@@ -556,12 +547,20 @@ def drop_ids(ds, dupes_ds, id_col: str = "doc_id"):
 
 def dedup_minhash(
     docs_ds, id_col: str = "doc_id", threshold: float = 0.8,
-    workdir: str = "/tmp/scray_dedup_minhash", **kw,
+    workdir: str | None = None, **kw,
 ):
     """Near-dup dedup end-to-end: LSH candidates → exact Jaccard verify →
     transitive closure over verified pairs (ConnectedComponents) → keep
     each cluster's min id. The dupe-id set is broadcast byte-capped with
-    a co-partitioned anti-join fallback — no unbounded driver state."""
+    a co-partitioned anti-join fallback — no unbounded driver state.
+
+    ``workdir`` defaults to a fresh unique directory per call — a fixed
+    shared path would let concurrent runs clobber each other's pair
+    graph."""
+    if workdir is None:
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="scray_dedup_minhash_")
     pairs = minhash_lsh_candidates(docs_ds, id_col, **kw)
     verified = jaccard_verify(docs_ds, pairs, id_col, threshold=threshold)
     dupes = duplicate_ids_from_pairs(verified, workdir)

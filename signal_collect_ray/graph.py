@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from signal_collect_ray.util import part_of, segment_starts
+from signal_collect_ray.util import isin_sorted, part_of, segment_starts
 
 _EDGE_SCHEMA = pa.schema(
     [("src", pa.int64()), ("dst", pa.int64()), ("weight", pa.float64())]
@@ -145,9 +145,7 @@ class _VertexShardWriter:
             # NonExistentVertexHandlerSpec). Drop excluded vids here; the
             # engine's undeliverable handler decides what happens to
             # signals addressed to them.
-            pos = np.searchsorted(self.exclude, vid)
-            pos_c = np.minimum(pos, len(self.exclude) - 1)
-            hit = (pos < len(self.exclude)) & (self.exclude[pos_c] == vid)
+            hit, _ = isin_sorted(self.exclude, vid)
             vid, outd, sumw = vid[~hit], outd[~hit], sumw[~hit]
         order = np.argsort(vid, kind="stable")
         vid, outd, sumw = vid[order], outd[order], sumw[order]
@@ -465,10 +463,7 @@ class Graph:
                 vp = vmap.get(int(p))
                 if vp is None or not len(vp):
                     continue
-                d = dst[sel]
-                pos = np.searchsorted(vp, d)
-                pos_c = np.minimum(pos, len(vp) - 1)
-                found = (pos < len(vp)) & (vp[pos_c] == d)
+                found, pos_c = isin_sorted(vp, dst[sel])
                 gidx[sel] = np.where(found, offsets[p] + pos_c, -1)
             out = tbl.append_column("dst_gidx", pa.array(gidx, pa.int64()))
             pq.write_table(out, path)

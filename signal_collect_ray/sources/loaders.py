@@ -106,16 +106,14 @@ def adjacency_vertices(paths):
 
 
 def _encode_varints(vals: np.ndarray) -> np.ndarray:
-    """Vectorized unsigned-varint encoder (Ints.writeUnsignedVarInt)."""
+    """Vectorized unsigned-varint encoder (Ints.writeUnsignedVarInt),
+    full 64-bit range (up to 10 bytes/value — hash vids span 63 bits)."""
     vals = np.asarray(vals, dtype=np.uint64)
-    nb = np.select(
-        [vals < 1 << 7, vals < 1 << 14, vals < 1 << 21, vals < 1 << 28],
-        [1, 2, 3, 4],
-        default=5,
-    ).astype(np.int64)
+    conds = [vals < (np.uint64(1) << np.uint64(7 * j)) for j in range(1, 10)]
+    nb = np.select(conds, list(range(1, 10)), default=10).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
     out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    for j in range(5):
+    for j in range(10):
         sel = nb > j
         if not sel.any():
             break
@@ -128,17 +126,18 @@ def _encode_varints(vals: np.ndarray) -> np.ndarray:
 def _decode_varints(buf: np.ndarray) -> np.ndarray:
     """Vectorized unsigned-varint decoder (Ints.readUnsignedVarInt):
     terminator bytes have MSB 0; each byte contributes 7 bits shifted by
-    its position within its group. One bincount, no Python loop."""
+    its position within its group. Exact int64 accumulation via reduceat
+    over the (already sorted) group boundaries — no float round-trip."""
     if not len(buf):
         return np.empty(0, dtype=np.int64)
     ends = (buf & 0x80) == 0
-    gid = np.zeros(len(buf), dtype=np.int64)
-    gid[1:] = np.cumsum(ends)[:-1]
     group_start = np.flatnonzero(np.concatenate([[True], ends[:-1]]))
-    pos_in = np.arange(len(buf), dtype=np.int64) - group_start[gid]
+    group_sizes = np.diff(np.append(group_start, len(buf)))
+    pos_in = np.arange(len(buf), dtype=np.int64) - np.repeat(
+        group_start, group_sizes
+    )
     contrib = (buf & np.uint8(0x7F)).astype(np.int64) << (7 * pos_in)
-    # exact: every contribution < 2^35, float64 bincount is lossless here
-    return np.bincount(gid, weights=contrib).astype(np.int64)
+    return np.add.reduceat(contrib, group_start)
 
 
 def write_binary_splits(

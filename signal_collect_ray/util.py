@@ -49,6 +49,23 @@ def urls_to_vids(urls) -> np.ndarray:
     )
 
 
+def isin_sorted(haystack_sorted: np.ndarray, needles: np.ndarray):
+    """Membership of ``needles`` in an ASCENDING-sorted ``haystack``:
+    returns (hit_mask, clipped_positions). One searchsorted; the shared
+    helper for every sorted-membership check in the repo (empty-haystack
+    safe)."""
+    n = len(haystack_sorted)
+    if n == 0:
+        return (
+            np.zeros(len(needles), dtype=bool),
+            np.zeros(len(needles), dtype=np.int64),
+        )
+    pos = np.searchsorted(haystack_sorted, needles)
+    pos_c = np.minimum(pos, n - 1)
+    hit = (pos < n) & (haystack_sorted[pos_c] == needles)
+    return hit, pos_c
+
+
 def segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
     """Start offsets of each run of equal values in a sorted key array."""
     if len(sorted_keys) == 0:

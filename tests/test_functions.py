@@ -267,6 +267,10 @@ def test_binary_split_roundtrip(ray_session, tmp_path):
     rng = np.random.default_rng(3)
     src = rng.integers(0, 200, 2000).astype(np.int64)
     dst = rng.integers(0, 200, 2000).astype(np.int64)
+    # full-63-bit vids (hash ids) must round-trip too
+    big = rng.integers(1 << 40, (1 << 63) - 1, 8).astype(np.int64)
+    src = np.concatenate([src, big[:4], big[4:]])
+    dst = np.concatenate([dst, big[4:], big[:4]])
     keep = src != dst
     src, dst = src[keep], dst[keep]
     paths = write_binary_splits(src, dst, str(tmp_path / "splits"), num_splits=4)
