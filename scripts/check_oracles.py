@@ -28,7 +28,12 @@ def to_pandas(res) -> pd.DataFrame:
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if df.empty and not len(df.columns):
+        # Ray's to_pandas drops columns on 0-row datasets; rebuild from
+        # the dataset schema so schema comparison still works
+        df = pd.DataFrame({n: [] for n in res.schema().names})
+    return df
 
 
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:

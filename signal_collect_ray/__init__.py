@@ -23,6 +23,8 @@ from signal_collect_ray.config import EngineConfig
 from signal_collect_ray.graph import Graph
 from signal_collect_ray.engine import SuperstepEngine, ExecutionInformation
 from signal_collect_ray.engine_resident import ResidentEngine
+from signal_collect_ray.engine_async import AsyncEngine
+from signal_collect_ray.modes import ExecutionMode, execute
 from signal_collect_ray.algorithm import Algorithm, GlobalTermination, SumStatesTermination
 
 __all__ = [
@@ -30,6 +32,9 @@ __all__ = [
     "Graph",
     "SuperstepEngine",
     "ResidentEngine",
+    "AsyncEngine",
+    "ExecutionMode",
+    "execute",
     "ExecutionInformation",
     "Algorithm",
     "GlobalTermination",

@@ -30,6 +30,7 @@ caveat the reference documents for its async modes
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -271,6 +272,25 @@ class _AsyncWorker:
         self._collect_phase()
         return self.status()
 
+    def signal_only(self) -> dict:
+        """Signal-only round: the OptimizedAsynchronous mode's one
+        synchronized initial signal operation before the async schedule
+        starts (reference ``ExecutionMode.scala:62-71``)."""
+        self._signal_phase()
+        return self.status()
+
+    def aggregate_states(self, gt):
+        """Worker-local phase of a global aggregation — same contract as
+        the resident executor's (``AggregationOperation.scala:27-59``);
+        lets a ContinuousComputation query aggregates mid-flight."""
+        partials = []
+        for p in self.parts:
+            st = self.state.get(p)
+            if st is None:
+                continue
+            partials.append(gt.aggregate_partition({**self.meta[p], **st}))
+        return partials
+
     def write_final(self, out_dir: str):
         for p in self.parts:
             st = self.state.get(p)
@@ -286,8 +306,14 @@ class _AsyncWorker:
 
 
 class AsyncEngine:
-    """PureAsynchronous executor. ``run`` drives worker-local rounds with
-    no global superstep barrier and stops at coordinator quiescence."""
+    """Asynchronous executor family. ``run(mode="pure")`` is
+    PureAsynchronous (worker-local rounds, no global superstep barrier,
+    stops at coordinator quiescence); ``mode="optimized"`` is
+    OptimizedAsynchronous (one synchronized initial signal operation,
+    then the async schedule — reference ``ExecutionMode.scala:62-71``);
+    ``run(continuous=True)`` / ``start(...)`` is ContinuousAsynchronous
+    (keeps running even when the computation has stalled, for continuous
+    querying — ``ExecutionMode.scala:73-78``)."""
 
     def __init__(
         self, config: Optional[EngineConfig] = None,
@@ -302,18 +328,20 @@ class AsyncEngine:
             )
         self.W = num_workers
 
-    def run(
+    def _spawn(
         self,
         graph,
         algo: Algorithm,
-        run_dir: Optional[str] = None,
-        resume: bool = False,  # signature parity; async runs are one-shot
-        max_rounds: int = 100_000,
-        signal_threshold: Optional[float] = None,
-        time_limit_s: Optional[float] = None,
-    ) -> ExecutionInformation:
+        run_dir: Optional[str],
+        signal_threshold: Optional[float],
+        mode: str,
+    ):
+        """Shared setup: validate, spawn the worker actors, and (for the
+        optimized mode) run the synchronized initial signal phase."""
         import ray
 
+        if mode not in ("pure", "optimized"):
+            raise ValueError(f"mode must be 'pure' or 'optimized', got {mode!r}")
         if algo.always_signal:
             raise NotImplementedError(
                 f"{algo.name} needs a full neighborhood snapshot per round "
@@ -330,7 +358,6 @@ class AsyncEngine:
         threshold = (
             cfg.signal_threshold if signal_threshold is None else signal_threshold
         )
-        time_limit_s = cfg.time_limit_s if time_limit_s is None else time_limit_s
         run_dir = run_dir or os.path.join(
             cfg.checkpoint_root,
             f"{algo.name}-{os.path.basename(graph.graph_dir)}-async",
@@ -339,7 +366,6 @@ class AsyncEngine:
         os.makedirs(final_dir, exist_ok=True)
         P = graph.num_partitions
         W = max(1, min(self.W, P))
-        t0 = time.monotonic()
 
         csr_refs = graph.csr_refs()
         vfiles = {
@@ -355,6 +381,43 @@ class AsyncEngine:
             for w in range(W)
         ]
         ray.get([w.set_peers.remote(workers) for w in workers])
+        if mode == "optimized":
+            # one synchronous signal operation before switching to the
+            # async schedule: every worker signals its initial frontier,
+            # then we wait for all of those pushes to land, so no vertex
+            # collects before its full first-round inbox has arrived
+            # (the PageRank-oscillation avoidance the reference's
+            # default mode exists for, ExecutionMode.scala:62-71)
+            ray.get([w.signal_only.remote() for w in workers])
+            _await_delivery(workers)
+        return workers, run_dir, final_dir
+
+    def run(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        resume: bool = False,  # signature parity; async runs are one-shot
+        max_rounds: int = 100_000,
+        signal_threshold: Optional[float] = None,
+        time_limit_s: Optional[float] = None,
+        mode: str = "pure",
+        continuous: bool = False,
+    ) -> ExecutionInformation:
+        import ray
+
+        cfg = self.config
+        time_limit_s = cfg.time_limit_s if time_limit_s is None else time_limit_s
+        if continuous and time_limit_s is None:
+            raise ValueError(
+                "ContinuousAsynchronous keeps running when the computation "
+                "stalls (ExecutionMode.scala:73-78) — a blocking run needs "
+                "time_limit_s; use start() for the non-blocking handle"
+            )
+        workers, run_dir, final_dir = self._spawn(
+            graph, algo, run_dir, signal_threshold, mode
+        )
+        t0 = time.monotonic()
 
         rounds = 0
         converged = False
@@ -364,11 +427,11 @@ class AsyncEngine:
             busy = [i for i, s in enumerate(stats) if s["has_work"]]
             sent = sum(s["sent"] for s in stats)
             recv = sum(s["received"] for s in stats)
-            if not busy and sent == recv:
+            if not busy and sent == recv and not continuous:
                 converged = True
                 reason = "Converged"
                 break
-            if rounds >= max_rounds:
+            if rounds >= max_rounds and not continuous:
                 reason = "StepsLimitReached"
                 break
             if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
@@ -380,40 +443,181 @@ class AsyncEngine:
                 ray.get([workers[i].step.remote() for i in busy])
                 rounds += 1
             else:
-                time.sleep(0.002)  # in-flight pushes draining
+                time.sleep(0.002)  # in-flight pushes draining / stalled
 
         if not converged:
-            # limit-terminated: close on a consistent boundary — wait for
-            # in-flight pushes to land (sent == received), then fold the
-            # delivered-but-unprocessed inboxes WITHOUT further signaling
-            # (no new sends, so one drain reaches a stable snapshot)
-            for _ in range(200):
-                stats = ray.get([w.status.remote() for w in workers])
-                if sum(s["sent"] for s in stats) == sum(
-                    s["received"] for s in stats
-                ):
-                    break
-                time.sleep(0.01)
-            ray.get([w.drain_inbox.remote() for w in workers])
+            _drain(workers)
         ray.get([w.write_final.remote(final_dir) for w in workers])
         stats = ray.get([w.status.remote() for w in workers])
-        return ExecutionInformation(
-            algorithm=algo.name,
-            supersteps=rounds,
-            converged=converged,
-            termination_reason=reason or "Converged",
-            wall_s=time.monotonic() - t0,
-            residual_max=max(s["residual_max"] for s in stats),
-            n_active=sum(s["n_active"] for s in stats),
-            edges_traversed_total=sum(s["sent"] for s in stats),
-            run_dir=run_dir,
-            final_step_dir=final_dir,
-            per_step=[
-                {
-                    "superstep": rounds,
-                    "undeliverable": sum(s["undeliverable"] for s in stats),
-                    "signal_rows": sum(s["sent"] for s in stats),
-                    "parts": [],
-                }
-            ],
+        return _async_info(
+            algo, rounds, converged, reason, t0, stats, run_dir, final_dir
         )
+
+    def start(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        max_rounds: int = 100_000,
+        signal_threshold: Optional[float] = None,
+        time_limit_s: Optional[float] = None,
+        mode: str = "pure",
+    ) -> "ContinuousComputation":
+        """ContinuousAsynchronous: return control immediately while the
+        computation keeps running (even when stalled); observe it with
+        ``ContinuousComputation.aggregate`` / ``status`` and finalize
+        with ``stop()`` (reference ``ExecutionMode.scala:73-78``)."""
+        workers, run_dir, final_dir = self._spawn(
+            graph, algo, run_dir, signal_threshold, mode
+        )
+        return ContinuousComputation(
+            workers, algo, run_dir, final_dir, max_rounds, time_limit_s
+        )
+
+
+class ContinuousComputation:
+    """Handle for a running ContinuousAsynchronous computation: a driver
+    thread keeps stepping busy workers; the caller can query aggregates
+    mid-flight (continuous querying). Per-worker snapshots are atomic
+    (actor tasks serialize) but not globally synchronized — the same
+    read-consistency the reference's continuous mode offers."""
+
+    def __init__(self, workers, algo, run_dir, final_dir, max_rounds, time_limit_s):
+        self._workers = workers
+        self._algo = algo
+        self._run_dir = run_dir
+        self._final_dir = final_dir
+        self._max_rounds = max_rounds
+        self._time_limit_s = time_limit_s
+        self._rounds = 0
+        self._t0 = time.monotonic()
+        self._stop = threading.Event()
+        self._reason: Optional[str] = None
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    def _drive(self):
+        import ray
+
+        while not self._stop.is_set():
+            if self._rounds >= self._max_rounds:
+                self._reason = "StepsLimitReached"
+                return
+            if (
+                self._time_limit_s is not None
+                and time.monotonic() - self._t0 > self._time_limit_s
+            ):
+                self._reason = "TimeLimitReached"
+                return
+            stats = ray.get([w.status.remote() for w in self._workers])
+            busy = [i for i, s in enumerate(stats) if s["has_work"]]
+            if busy:
+                ray.get([self._workers[i].step.remote() for i in busy])
+                self._rounds += 1
+            else:
+                time.sleep(0.005)  # stalled: keep running (continuous)
+
+    @property
+    def running(self) -> bool:
+        return self._thread.is_alive()
+
+    def status(self) -> dict:
+        import ray
+
+        stats = ray.get([w.status.remote() for w in self._workers])
+        return {
+            "rounds": self._rounds,
+            "running": self.running,
+            "sent": sum(s["sent"] for s in stats),
+            "received": sum(s["received"] for s in stats),
+            "n_active": sum(s["n_active"] for s in stats),
+            "residual_max": max(s["residual_max"] for s in stats),
+            "quiescent": not any(s["has_work"] for s in stats)
+            and sum(s["sent"] for s in stats)
+            == sum(s["received"] for s in stats),
+        }
+
+    def aggregate(self, agg):
+        """Run a global aggregation over the live vertex states (the
+        continuous-querying read path). ``agg`` follows the
+        GlobalTermination protocol: ``aggregate_partition(cols) ->
+        partial`` and ``reduce(partials) -> value``."""
+        import ray
+
+        partials = [
+            x
+            for part in ray.get(
+                [w.aggregate_states.remote(agg) for w in self._workers]
+            )
+            for x in part
+        ]
+        return agg.reduce(partials)
+
+    def stop(self) -> ExecutionInformation:
+        """Stop driving, close on a consistent boundary, snapshot final
+        state, and return the execution information."""
+        import ray
+
+        self._stop.set()
+        self._thread.join()
+        _drain(self._workers)
+        ray.get([w.write_final.remote(self._final_dir) for w in self._workers])
+        stats = ray.get([w.status.remote() for w in self._workers])
+        quiesced = not any(s["has_work"] for s in stats)
+        return _async_info(
+            self._algo,
+            self._rounds,
+            quiesced,
+            self._reason or "Stopped",
+            self._t0,
+            stats,
+            self._run_dir,
+            self._final_dir,
+        )
+
+
+def _await_delivery(workers, tries: int = 200):
+    """Wait until every in-flight push has landed (sent == received)."""
+    import ray
+
+    for _ in range(tries):
+        stats = ray.get([w.status.remote() for w in workers])
+        if sum(s["sent"] for s in stats) == sum(s["received"] for s in stats):
+            return
+        time.sleep(0.01)
+
+
+def _drain(workers):
+    """Close a limit-terminated run on a consistent boundary — wait for
+    in-flight pushes to land, then fold the delivered-but-unprocessed
+    inboxes WITHOUT further signaling (no new sends, so one drain
+    reaches a stable snapshot)."""
+    import ray
+
+    _await_delivery(workers)
+    ray.get([w.drain_inbox.remote() for w in workers])
+
+
+def _async_info(
+    algo, rounds, converged, reason, t0, stats, run_dir, final_dir
+) -> ExecutionInformation:
+    return ExecutionInformation(
+        algorithm=algo.name,
+        supersteps=rounds,
+        converged=converged,
+        termination_reason=reason or "Converged",
+        wall_s=time.monotonic() - t0,
+        residual_max=max(s["residual_max"] for s in stats),
+        n_active=sum(s["n_active"] for s in stats),
+        edges_traversed_total=sum(s["sent"] for s in stats),
+        run_dir=run_dir,
+        final_step_dir=final_dir,
+        per_step=[
+            {
+                "superstep": rounds,
+                "undeliverable": sum(s["undeliverable"] for s in stats),
+                "signal_rows": sum(s["sent"] for s in stats),
+                "parts": [],
+            }
+        ],
+    )

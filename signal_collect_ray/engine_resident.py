@@ -488,20 +488,22 @@ class ResidentEngine:
             num_workers = max(1, int(ray.cluster_resources().get("CPU", 4)))
         self.W = num_workers
 
-    def run(
+    def _prepare(
         self,
         graph,
         algo: Algorithm,
-        run_dir: Optional[str] = None,
-        resume: bool = True,
-        eps: Optional[float] = None,
-        max_supersteps: Optional[int] = None,
-        signal_threshold: Optional[float] = None,
-        checkpoint_interval: Optional[int] = None,
-        time_limit_s: Optional[float] = None,
-        global_termination=None,
-        convergence_check_interval: Optional[int] = None,
-    ) -> ExecutionInformation:
+        run_dir: Optional[str],
+        resume: bool,
+        eps: Optional[float],
+        max_supersteps: Optional[int],
+        signal_threshold: Optional[float],
+        checkpoint_interval: Optional[int],
+        time_limit_s: Optional[float],
+        convergence_check_interval: Optional[int],
+    ):
+        """Shared setup for ``run`` and ``interactive``: validate, resolve
+        config, spawn the worker pool, init-or-resume state, write the
+        step-0 checkpoint. Returns a namespace the step loop drives."""
         import ray
 
         cfg = self.config
@@ -627,6 +629,54 @@ class ResidentEngine:
         k = start_k
         last = per_step[-1]
         converged = SuperstepEngine._is_converged(last, eps, k)
+
+        import types
+
+        return types.SimpleNamespace(
+            graph=graph,
+            algo=algo,
+            eps=eps,
+            max_supersteps=max_supersteps,
+            ckpt_int=ckpt_int,
+            conv_int=conv_int,
+            time_limit_s=time_limit_s,
+            run_dir=run_dir,
+            workers=workers,
+            lineage_base=lineage_base,
+            per_step=per_step,
+            k=k,
+            last=last,
+            converged=converged,
+            dense_capable=dense_capable,
+            t0=t0,
+        )
+
+    def run(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        resume: bool = True,
+        eps: Optional[float] = None,
+        max_supersteps: Optional[int] = None,
+        signal_threshold: Optional[float] = None,
+        checkpoint_interval: Optional[int] = None,
+        time_limit_s: Optional[float] = None,
+        global_termination=None,
+        convergence_check_interval: Optional[int] = None,
+    ) -> ExecutionInformation:
+        import ray
+
+        ns = self._prepare(
+            graph, algo, run_dir, resume, eps, max_supersteps,
+            signal_threshold, checkpoint_interval, time_limit_s,
+            convergence_check_interval,
+        )
+        eps, max_supersteps = ns.eps, ns.max_supersteps
+        ckpt_int, conv_int, time_limit_s = ns.ckpt_int, ns.conv_int, ns.time_limit_s
+        run_dir, workers, lineage_base = ns.run_dir, ns.workers, ns.lineage_base
+        per_step, k, last, converged = ns.per_step, ns.k, ns.last, ns.converged
+        dense_capable, t0 = ns.dense_capable, ns.t0
         reason = "Converged" if converged else None
 
         def _mode(manifest) -> str:
@@ -769,6 +819,30 @@ class ResidentEngine:
             per_step=per_step,
         )
 
+    def interactive(
+        self,
+        graph,
+        algo: Algorithm,
+        run_dir: Optional[str] = None,
+        resume: bool = True,
+        eps: Optional[float] = None,
+        max_supersteps: Optional[int] = None,
+        signal_threshold: Optional[float] = None,
+        checkpoint_interval: Optional[int] = None,
+        convergence_check_interval: Optional[int] = None,
+    ) -> "InteractiveComputation":
+        """ExecutionMode.Interactive equivalent (reference
+        ``ExecutionMode.scala:80-88``): the console's step/continue
+        control surface without the web UI — advance the computation one
+        superstep at a time, observe aggregates and manifests between
+        steps, checkpoint on demand, ``finish()`` when done."""
+        ns = self._prepare(
+            graph, algo, run_dir, resume, eps, max_supersteps,
+            signal_threshold, checkpoint_interval, None,
+            convergence_check_interval,
+        )
+        return InteractiveComputation(ns)
+
     @staticmethod
     def _checkpoint(workers, run_dir: str, k: int, manifest: dict):
         import ray
@@ -788,3 +862,153 @@ class ResidentEngine:
 
 def _flatten(lists):
     return [r for rows in lists for r in rows]
+
+
+class InteractiveComputation:
+    """Step-wise control of a resident computation — the
+    ExecutionMode.Interactive surface (reference
+    ``ExecutionMode.scala:80-88``, console step/continue/terminate)
+    without the web UI. One ``step()`` = one superstep (collect the
+    previous signals, signal the next frontier) with metrics synced
+    every step; ``aggregate`` reads live state between steps;
+    ``finish()`` writes the final checkpoint and returns the
+    ExecutionInformation (reason ``TerminatedByUser`` when stopped
+    before convergence, mirroring the console's terminate button)."""
+
+    def __init__(self, ns):
+        self._ns = ns
+        self._sig_refs = None
+        self._pending_mode = None
+        self.reason = "Converged" if ns.converged else None
+
+    # -- observation -------------------------------------------------------
+    @property
+    def converged(self) -> bool:
+        return self._ns.converged
+
+    @property
+    def superstep(self) -> int:
+        return self._ns.k
+
+    @property
+    def last_manifest(self) -> dict:
+        return self._ns.last
+
+    @property
+    def manifests(self) -> list:
+        return list(self._ns.per_step)
+
+    def aggregate(self, agg):
+        """Global aggregation over the live vertex states (the console's
+        mid-run aggregate view). ``agg`` follows the GlobalTermination
+        protocol: ``aggregate_partition(cols)`` + ``reduce(partials)``."""
+        import ray
+
+        partials = [
+            x
+            for part in ray.get(
+                [w.aggregate_states.remote(agg) for w in self._ns.workers]
+            )
+            for x in part
+        ]
+        return agg.reduce(partials)
+
+    # -- control -----------------------------------------------------------
+    def _mode(self, manifest) -> str:
+        ns = self._ns
+        return (
+            "dense"
+            if ns.dense_capable
+            and manifest.get("edges_next", 0) >= ns.graph.num_vertices
+            else "sparse"
+        )
+
+    def step(self, n: int = 1) -> dict:
+        """Advance up to ``n`` supersteps (stops early at convergence or
+        the step limit); returns the latest manifest."""
+        import ray
+
+        ns = self._ns
+        for _ in range(n):
+            if ns.converged:
+                break
+            if ns.k >= ns.max_supersteps:
+                self.reason = "StepsLimitReached"
+                break
+            if self._sig_refs is None:
+                # first step after setup/resume: issue the initial signal
+                # phase (one extra barrier, once)
+                self._pending_mode = self._mode(ns.last)
+                self._sig_refs = [
+                    (
+                        w.signal_dense.remote()
+                        if self._pending_mode == "dense"
+                        else w.signal.remote()
+                    )
+                    for w in ns.workers
+                ]
+            ns.k += 1
+            t_step = time.monotonic()
+            next_mode = self._mode(ns.last)
+            rets = [
+                w.collect_and_signal.options(num_returns=2).remote(
+                    self._sig_refs, self._pending_mode, next_mode,
+                    ns.k >= ns.max_supersteps,
+                )
+                for w in ns.workers
+            ]
+            self._sig_refs = [r[0] for r in rets]
+            self._pending_mode = next_mode
+            rows = _flatten(ray.get([r[1] for r in rets]))
+            manifest = SuperstepEngine._manifest(
+                ns.k, rows, ns.lineage_base, prev_step=ns.k - 1,
+                wall_s=time.monotonic() - t_step,
+            )
+            ns.per_step.append(manifest)
+            ns.last = manifest
+            if SuperstepEngine._is_converged(manifest, ns.eps, ns.k):
+                ns.converged = True
+                self.reason = "Converged"
+            if ns.ckpt_int and ns.k % ns.ckpt_int == 0:
+                self.checkpoint()
+        return ns.last
+
+    def run_to_convergence(self) -> dict:
+        """The console's continue button: step until convergence or the
+        step limit; returns the final manifest."""
+        while not self._ns.converged and self._ns.k < self._ns.max_supersteps:
+            self.step()
+        return self._ns.last
+
+    def checkpoint(self):
+        """Write the current superstep's checkpoint now (no-op if it
+        already exists on disk)."""
+        ns = self._ns
+        ResidentEngine._checkpoint(ns.workers, ns.run_dir, ns.k, ns.last)
+
+    def finish(self) -> ExecutionInformation:
+        """Persist the final step and return the execution information."""
+        ns = self._ns
+        if not os.path.exists(
+            os.path.join(
+                SuperstepEngine._step_dir(ns.run_dir, ns.k), "manifest.json"
+            )
+        ):
+            self.checkpoint()
+        if self.reason is None:
+            self.reason = "TerminatedByUser"
+        return ExecutionInformation(
+            algorithm=ns.algo.name,
+            supersteps=ns.k,
+            converged=ns.converged,
+            termination_reason=self.reason,
+            wall_s=time.monotonic() - ns.t0,
+            residual_max=ns.last["residual_max"],
+            n_active=ns.last["n_active"],
+            edges_traversed_total=sum(
+                m.get("edges_next", 0) for m in ns.per_step[:-1]
+            ),
+            run_dir=ns.run_dir,
+            final_step_dir=SuperstepEngine._step_dir(ns.run_dir, ns.k),
+            per_step=ns.per_step,
+        )

@@ -1235,6 +1235,50 @@ def _survivors_sql(k: int = 16, threshold: float = 0.8) -> str:
 
 
 # ---------------------------------------------------------------------------
+# path query (examples/PathQuery.scala demo semantics)
+# ---------------------------------------------------------------------------
+
+# pinned query: from vertex 0, star(1) wildcards, through fixed vertex 7,
+# one wildcard, ending at fixed vertex 11 — compiles to two chains
+# (lengths 4 and 5), so the result set is bounded by
+# |N(0)∩pred(7)| x |N(7)∩pred(11)| -style products, never all paths
+_PQ_NODES = [("star", 1), ("fixed", 7), ("wild",), ("fixed", 11)]
+
+
+def q_path_query(sf_dir: str):
+    """Bounded path-pattern match over the derived graph — the
+    reference's PathQuery example (``PathQuery.scala:28-160``) as an
+    iterative co-partitioned frontier expansion."""
+    from signal_collect_ray.algorithms.pathquery import path_query
+
+    return path_query(_graph(sf_dir), 0, _PQ_NODES)
+
+
+def _pq_sql() -> str:
+    # chain 1: wild, fixed 7, wild, fixed 11 (len 4)
+    # chain 2: wild, wild, fixed 7, wild, fixed 11 (len 5)
+    return (
+        f"WITH e AS MATERIALIZED ({_E_SQL}) "
+        "SELECT CAST(e1.dst AS VARCHAR) || ',7,' || CAST(e3.dst AS VARCHAR) "
+        "|| ',11' AS path, CAST(4 AS BIGINT) AS len "
+        "FROM e e1 "
+        "JOIN e e2 ON e2.src = e1.dst AND e2.dst = 7 "
+        "JOIN e e3 ON e3.src = 7 "
+        "JOIN e e4 ON e4.src = e3.dst AND e4.dst = 11 "
+        "WHERE e1.src = 0 "
+        "UNION ALL "
+        "SELECT CAST(e1.dst AS VARCHAR) || ',' || CAST(e2.dst AS VARCHAR) "
+        "|| ',7,' || CAST(e3.dst AS VARCHAR) || ',11', CAST(5 AS BIGINT) "
+        "FROM e e1 "
+        "JOIN e e2 ON e2.src = e1.dst "
+        "JOIN e ex ON ex.src = e2.dst AND ex.dst = 7 "
+        "JOIN e e3 ON e3.src = 7 "
+        "JOIN e e4 ON e4.src = e3.dst AND e4.dst = 11 "
+        "WHERE e1.src = 0"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1270,6 +1314,7 @@ def queries():
         "schelling_k8": q_schelling_k8,
         "token_diffusion_k4": q_token_diffusion_k4,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
+        "path_query_star": q_path_query,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
@@ -1385,4 +1430,5 @@ def oracle_sql():
         "embedding_dedup_survivors": _closure_survivors_sql(
             _EMB_DUP_PAIRS_SQL, "embeddings", "vec_id", 16
         ),
+        "path_query_star": _pq_sql(),
     }
