@@ -32,7 +32,9 @@ def to_pandas(res) -> pd.DataFrame:
     if df.empty and not len(df.columns):
         # Ray's to_pandas drops columns on 0-row datasets; rebuild from
         # the dataset schema so schema comparison still works
-        df = pd.DataFrame({n: [] for n in res.schema().names})
+        schema = res.schema()
+        if schema is not None:  # None when the dataset has no blocks at all
+            df = pd.DataFrame({n: [] for n in schema.names})
     return df
 
 

@@ -880,6 +880,9 @@ class InteractiveComputation:
         self._sig_refs = None
         self._pending_mode = None
         self.reason = "Converged" if ns.converged else None
+        self._break_conditions: dict = {}
+        self._next_bc_id = 0
+        self.triggered: dict = {}  # condition id -> observed value
 
     # -- observation -------------------------------------------------------
     @property
@@ -913,6 +916,29 @@ class InteractiveComputation:
         ]
         return agg.reduce(partials)
 
+    # -- break conditions (console BreakConditionsProvider surface,
+    # reference DefaultGraph.scala:417-427 addCondition/removeCondition,
+    # checked between steps like checkBreakConditions at :534-545) ---------
+    def add_break_condition(self, cond) -> int:
+        """Attach a ``modes.BreakCondition``; returns its id. Stepping
+        pauses (``run_to_convergence`` returns early) when it fires."""
+        cid = self._next_bc_id
+        self._next_bc_id += 1
+        self._break_conditions[cid] = cond
+        if cond.kind == "state_changes" and cond.value is None:
+            cond.check(self.aggregate(cond))  # capture the current state
+        return cid
+
+    def remove_break_condition(self, cid: int):
+        self._break_conditions.pop(cid, None)
+
+    def _check_break_conditions(self) -> bool:
+        self.triggered = {}
+        for cid, cond in self._break_conditions.items():
+            if cond.check(self.aggregate(cond)):
+                self.triggered[cid] = cond.observed
+        return bool(self.triggered)
+
     # -- control -----------------------------------------------------------
     def _mode(self, manifest) -> str:
         ns = self._ns
@@ -929,6 +955,7 @@ class InteractiveComputation:
         import ray
 
         ns = self._ns
+        self.triggered = {}
         for _ in range(n):
             if ns.converged:
                 break
@@ -971,6 +998,9 @@ class InteractiveComputation:
                 self.reason = "Converged"
             if ns.ckpt_int and ns.k % ns.ckpt_int == 0:
                 self.checkpoint()
+            if self._break_conditions and self._check_break_conditions():
+                # the console's pause-on-condition (DefaultGraph.scala:534-545)
+                break
         return ns.last
 
     def run_to_convergence(self) -> dict:
@@ -978,6 +1008,8 @@ class InteractiveComputation:
         step limit; returns the final manifest."""
         while not self._ns.converged and self._ns.k < self._ns.max_supersteps:
             self.step()
+            if self.triggered:
+                break
         return self._ns.last
 
     def checkpoint(self):

@@ -22,7 +22,7 @@ from typing import Tuple
 import numpy as np
 import pyarrow as pa
 
-from signal_collect_ray.util import isin_sorted, mix64, segment_starts
+from signal_collect_ray.util import isin_sorted, mix64, pin_schema, segment_starts
 
 _MERSENNE = (1 << 61) - 1
 _POLY_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
@@ -290,8 +290,12 @@ def minhash_lsh_candidates(
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _BucketPairs(), batch_format="pyarrow"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
+    deduped = pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda t: t.take(pa.array([0], pa.int64())), batch_format="pyarrow"
+    )
+    # zero groups ⇒ zero blocks ⇒ schema would be None; keep it declared
+    return pin_schema(
+        deduped, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     )
 
 
@@ -719,6 +723,12 @@ def simhash_dedup_pairs(
     pairs = blocks.groupby(["block_id", "block_key"]).map_groups(
         _HammingBucketPairs(max_hamming, all_pairs_cap), batch_format="pyarrow"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
+    deduped = pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda t: t.take(pa.array([0], pa.int64())), batch_format="pyarrow"
+    )
+    return pin_schema(
+        deduped,
+        pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+        ),
     )

@@ -17,6 +17,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from signal_collect_ray.util import pin_schema
+
 
 def _emb_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = tbl.column(col).combine_chunks()
@@ -468,7 +470,16 @@ def embedding_dedup_cosine(
         def __call__(self, tbl: pa.Table) -> pa.Table:
             return tbl.take(pa.array([0], pa.int64()))
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_First(), batch_format="pyarrow")
+    deduped = pairs.groupby(["id_a", "id_b"]).map_groups(
+        _First(), batch_format="pyarrow"
+    )
+    # zero pairs ⇒ zero map_groups blocks ⇒ schema would be None
+    return pin_schema(
+        deduped,
+        pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

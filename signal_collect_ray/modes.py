@@ -80,3 +80,84 @@ def execute(
 
         return ResidentEngine(config).interactive(graph, algo, **kwargs)
     raise ValueError(f"unknown execution mode {mode!r}")
+
+
+class BreakCondition:
+    """Per-vertex break condition — the console's BreakConditionName
+    surface (reference ``console/ConsoleServer.scala:74-84,99-130``,
+    checked between steps by ``BreakConditionsAggregator``,
+    ``console/AggregationOperation.scala:338-420``) without the web UI:
+    attach to an ``InteractiveComputation`` and stepping pauses when the
+    condition fires.
+
+    Kinds: ``state_changes`` (vs the state captured when the condition
+    was added, or ``value`` if given), ``state_above`` / ``state_below``
+    (numeric state vs ``value``), ``signal_score_above`` /
+    ``signal_score_below`` (the vertex's residual — this engine's
+    scoreSignal — vs ``value``). The reference's collect-score variants
+    have no equivalent here because collectThreshold is fixed at 0.0
+    (every delivered signal is collected); documented, not emulated.
+
+    Implements the two-phase aggregation protocol
+    (``aggregate_partition`` + ``reduce``), so the check is one
+    worker-side scan — the vertex's partition returns its (state,
+    residual), every other partition returns None.
+    """
+
+    KINDS = (
+        "state_changes",
+        "state_above",
+        "state_below",
+        "signal_score_above",
+        "signal_score_below",
+    )
+
+    def __init__(self, vid: int, kind: str, value=None):
+        if kind not in self.KINDS:
+            raise ValueError(f"kind must be one of {self.KINDS}, got {kind!r}")
+        if kind != "state_changes" and value is None:
+            raise ValueError(f"{kind} needs a threshold value")
+        self.vid = int(vid)
+        self.kind = kind
+        self.value = value
+
+    # -- aggregation protocol (GlobalTermination-compatible) ---------------
+    def aggregate_partition(self, cols):
+        import numpy as np
+
+        idx = np.flatnonzero(cols["vid"] == self.vid)
+        if len(idx) == 0:
+            return None
+        i = int(idx[0])
+        return (float(cols["state"][i]), float(cols["residual"][i]))
+
+    def reduce(self, partials):
+        for p in partials:
+            if p is not None:
+                return p
+        raise KeyError(f"vertex {self.vid} not in the graph")
+
+    def check(self, state_residual) -> bool:
+        """True when the condition fires; returns the observed value via
+        ``self.observed`` (the console reports it with the pause)."""
+        state, residual = state_residual
+        if self.kind == "state_changes":
+            if self.value is None:  # capture on first check
+                self.value = state
+                fired = False
+            else:
+                fired = state != self.value
+            self.observed = state
+        elif self.kind == "state_above":
+            fired = state > float(self.value)
+            self.observed = state
+        elif self.kind == "state_below":
+            fired = state < float(self.value)
+            self.observed = state
+        elif self.kind == "signal_score_above":
+            fired = residual > float(self.value)
+            self.observed = residual
+        else:  # signal_score_below
+            fired = residual < float(self.value)
+            self.observed = residual
+        return fired

@@ -129,3 +129,20 @@ def expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     offs = np.repeat(counts.cumsum() - counts, counts)
     return np.arange(total, dtype=np.int64) - offs + np.repeat(starts, counts)
+
+
+def pin_schema(ds, schema):
+    """Union ``ds`` with one empty typed block so the Dataset keeps a
+    schema even when every real block is filtered away.
+
+    ``groupby().map_groups`` emits NO blocks when there are zero groups,
+    leaving ``Dataset.schema()`` as None — downstream consumers (the
+    driver's correctness comparator, ``to_pandas`` column recovery)
+    need the declared schema on legitimately-empty results (e.g. a
+    near-dup pair search that finds no pairs). ``schema`` is a
+    ``pyarrow.Schema``; the extra block is empty and costs nothing.
+    """
+    import ray.data as rd
+
+    empty = rd.from_arrow(schema.empty_table())
+    return empty.union(ds)

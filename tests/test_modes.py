@@ -204,6 +204,51 @@ def test_interactive_terminate_early_and_resume(tmp_path):
     np.testing.assert_array_equal(ss, sa)
 
 
+def test_interactive_break_conditions(tmp_path):
+    # path graph 0-1-...-9: SSSP from 0 settles vertex d at superstep d,
+    # so a condition on vertex 5 must pause the run at exactly step 5
+    n = 10
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    g = Graph.from_edge_arrays(
+        src, dst, str(tmp_path / "gbc"), num_partitions=4, symmetric=True
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=50),
+        num_workers=2,
+    )
+    comp = eng.interactive(
+        g, SSSP(0), run_dir=str(tmp_path / "bc"), resume=False
+    )
+    from signal_collect_ray.modes import BreakCondition
+
+    cid = comp.add_break_condition(BreakCondition(5, "state_changes"))
+    comp.run_to_convergence()
+    assert comp.triggered == {cid: 5.0}
+    assert comp.superstep == 5 and not comp.converged
+    # removing the condition lets the run continue to the fixpoint
+    comp.remove_break_condition(cid)
+    cid2 = comp.add_break_condition(BreakCondition(9, "state_below", 9.5))
+    comp.run_to_convergence()
+    assert comp.triggered == {cid2: 9.0}
+    assert comp.superstep == 9
+    comp.remove_break_condition(cid2)
+    comp.run_to_convergence()
+    assert comp.converged and not comp.triggered
+    info = comp.finish()
+    va, sa = _states(info)
+    np.testing.assert_array_equal(sa[va], np.arange(n, dtype=float))
+
+    # unknown vertex surfaces as an error at check time
+    with pytest.raises(KeyError):
+        comp.add_break_condition(BreakCondition(999, "state_changes"))
+    # invalid kinds / missing thresholds are rejected up front
+    with pytest.raises(ValueError, match="kind"):
+        BreakCondition(0, "bogus")
+    with pytest.raises(ValueError, match="threshold"):
+        BreakCondition(0, "state_above")
+
+
 # -- dispatcher -------------------------------------------------------------
 
 
