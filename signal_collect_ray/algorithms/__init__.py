@@ -6,6 +6,7 @@ from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.cellular import GameOfLife, SchellingSegregation
 from signal_collect_ray.algorithms.tokens import TokenDiffusion
 from signal_collect_ray.algorithms.sudoku import Sudoku
+from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -22,6 +23,8 @@ __all__ = [
     "SchellingSegregation",
     "TokenDiffusion",
     "Sudoku",
+    "simple_paths",
+    "best_paths",
     "triangle_counts",
     "total_triangles",
     "clustering_coefficient",

@@ -262,7 +262,7 @@ def _pr_sql(k: int) -> str:
     ]
     for i in range(1, k + 1):
         ctes.append(
-            f"r{i} AS (SELECT v.vid, 0.15 + 0.85 * COALESCE(SUM(r{i-1}.r / od.outd), 0) AS r "
+            f"r{i} AS MATERIALIZED (SELECT v.vid, 0.15 + 0.85 * COALESCE(SUM(r{i-1}.r / od.outd), 0) AS r "
             f"FROM v LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
             f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
@@ -281,7 +281,7 @@ def _prw_sql(k: int) -> str:
     ]
     for i in range(1, k + 1):
         ctes.append(
-            f"r{i} AS (SELECT v.vid, 0.15 + 0.85 * "
+            f"r{i} AS MATERIALIZED (SELECT v.vid, 0.15 + 0.85 * "
             f"COALESCE(SUM(r{i-1}.r * e.weight / sw.sw), 0) AS r "
             f"FROM v LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
@@ -293,13 +293,16 @@ def _prw_sql(k: int) -> str:
 def _cc_sql(k: int) -> str:
     ctes = [
         f"e0 AS MATERIALIZED ({_E_SQL})",
-        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
-        "v AS (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
+        "v AS MATERIALIZED (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
         "l0 AS (SELECT vid, vid AS lab FROM v)",
     ]
     for i in range(1, k + 1):
+        # MATERIALIZED is load-bearing: each level references the prior
+        # one twice, and DuckDB inlines plain CTEs, so a non-materialized
+        # chain is evaluated 2^k times (k=12 runs for >20 min at sf0.01).
         ctes.append(
-            f"l{i} AS (SELECT v.vid, LEAST(own.lab, COALESCE(MIN(nb.lab), own.lab)) AS lab "
+            f"l{i} AS MATERIALIZED (SELECT v.vid, LEAST(own.lab, COALESCE(MIN(nb.lab), own.lab)) AS lab "
             f"FROM v JOIN l{i-1} own ON own.vid = v.vid "
             f"LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN l{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.lab)"
@@ -316,7 +319,7 @@ def _sssp_sql(k: int, source: int = 0) -> str:
     ]
     for i in range(1, k + 1):
         ctes.append(
-            f"d{i} AS (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
+            f"d{i} AS MATERIALIZED (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
             f"FROM v JOIN d{i-1} own ON own.vid = v.vid "
             f"LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN d{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.d)"
@@ -338,7 +341,7 @@ def _ssspw_sql(k: int, source: int = 0) -> str:
     ]
     for i in range(1, k + 1):
         ctes.append(
-            f"d{i} AS (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + e.weight), 1e18)) AS d "
+            f"d{i} AS MATERIALIZED (SELECT v.vid, LEAST(own.d, COALESCE(MIN(nb.d + e.weight), 1e18)) AS d "
             f"FROM v JOIN d{i-1} own ON own.vid = v.vid "
             f"LEFT JOIN e ON e.dst = v.vid "
             f"LEFT JOIN d{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.d)"
@@ -466,7 +469,13 @@ def q_cc_labels(sf_dir: str):
     key = (sf_dir, "cc_labels")
     out = _RESULT_CACHE.get(key)
     if out is None:
-        t = _state(sf_dir, ConnectedComponents(), True, 50)
+        # Pinned to the oracle's round count (like sssp_weighted_from0):
+        # min-label propagation is monotone, so stopping early at the
+        # fixpoint equals the oracle's round-_CC_K state, and if some
+        # scale factor ever needed >_CC_K rounds both sides would agree
+        # on the same partially-converged labels instead of silently
+        # diverging.
+        t = _state(sf_dir, ConnectedComponents(), True, _CC_K)
         out = pa.table({"vid": t.column("vid"), "label": t.column("state")})
         _RESULT_CACHE[key] = out
     return out
@@ -1088,7 +1097,7 @@ def _token_sql(k: int, source: int = 0) -> str:
     ]
     for i in range(1, k + 1):
         ctes.append(
-            f"t{i} AS (SELECT v.vid, "
+            f"t{i} AS MATERIALIZED (SELECT v.vid, "
             "CASE WHEN myod.outd IS NULL THEN own.s ELSE 0.0 END "
             f"+ COALESCE(SUM(nb.s / srcod.outd), 0.0) AS s "
             f"FROM v JOIN t{i-1} own ON own.vid = v.vid "
@@ -1279,6 +1288,115 @@ def _pq_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hamiltonian / simple-path enumeration (examples/Hamiltonian.scala:69-128)
+# ---------------------------------------------------------------------------
+
+# Path enumeration is exponential (the reference's own caveat), so the
+# driver query runs on the derived graph RESTRICTED to vids < _HAM_V,
+# symmetrized (the reference requires a bidirectional graph) with a
+# deterministic symmetric integer weight both sides can compute.
+_HAM_V = 8
+
+
+def _ham_graph(sf_dir: str):
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, "ham")
+    g = _GRAPH_CACHE.get(key)
+    if g is not None:
+        return g
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def restrict(tbl: pa.Table) -> pa.Table:
+        o = tbl.column("l_orderkey").to_numpy(zero_copy_only=False) % V_GRAPH
+        p = tbl.column("l_partkey").to_numpy(zero_copy_only=False) % V_GRAPH
+        keep = (o != p) & (o < _HAM_V) & (p < _HAM_V)
+        o, p = o[keep], p[keep]
+        # symmetrize + dedup in-batch (the restricted set is tiny)
+        ss = np.concatenate([o, p])
+        dd = np.concatenate([p, o])
+        pairs = np.unique(np.stack([ss, dd], axis=1), axis=0)
+        lo = np.minimum(pairs[:, 0], pairs[:, 1])
+        hi = np.maximum(pairs[:, 0], pairs[:, 1])
+        w = ((lo * 7 + hi * 13) % 5 + 1).astype(np.float64)
+        return pa.table(
+            {
+                "gpart": pa.array(
+                    part_of(pairs[:, 0], 4).astype(np.int64)
+                ),
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    def dedup(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w = tbl.column("weight").to_numpy(zero_copy_only=False)
+        pairs, idx = np.unique(
+            np.stack([s, d], axis=1), axis=0, return_index=True
+        )
+        return pa.table(
+            {
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "weight": pa.array(w[idx], pa.float64()),
+            }
+        )
+
+    edges = (
+        ds.map_batches(restrict, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+    g = Graph.build(edges, _work_dir(sf_dir, "graph_ham"), num_partitions=4)
+    _GRAPH_CACHE[key] = g
+    return g
+
+
+def q_hamiltonian_best(sf_dir: str):
+    from signal_collect_ray.algorithms import best_paths, simple_paths
+
+    return best_paths(simple_paths(_ham_graph(sf_dir)))
+
+
+def _ham_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        f"e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey % {V_GRAPH} AS src, "
+        f"l_partkey % {V_GRAPH} AS dst FROM lineitem "
+        f"WHERE (l_orderkey % {V_GRAPH}) <> (l_partkey % {V_GRAPH}) "
+        f"AND (l_orderkey % {V_GRAPH}) < {_HAM_V} "
+        f"AND (l_partkey % {V_GRAPH}) < {_HAM_V}), "
+        "e1 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), "
+        "e AS (SELECT src, dst, CAST((LEAST(src, dst) * 7 + "
+        "GREATEST(src, dst) * 13) % 5 + 1 AS DOUBLE) AS w FROM e1), "
+        "v AS (SELECT DISTINCT src AS vid FROM e1), "
+        "p AS ("
+        "SELECT vid AS cur, CAST(vid AS VARCHAR) AS path, [vid] AS visited, "
+        "CAST(0 AS DOUBLE) AS w, CAST(1 AS BIGINT) AS len FROM v "
+        "UNION ALL "
+        "SELECT e.dst, p.path || ',' || CAST(e.dst AS VARCHAR), "
+        "list_append(p.visited, e.dst), p.w + e.w, p.len + 1 "
+        "FROM p JOIN e ON e.src = p.cur "
+        "WHERE NOT list_contains(p.visited, e.dst)) "
+        "SELECT vid, best_len, best_w, best_path FROM ("
+        "SELECT cur AS vid, len AS best_len, w AS best_w, path AS best_path, "
+        "ROW_NUMBER() OVER (PARTITION BY cur "
+        "ORDER BY len DESC, w ASC, path ASC) AS rn FROM p) t "
+        "WHERE rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1315,6 +1433,7 @@ def queries():
         "token_diffusion_k4": q_token_diffusion_k4,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "path_query_star": q_path_query,
+        "hamiltonian_best": q_hamiltonian_best,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
@@ -1431,4 +1550,5 @@ def oracle_sql():
             _EMB_DUP_PAIRS_SQL, "embeddings", "vec_id", 16
         ),
         "path_query_star": _pq_sql(),
+        "hamiltonian_best": _ham_sql(),
     }
