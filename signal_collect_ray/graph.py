@@ -394,10 +394,17 @@ class Graph:
         d = os.path.join(self.graph_dir, "vertices")
         return [os.path.join(d, f) for f in sorted(os.listdir(d))]
 
-    def edges_ds(self):
+    def edges_ds(self, columns=("src", "dst", "weight")):
+        """Edge table as a Dataset. Projects to the public (src, dst,
+        weight) triple by default — internal CSR annotations like
+        ``dst_gidx`` stay out of downstream shuffles (+8 bytes/edge
+        through every exchange otherwise). Pass ``columns=None`` for
+        every stored column."""
         import ray.data as rd
 
-        return rd.read_parquet(self.edge_files())
+        return rd.read_parquet(
+            self.edge_files(), columns=list(columns) if columns else None
+        )
 
     def vertices_ds(self):
         import ray.data as rd
