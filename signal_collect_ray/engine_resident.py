@@ -555,6 +555,14 @@ class ResidentEngine:
         # graph). Sparse-only algorithms keep the edge-count cap.
         if algo.dense_agg is not None and graph.num_vertices > 0:
             W = max(1, min(W, graph.num_edges // (2 * graph.num_vertices) + 1))
+            # Per-step cost ≈ α·W (exchange objects + barrier straggler
+            # tail grows with pool size) + E/(W·σ) (scatter compute), so
+            # the optimum scales as sqrt(E). Measured optima on this
+            # host: E=1.6M→W 5, E=2.6M→W 6, E=9.6M→W 6–16 (W=30 is 3–4×
+            # slower at every size) — sqrt(E)/250 tracks all three. At
+            # cluster scale E is orders larger, so this cap stops
+            # binding long before the CPU cap does.
+            W = max(1, min(W, int(np.sqrt(graph.num_edges) / 250) + 1))
         t0 = time.monotonic()
 
         lineage_base = {
