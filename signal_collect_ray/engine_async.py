@@ -449,6 +449,12 @@ class AsyncEngine:
             _drain(workers)
         ray.get([w.write_final.remote(final_dir) for w in workers])
         stats = ray.get([w.status.remote() for w in workers])
+        # explicit kill is REQUIRED here, not just an optimization: every
+        # worker holds handles to all its peers (set_peers), so the actor
+        # graph is cyclic and handle-GC alone would never reclaim the
+        # pool's CPU slots
+        for w in workers:
+            ray.kill(w, no_restart=True)
         return _async_info(
             algo, rounds, converged, reason, t0, stats, run_dir, final_dir
         )
@@ -564,6 +570,8 @@ class ContinuousComputation:
         ray.get([w.write_final.remote(self._final_dir) for w in self._workers])
         stats = ray.get([w.status.remote() for w in self._workers])
         quiesced = not any(s["has_work"] for s in stats)
+        for w in self._workers:  # cyclic peer handles — see AsyncEngine.run
+            ray.kill(w, no_restart=True)
         return _async_info(
             self._algo,
             self._rounds,

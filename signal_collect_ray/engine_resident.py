@@ -812,6 +812,12 @@ class ResidentEngine:
             os.path.join(SuperstepEngine._step_dir(run_dir, k), "manifest.json")
         ):
             self._checkpoint(workers, run_dir, k, last)
+        # release the pool NOW: each worker reserves a CPU slot until the
+        # actor dies, and leaving teardown to async handle-GC starves the
+        # next pipeline in the session (measured: 30 lingering workers
+        # left 2/32 CPUs for a follow-on Ray Data stage)
+        for w in workers:
+            ray.kill(w, no_restart=True)
 
         return ExecutionInformation(
             algorithm=algo.name,
@@ -1037,6 +1043,10 @@ class InteractiveComputation:
             self.checkpoint()
         if self.reason is None:
             self.reason = "TerminatedByUser"
+        # NOTE: the pool is NOT killed here — the console surface stays
+        # inspectable after finish() (live aggregates over final state);
+        # resident workers hold no peer handles, so dropping this
+        # InteractiveComputation reclaims their CPU slots via handle-GC.
         return ExecutionInformation(
             algorithm=ns.algo.name,
             supersteps=ns.k,
