@@ -119,7 +119,13 @@ class _Worker:
     # -- superstep ---------------------------------------------------------
     def _active_edges(self, p: int):
         """Shared src selection + CSR fan-out for one owned partition.
-        Returns (sub, eidx, counts) or None when nothing signals."""
+        Returns (sub, eidx, counts) or None when nothing signals.
+        ``eidx`` is None on the full-frontier fast path — every CSR
+        source is signaling, so the edge set IS the CSR in storage order
+        and callers index csr arrays directly instead of gathering
+        through an explicit E-length index (saves building eidx plus the
+        dst/weight/dst_gidx gathers — the dominant per-edge passes when
+        a dense algorithm like PageRank has its whole frontier active)."""
         algo = self.algo
         st = self.state.get(p)
         csr = self.csr.get(p)
@@ -148,6 +154,10 @@ class _Worker:
             return None
         sub = {k: v[found] for k, v in sub.items()}
         pos = pos_c[found]
+        if len(pos) == len(csr["src_ids"]):
+            # every source signals (pos is then 0..n-1 by construction)
+            counts = np.diff(csr["indptr"])
+            return sub, None, counts
         starts = csr["indptr"][pos]
         counts = csr["indptr"][pos + 1] - starts
         return sub, expand_ranges(starts, counts), counts
@@ -171,8 +181,12 @@ class _Worker:
             csr = self.csr[p]
             src_vals = algo.src_values(sub)
             expanded = {k: np.repeat(v, counts) for k, v in src_vals.items()}
-            vals = algo.edge_values(expanded, csr["weight"][eidx])[field0]
-            gidx = csr["dst_gidx"][eidx]
+            if eidx is None:  # full frontier: csr arrays in storage order
+                vals = algo.edge_values(expanded, csr["weight"])[field0]
+                gidx = csr["dst_gidx"]
+            else:
+                vals = algo.edge_values(expanded, csr["weight"][eidx])[field0]
+                gidx = csr["dst_gidx"][eidx]
             if total is None:
                 total = (
                     np.zeros(self.V, dtype=np.float64)
@@ -204,42 +218,19 @@ class _Worker:
         algo = self.algo
         outbox: Dict[int, list] = {w: [] for w in range(self.W)}
         for p in self.parts:
-            st = self.state.get(p)
-            csr = self.csr.get(p)
-            if st is None or csr is None:
+            sel = self._active_edges(p)
+            if sel is None:
                 continue
-            m = self.meta[p]
-            mask = (
-                np.ones(len(m["vid"]), dtype=bool)
-                if algo.always_signal
-                else st["active"]
-            )
-            mask = mask & (m["out_degree"] > 0)
-            if not mask.any():
-                continue
-            sub = {
-                "vid": m["vid"][mask],
-                "out_degree": m["out_degree"][mask],
-                "sum_out_weight": m["sum_out_weight"][mask],
-                "state": st["state"][mask],
-                "last": st["last"][mask],
-            }
-            pos = np.searchsorted(csr["src_ids"], sub["vid"])
-            pos_c = np.minimum(pos, len(csr["src_ids"]) - 1)
-            found = (pos < len(csr["src_ids"])) & (
-                csr["src_ids"][pos_c] == sub["vid"]
-            )
-            if not found.any():
-                continue
-            sub = {k: v[found] for k, v in sub.items()}
-            pos = pos_c[found]
-            starts = csr["indptr"][pos]
-            counts = csr["indptr"][pos + 1] - starts
-            eidx = expand_ranges(starts, counts)
+            sub, eidx, counts = sel
+            csr = self.csr[p]
             src_vals = algo.src_values(sub)
             expanded = {k: np.repeat(v, counts) for k, v in src_vals.items()}
-            vals = algo.edge_values(expanded, csr["weight"][eidx])
-            dst = csr["dst"][eidx]
+            if eidx is None:  # full frontier: csr arrays in storage order
+                vals = algo.edge_values(expanded, csr["weight"])
+                dst = csr["dst"]
+            else:
+                vals = algo.edge_values(expanded, csr["weight"][eidx])
+                dst = csr["dst"][eidx]
             dst_u, combined = algo.combine(dst, vals)
             dparts = part_of(dst_u, self.P)
             dwids = dparts % self.W
