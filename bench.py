@@ -22,10 +22,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Web density (~64 links/page, Common-Crawl-like) rather than the sparse
-# 8-links default of the headline: the resident engine's density-bounded
-# worker cap (W <= E/2V+1) deliberately keeps sparse graphs on few
-# workers, so a sparse scaling job measures the cap, not the engine —
-# at 64 links/page the pool actually grows with the CPU budget.
+# 8-links default of the headline. Note the resident engine still caps
+# the dense worker pool at ~sqrt(E)/250 (measured single-node optimum;
+# see engine_resident.py), so at this toy size the PageRank phase runs
+# the same W at both CPU levels and STRONG scaling is carried by the
+# build phase — the weak-scaling mode below is the metric where the
+# engine's parallelism actually shows.
 SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "40000"))
 SCALE_AVG_LINKS = int(os.environ.get("GRAFT_SCALE_AVG_LINKS", "64"))
 SCALE_REPS = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
@@ -258,25 +260,30 @@ def _scaling_child(num_cpus: int) -> None:
     ray.shutdown()
 
 
-def run_scaling() -> dict:
-    def child_once(ncpu: int) -> dict:
+def _scaling_run(ncpu: int, pages: Optional[int] = None) -> dict:
+    """One --scaling-child subprocess; best-of-SCALE_REPS (this host's
+    CPU-steal noise swings stage walls up to 3x between windows — the
+    minimum is the capability number)."""
+
+    def once() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if pages is not None:
+            env["GRAFT_SCALE_PAGES"] = str(pages)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def child(ncpu: int) -> dict:
-        # best-of-N: this host's CPU-steal noise swings stage walls up
-        # to 3x between windows; the minimum is the capability number
-        runs = [child_once(ncpu) for _ in range(max(1, SCALE_REPS))]
-        best = min(runs, key=lambda r: r["wall_sec"])
-        best["reps"] = len(runs)
-        best["wall_sec_all"] = [r["wall_sec"] for r in runs]
-        return best
+    runs = [once() for _ in range(max(1, SCALE_REPS))]
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best["reps"] = len(runs)
+    best["wall_sec_all"] = [r["wall_sec"] for r in runs]
+    return best
 
-    lo, hi = child(SCALE_CPUS_LO), child(SCALE_CPUS_HI)
+
+def run_scaling() -> dict:
+    lo, hi = _scaling_run(SCALE_CPUS_LO), _scaling_run(SCALE_CPUS_HI)
     ratio = SCALE_CPUS_HI / SCALE_CPUS_LO
     eff = (lo["wall_sec"] / hi["wall_sec"]) / ratio
     return {
@@ -300,29 +307,11 @@ def run_scaling_weak() -> dict:
     barrier floor (fixed ~50-100 ms on this host regardless of W) is
     amortized identically at both levels instead of dominating the hi
     level the way it does in a strong-scaling run on toy input."""
-    ratio = SCALE_CPUS_HI // SCALE_CPUS_LO
-
-    def child_once(ncpu: int, pages: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_SCALE_PAGES=str(pages),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
-    def child(ncpu: int, pages: int) -> dict:
-        runs = [child_once(ncpu, pages) for _ in range(max(1, SCALE_REPS))]
-        best = min(runs, key=lambda r: r["wall_sec"])
-        best["reps"] = len(runs)
-        best["wall_sec_all"] = [r["wall_sec"] for r in runs]
-        return best
-
-    lo = child(SCALE_CPUS_LO, SCALE_PAGES)
-    hi = child(SCALE_CPUS_HI, SCALE_PAGES * ratio)
+    # exact CPU ratio (not floor division) so a non-multiple hi/lo pair
+    # still grows the input proportionally to the CPU budget
+    pages_hi = round(SCALE_PAGES * SCALE_CPUS_HI / SCALE_CPUS_LO)
+    lo = _scaling_run(SCALE_CPUS_LO, SCALE_PAGES)
+    hi = _scaling_run(SCALE_CPUS_HI, pages_hi)
     eff = lo["wall_sec"] / hi["wall_sec"]
     return {
         "metric": f"weak_scaling_efficiency_{SCALE_CPUS_LO}_to_{SCALE_CPUS_HI}",
@@ -333,7 +322,7 @@ def run_scaling_weak() -> dict:
         "detail_lo": lo,
         "detail_hi": hi,
         "scale_pages_lo": SCALE_PAGES,
-        "scale_pages_hi": SCALE_PAGES * ratio,
+        "scale_pages_hi": pages_hi,
         "scale_avg_links": SCALE_AVG_LINKS,
     }
 

@@ -94,9 +94,20 @@ class _HamHop:
         ew = csr["weight"][eidx]
         row_idx = np.repeat(np.flatnonzero(found), counts)
 
-        # bit of each destination; reference constraint (bidirectional,
-        # no dangling) guarantees dst is a known vertex
-        bit = np.searchsorted(vids, dst).astype(np.uint64)
+        # bit of each destination; the reference requires a bidirectional
+        # graph with no dangling vertices — enforce it rather than let a
+        # dst missing from the vertex table (Graph.build exclude_vertices
+        # keeps such edges in the CSR) silently corrupt the bitmask
+        pos_v = np.searchsorted(vids, dst)
+        pos_vc = np.minimum(pos_v, len(vids) - 1)
+        if not ((pos_v < len(vids)) & (vids[pos_vc] == dst)).all():
+            bad = dst[~((pos_v < len(vids)) & (vids[pos_vc] == dst))]
+            raise ValueError(
+                f"dangling edge destination(s) {np.unique(bad)[:5].tolist()} "
+                "not in the vertex table — the Hamiltonian algorithm "
+                "requires a bidirectional graph with no dangling vertices"
+            )
+        bit = pos_v.astype(np.uint64)
         mask = np.uint64(1) << bit
         keep = (visited[row_idx] & mask) == 0
         if not keep.any():

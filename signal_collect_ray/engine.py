@@ -219,27 +219,20 @@ class SignalStage:
                 continue
             sub = {k: v[found] for k, v in sub.items()}
             pos = pos_c[found]
+            src_vals = algo.src_values(sub)
             if len(pos) == len(csr["src_ids"]):
                 # full frontier: every CSR source signals, so the edge
                 # set IS the CSR in storage order — skip the explicit
                 # E-length index and the dst/weight gathers
                 counts = np.diff(csr["indptr"])
-                src_vals = algo.src_values(sub)
-                expanded = {
-                    k: np.repeat(v, counts) for k, v in src_vals.items()
-                }
-                vals = algo.edge_values(expanded, csr["weight"])
-                dst = csr["dst"]
+                weight, dst = csr["weight"], csr["dst"]
             else:
                 starts = csr["indptr"][pos]
                 counts = csr["indptr"][pos + 1] - starts
                 eidx = expand_ranges(starts, counts)
-                src_vals = algo.src_values(sub)
-                expanded = {
-                    k: np.repeat(v, counts) for k, v in src_vals.items()
-                }
-                vals = algo.edge_values(expanded, csr["weight"][eidx])
-                dst = csr["dst"][eidx]
+                weight, dst = csr["weight"][eidx], csr["dst"][eidx]
+            expanded = {k: np.repeat(v, counts) for k, v in src_vals.items()}
+            vals = algo.edge_values(expanded, weight)
             dst_u, combined = algo.combine(dst, vals)
             cols = {
                 "dst_part": pa.array(part_of(dst_u, self.P), pa.int32()),

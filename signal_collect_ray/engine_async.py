@@ -417,6 +417,26 @@ class AsyncEngine:
         workers, run_dir, final_dir = self._spawn(
             graph, algo, run_dir, signal_threshold, mode
         )
+        try:
+            return self._run_loop(
+                workers, run_dir, final_dir, algo, max_rounds,
+                time_limit_s, continuous,
+            )
+        finally:
+            # explicit kill is REQUIRED here, not just an optimization:
+            # every worker holds handles to all its peers (set_peers), so
+            # the actor graph is cyclic and handle-GC alone would never
+            # reclaim the pool's CPU slots — and it must run on error
+            # paths too, or a failed run leaks the pool for the session
+            for w in workers:
+                ray.kill(w, no_restart=True)
+
+    def _run_loop(
+        self, workers, run_dir, final_dir, algo, max_rounds, time_limit_s,
+        continuous,
+    ) -> ExecutionInformation:
+        import ray
+
         t0 = time.monotonic()
 
         rounds = 0
@@ -449,12 +469,6 @@ class AsyncEngine:
             _drain(workers)
         ray.get([w.write_final.remote(final_dir) for w in workers])
         stats = ray.get([w.status.remote() for w in workers])
-        # explicit kill is REQUIRED here, not just an optimization: every
-        # worker holds handles to all its peers (set_peers), so the actor
-        # graph is cyclic and handle-GC alone would never reclaim the
-        # pool's CPU slots
-        for w in workers:
-            ray.kill(w, no_restart=True)
         return _async_info(
             algo, rounds, converged, reason, t0, stats, run_dir, final_dir
         )
@@ -489,6 +503,8 @@ class ContinuousComputation:
     read-consistency the reference's continuous mode offers."""
 
     def __init__(self, workers, algo, run_dir, final_dir, max_rounds, time_limit_s):
+        self._final_status: Optional[dict] = None
+        self._final_info: Optional[ExecutionInformation] = None
         self._workers = workers
         self._algo = algo
         self._run_dir = run_dir
@@ -530,6 +546,8 @@ class ContinuousComputation:
     def status(self) -> dict:
         import ray
 
+        if self._final_status is not None:  # pool released by stop()
+            return self._final_status
         stats = ray.get([w.status.remote() for w in self._workers])
         return {
             "rounds": self._rounds,
@@ -550,6 +568,12 @@ class ContinuousComputation:
         partial`` and ``reduce(partials) -> value``."""
         import ray
 
+        if self._final_status is not None:
+            raise RuntimeError(
+                "computation stopped — the worker pool is released; read "
+                "the final state from the ExecutionInformation returned "
+                "by stop() (final_state_ds / state_table)"
+            )
         partials = [
             x
             for part in ray.get(
@@ -561,18 +585,38 @@ class ContinuousComputation:
 
     def stop(self) -> ExecutionInformation:
         """Stop driving, close on a consistent boundary, snapshot final
-        state, and return the execution information."""
+        state, and return the execution information. Idempotent; after
+        stop() the pool is released — ``status()`` returns the cached
+        final snapshot and ``aggregate()`` raises (read the final state
+        from the returned ExecutionInformation instead)."""
         import ray
 
+        if self._final_info is not None:
+            return self._final_info
         self._stop.set()
         self._thread.join()
-        _drain(self._workers)
-        ray.get([w.write_final.remote(self._final_dir) for w in self._workers])
-        stats = ray.get([w.status.remote() for w in self._workers])
+        try:
+            _drain(self._workers)
+            ray.get(
+                [w.write_final.remote(self._final_dir) for w in self._workers]
+            )
+            stats = ray.get([w.status.remote() for w in self._workers])
+        finally:
+            # cyclic peer handles — see AsyncEngine.run; must also run
+            # when the drain/snapshot fails or the pool leaks for good
+            for w in self._workers:
+                ray.kill(w, no_restart=True)
         quiesced = not any(s["has_work"] for s in stats)
-        for w in self._workers:  # cyclic peer handles — see AsyncEngine.run
-            ray.kill(w, no_restart=True)
-        return _async_info(
+        self._final_status = {
+            "rounds": self._rounds,
+            "running": False,
+            "sent": sum(s["sent"] for s in stats),
+            "received": sum(s["received"] for s in stats),
+            "n_active": sum(s["n_active"] for s in stats),
+            "residual_max": max(s["residual_max"] for s in stats),
+            "quiescent": quiesced,
+        }
+        self._final_info = _async_info(
             self._algo,
             self._rounds,
             quiesced,
@@ -582,6 +626,7 @@ class ContinuousComputation:
             self._run_dir,
             self._final_dir,
         )
+        return self._final_info
 
 
 def _await_delivery(workers, tries: int = 200):

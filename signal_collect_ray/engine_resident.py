@@ -671,6 +671,20 @@ class ResidentEngine:
             signal_threshold, checkpoint_interval, time_limit_s,
             convergence_check_interval,
         )
+        try:
+            return self._run_loop(ns, graph, algo, global_termination)
+        finally:
+            # release the pool whatever path ends the run: each worker
+            # reserves a CPU slot until the actor dies, and leaving
+            # teardown to async handle-GC starves the next pipeline in
+            # the session (measured: 30 lingering workers left 2/32 CPUs
+            # for a follow-on Ray Data stage)
+            for w in ns.workers:
+                ray.kill(w, no_restart=True)
+
+    def _run_loop(self, ns, graph, algo, global_termination) -> ExecutionInformation:
+        import ray
+
         eps, max_supersteps = ns.eps, ns.max_supersteps
         ckpt_int, conv_int, time_limit_s = ns.ckpt_int, ns.conv_int, ns.time_limit_s
         run_dir, workers, lineage_base = ns.run_dir, ns.workers, ns.lineage_base
@@ -803,12 +817,6 @@ class ResidentEngine:
             os.path.join(SuperstepEngine._step_dir(run_dir, k), "manifest.json")
         ):
             self._checkpoint(workers, run_dir, k, last)
-        # release the pool NOW: each worker reserves a CPU slot until the
-        # actor dies, and leaving teardown to async handle-GC starves the
-        # next pipeline in the session (measured: 30 lingering workers
-        # left 2/32 CPUs for a follow-on Ray Data stage)
-        for w in workers:
-            ray.kill(w, no_restart=True)
 
         return ExecutionInformation(
             algorithm=algo.name,

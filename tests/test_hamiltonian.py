@@ -120,6 +120,20 @@ def test_random_graph_matches_bruteforce(tmp_path):
     assert _paths_of(simple_paths(g)) == pytest.approx(_brute(edges))
 
 
+def test_dangling_destination_rejected(tmp_path):
+    # the reference requires a bidirectional graph with no dangling
+    # vertices; an excluded destination must raise, not silently corrupt
+    # the visited bitmask
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    g = Graph.from_edge_arrays(
+        src, dst, str(tmp_path / "g"), num_partitions=2, symmetric=True,
+        exclude_vertices=np.array([3], dtype=np.int64),
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        simple_paths(g).materialize()
+
+
 def test_vertex_cap(tmp_path):
     src = np.arange(70, dtype=np.int64)
     dst = (src + 1) % 70
