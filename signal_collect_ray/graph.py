@@ -88,14 +88,18 @@ class _EdgeShardWriter:
         if self.dedup and len(src):
             # exact global (src,dst) dedup — all rows with this src hash
             # land in this group, and rows arrive sorted by (src,dst).
-            # Keeps the MAX weight per pair: deterministic regardless of
-            # the (unspecified) arrival order of equal-key rows.
+            # dedup=True/"max" keeps the MAX weight per pair
+            # (deterministic regardless of the unspecified arrival order
+            # of equal-key rows); dedup="sum" SUMS the weights — the
+            # graph-contraction combine (parallel edges collapse to one
+            # with their multiplicity/total weight).
             keep = np.empty(len(src), dtype=bool)
             keep[0] = True
             np.not_equal(src[1:], src[:-1], out=keep[1:])
             keep[1:] |= dst[1:] != dst[:-1]
             starts = np.flatnonzero(keep)
-            weight = np.maximum.reduceat(weight, starts)
+            reduce = np.add if self.dedup == "sum" else np.maximum
+            weight = reduce.reduceat(weight, starts)
             src, dst = src[keep], dst[keep]
         out = pa.table(
             {
@@ -213,10 +217,12 @@ class Graph:
         """Build partitioned graph storage from an edge Dataset.
 
         ``edges_ds`` columns: src:int64, dst:int64 [, weight:float64=1.0].
-        ``dedup=True`` drops exact duplicate (src, dst) rows inside the
-        build's own shuffle (keeping the MAX weight per pair, which is
-        deterministic regardless of arrival order) — free global dedup
-        with no extra exchange.
+        ``dedup=True`` (or ``"max"``) drops exact duplicate (src, dst)
+        rows inside the build's own shuffle, keeping the MAX weight per
+        pair (deterministic regardless of arrival order) — free global
+        dedup with no extra exchange. ``dedup="sum"`` instead SUMS the
+        weights per pair: the graph-contraction combine (see
+        :meth:`contracted`).
 
         ``exclude_vertices``: optional vid array removed from the vertex
         table (addVertex-defined graphs where an edge targets a vertex
@@ -327,6 +333,58 @@ class Graph:
     @classmethod
     def load(cls, graph_dir: str) -> "Graph":
         return cls(graph_dir)
+
+    def contracted(
+        self, mapping_fn, graph_dir: str, num_partitions: Optional[int] = None
+    ) -> "Graph":
+        """Graph contraction / coarsening: map every vertex id through
+        ``mapping_fn`` (vectorized ``np.int64[:] -> np.int64[:]``, e.g.
+        url-vid → host-vid), drop the resulting self-loops, and collapse
+        parallel edges into one whose weight is the SUM of the
+        originals — the standard host-graph aggregation of a web link
+        graph (Common Crawl's host-level webgraph product), expressed as
+        one ``map_batches`` over the edge shards feeding
+        :meth:`build`'s own shuffle with the ``dedup="sum"`` combine, so
+        contraction costs no exchange beyond the build itself."""
+
+        def contract(tbl: pa.Table) -> pa.Table:
+            src = mapping_fn(_to_np(tbl, "src"))
+            dst = mapping_fn(_to_np(tbl, "dst"))
+            w = _to_np(tbl, "weight")
+            keep = src != dst
+            s, d, w = src[keep], dst[keep], w[keep]
+            if not len(s):
+                return pa.table(
+                    {
+                        "src": pa.array(s, pa.int64()),
+                        "dst": pa.array(d, pa.int64()),
+                        "weight": pa.array(w, pa.float64()),
+                    }
+                )
+            # in-batch pre-combine before the build shuffle
+            order = np.lexsort((d, s))
+            s, d, w = s[order], d[order], w[order]
+            bound = np.empty(len(s), dtype=bool)
+            bound[0] = True
+            np.not_equal(s[1:], s[:-1], out=bound[1:])
+            bound[1:] |= d[1:] != d[:-1]
+            starts = np.flatnonzero(bound)
+            return pa.table(
+                {
+                    "src": pa.array(s[starts], pa.int64()),
+                    "dst": pa.array(d[starts], pa.int64()),
+                    "weight": pa.array(
+                        np.add.reduceat(w, starts), pa.float64()
+                    ),
+                }
+            )
+
+        return Graph.build(
+            self.edges_ds().map_batches(contract, batch_format="pyarrow"),
+            graph_dir,
+            num_partitions=num_partitions or self.num_partitions,
+            dedup="sum",
+        )
 
     def update(
         self,

@@ -1288,6 +1288,57 @@ def _pq_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Host-graph contraction (Common-Crawl host-level webgraph product):
+# coarsen the page graph by a vid→host mapping, sum parallel-edge
+# weights in the build shuffle (Graph.contracted, dedup="sum"), then
+# weighted PageRank over the contracted graph.
+# ---------------------------------------------------------------------------
+
+_HOST_MOD = 50  # vid → "host" coarsening used by the driver query
+
+
+def q_host_pagerank_k4(sf_dir: str):
+    from signal_collect_ray.algorithms import PageRank
+
+    key = (sf_dir, "host")
+    gc = _GRAPH_CACHE.get(key)
+    if gc is None:
+        gc = _graph(sf_dir).contracted(
+            lambda v: v % _HOST_MOD, _work_dir(sf_dir, "graph_host"),
+            num_partitions=_P,
+        )
+        _GRAPH_CACHE[key] = gc
+    eng = _engine(4, eps=0.0)
+    info = eng.run(
+        gc, PageRank(), run_dir=_work_dir(sf_dir, "run_pr_host"),
+        resume=False, checkpoint_interval=50,
+    )
+    return _round_state(info.state_table(), "rank", 6)
+
+
+def _host_pr_sql(k: int) -> str:
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        f"e AS MATERIALIZED (SELECT src % {_HOST_MOD} AS src, "
+        f"dst % {_HOST_MOD} AS dst, CAST(COUNT(*) AS DOUBLE) AS weight "
+        f"FROM e0 WHERE (src % {_HOST_MOD}) <> (dst % {_HOST_MOD}) "
+        "GROUP BY 1, 2)",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "sw AS (SELECT src, SUM(weight) AS sw FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, 0.15 + 0.85 * "
+            f"COALESCE(SUM(r{i-1}.r * e.weight / sw.sw), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN sw ON sw.src = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+
+
+# ---------------------------------------------------------------------------
 # Hamiltonian / simple-path enumeration (examples/Hamiltonian.scala:69-128)
 # ---------------------------------------------------------------------------
 
@@ -1434,6 +1485,7 @@ def queries():
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "path_query_star": q_path_query,
         "hamiltonian_best": q_hamiltonian_best,
+        "host_pagerank_k4": q_host_pagerank_k4,
         # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
@@ -1551,4 +1603,5 @@ def oracle_sql():
         ),
         "path_query_star": _pq_sql(),
         "hamiltonian_best": _ham_sql(),
+        "host_pagerank_k4": _host_pr_sql(4),
     }

@@ -126,3 +126,29 @@ def test_graph_update_add_remove(tmp_path):
     vids = sorted(r["vid"] for r in g2.vertices_ds().take_all())
     assert vids == [0, 1, 2, 3, 5, 6]
     assert g2.num_edges == 5
+
+
+def test_contracted_host_graph(tmp_path):
+    # contraction: vid -> vid % 3, self-loops dropped, parallel edge
+    # weights SUMMED (host-graph aggregation)
+    import numpy as np
+
+    from signal_collect_ray import Graph
+
+    src = np.array([0, 3, 1, 4, 2, 5, 0], dtype=np.int64)
+    dst = np.array([1, 4, 2, 5, 0, 3, 2], dtype=np.int64)
+    w = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    g = Graph.from_edge_arrays(
+        src, dst, str(tmp_path / "g"), weight=w, num_partitions=4
+    )
+    gc = g.contracted(lambda v: v % 3, str(tmp_path / "gc"), num_partitions=2)
+    got = sorted(
+        (r["src"], r["dst"], r["weight"]) for r in gc.edges_ds().take_all()
+    )
+    # oracle: brute-force contraction
+    want = {}
+    for s, d, ww in zip(src % 3, dst % 3, w):
+        if s != d:
+            want[(int(s), int(d))] = want.get((int(s), int(d)), 0.0) + ww
+    assert got == sorted((s, d, ww) for (s, d), ww in want.items())
+    assert gc.num_vertices == 3
