@@ -18,6 +18,7 @@ import os
 import subprocess
 import sys
 import time
+from typing import Optional
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -505,6 +505,7 @@ class ContinuousComputation:
     def __init__(self, workers, algo, run_dir, final_dir, max_rounds, time_limit_s):
         self._final_status: Optional[dict] = None
         self._final_info: Optional[ExecutionInformation] = None
+        self._pool_released = False
         self._workers = workers
         self._algo = algo
         self._run_dir = run_dir
@@ -548,6 +549,11 @@ class ContinuousComputation:
 
         if self._final_status is not None:  # pool released by stop()
             return self._final_status
+        if self._pool_released:
+            raise RuntimeError(
+                "pool released but the final snapshot failed on a prior "
+                "stop() — no final status is available"
+            )
         stats = ray.get([w.status.remote() for w in self._workers])
         return {
             "rounds": self._rounds,
@@ -568,7 +574,7 @@ class ContinuousComputation:
         partial`` and ``reduce(partials) -> value``."""
         import ray
 
-        if self._final_status is not None:
+        if self._final_status is not None or self._pool_released:
             raise RuntimeError(
                 "computation stopped — the worker pool is released; read "
                 "the final state from the ExecutionInformation returned "
@@ -593,6 +599,15 @@ class ContinuousComputation:
 
         if self._final_info is not None:
             return self._final_info
+        if self._pool_released:
+            # a prior stop() killed the pool but failed before caching the
+            # final info — the actors are dead; re-driving them would fail
+            # with a confusing RayActorError
+            raise RuntimeError(
+                "pool already released but the final snapshot failed on a "
+                "prior stop(); the computation cannot be resumed — read any "
+                f"partial state from {self._final_dir!r}"
+            )
         self._stop.set()
         self._thread.join()
         try:
@@ -604,6 +619,7 @@ class ContinuousComputation:
         finally:
             # cyclic peer handles — see AsyncEngine.run; must also run
             # when the drain/snapshot fails or the pool leaks for good
+            self._pool_released = True
             for w in self._workers:
                 ray.kill(w, no_restart=True)
         quiesced = not any(s["has_work"] for s in stats)

@@ -416,6 +416,18 @@ def jaccard_verify(
 BROADCAST_DUPE_IDS_LIMIT = 32_000_000
 
 
+def _pair_graph_parallelism(n_pairs: int) -> tuple[int, int]:
+    """(num_partitions, num_workers) for the pair-graph CC, derived from
+    the verified-pair count: ~250k symmetric edges per partition (the
+    pair graph carries 2 edges per pair), partitions a power-of-2-ish
+    multiple of workers. On a boilerplate-heavy corpus the pair graph is
+    itself billions of edges — a fixed parallelism would cap it."""
+    sym_edges = 2 * n_pairs
+    P = int(min(512, max(4, sym_edges // 250_000 + 1)))
+    W = max(2, min(P // 2, 32))
+    return P, W
+
+
 def duplicate_ids_from_pairs(pairs_ds, workdir: str):
     """Verified near-duplicate pairs → ids to DROP, with transitive
     closure: connected components over the pair graph (the engine's own
@@ -423,8 +435,10 @@ def duplicate_ids_from_pairs(pairs_ds, workdir: str):
     min id. A~B, B~C therefore keeps exactly {A}, not {A, C}.
 
     Returns a Dataset with one ``id`` column (the non-representative
-    cluster members). The pair graph is tiny relative to the corpus
-    (only docs with a verified near-dup appear)."""
+    cluster members). The pair graph only contains docs with a verified
+    near-dup, but on boilerplate-heavy corpora that can still be huge —
+    CC parallelism scales with the pair count
+    (``_pair_graph_parallelism``)."""
     import ray.data as rd
 
     from signal_collect_ray import EngineConfig, Graph
@@ -432,8 +446,10 @@ def duplicate_ids_from_pairs(pairs_ds, workdir: str):
     from signal_collect_ray.engine_resident import ResidentEngine
 
     pairs_mat = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
-    if pairs_mat.count() == 0:
+    n_pairs = pairs_mat.count()
+    if n_pairs == 0:
         return rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+    P, W = _pair_graph_parallelism(n_pairs)
 
     def to_sym_edges(tbl: pa.Table) -> pa.Table:
         a = tbl.column("id_a").to_numpy(zero_copy_only=False)
@@ -448,12 +464,12 @@ def duplicate_ids_from_pairs(pairs_ds, workdir: str):
     g = Graph.build(
         pairs_mat.map_batches(to_sym_edges, batch_format="pyarrow"),
         f"{workdir}/pair_graph",
-        num_partitions=4,
+        num_partitions=P,
         dedup=True,
     )
     eng = ResidentEngine(
-        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=64),
-        num_workers=2,
+        EngineConfig(num_partitions=P, eps=1e-9, max_supersteps=64),
+        num_workers=W,
     )
     info = eng.run(
         g, ConnectedComponents(), run_dir=f"{workdir}/pair_cc", resume=False,

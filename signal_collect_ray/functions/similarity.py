@@ -349,6 +349,7 @@ def embedding_dedup_cosine(
     emb_col: str = "embedding",
     max_partners: int | None = None,
     verify_chunk: int = 1024,
+    all_pairs_cap: int = 1024,
 ):
     """Near-duplicate pairs (id_a < id_b, cosine ≥ threshold) found via
     LSH buckets then exact in-bucket verification. Candidate generation
@@ -361,7 +362,17 @@ def embedding_dedup_cosine(
     each row keeps only its first ``max_partners`` partners in ascending
     id order, which preserves cluster connectivity (every id links to
     its successors) while bounding output to O(n·max_partners) instead
-    of O(n²) on duplicate-heavy buckets."""
+    of O(n²) on duplicate-heavy buckets.
+
+    ``all_pairs_cap``: COMPUTE bound per bucket, mirroring the minhash /
+    simhash bucket-pair emitters (``dedup._BucketPairs`` /
+    ``_HammingBucketPairs``): a bucket with more than this many distinct
+    members (10M identical embeddings — hyperplanes cannot split
+    identical vectors) min-links every member to the bucket minimum in
+    O(n) dot products instead of the O(n²) all-pairs matmul. Min-links
+    above the threshold still connect the whole cluster, so a
+    transitive-closure dedup loses nothing; non-dedup callers that need
+    every pair should raise the cap."""
     import ray
 
     first = embeddings_ds.take(1)[0]
@@ -422,6 +433,19 @@ def embedding_dedup_cosine(
                 _emb_matrix(tbl.take(pa.array(first_idx, pa.int64())), "emb")
             )
             n = len(uniq)
+            if n > all_pairs_cap:
+                # degenerate bucket: O(n) min-link verify (see docstring)
+                sims = m[1:] @ m[0]
+                keep = np.flatnonzero(sims >= threshold)
+                return pa.table(
+                    {
+                        "id_a": pa.array(
+                            np.full(len(keep), uniq[0], dtype=np.int64), pa.int64()
+                        ),
+                        "id_b": pa.array(uniq[1:][keep], pa.int64()),
+                        "cosine": pa.array(sims[keep], pa.float64()),
+                    }
+                )
             out_a, out_b, out_c = [], [], []
             for c0 in range(0, n, verify_chunk):
                 c1 = min(c0 + verify_chunk, n)

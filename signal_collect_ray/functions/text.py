@@ -40,8 +40,9 @@ class LanguageId:
     ``lang_score`` columns. Deterministic; ties break by language order.
 
     Scoring is plain (non-overlapping) substring counts of each marker
-    in the lowercased text, per 1000 chars — C-level ``str.count`` per
-    marker, and exactly mirrorable in ANSI SQL via
+    in the lowercased text, per 1000 chars — 36 ``pc.count_substring``
+    Arrow kernel calls per BATCH (not per document), and exactly
+    mirrorable in ANSI SQL via
     ``(length(t) - length(replace(t, m, ''))) / length(m)``."""
 
     __name__ = "LanguageId"
@@ -51,15 +52,21 @@ class LanguageId:
         self.marker_lists = [_LANG_MARKERS[lang] for lang in self.langs]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column("text").to_pylist()
-        n_docs = len(texts)
+        import pyarrow.compute as pc
+
+        col = tbl.column("text").combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        n_docs = len(lowered)
+        lens = np.maximum(
+            pc.utf8_length(lowered).to_numpy(zero_copy_only=False), 1
+        )
         counts = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
-        lens = np.ones(n_docs, dtype=np.int64)
-        for i, t in enumerate(texts):
-            tl = (t or "").lower()
-            lens[i] = max(len(tl), 1)
-            for j, ms in enumerate(self.marker_lists):
-                counts[i, j] = sum(tl.count(m) for m in ms)
+        for j, ms in enumerate(self.marker_lists):
+            for m in ms:
+                # non-overlapping occurrences, same as Python str.count
+                counts[:, j] += pc.count_substring(lowered, m).to_numpy(
+                    zero_copy_only=False
+                )
         scores = counts / lens[:, None] * 1000.0
         # first max in language order wins (strict > over a 0.0 start:
         # an all-zero row is 'unknown')
@@ -148,12 +155,25 @@ class Fingerprint:
         return tbl.append_column("fingerprint", pa.array(out, pa.string()))
 
 
+def _strip_schema_metadata(tbl: pa.Table) -> pa.Table:
+    """Drop pandas-writer schema metadata: pyarrow 16's Schema.__hash__
+    chokes on it (unhashable dict), making Ray Data's block-unify log
+    'Failed to hash the schemas' per batch — real log cost at 10^9
+    batches. The metadata carries nothing the pipeline uses."""
+    return tbl.replace_schema_metadata(None)
+
+
 def analyze_documents(docs_ds, concurrency=None):
     """Full text-analysis pipeline over a documents Dataset: language ID,
     quality scoring, token counting, fingerprinting — four chained
     stateful stages (actor pools when ``concurrency`` is set)."""
     stages = [LanguageId, QualityScore, TokenCount, Fingerprint]
-    ds = docs_ds
+    # batch_size=None: consume whole blocks — batching would CONCAT the
+    # reader's row-group tables first, and that concat is itself the
+    # unify that warns on pandas-metadata schemas
+    ds = docs_ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None
+    )
     for cls in stages:
         if concurrency is None:
             ds = ds.map_batches(cls(), batch_format="pyarrow", batch_size=2048)

@@ -184,6 +184,77 @@ def test_embedding_dedup_cosine():
     assert (4, 13) in pairs
 
 
+def test_langid_vectorized_matches_python_loop():
+    """The Arrow count_substring path must be bit-identical to the plain
+    str.count loop it replaced (the SQL oracle mirrors the latter)."""
+    from signal_collect_ray.functions.text import _LANG_MARKERS, LanguageId
+
+    texts = [
+        "The quick brown fox and the hound; that is it.",
+        "Der schnelle braune Fuchs, ich nicht das ist schön",
+        "ción por los que una CIÓN Ción",
+        "",
+        None,
+        "the the the thethethe",  # non-overlapping count edge
+        "aaaa" * 500,
+    ]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = LanguageId()(tbl)
+    langs = list(_LANG_MARKERS)
+    for i, t in enumerate(texts):
+        tl = (t or "").lower()
+        scores = [
+            sum(tl.count(m) for m in _LANG_MARKERS[lang]) / max(len(tl), 1) * 1000.0
+            for lang in langs
+        ]
+        best = int(np.argmax(scores))
+        expect = langs[best] if scores[best] > 0 else "unknown"
+        assert out.column("lang_pred")[i].as_py() == expect
+        assert out.column("lang_score")[i].as_py() == scores[best]
+
+
+def test_pair_graph_parallelism_scales():
+    """The pair-graph CC must derive parallelism from the pair count
+    (a fixed 4/2 would cap a boilerplate-heavy corpus)."""
+    from signal_collect_ray.functions.dedup import _pair_graph_parallelism
+
+    p_small, w_small = _pair_graph_parallelism(100)
+    assert p_small == 4 and w_small == 2
+    p_big, w_big = _pair_graph_parallelism(1_000_000)
+    assert p_big > 4 and w_big > 2
+    p_huge, w_huge = _pair_graph_parallelism(10_000_000_000)
+    assert p_huge <= 512 and w_huge <= 32  # bounded, not runaway
+
+
+def test_embedding_dedup_degenerate_bucket():
+    """10k identical embeddings — hyperplanes cannot split them, so one
+    bucket holds everything; verification must degrade to O(n) min-links
+    (not O(n²) all-pairs) while keeping the cluster closure-connected."""
+    import time as _time
+
+    n = 5000
+    vec = [1.0, 2.0, -0.5, 0.25, 3.0, -1.0, 0.1, 0.9]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+        }
+    )
+    t0 = _time.monotonic()
+    pairs = embedding_dedup_cosine(
+        rd.from_arrow(tbl), threshold=0.99, all_pairs_cap=256
+    ).take_all()
+    elapsed = _time.monotonic() - t0
+    # min-link shape: every member linked to the bucket minimum → the
+    # whole cluster is one connected component
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, n))
+    # all-pairs would be 12.5M comparisons per table × 6 tables; min-link
+    # finishes in seconds even on a throttled host
+    assert elapsed < 60
+
+
 def test_multimodal_plumbing():
     tbl = synthesize_media_table(40, seed=42)
     ds = rd.from_arrow(tbl)

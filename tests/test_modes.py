@@ -144,6 +144,31 @@ def test_continuous_handle_query_stop(tmp_path):
     assert final_sum == pytest.approx(float(np.sum(sa)))
 
 
+def test_continuous_stop_failure_is_not_retried_on_dead_pool(tmp_path):
+    """If stop()'s final snapshot fails after the pool is released, a
+    retried stop() must raise a clear error instead of re-driving dead
+    actors (RayActorError)."""
+    g = _rand_graph(tmp_path, "cfs", sym=True)
+    eng = AsyncEngine(EngineConfig(num_partitions=4), num_workers=2)
+    comp = eng.start(g, ConnectedComponents(), run_dir=str(tmp_path / "cfs"))
+    # make write_final fail: final_dir path occupied by a plain FILE
+    import shutil
+
+    shutil.rmtree(comp._final_dir)
+    with open(comp._final_dir, "w") as f:
+        f.write("not a directory")
+    with pytest.raises(Exception):
+        comp.stop()
+    # pool is released; a second stop() must fail fast and clearly
+    with pytest.raises(RuntimeError, match="pool already released"):
+        comp.stop()
+    with pytest.raises(RuntimeError):
+        comp.status()
+    with pytest.raises(RuntimeError):
+        comp.aggregate(SumStatesTermination(threshold=0.0))
+    os.remove(comp._final_dir)
+
+
 # -- Interactive ------------------------------------------------------------
 
 
