@@ -32,6 +32,7 @@ from signal_collect_ray.functions.similarity import (
 from signal_collect_ray.functions.multimodal import (
     MEDIA_SCHEMA,
     synthesize_media_table,
+    media_from_documents,
     MediaFeatureExtractor,
     extract_media_features,
 )
@@ -45,6 +46,6 @@ __all__ = [
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "simhash_signatures",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
-    "MEDIA_SCHEMA", "synthesize_media_table", "MediaFeatureExtractor",
-    "extract_media_features",
+    "MEDIA_SCHEMA", "synthesize_media_table", "media_from_documents",
+    "MediaFeatureExtractor", "extract_media_features",
 ]

@@ -64,13 +64,49 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def media_from_documents(docs_ds):
+    """Derive a media table from the ``documents`` table: payload =
+    UTF-8 bytes of the text treated as an opaque binary column (the
+    schema convention above), kind round-robined by doc_id. Gives the
+    multimodal stage a REAL corpus-derived input whose fake-decoder
+    features have an exact DuckDB mirror (md5 over the same bytes)."""
+    kinds = np.array(["image", "audio", "video"], dtype=object)
+
+    def to_media(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [(t or "") for t in tbl.column("text").to_pylist()]
+        payloads = [t.encode("utf-8") for t in texts]
+        sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+        metas = [
+            {
+                "width": int(s % 512 + 16),
+                "height": int((s * 7) % 512 + 16),
+                "sample_rate": 16000,
+                "n_frames": int(s % 300 + 1),
+            }
+            for s in sizes
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(list(kinds[ids % 3]), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+    return docs_ds.map_batches(to_media, batch_format="pyarrow")
+
+
 class MediaFeatureExtractor:
     """Actor-pool map_batches stage: payload bytes → fixed-dim feature
     vector + decoded metadata columns.
 
     ``__init__`` is where a real deployment loads the decoder/model once
     per actor. ``decoder="fake"`` derives a deterministic 16-dim float
-    vector from a blake2b digest of the payload (stable, testable);
+    vector from the md5 digest of the payload (stable, testable, and
+    exactly mirrorable in SQL via ``md5()`` hex-nibble arithmetic — the
+    same trick that made ``doc_fingerprints`` oracle-checkable);
     ``decoder="real"`` marks exactly where the missing library goes.
 
     Use small ``batch_size`` (e.g. 64) with wide binary payloads so a
@@ -92,9 +128,9 @@ class MediaFeatureExtractor:
         )
 
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
-        dig = hashlib.blake2b(payload, digest_size=self.DIM * 2).digest()
-        raw = np.frombuffer(dig, dtype=np.uint16).astype(np.float64)
-        return raw / 65535.0
+        dig = hashlib.md5(payload).digest()  # 16 bytes = DIM features
+        raw = np.frombuffer(dig, dtype=np.uint8).astype(np.float64)
+        return raw / 255.0
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         fn = self._decode_fake if self.decoder == "fake" else self._decode_real

@@ -662,13 +662,107 @@ def q_knn_vec0_top5(sf_dir: str):
     )
 
 
-# -- rows-only (non-SQL-expressible) ----------------------------------------
+# The coloring runs on a THINNED derivation of the lineitem graph
+# (hash-filtered edges) whose max symmetric degree stays ≤ ~36 at every
+# scale factor (the full derived graph saturates toward the 500-clique,
+# where the signal-bitmask 63-color cap cannot guarantee a proper
+# coloring exists). 48 colors > max degree ⇒ the randomized repair
+# always has an escape color at every vertex, so it converges to a
+# PROPER coloring — the invariant the oracle pins.
+_COLORING_NUM_COLORS = 48
+_E_COLOR_SQL = (
+    f"SELECT DISTINCT l_orderkey % {V_GRAPH} AS src, "
+    f"l_partkey % {V_GRAPH} AS dst FROM lineitem "
+    f"WHERE (l_orderkey % {V_GRAPH}) <> (l_partkey % {V_GRAPH}) "
+    f"AND ((l_orderkey % {V_GRAPH}) * 31 + (l_partkey % {V_GRAPH})) % 29 = 0"
+)
+
+
+def _coloring_graph(sf_dir: str):
+    """Symmetric thinned graph for the coloring query (Ray side of
+    ``_E_COLOR_SQL``), built once per process per sf_dir."""
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, "coloring")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+
+        def thin(tbl: pa.Table) -> pa.Table:
+            s = tbl.column("src").to_numpy(zero_copy_only=False)
+            d = tbl.column("dst").to_numpy(zero_copy_only=False)
+            keep = np.flatnonzero((s * 31 + d) % 29 == 0)
+            return tbl.take(pa.array(keep, pa.int64()))
+
+        edges = derived_edges_ds(sf_dir).map_batches(thin, batch_format="pyarrow")
+        g = Graph.build(
+            sym_edges(edges), _work_dir(sf_dir, "graph_color"),
+            num_partitions=_P, dedup=True,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
 
 def q_vertex_coloring(sf_dir: str):
-    from signal_collect_ray.algorithms import VertexColoring
+    """Vertex coloring is randomized (reference VertexColoring.scala:38-94
+    repairs conflicts with random recolors), so per-vertex colors have no
+    SQL mirror — but VALIDITY does: a proper coloring has ZERO monochrome
+    edges and every color within [0, num_colors). The query returns the
+    validity summary computed distributedly (colors broadcast once via
+    ray.put, conflicts counted per edge batch); the oracle derives
+    n_vertices from the same lineitem graph and pins the invariants."""
+    import ray
 
-    t = _state(sf_dir, VertexColoring(num_colors=48), True, 100, tag="_col")
-    return pa.table({"vid": t.column("vid"), "color": t.column("state")})
+    from signal_collect_ray.algorithms import VertexColoring
+    from signal_collect_ray.util import isin_sorted
+
+    g = _coloring_graph(sf_dir)
+    eng = _engine(100)
+    info = eng.run(
+        g, VertexColoring(num_colors=_COLORING_NUM_COLORS),
+        run_dir=_work_dir(sf_dir, "run_vertex_coloring_col"), resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid)
+    vid_s, col_s = vid[order], col[order]
+    ref = ray.put((vid_s, col_s))
+
+    def conflicts(tbl: pa.Table) -> pa.Table:
+        vs, cs = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        hs, ps = isin_sorted(vs, s)
+        hd, pd = isin_sorted(vs, d)
+        mono = hs & hd & (cs[ps] == cs[pd])
+        return pa.table({"c": pa.array([int(mono.sum())], pa.int64())})
+
+    n_conflicts = int(
+        g.edges_ds().map_batches(conflicts, batch_format="pyarrow").sum("c")
+    )
+    within = int(
+        bool(len(col_s)) and col_s.min() >= 0 and col_s.max() < _COLORING_NUM_COLORS
+    )
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(vid_s)], pa.int64()),
+            "monochrome_edges": pa.array([n_conflicts], pa.int64()),
+            "colors_within_bound": pa.array([within], pa.int64()),
+        }
+    )
+
+
+_COLORING_SQL = (
+    f"WITH e AS ({_E_COLOR_SQL}), "
+    "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+    "CAST(0 AS BIGINT) AS monochrome_edges, "
+    "CAST(1 AS BIGINT) AS colors_within_bound FROM v"
+)
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
 def q_knn_lsh_vec0_top5(sf_dir: str):
@@ -863,15 +957,65 @@ def q_simhash_dedup_pairs(sf_dir: str):
     return simhash_dedup_pairs(ds, max_hamming=3, shingle_k=3)
 
 
+_LSH_PLANT_OFFSET = 1_000_000_000
+_LSH_PLANT_N = 5
+_LSH_THRESHOLD = 0.95
+
+
 def q_embedding_dedup_pairs_lsh(sf_dir: str):
-    """LSH-bucketed near-dup pairs — the 100-TB scale path (recall < 1
-    by design; the exact variant above is its oracle-checked baseline)."""
+    """LSH-bucketed near-dup pairs — the 100-TB scale path. To make the
+    check non-vacuous (the raw table has no pairs at cosine ≥ 0.95), the
+    query PLANTS exact duplicates of the 5 smallest vec_ids (new id =
+    old + 1e9) — a fixture both sides can construct. Identical vectors
+    hash to the same bucket in EVERY LSH table, so recall on the planted
+    pairs is deterministically 1.0 and the result equals the exact
+    all-pairs oracle over the augmented table (general recall < 1 by
+    design; the exact variant above is the broader baseline)."""
     import ray.data as rd
 
     from signal_collect_ray.functions.similarity import embedding_dedup_cosine
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_dedup_cosine(ds, threshold=0.95, max_partners=8)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).select_columns(
+        ["vec_id", "embedding"]
+    )
+
+    def bump(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.set_column(
+            tbl.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.array(v + _LSH_PLANT_OFFSET, pa.int64()),
+        )
+
+    planted = ds.sort("vec_id").limit(_LSH_PLANT_N).map_batches(
+        bump, batch_format="pyarrow"
+    )
+    pairs = embedding_dedup_cosine(ds.union(planted), threshold=_LSH_THRESHOLD)
+
+    def round4(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cosine").to_numpy(zero_copy_only=False)
+        return tbl.set_column(
+            tbl.schema.get_field_index("cosine"),
+            "cosine",
+            pa.array(np.round(c, 4), pa.float64()),
+        )
+
+    return pairs.map_batches(round4, batch_format="pyarrow")
+
+
+_EMB_LSH_SQL = (
+    "WITH aug AS MATERIALIZED ("
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    f"SELECT CAST(vec_id + {_LSH_PLANT_OFFSET} AS BIGINT), embedding FROM "
+    f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {_LSH_PLANT_N})) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine "
+    "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    f"CAST(b.embedding AS DOUBLE[])) >= {_LSH_THRESHOLD}"
+)
 
 
 def q_minhash_dedup_pairs(sf_dir: str):
@@ -984,15 +1128,63 @@ def q_pagerank_async(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Multimodal plumbing through the oracle gate: the media table is
+    derived from documents (payload = UTF-8 text bytes as an opaque
+    binary column), the fake decoder is md5-based, so every feature has
+    an exact DuckDB mirror (md5 hex-nibble arithmetic). Features are
+    returned as 16 flat float columns rounded to 6."""
     import ray.data as rd
 
     from signal_collect_ray.functions.multimodal import (
+        MediaFeatureExtractor,
         extract_media_features,
-        synthesize_media_table,
+        media_from_documents,
     )
 
-    ds = rd.from_arrow(synthesize_media_table(256, seed=42))
-    return extract_media_features(ds, concurrency=2, batch_size=64)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    feats = extract_media_features(
+        media_from_documents(docs), concurrency=2, batch_size=64
+    )
+    dim = MediaFeatureExtractor.DIM
+
+    def flatten(tbl: pa.Table) -> pa.Table:
+        f = np.asarray(tbl.column("features").to_pylist(), dtype=np.float64)
+        if f.size == 0:
+            f = f.reshape(0, dim)
+        cols = {
+            "media_id": tbl.column("media_id"),
+            "kind": tbl.column("kind"),
+            "payload_bytes": tbl.column("payload_bytes"),
+        }
+        for j in range(dim):
+            cols[f"f{j:02d}"] = pa.array(np.round(f[:, j], 6), pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def _media_sql() -> str:
+    """Exact SQL mirror of q_media_features: md5 over the same UTF-8
+    payload bytes, each feature byte reconstructed from the hex digest
+    via nibble positions, /255 and ROUND(,6) matching the Ray side."""
+    hexd = "'0123456789abcdef'"
+    feats = ", ".join(
+        f"ROUND(((strpos({hexd}, substr(h, {2 * j + 1}, 1)) - 1) * 16 "
+        f"+ strpos({hexd}, substr(h, {2 * j + 2}, 1)) - 1) / 255.0, 6) "
+        f"AS f{j:02d}"
+        for j in range(16)
+    )
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "octet_length(encode(COALESCE(text, ''))) AS payload_bytes, "
+        "md5(COALESCE(text, '')) AS h FROM documents) "
+        "SELECT media_id, kind, CAST(payload_bytes AS BIGINT) AS payload_bytes, "
+        f"{feats} FROM m"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1486,17 +1678,17 @@ def queries():
         "path_query_star": q_path_query,
         "hamiltonian_best": q_hamiltonian_best,
         "host_pagerank_k4": q_host_pagerank_k4,
-        # rows-only checks (not SQL-expressible)
         "vertex_coloring": q_vertex_coloring,
+        "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
+        "media_features": q_media_features,
+        # rows-only checks (not SQL-expressible)
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
         "pagerank_converged": q_pagerank_converged,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_signatures": q_simhash_signatures,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
-        "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
         "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
         "pagerank_async": q_pagerank_async,
-        "media_features": q_media_features,
     }
 
 
@@ -1604,4 +1796,7 @@ def oracle_sql():
         "path_query_star": _pq_sql(),
         "hamiltonian_best": _ham_sql(),
         "host_pagerank_k4": _host_pr_sql(4),
+        "vertex_coloring": _COLORING_SQL,
+        "embedding_dedup_pairs_lsh": _EMB_LSH_SQL,
+        "media_features": _media_sql(),
     }
