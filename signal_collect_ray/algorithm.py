@@ -58,6 +58,26 @@ class Algorithm:
     reset_after_signal: bool = False
     reset_value = 0.0
 
+    #: Vertex-program-initiated mutation (reference ``GraphEditor.scala:
+    #: 37-201`` passed into signal/collect; ``examples/WebCrawler.scala:
+    #: 38-47`` grows the graph DURING PageRank). When True the durable
+    #: engine calls ``emit_edges`` after every partition collect and
+    #: applies the union of emitted edges at the next superstep boundary
+    #: through its ``Graph.update`` mutation path (new targets are
+    #: auto-created, state migrates, every vertex re-enqueued).
+    emits_mutations: bool = False
+
+    #: When True, a mutation boundary re-initializes EVERY vertex
+    #: (``algo.init``) instead of migrating survivor state. Needed by
+    #: delta-formulated algorithms (PageRank): their state implicitly
+    #: encodes Σ(retained signal per in-edge) under the OLD topology;
+    #: the reference fixes stale retained signals by most-recent-signal
+    #: REPLACEMENT as sources re-signal (``DataGraphVertex.scala:66-77``),
+    #: which a delta increment cannot reproduce after out-degrees change.
+    #: Monotone-fold algorithms (min-label CC, SSSP under adds) keep
+    #: their warm start with the default False.
+    fresh_state_on_mutation: bool = False
+
     #: Dense scatter aggregation (resident executor fast path): "sum" or
     #: "min" when the per-edge signal is a single value combined with a
     #: commutative monoid — aggregation becomes bincount/minimum.at over
@@ -123,6 +143,22 @@ class Algorithm:
         (dst sorted ascending, subset of prev["vid"]).
         """
         raise NotImplementedError
+
+    def emit_edges(
+        self, prev: StateDict, new: StateDict
+    ) -> Optional[StateDict]:
+        """Edges this partition's vertex program wants ADDED — the
+        GraphEditor surface (``GraphEditor.scala:37-201``). Called after
+        ``collect`` with the pre-collect (``prev``: vid/out_degree/
+        sum_out_weight/state/last/active) and post-collect (``new``)
+        partition arrays; return ``{"src", "dst"[, "weight"]}`` numpy
+        arrays or None. MUST be self-quiescing — emit only on a state
+        transition (e.g. a vertex's first visit, out_degree still 0), or
+        the run mutates forever. Requires ``emits_mutations = True``;
+        honored by the durable SuperstepEngine (the resident/async
+        executors bind CSR blocks at start and refuse, like
+        ``run(edge_deltas=...)``)."""
+        return None
 
     # -- helpers shared by implementations --------------------------------
     @staticmethod

@@ -1,4 +1,5 @@
 from signal_collect_ray.algorithms.pagerank import PageRank
+from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
@@ -15,6 +16,7 @@ from signal_collect_ray.algorithms.triangles import (
 
 __all__ = [
     "PageRank",
+    "CrawlingPageRank",
     "ConnectedComponents",
     "SSSP",
     "ChineseWhispers",

@@ -33,6 +33,10 @@ class PageRank(Algorithm):
     dense_agg = "sum"
     dense_identity = 0.0
     dense_dtype = np.float64
+    # delta state = f(retained signal sums under the CURRENT topology) —
+    # a mutation invalidates the ledger, so restart from init (see
+    # Algorithm.fresh_state_on_mutation)
+    fresh_state_on_mutation = True
 
     def __init__(self, damping: float = 0.85):
         self.damping = damping

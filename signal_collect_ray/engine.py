@@ -298,7 +298,11 @@ def _migrate_shard(new_vfile: str, prev_dir: str, algo: Algorithm, out_dir: str)
     )
     st = algo.init(vid, outd, sumw)
     old_path = os.path.join(prev_dir, f"part-{p:05d}.parquet")
-    if os.path.exists(old_path) and len(vid):
+    if (
+        not algo.fresh_state_on_mutation
+        and os.path.exists(old_path)
+        and len(vid)
+    ):
         old = _to_np_dict(pq.read_table(old_path))
         found, pos_c = isin_sorted(vid, old["vid"])
         for col in ("state", "last"):
@@ -442,6 +446,26 @@ class CollectStage:
             algo.state_pa_type,
         )
         pq.write_table(out, os.path.join(self.out_dir, f"part-{p:05d}.parquet"))
+        if algo.emits_mutations:
+            em = algo.emit_edges(prev, st)
+            if em is not None and len(em["src"]):
+                n_em = len(em["src"])
+                pq.write_table(
+                    pa.table(
+                        {
+                            "src": pa.array(em["src"], pa.int64()),
+                            "dst": pa.array(em["dst"], pa.int64()),
+                            "weight": pa.array(
+                                np.asarray(
+                                    em.get("weight", np.ones(n_em)),
+                                    dtype=np.float64,
+                                ),
+                                pa.float64(),
+                            ),
+                        }
+                    ),
+                    os.path.join(self.out_dir, f"emit-{p:05d}.parquet"),
+                )
         send_mask = (
             np.ones(len(prev["vid"]), dtype=bool)
             if algo.always_signal
@@ -719,14 +743,30 @@ class SuperstepEngine:
             per_step.append(manifest)
             last = manifest
 
+        def poll_deltas(kk: int):
+            """Pending edits for superstep kk: algorithm-emitted edges
+            (GraphEditor path — `emit-*.parquet` written by CollectStage
+            into step kk's checkpoint dir) take precedence; the driver's
+            edge_deltas callback is polled when nothing was emitted."""
+            if algo.emits_mutations:
+                files = sorted(
+                    glob.glob(
+                        os.path.join(self._step_dir(run_dir, kk), "emit-*.parquet")
+                    )
+                )
+                if files:
+                    return {"add_edges_ds": rd.read_parquet(files)}
+            return edge_deltas(kk) if edge_deltas is not None else None
+
+        may_mutate = edge_deltas is not None or algo.emits_mutations
         while True:
             if converged:
                 # a converged computation still drains pending edits —
                 # streaming arrivals re-open it (GraphEditor semantics).
                 # GlobalConstraintMet is terminal: the user predicate won.
                 deltas = (
-                    edge_deltas(k)
-                    if edge_deltas is not None and reason != "GlobalConstraintMet"
+                    poll_deltas(k)
+                    if may_mutate and reason != "GlobalConstraintMet"
                     else None
                 )
                 if not deltas:
@@ -742,8 +782,8 @@ class SuperstepEngine:
             if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
                 reason = "TimeLimitReached"
                 break
-            if edge_deltas is not None:
-                deltas = edge_deltas(k)
+            if may_mutate:
+                deltas = poll_deltas(k)
                 if deltas:
                     k += 1
                     mutate(deltas, k)

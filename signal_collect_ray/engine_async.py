@@ -348,6 +348,12 @@ class AsyncEngine:
                 "(always_signal) — not async-eligible; run a synchronous "
                 "executor (reference ExecutionMode.scala:52-60 caveat)"
             )
+        if algo.emits_mutations:
+            raise NotImplementedError(
+                f"{algo.name} emits graph mutations (GraphEditor surface) "
+                "— the async executor binds CSR blocks at start; run the "
+                "durable SuperstepEngine"
+            )
         cfg = self.config
         if cfg.on_undeliverable == "create":
             raise NotImplementedError(

@@ -504,6 +504,12 @@ class ResidentEngine:
                 "vertex set; use SuperstepEngine for "
                 f"on_undeliverable={cfg.on_undeliverable!r}"
             )
+        if algo.emits_mutations:
+            raise NotImplementedError(
+                f"{algo.name} emits graph mutations (GraphEditor surface) "
+                "— the resident executor binds CSR blocks at start; run "
+                "the durable SuperstepEngine"
+            )
         if graph.meta.get("n_dangling", 0):
             raise NotImplementedError(
                 f"graph has {graph.meta['n_dangling']} edges to missing "

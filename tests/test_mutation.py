@@ -12,7 +12,12 @@ import pyarrow as pa
 import pytest
 
 from signal_collect_ray import EngineConfig, Graph
-from signal_collect_ray.algorithms import ConnectedComponents, TokenDiffusion
+from signal_collect_ray.algorithms import (
+    ConnectedComponents,
+    CrawlingPageRank,
+    PageRank,
+    TokenDiffusion,
+)
 from signal_collect_ray.engine import SuperstepEngine
 
 from tests import fixtures as fx
@@ -77,6 +82,87 @@ def test_streaming_edge_adds_match_static_cc(tmp_path):
     assert info.converged
     assert any(m.get("mutation") for m in info.per_step)
     assert _labels(info) == want
+
+
+def _crawl_closure(link_map, seeds):
+    """Vertices/edges a crawl starting from ``seeds`` eventually adds."""
+    seen, frontier = set(), set(seeds)
+    src, dst = [], []
+    while frontier:
+        v = frontier.pop()
+        if v in seen:
+            continue
+        seen.add(v)
+        for u in link_map.get(v, ()):
+            src.append(v)
+            dst.append(u)
+            if u not in seen:
+                frontier.add(u)
+    return np.array(src, np.int64), np.array(dst, np.int64)
+
+
+def test_algorithm_emitted_mutations_webcrawler(tmp_path):
+    """GraphEditor parity (WebCrawler.scala:38-47): PageRank over a graph
+    that GROWS from inside the algorithm (emit_edges on first visit)
+    converges to the same ranks as a static build of the fully crawled
+    graph."""
+    rng = np.random.RandomState(7)
+    n_web = 30
+    link_map = {
+        v: sorted(set(int(x) for x in rng.randint(0, n_web, 4)) - {v})
+        for v in range(n_web)
+    }
+    # seed graph: just the links of page 0 — the crawler discovers the rest
+    seed_src = np.array([0] * len(link_map[0]), np.int64)
+    seed_dst = np.array(link_map[0], np.int64)
+
+    # eps 1e-7 → fixpoint error ≤ ~6e-7 per side (geometric tail), well
+    # inside the 5e-6 comparison; keeps the two ~90-superstep durable
+    # runs affordable in CI
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=4, eps=1e-7, max_supersteps=400)
+    )
+    g0 = Graph.from_edge_arrays(
+        seed_src, seed_dst, str(tmp_path / "g0"), num_partitions=4
+    )
+    info = eng.run(
+        g0, CrawlingPageRank(link_map), run_dir=str(tmp_path / "rc"),
+        resume=False,
+    )
+    assert info.converged
+    assert any(m.get("mutation") for m in info.per_step)
+    got = _labels(info)
+
+    # static build of the crawled closure, plain PageRank
+    full_src, full_dst = _crawl_closure(link_map, {0} | set(link_map[0]))
+    gs = Graph.from_edge_arrays(
+        full_src, full_dst, str(tmp_path / "gs"), num_partitions=4
+    )
+    info_s = eng.run(
+        gs, PageRank(), run_dir=str(tmp_path / "rs"), resume=False,
+    )
+    want = _labels(info_s)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 5e-6, (v, got[v], r)
+
+
+def test_emitting_algorithms_refused_by_resident_and_async(tmp_path):
+    from signal_collect_ray.engine_async import AsyncEngine
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    src = np.array([0, 1], np.int64)
+    dst = np.array([1, 2], np.int64)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=2)
+    algo = CrawlingPageRank({0: [1]})
+    with pytest.raises(NotImplementedError, match="mutations"):
+        ResidentEngine(EngineConfig(num_partitions=2), num_workers=2).run(
+            g, algo, run_dir=str(tmp_path / "rr"), resume=False
+        )
+    with pytest.raises(NotImplementedError, match="mutations"):
+        AsyncEngine(EngineConfig(num_partitions=2), num_workers=2).run(
+            g, algo, run_dir=str(tmp_path / "ra")
+        )
 
 
 def test_midrun_edge_removal_redirects_tokens(tmp_path):
