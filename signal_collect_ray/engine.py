@@ -143,11 +143,15 @@ class SignalStage:
         algo: Algorithm,
         num_partitions: int,
         signal_threshold: float,
+        part_fn=None,
     ):
         self.csr_refs = csr_refs
         self.algo = algo
         self.P = num_partitions
         self.threshold = signal_threshold
+        # vertex→partition mapper; must match the graph's build-time
+        # placement (pluggable, MapperSpec.scala:34-83)
+        self.part_fn = part_fn or part_of
         self._csr_cache: Dict[int, dict] = {}
 
     def _csr(self, p: int):
@@ -235,7 +239,7 @@ class SignalStage:
             vals = algo.edge_values(expanded, weight)
             dst_u, combined = algo.combine(dst, vals)
             cols = {
-                "dst_part": pa.array(part_of(dst_u, self.P), pa.int32()),
+                "dst_part": pa.array(self.part_fn(dst_u, self.P), pa.int32()),
                 "dst": pa.array(dst_u, pa.int64()),
             }
             for name, typ in algo.signal_fields:
@@ -256,9 +260,10 @@ class SaltedPreCombine:
 
     __name__ = "SaltedPreCombine"
 
-    def __init__(self, algo: Algorithm, num_partitions: int):
+    def __init__(self, algo: Algorithm, num_partitions: int, part_fn=None):
         self.algo = algo
         self.P = num_partitions
+        self.part_fn = part_fn or part_of
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         algo = self.algo
@@ -274,7 +279,7 @@ class SaltedPreCombine:
         # realigning, so combiners that emit multiple rows per dst
         # (e.g. Chinese Whispers' (dst, label) rows) stay valid.
         cols = {
-            "dst_part": pa.array(part_of(dst_u, self.P), pa.int32()),
+            "dst_part": pa.array(self.part_fn(dst_u, self.P), pa.int32()),
             "dst": pa.array(dst_u, pa.int64()),
         }
         for name, typ in algo.signal_fields:
@@ -807,6 +812,7 @@ class SuperstepEngine:
                         algo=algo,
                         num_partitions=P,
                         signal_threshold=threshold,
+                        part_fn=graph.part_fn,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,
@@ -820,6 +826,7 @@ class SuperstepEngine:
                         algo=algo,
                         num_partitions=P,
                         signal_threshold=threshold,
+                        part_fn=graph.part_fn,
                     ),
                     batch_format="pyarrow",
                     batch_size=None,
@@ -846,7 +853,10 @@ class SuperstepEngine:
                 signals = (
                     signals.map_batches(add_salt, batch_format="pyarrow")
                     .groupby("salt_key")
-                    .map_groups(SaltedPreCombine(algo, P), batch_format="pyarrow")
+                    .map_groups(
+                        SaltedPreCombine(algo, P, part_fn=graph.part_fn),
+                        batch_format="pyarrow",
+                    )
                 )
             prev_parts = {p["part"]: p for p in last["parts"]}
             metrics_rows = (

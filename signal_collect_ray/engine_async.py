@@ -62,6 +62,7 @@ class _AsyncWorker:
         signal_threshold: float,
         vertex_files: Dict[int, str],
         on_undeliverable: str = "drop",
+        part_fn=None,
     ):
         import ray
 
@@ -73,6 +74,7 @@ class _AsyncWorker:
         self.P = num_partitions
         self.W = num_workers
         self.threshold = signal_threshold
+        self.part_fn = part_fn or part_of
         csr_refs = csr_refs_wrapped[0]
         self.csr = {p: ray.get(csr_refs[p]) for p in parts if p in csr_refs}
         self.meta: Dict[int, dict] = {}
@@ -171,7 +173,7 @@ class _AsyncWorker:
                     vals = algo.edge_values(expanded, csr["weight"][eidx])
                     dst = csr["dst"][eidx]
                     dst_u, combined = algo.combine(dst, vals)
-                    dw = part_of(dst_u, self.P) % self.W
+                    dw = self.part_fn(dst_u, self.P) % self.W
                     order = np.argsort(dw, kind="stable")
                     dst_u, dw = dst_u[order], dw[order]
                     combined = {k: v[order] for k, v in combined.items()}
@@ -212,7 +214,7 @@ class _AsyncWorker:
         field_names = [n for n, _ in algo.signal_fields]
         per_part: Dict[int, list] = {}
         for dst, vals in pieces:
-            dp = part_of(dst, self.P)
+            dp = self.part_fn(dst, self.P)
             order = np.argsort(dp, kind="stable")
             dp, dsts = dp[order], dst[order]
             vv = {k: v[order] for k, v in vals.items()}
@@ -382,7 +384,7 @@ class AsyncEngine:
         workers = [
             Actor.remote(
                 w, [p for p in range(P) if p % W == w], [csr_refs], algo, P, W,
-                threshold, vfiles, cfg.on_undeliverable,
+                threshold, vfiles, cfg.on_undeliverable, graph.part_fn,
             )
             for w in range(W)
         ]

@@ -63,6 +63,7 @@ class _Worker:
         signal_threshold: float,
         part_offsets=None,
         part_sizes=None,
+        part_fn=None,
     ):
         import ray
 
@@ -72,6 +73,7 @@ class _Worker:
         self.P = num_partitions
         self.W = num_workers
         self.threshold = signal_threshold
+        self.part_fn = part_fn or part_of
         csr_refs = csr_refs_wrapped[0]
         self.csr = {p: ray.get(csr_refs[p]) for p in parts if p in csr_refs}
         self.state: Dict[int, dict] = {}
@@ -232,7 +234,7 @@ class _Worker:
                 vals = algo.edge_values(expanded, csr["weight"][eidx])
                 dst = csr["dst"][eidx]
             dst_u, combined = algo.combine(dst, vals)
-            dparts = part_of(dst_u, self.P)
+            dparts = self.part_fn(dst_u, self.P)
             dwids = dparts % self.W
             order = np.argsort(dwids, kind="stable")
             dst_u, dparts, dwids = dst_u[order], dparts[order], dwids[order]
@@ -585,7 +587,7 @@ class ResidentEngine:
         workers = [
             WorkerActor.options(num_cpus=1).remote(
                 w, parts_by_worker[w], [csr_refs], algo, P, W, threshold,
-                offsets, sizes,
+                offsets, sizes, graph.part_fn,
             )
             for w in range(W)
         ]

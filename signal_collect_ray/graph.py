@@ -56,10 +56,14 @@ class _EdgeShardWriter:
 
     __name__ = "_EdgeShardWriter"
 
-    def __init__(self, edges_tmp_dir: str, num_partitions: int, dedup: bool = False):
+    def __init__(
+        self, edges_tmp_dir: str, num_partitions: int, dedup: bool = False,
+        part_fn=None,
+    ):
         self.dir = edges_tmp_dir
         self.P = num_partitions
         self.dedup = dedup
+        self.part_fn = part_fn or part_of
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         src = _to_np(tbl, "src")
@@ -120,7 +124,7 @@ class _EdgeShardWriter:
         w = np.concatenate([sumw, np.zeros(len(dst_u))])
         return pa.table(
             {
-                "vpart": pa.array(part_of(vid, self.P), pa.int32()),
+                "vpart": pa.array(self.part_fn(vid, self.P), pa.int32()),
                 "vid": pa.array(vid, pa.int64()),
                 "out_degree": pa.array(outd, pa.int64()),
                 "sum_out_weight": pa.array(w, pa.float64()),
@@ -198,7 +202,7 @@ def _load_csr(path: str) -> Dict[str, np.ndarray]:
 class Graph:
     """Handle over a built, partitioned graph directory."""
 
-    def __init__(self, graph_dir: str):
+    def __init__(self, graph_dir: str, part_fn=None):
         self.graph_dir = graph_dir
         with open(os.path.join(graph_dir, "meta.json")) as f:
             meta = json.load(f)
@@ -206,13 +210,28 @@ class Graph:
         self.num_vertices: int = meta["num_vertices"]
         self.num_edges: int = meta["num_edges"]
         self.meta = meta
+        mapper = meta.get("mapper", "default")
+        if part_fn is None:
+            if mapper != "default":
+                raise ValueError(
+                    f"graph {graph_dir!r} was built with a custom "
+                    f"vertex→partition mapper ({mapper!r}); pass the SAME "
+                    "part_fn to Graph.load — signal routing must agree "
+                    "with the build-time placement"
+                )
+            part_fn = part_of
+        #: vertex→partition mapper (reference VertexToWorkerMapper,
+        #: DefaultVertexToWorkerMapper.scala:28-35 / MapperSpec.scala:
+        #: 34-83): both executors route signals with THIS function, so it
+        #: must be the one the graph was partitioned with.
+        self.part_fn = part_fn
         self._csr_refs: Optional[Dict[int, "object"]] = None
 
     # -- construction ------------------------------------------------------
     @classmethod
     def build(
         cls, edges_ds, graph_dir: str, num_partitions: int = 8,
-        dedup: bool = False, exclude_vertices=None,
+        dedup: bool = False, exclude_vertices=None, part_fn=None,
     ) -> "Graph":
         """Build partitioned graph storage from an edge Dataset.
 
@@ -229,8 +248,18 @@ class Graph:
         that was never added). Edges to them stay in the CSR with
         ``dst_gidx = -1`` and ``meta["n_dangling"]`` counts them; the
         durable engine's ``on_undeliverable`` handler decides their fate.
+
+        ``part_fn``: pluggable vertex→partition mapper, a picklable
+        ``(vids: int64[:], P) -> int32[:]`` callable (reference
+        ``GraphBuilder.withMapperFactory`` / ``MapperSpec.scala:34-83``;
+        e.g. ``util.HostAffinityMapper`` for host-locality placement).
+        Default: the multiplicative hash (``util.part_of``, mirroring
+        ``DefaultVertexToWorkerMapper.scala:28-35``). The mapper is
+        recorded in graph meta and MUST be re-passed to ``Graph.load``.
         """
         import pyarrow.compute as pc
+
+        pf = part_fn or part_of
 
         if os.path.exists(graph_dir):
             shutil.rmtree(graph_dir)
@@ -252,12 +281,13 @@ class Graph:
             if "kind" in tbl.column_names:
                 cols["kind"] = tbl.column("kind")
             src = tbl.column("src").combine_chunks().to_numpy(zero_copy_only=False)
-            cols["part"] = pa.array(part_of(src, P), pa.int32())
+            cols["part"] = pa.array(pf(src, P), pa.int32())
             return pa.table(cols)
 
         prepared = edges_ds.map_batches(add_cols, batch_format="pyarrow")
         contribs = prepared.groupby("part").map_groups(
-            _EdgeShardWriter(edges_tmp, P, dedup), batch_format="pyarrow"
+            _EdgeShardWriter(edges_tmp, P, dedup, part_fn=pf),
+            batch_format="pyarrow",
         )
         excl = (
             np.unique(np.asarray(exclude_vertices, dtype=np.int64))
@@ -280,10 +310,15 @@ class Graph:
             "num_edges": int(sum(r["n_edges_out"] for r in rows)),
             "parts_with_vertices": sorted(int(r["part"]) for r in rows),
             "part_sizes": {str(p): n for p, n in sorted(part_sizes.items())},
+            "mapper": (
+                "default"
+                if pf is part_of
+                else getattr(pf, "mapper_name", "custom")
+            ),
         }
         with open(os.path.join(graph_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
-        g = cls(graph_dir)
+        g = cls(graph_dir, part_fn=part_fn)
         n_dangling = g._add_dst_gidx()
         if n_dangling:
             g.meta["n_dangling"] = n_dangling
@@ -301,6 +336,7 @@ class Graph:
         num_partitions: int = 8,
         symmetric: bool = False,
         exclude_vertices=None,
+        part_fn=None,
     ) -> "Graph":
         """Test/fixture helper: build from in-memory edge arrays."""
         import ray.data as rd
@@ -327,12 +363,15 @@ class Graph:
         )
         return cls.build(
             rd.from_arrow(tbl), graph_dir, num_partitions,
-            exclude_vertices=exclude_vertices,
+            exclude_vertices=exclude_vertices, part_fn=part_fn,
         )
 
     @classmethod
-    def load(cls, graph_dir: str) -> "Graph":
-        return cls(graph_dir)
+    def load(cls, graph_dir: str, part_fn=None) -> "Graph":
+        """Reopen a built graph. A graph built with a custom ``part_fn``
+        must be reopened with the SAME one (meta records the mapper name
+        and ``__init__`` refuses otherwise)."""
+        return cls(graph_dir, part_fn=part_fn)
 
     def contracted(
         self, mapping_fn, graph_dir: str, num_partitions: Optional[int] = None
@@ -441,6 +480,7 @@ class Graph:
             graph_dir,
             num_partitions=self.num_partitions,
             dedup=dedup,
+            part_fn=None if self.part_fn is part_of else self.part_fn,
         )
 
     # -- accessors ---------------------------------------------------------
@@ -513,6 +553,7 @@ class Graph:
                 .combine_chunks().to_numpy(zero_copy_only=False)
             )
         ref = ray.put(vids)
+        pf = self.part_fn
 
         @ray.remote
         def annotate(path, ref_w, offsets, P):
@@ -521,7 +562,7 @@ class Graph:
             vmap = ray.get(ref_w[0])
             tbl = pq.read_table(path)
             dst = tbl.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-            dparts = part_of(dst, P)
+            dparts = pf(dst, P)
             gidx = np.full(len(dst), -1, dtype=np.int64)
             for p in np.unique(dparts):
                 sel = dparts == p
@@ -549,6 +590,7 @@ class Graph:
         offsets, _ = self.part_offsets()
         vfiles = self.vertex_files()
         efiles = self.edge_files()
+        pf = self.part_fn
         if not efiles:
             return 0
 
@@ -597,7 +639,7 @@ class Graph:
                 pieces.append(
                     pa.table(
                         {
-                            "dpart": pa.array(part_of(dst, P), pa.int32()),
+                            "dpart": pa.array(pf(dst, P), pa.int32()),
                             "shard": pa.array(
                                 np.full(n, p, dtype=np.int32), pa.int32()
                             ),

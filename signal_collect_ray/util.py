@@ -30,6 +30,29 @@ def part_of(vids: np.ndarray, num_partitions: int) -> np.ndarray:
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
+class HostAffinityMapper:
+    """Pluggable vertex→partition mapper (the reference's
+    ``VertexToWorkerMapper`` surface: ``DefaultVertexToWorkerMapper.scala:
+    28-35`` is the hash default, ``GraphBuilder.withMapperFactory`` /
+    ``features/MapperSpec.scala:34-83`` inject custom ones): place every
+    vertex of one HOST on one partition — locality-aware placement for
+    web graphs whose vids reduce to a host id (here ``vid % host_mod``,
+    matching the host-contraction mapping in pipelines/queries.py). Any
+    picklable ``(vids: int64[:], P) -> int32[:]`` callable works as a
+    mapper; ``mapper_name`` is recorded in graph meta for auditability
+    and reload safety."""
+
+    mapper_name = "host_affinity"
+
+    def __init__(self, host_mod: int):
+        self.host_mod = host_mod
+
+    def __call__(self, vids: np.ndarray, num_partitions: int) -> np.ndarray:
+        return part_of(
+            np.asarray(vids, dtype=np.int64) % self.host_mod, num_partitions
+        )
+
+
 def url_to_vid(url: str) -> int:
     """Deterministic 63-bit vertex id for a url (blake2b-8, top bit clear).
 
