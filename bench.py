@@ -23,13 +23,17 @@ from typing import Optional
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Web density (~64 links/page, Common-Crawl-like) rather than the sparse
-# 8-links default of the headline. Note the resident engine still caps
-# the dense worker pool at ~sqrt(E)/250 (measured single-node optimum;
-# see engine_resident.py), so at this toy size the PageRank phase runs
-# the same W at both CPU levels and STRONG scaling is carried by the
-# build phase — the weak-scaling mode below is the metric where the
-# engine's parallelism actually shows.
-SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "40000"))
+# 8-links default of the headline. 150k pages ≈ 9.6M links: big enough
+# that the engine's auto pool cap (sqrt(E)/dense_worker_cost, see
+# engine_resident.py) DIFFERS across the two CPU levels (W≈6 at 8 CPUs
+# vs W≈13 at 32), so the strong-scaling run exercises engine
+# parallelism, not just the build. The per-superstep floor itself is
+# Ray-RPC-bound (scripts/bench_barrier.py measures the decomposition);
+# weak scaling below remains the regime that models the 100 TB target.
+SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "150000"))
+# weak-scaling keeps the smaller per-level base (the LO level's input;
+# the HI level gets (hi/lo)x pages)
+SCALE_PAGES_WEAK = int(os.environ.get("GRAFT_SCALE_PAGES_WEAK", "40000"))
 SCALE_AVG_LINKS = int(os.environ.get("GRAFT_SCALE_AVG_LINKS", "64"))
 SCALE_REPS = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
 SCALE_CPUS_LO = int(os.environ.get("GRAFT_SCALE_CPUS_LO", "8"))
@@ -84,7 +88,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     work = "/tmp/scray_bench/headline"
     P = max(2 * num_cpus, 16)
-    cfg = EngineConfig(num_partitions=P, eps=1e-6, max_supersteps=200)
+    cfg = EngineConfig(
+        num_partitions=P, eps=1e-6, max_supersteps=200,
+        convergence_check_interval=8,
+    )
     queries: dict = {}
     extra: dict = {}
 
@@ -114,8 +121,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     queries["extract_build"], g = _timed(build)
     extra["n_vertices"], extra["n_edges"] = g.num_vertices, g.num_edges
 
-    # 2. PageRank to 1e-6 — resident executor (throughput path)
-    res_eng = ResidentEngine(cfg, num_workers=num_cpus)
+    # 2. PageRank to 1e-6 — resident executor (throughput path); pool
+    # auto-sized by the engine's per-step cost model (explicit
+    # num_workers would be honored verbatim since round 3)
+    res_eng = ResidentEngine(cfg)
     queries["pagerank"], pr = _timed(
         lambda: res_eng.run(
             g, PageRank(), run_dir=os.path.join(work, "run_pr"), resume=False,
@@ -235,8 +244,14 @@ def _scaling_child(num_cpus: int) -> None:
     )
     t_build = time.monotonic() - t0
 
-    cfg = EngineConfig(num_partitions=64, eps=1e-6, max_supersteps=200)
-    eng = ResidentEngine(cfg, num_workers=num_cpus)
+    # conv_int=8: submit 8 superstep rounds per driver sync (actor-to-actor
+    # ref chaining) — an eps-run may overshoot ≤7 idempotent rounds, in
+    # exchange for amortizing the driver barrier over short supersteps
+    cfg = EngineConfig(
+        num_partitions=64, eps=1e-6, max_supersteps=200,
+        convergence_check_interval=8,
+    )
+    eng = ResidentEngine(cfg)  # auto pool sizing (cost model)
     t1 = time.monotonic()
     info = eng.run(
         g, PageRank(), run_dir=os.path.join(work, "run"), resume=False,
@@ -262,9 +277,11 @@ def _scaling_child(num_cpus: int) -> None:
 
 
 def _scaling_run(ncpu: int, pages: Optional[int] = None) -> dict:
-    """One --scaling-child subprocess; best-of-SCALE_REPS (this host's
-    CPU-steal noise swings stage walls up to 3x between windows — the
-    minimum is the capability number)."""
+    """One parallelism level: SCALE_REPS fresh --scaling-child
+    subprocesses; reports the MEDIAN wall (all reps kept in the JSON —
+    this host's CPU-steal noise swings stage walls up to 3x between
+    windows, and a minimum would overstate capability)."""
+    import statistics
 
     def once() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -277,10 +294,21 @@ def _scaling_run(ncpu: int, pages: Optional[int] = None) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     runs = [once() for _ in range(max(1, SCALE_REPS))]
-    best = min(runs, key=lambda r: r["wall_sec"])
-    best["reps"] = len(runs)
-    best["wall_sec_all"] = [r["wall_sec"] for r in runs]
-    return best
+    med = sorted(runs, key=lambda r: r["wall_sec"])[(len(runs) - 1) // 2]
+    rep = dict(med)
+    rep["wall_sec"] = round(
+        statistics.median(r["wall_sec"] for r in runs), 3
+    )
+    rep["build_sec"] = round(
+        statistics.median(r["build_sec"] for r in runs), 3
+    )
+    rep["pagerank_sec"] = round(
+        statistics.median(r["pagerank_sec"] for r in runs), 3
+    )
+    rep["reps"] = len(runs)
+    rep["wall_sec_all"] = [r["wall_sec"] for r in runs]
+    rep["pagerank_sec_all"] = [r["pagerank_sec"] for r in runs]
+    return rep
 
 
 def run_scaling() -> dict:
@@ -293,6 +321,13 @@ def run_scaling() -> dict:
         "unit": "ratio",
         f"sec_{SCALE_CPUS_LO}": lo["wall_sec"],
         f"sec_{SCALE_CPUS_HI}": hi["wall_sec"],
+        # phase decomposition: where the speedup does / does not come from
+        "build_eff": round(
+            (lo["build_sec"] / max(hi["build_sec"], 1e-9)) / ratio, 3
+        ),
+        "pagerank_eff": round(
+            (lo["pagerank_sec"] / max(hi["pagerank_sec"], 1e-9)) / ratio, 3
+        ),
         "detail_lo": lo,
         "detail_hi": hi,
         "scale_pages": SCALE_PAGES,
@@ -310,8 +345,8 @@ def run_scaling_weak() -> dict:
     level the way it does in a strong-scaling run on toy input."""
     # exact CPU ratio (not floor division) so a non-multiple hi/lo pair
     # still grows the input proportionally to the CPU budget
-    pages_hi = round(SCALE_PAGES * SCALE_CPUS_HI / SCALE_CPUS_LO)
-    lo = _scaling_run(SCALE_CPUS_LO, SCALE_PAGES)
+    pages_hi = round(SCALE_PAGES_WEAK * SCALE_CPUS_HI / SCALE_CPUS_LO)
+    lo = _scaling_run(SCALE_CPUS_LO, SCALE_PAGES_WEAK)
     hi = _scaling_run(SCALE_CPUS_HI, pages_hi)
     eff = lo["wall_sec"] / hi["wall_sec"]
     return {
@@ -322,7 +357,7 @@ def run_scaling_weak() -> dict:
         f"sec_{SCALE_CPUS_HI}": hi["wall_sec"],
         "detail_lo": lo,
         "detail_hi": hi,
-        "scale_pages_lo": SCALE_PAGES,
+        "scale_pages_lo": SCALE_PAGES_WEAK,
         "scale_pages_hi": pages_hi,
         "scale_avg_links": SCALE_AVG_LINKS,
     }

@@ -79,6 +79,19 @@ class EngineConfig:
     # dense path requires a closed vertex set and supports "drop" only.
     on_undeliverable: str = "drop"
 
+    # Resident-executor dense-path pool sizing (AUTO mode only — an
+    # explicit ResidentEngine(num_workers=...) is honored up to CPUs and
+    # partitions). Per-step cost ≈ α·W (exchange objects + barrier
+    # straggler tail) + E/(W·σ) (scatter compute), so the auto optimum
+    # scales as sqrt(E)/C where C folds the measured α/σ ratio of the
+    # host. 250 is the single-node measurement (engine_resident.py); on
+    # a cluster with different interconnect α, tune it here or via the
+    # SCRAY_DENSE_WORKER_COST env var. The engine logs whenever this cap
+    # (not CPUs/partitions) is what bounds the pool.
+    dense_worker_cost: float = field(
+        default_factory=lambda: float(os.environ.get("SCRAY_DENSE_WORKER_COST", "250"))
+    )
+
     # Salted two-stage signal aggregation (hub-skew handling, north
     # rule): when > 1, signal rows are pre-combined per
     # (dst_part, hash(dst) % salt_buckets) bucket before the final

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import shutil
 import time
@@ -47,6 +48,8 @@ from signal_collect_ray.engine import (
     _to_np_dict,
 )
 from signal_collect_ray.util import expand_ranges, part_of
+
+_logger = logging.getLogger("signal_collect_ray.resident")
 
 
 class _Worker:
@@ -167,10 +170,15 @@ class _Worker:
     def signal_dense(self):
         """Dense fast path: per-edge values scatter into ONE dense vector
         over the global vertex index (bincount for sum, minimum.at for
-        min) — no sorting anywhere; the exchange ships dense per-
-        partition slices. Used when the signaling frontier is dense
-        (edges_next ≥ num_vertices), where it strictly dominates the
-        sparse row exchange in both compute and volume."""
+        min) — no sorting anywhere. The exchange ships ONE contiguous
+        array per destination WORKER (that worker's partition slices
+        concatenated, plus the part-id/length index to split it
+        zero-copy on arrival): serializing W arrays per sender instead
+        of P slice-objects is what keeps the per-round exchange near the
+        raw Ray RPC floor (measured: the per-slice structure cost ~5x
+        the RPC itself at W=30). Used when the signaling frontier is
+        dense (edges_next ≥ num_vertices), where it strictly dominates
+        the sparse row exchange in both compute and volume."""
         algo = self.algo
         field0 = algo.signal_fields[0][0]
         is_sum = algo.dense_agg == "sum"
@@ -201,24 +209,35 @@ class _Worker:
                 np.minimum.at(total, gidx, vals.astype(algo.dense_dtype))
         if total is None:
             return {}
-        outbox: Dict[int, list] = {}
+        outbox: Dict[int, tuple] = {}
         ident = algo.dense_identity
-        for p in range(self.P):
-            lo = self.offsets[p]
-            sl = total[lo : lo + self.sizes[p]]
-            has = sl.any() if is_sum else (sl != ident).any()
-            if has:
-                outbox.setdefault(p % self.W, []).append((p, sl))
+        for w in range(self.W):
+            plist, pieces = [], []
+            for p in range(w, self.P, self.W):  # p % W == w
+                lo = self.offsets[p]
+                sl = total[lo : lo + self.sizes[p]]
+                has = sl.any() if is_sum else (sl != ident).any()
+                if has:
+                    plist.append(p)
+                    pieces.append(sl)
+            if plist:
+                outbox[w] = (
+                    np.asarray(plist, dtype=np.int32),
+                    np.asarray([len(x) for x in pieces], dtype=np.int64),
+                    np.concatenate(pieces),
+                )
         return outbox
 
     def signal(self):
         """Compute this worker's outgoing signals, pre-combined per
-        destination partition, grouped per destination WORKER. The whole
-        outbox is the task's return value — ONE object-store entry per
-        worker per superstep; receivers map it zero-copy and slice only
-        their pieces (numpy buffers ride pickle5 out-of-band in plasma)."""
+        destination partition, grouped per destination WORKER — ONE
+        concatenated (dparts, dst, vals) triple per destination worker
+        (not one per owned partition: fewer, larger arrays keep the
+        exchange near the Ray RPC floor). The whole outbox is the task's
+        return value; receivers slice only their pieces (numpy buffers
+        ride pickle5 out-of-band in plasma)."""
         algo = self.algo
-        outbox: Dict[int, list] = {w: [] for w in range(self.W)}
+        acc: Dict[int, list] = {}
         for p in self.parts:
             sel = self._active_edges(p)
             if sel is None:
@@ -244,22 +263,43 @@ class _Worker:
                 lo, hi = bounds[w], bounds[w + 1]
                 if lo == hi:
                     continue
-                outbox[w].append(
+                acc.setdefault(w, []).append(
                     (dparts[lo:hi], dst_u[lo:hi], {k: v[lo:hi] for k, v in combined.items()})
                 )
-        return {w: pieces for w, pieces in outbox.items() if pieces}
+        outbox: Dict[int, list] = {}
+        for w, lst in acc.items():
+            if len(lst) == 1:
+                outbox[w] = lst
+            else:
+                outbox[w] = [
+                    (
+                        np.concatenate([x[0] for x in lst]),
+                        np.concatenate([x[1] for x in lst]),
+                        {
+                            k: np.concatenate([x[2][k] for x in lst])
+                            for k in lst[0][2]
+                        },
+                    )
+                ]
+        return outbox
 
-    def collect_dense(self, outbox_refs: list):
+    def collect_dense(self, entries: list):
         """Dense collect: elementwise sum/min of the received dense
         per-partition slices, then the algorithm's vectorized dense
-        collect. Zero sorting, zero searching."""
-        import ray
-
+        collect. Zero sorting, zero searching. ``entries`` are this
+        worker's OWN inbox entries, one per sender (None = nothing)."""
         algo = self.algo
         is_sum = algo.dense_agg == "sum"
         acc: Dict[int, np.ndarray] = {}
-        for outbox in ray.get(outbox_refs):
-            for p, arr in outbox.get(self.wid, ()):
+        for entry in entries:
+            if entry is None:
+                continue
+            plist, lens, data = entry
+            # split the sender's contiguous block back into per-partition
+            # views (zero-copy)
+            splits = np.split(data, np.cumsum(lens)[:-1])
+            for p, arr in zip(plist, splits):
+                p = int(p)
                 cur = acc.get(p)
                 if cur is None:
                     acc[p] = arr.copy()
@@ -311,22 +351,19 @@ class _Worker:
         state[sched] = algo.reset_value
         return state
 
-    def collect(self, outbox_refs: list):
+    def collect(self, entries: list):
         """Apply incoming signals to owned partitions; returns metrics.
 
-        ``outbox_refs`` are the OTHER workers' signal() return refs —
-        fetched in one batched zero-copy ray.get, then sliced to this
-        worker's pieces."""
-        import ray
-
+        ``entries`` are this worker's own inbox entries, one per sender
+        (each a list of concatenated (dparts, dst, vals) triples, or
+        None)."""
         algo = self.algo
         field_names = [n for n, _ in algo.signal_fields]
         per_part: Dict[int, list] = {p: [] for p in self.parts}
         inbox = []
-        for outbox in ray.get(outbox_refs):
-            pieces = outbox.get(self.wid)
-            if pieces:
-                inbox.extend(pieces)
+        for ent in entries:
+            if ent:
+                inbox.extend(ent)
         for dparts, dst, vals in inbox:
                 order = np.argsort(dparts, kind="stable")
                 dp, ds = dparts[order], dst[order]
@@ -379,15 +416,25 @@ class _Worker:
         """Fused superstep round: collect step k's signals, then
         immediately compute step k+1's outbox — ONE actor barrier per
         superstep instead of two. Returns (outbox, metrics); the driver
-        keeps the outbox as an unfetched ref for the next round.
+        keeps the outbox as an unfetched ref for the next round. One
+        PLASMA object per sender per round: returns must stay above
+        Ray's inline-return path (small returns ship by value through
+        the DRIVER — measured 3x slower than plasma at every W when the
+        exchange was restructured to per-receiver return slots), and
+        receivers map the sender outbox zero-copy and deserialize only
+        W concatenated entries (see signal_dense / signal).
         ``skip_signal`` elides the signal half on the run's final
         possible step (its outbox could never be collected — notable for
         always_signal algorithms on fixed-k runs)."""
+        import ray
+
+        outs = ray.get(outbox_refs)
+        entries = [o.get(self.wid) if o else None for o in outs]
         t0 = time.perf_counter()
         rows = (
-            self.collect_dense(outbox_refs)
+            self.collect_dense(entries)
             if mode_collect == "dense"
-            else self.collect(outbox_refs)
+            else self.collect(entries)
         )
         t1 = time.perf_counter()
         if skip_signal:
@@ -477,6 +524,12 @@ class ResidentEngine:
         import ray
 
         self.config = config or EngineConfig()
+        # explicit num_workers is HONORED (capped only by CPUs and
+        # partitions); None → auto-size with the per-step cost model
+        # (EngineConfig.dense_worker_cost). A hard-coded heuristic
+        # silently overriding an explicit pool size contradicts the
+        # cluster-scale target — the caller may know its interconnect.
+        self._explicit_workers = num_workers is not None
         if num_workers is None:
             num_workers = max(1, int(ray.cluster_resources().get("CPU", 4)))
         self.W = num_workers
@@ -540,28 +593,39 @@ class ResidentEngine:
         )
         os.makedirs(run_dir, exist_ok=True)
         P = graph.num_partitions
-        # cap the pool so each worker has enough per-step work to amortize
-        # the barrier (~50k edges/worker floor); explicit num_workers in
-        # the constructor is a hint, never exceeded
         # leave ≥2 CPUs for the driver + raylet: at W == cluster CPUs the
         # barrier collapses ~5x from oversubscription (measured)
         cpu_cap = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
-        W = max(1, min(self.W, cpu_cap, P, graph.num_edges // 50_000 + 1))
-        # dense-exchange algorithms ship O(V/P) slices per partition and
-        # touch an O(V) accumulator per worker, so past E/(2V) workers the
-        # per-worker O(V) term dominates and extra workers only add
-        # barrier traffic (measured: W=4 beats W=32 on an 8-edges/vertex
-        # graph). Sparse-only algorithms keep the edge-count cap.
-        if algo.dense_agg is not None and graph.num_vertices > 0:
-            W = max(1, min(W, graph.num_edges // (2 * graph.num_vertices) + 1))
-            # Per-step cost ≈ α·W (exchange objects + barrier straggler
-            # tail grows with pool size) + E/(W·σ) (scatter compute), so
-            # the optimum scales as sqrt(E). Measured optima on this
-            # host: E=1.6M→W 5, E=2.6M→W 6, E=9.6M→W 6–16 (W=30 is 3–4×
-            # slower at every size) — sqrt(E)/250 tracks all three. At
-            # cluster scale E is orders larger, so this cap stops
+        if self._explicit_workers:
+            # explicit pool size: honored up to CPUs and partitions
+            W = max(1, min(self.W, cpu_cap, P))
+        else:
+            # AUTO sizing: cap the pool so each worker has enough
+            # per-step work to amortize the barrier (~50k edges/worker
+            # floor).
+            W = max(1, min(self.W, cpu_cap, P, graph.num_edges // 50_000 + 1))
+            # Dense-exchange algorithms ship O(V/P) slices per partition
+            # and touch an O(V) accumulator per worker, so past E/(2V)
+            # workers the per-worker O(V) term dominates. Per-step cost ≈
+            # α·W (exchange objects + barrier straggler tail grows with
+            # pool size) + E/(W·σ) (scatter compute) → optimum scales as
+            # sqrt(E)/C with C = EngineConfig.dense_worker_cost (measured
+            # single-node optima: E=1.6M→W 5, E=2.6M→W 6, E=9.6M→W 6–16).
+            # At cluster scale E is orders larger, so this cap stops
             # binding long before the CPU cap does.
-            W = max(1, min(W, int(np.sqrt(graph.num_edges) / 250) + 1))
+            if algo.dense_agg is not None and graph.num_vertices > 0:
+                W = max(1, min(W, graph.num_edges // (2 * graph.num_vertices) + 1))
+                cost = max(cfg.dense_worker_cost, 1e-9)
+                sqrt_cap = max(1, int(np.sqrt(graph.num_edges) / cost) + 1)
+                if sqrt_cap < W:
+                    _logger.info(
+                        "resident pool auto-capped at W=%d by the dense "
+                        "per-step cost model (sqrt(E)/%g, E=%d); CPUs would "
+                        "allow %d — pass num_workers explicitly or tune "
+                        "EngineConfig.dense_worker_cost to override",
+                        sqrt_cap, cost, graph.num_edges, W,
+                    )
+                    W = sqrt_cap
         t0 = time.monotonic()
 
         lineage_base = {

@@ -234,9 +234,8 @@ def _engine(max_supersteps: int, eps: float = 1e-6):
     from signal_collect_ray.engine_resident import ResidentEngine
 
     return ResidentEngine(
-        EngineConfig(num_partitions=_P, eps=eps, max_supersteps=max_supersteps),
-        num_workers=4,
-    )
+        EngineConfig(num_partitions=_P, eps=eps, max_supersteps=max_supersteps)
+    )  # auto pool sizing — query graphs are tiny, the cost model picks small W
 
 
 def _state(sf_dir, algo, symmetric, max_supersteps, eps=1e-6, tag=""):
