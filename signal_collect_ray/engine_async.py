@@ -234,8 +234,27 @@ class _AsyncWorker:
                         f"{n_bad} undeliverable signals to empty partition "
                         f"{p} (on_undeliverable='raise', Handlers.scala:36-40)"
                     )
-                self.undeliverable += n_bad
-                continue
+                if self.on_undeliverable == "create":
+                    # materialize the partition in place (worker-local —
+                    # the receiving worker OWNS partition p, so vertex
+                    # creation needs no coordination, exactly the
+                    # reference's handler running on the target worker,
+                    # DefaultHandlerFactory / Handlers.scala:26-44)
+                    self.meta[p] = {
+                        "vid": np.empty(0, dtype=np.int64),
+                        "out_degree": np.empty(0, dtype=np.int64),
+                        "sum_out_weight": np.empty(0),
+                    }
+                    st = algo.init(
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0),
+                    )
+                    st.setdefault("residual", np.empty(0))
+                    self.state[p] = st
+                else:
+                    self.undeliverable += n_bad
+                    continue
             m = self.meta[p]
             dst = np.concatenate([x[0] for x in plist])
             vals = {
@@ -251,9 +270,13 @@ class _AsyncWorker:
                         f"{p}, e.g. dst={dst[bad][:5].tolist()} "
                         "(on_undeliverable='raise', Handlers.scala:36-40)"
                     )
-                self.undeliverable += int(bad.sum())
-                dst = dst[~bad]
-                vals = {k: v[~bad] for k, v in vals.items()}
+                if self.on_undeliverable == "create":
+                    m = self._create_vertices(p, np.unique(dst[bad]))
+                    st = self.state[p]
+                else:
+                    self.undeliverable += int(bad.sum())
+                    dst = dst[~bad]
+                    vals = {k: v[~bad] for k, v in vals.items()}
             prev = {
                 "vid": m["vid"],
                 "out_degree": m["out_degree"],
@@ -266,6 +289,32 @@ class _AsyncWorker:
             # async schedule: only signal recipients re-activate; the
             # fold made other vertices' activity impossible to change
             self.state[p] = new_st
+
+    def _create_vertices(self, p: int, new_vids: np.ndarray) -> dict:
+        """Auto-create missing signal targets in an owned partition
+        (reference NonExistentVertexHandlerSpec semantics — fresh
+        vertices with no out-edges, state from ``algo.init``, merged
+        sorted). Returns the refreshed meta dict."""
+        algo = self.algo
+        m, st = self.meta[p], self.state[p]
+        zi = np.zeros(len(new_vids), dtype=np.int64)
+        zf = np.zeros(len(new_vids))
+        st_new = algo.init(new_vids, zi, zf)
+        st_new.setdefault("residual", np.ones(len(new_vids)))
+        vid = np.concatenate([m["vid"], new_vids])
+        order = np.argsort(vid, kind="stable")
+        self.meta[p] = {
+            "vid": vid[order],
+            "out_degree": np.concatenate([m["out_degree"], zi])[order],
+            "sum_out_weight": np.concatenate([m["sum_out_weight"], zf])[order],
+        }
+        merged = {}
+        for col in ("state", "last", "active", "residual"):
+            merged[col] = np.concatenate(
+                [np.asarray(st[col]), np.asarray(st_new[col])]
+            )[order]
+        self.state[p] = merged
+        return self.meta[p]
 
     def drain_inbox(self) -> dict:
         """Collect-only round: fold any delivered-but-unprocessed signals
@@ -357,12 +406,6 @@ class AsyncEngine:
                 "durable SuperstepEngine"
             )
         cfg = self.config
-        if cfg.on_undeliverable == "create":
-            raise NotImplementedError(
-                "on_undeliverable='create' needs the durable engine "
-                "(vertex creation is a checkpoint-shard operation); the "
-                "async executor supports 'drop' and 'raise'"
-            )
         threshold = (
             cfg.signal_threshold if signal_threshold is None else signal_threshold
         )

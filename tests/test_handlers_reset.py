@@ -129,6 +129,31 @@ def test_undeliverable_create_vertex(tmp_path):
     assert labels == {0: 0, 1: 0, 2: 0, 99: 0}
 
 
+def test_undeliverable_create_vertex_async(tmp_path):
+    """on_undeliverable='create' under the ASYNC executor (reference
+    DefaultHandlerFactory auto-creates under every mode): the receiving
+    worker owns the target partition, so vertex creation is worker-local
+    — same final labels as the durable engine's create path."""
+    from signal_collect_ray.engine_async import AsyncEngine
+
+    g = _dangling_graph(tmp_path, "acreate")
+    eng = AsyncEngine(
+        EngineConfig(num_partitions=2, on_undeliverable="create"),
+        num_workers=2,
+    )
+    info = eng.run(
+        g, ConnectedComponents(), run_dir=str(tmp_path / "racreate")
+    )
+    assert info.converged
+    labels = dict(
+        zip(
+            info.state_table().column("vid").to_pylist(),
+            info.state_table().column("state").to_pylist(),
+        )
+    )
+    assert labels == {0: 0, 1: 0, 2: 0, 99: 0}
+
+
 def test_resident_refuses_dangling(tmp_path):
     g = _dangling_graph(tmp_path, "res")
     eng = ResidentEngine(EngineConfig(num_partitions=2), num_workers=2)
