@@ -1,20 +1,29 @@
 """Asynchronous execution — the PureAsynchronous / OptimizedAsynchronous
 rebuild (reference ``configuration/ExecutionMode.scala:34-88``).
 
-No global barriers: each worker actor, whenever scheduled, runs one local
-round — signal its scheduled vertices (with the reference's
-post-signal bookkeeping: lastSignalState catch-up, ResetStateAfterSignaling,
-de-schedule), then collect whatever signals have arrived in its inbox —
-and pushes outgoing signals directly into peer actors' inboxes. Workers
-are stepped only while they have work, so partitions progress at
-different rates and signals interleave in arbitrary order, exactly the
-chaotic relaxation the reference's async workers perform
-(``WorkerImplementation.scala`` scheduling loop).
+No global barriers: each worker actor runs its OWN scheduling loop
+(``run_local``, a long-running task on a threaded actor) — while it has
+work it keeps running local rounds: signal its scheduled vertices (with
+the reference's post-signal bookkeeping: lastSignalState catch-up,
+ResetStateAfterSignaling, de-schedule), then collect whatever signals
+have arrived in its inbox — pushing outgoing signals directly into peer
+actors' inboxes, and sleeps briefly when idle. Partitions progress at
+their own rates with no driver in the dispatch path — the same
+self-scheduling worker loop the reference's async workers run
+(``WorkerImplementation.scala`` scheduling loop); the driver only
+observes via ``status()`` on a second actor-concurrency slot.
 
 Termination is the reference coordinator's quiescence condition
 (``DefaultCoordinator.scala:255-304`` ``isIdle``): every worker idle
 (empty inbox, no scheduled vertices) AND the global sent-message count
 equals the received count — in-flight pushes keep the computation alive.
+Because the driver's per-worker status reads are not a consistent global
+snapshot, quiescence is double-confirmed: two consecutive polls must
+both satisfy the condition with identical per-worker (sent, received,
+rounds) counters. The counters are monotonic and every local round or
+delivery increments one, so any activity between the two reads of a
+worker makes the second poll differ — the same stability argument as
+Safra-style double-counting termination detection.
 
 Only fold-on-delivery algorithms (the reference's ``DataFlowVertex``,
 ``DataFlowVertex.scala:47-54``) are async-eligible: delta PageRank,
@@ -98,13 +107,21 @@ class _AsyncWorker:
         self.received = 0
         self.undeliverable = 0
         self.rounds = 0
+        # the actor runs with max_concurrency > 1 so peers' push() and the
+        # driver's status()/stop_loop() land WHILE run_local loops; the
+        # lock guards the inbox and the received counter (the only state
+        # both sides mutate) — everything else is loop-thread-private or
+        # read-only-racy (monotonic ints, rebound-not-mutated arrays)
+        self._mu = threading.Lock()
+        self._stop_evt = threading.Event()
 
     def set_peers(self, handles):
         self.peers = handles
 
     def push(self, pieces, n_rows: int):
-        self.inbox.extend(pieces)
-        self.received += n_rows
+        with self._mu:
+            self.inbox.extend(pieces)
+            self.received += n_rows
 
     def status(self) -> dict:
         has_active = any(
@@ -133,6 +150,33 @@ class _AsyncWorker:
         self._collect_phase()
         self.rounds += 1
         return self.status()
+
+    def _has_local_work(self) -> bool:
+        if self.inbox:
+            return True
+        return any(bool(st["active"].any()) for st in self.state.values())
+
+    def run_local(self, idle_sleep_s: float = 0.001) -> dict:
+        """The worker's own scheduling loop (reference
+        ``WorkerImplementation.scala`` — workers self-schedule; no
+        coordinator in the dispatch path). Runs local rounds while there
+        is work, idle-waits otherwise, exits when the driver sets the
+        stop flag via ``stop_loop()`` (served on another concurrency
+        slot of this threaded actor). Never clears the flag: on a
+        threaded actor a stop_loop() may be served BEFORE the loop task
+        starts, and clearing would erase it and deadlock the join."""
+        while not self._stop_evt.is_set():
+            if self._has_local_work():
+                self._signal_phase()
+                self._collect_phase()
+                self.rounds += 1
+            else:
+                self._stop_evt.wait(idle_sleep_s)
+        return self.status()
+
+    def stop_loop(self) -> bool:
+        self._stop_evt.set()
+        return True
 
     def _signal_phase(self):
         import ray
@@ -208,9 +252,10 @@ class _AsyncWorker:
 
     def _collect_phase(self):
         algo = self.algo
-        if not self.inbox:
-            return
-        pieces, self.inbox = self.inbox, []
+        with self._mu:
+            if not self.inbox:
+                return
+            pieces, self.inbox = self.inbox, []
         field_names = [n for n, _ in algo.signal_fields]
         per_part: Dict[int, list] = {}
         for dst, vals in pieces:
@@ -423,7 +468,10 @@ class AsyncEngine:
             int(os.path.basename(f).split("-")[1].split(".")[0]): f
             for f in graph.vertex_files()
         }
-        Actor = ray.remote(_AsyncWorker)
+        # threaded actor: one slot is held by the long-running run_local
+        # loop; the rest serve peer push() deliveries and the driver's
+        # status()/stop_loop()/aggregate_states() concurrently
+        Actor = ray.remote(max_concurrency=8)(_AsyncWorker)
         workers = [
             Actor.remote(
                 w, [p for p in range(P) if p % W == w], [csr_refs], algo, P, W,
@@ -489,37 +537,60 @@ class AsyncEngine:
         import ray
 
         t0 = time.monotonic()
-
-        rounds = 0
+        # start every worker's own scheduling loop; from here the driver
+        # is OUT of the dispatch path — it only polls for quiescence
+        loop_refs = [w.run_local.remote() for w in workers]
         converged = False
         reason = None
-        while True:
-            stats = ray.get([w.status.remote() for w in workers])
-            busy = [i for i, s in enumerate(stats) if s["has_work"]]
-            sent = sum(s["sent"] for s in stats)
-            recv = sum(s["received"] for s in stats)
-            if not busy and sent == recv and not continuous:
-                converged = True
-                reason = "Converged"
-                break
-            if rounds >= max_rounds and not continuous:
-                reason = "StepsLimitReached"
-                break
-            if time_limit_s is not None and time.monotonic() - t0 > time_limit_s:
-                reason = "TimeLimitReached"
-                break
-            if busy:
-                # chaotic relaxation: only workers with work run a local
-                # round; completion order is arbitrary
-                ray.get([workers[i].step.remote() for i in busy])
-                rounds += 1
-            else:
-                time.sleep(0.002)  # in-flight pushes draining / stalled
+        prev_key = None
+        stats = None
+        try:
+            while True:
+                # a loop task finishing before stop_loop() means it raised
+                # (on_undeliverable='raise', algo bugs) — surface it now
+                # instead of polling a dead loop forever
+                done, _ = ray.wait(
+                    loop_refs, num_returns=len(loop_refs), timeout=0
+                )
+                if done:
+                    ray.get(done)
+                stats = ray.get([w.status.remote() for w in workers])
+                key = tuple(
+                    (s["sent"], s["received"], s["rounds"]) for s in stats
+                )
+                idle = (
+                    not any(s["has_work"] for s in stats)
+                    and sum(s["sent"] for s in stats)
+                    == sum(s["received"] for s in stats)
+                )
+                if not continuous and idle and key == prev_key:
+                    # double-confirmed quiescence (see module docstring)
+                    converged = True
+                    reason = "Converged"
+                    break
+                prev_key = key if idle else None
+                if (
+                    not continuous
+                    and max(s["rounds"] for s in stats) >= max_rounds
+                ):
+                    reason = "StepsLimitReached"
+                    break
+                if (
+                    time_limit_s is not None
+                    and time.monotonic() - t0 > time_limit_s
+                ):
+                    reason = "TimeLimitReached"
+                    break
+                time.sleep(0.002)
+        finally:
+            ray.get([w.stop_loop.remote() for w in workers])
+            ray.get(loop_refs)  # join the loops; propagate worker errors
 
         if not converged:
             _drain(workers)
         ray.get([w.write_final.remote(final_dir) for w in workers])
         stats = ray.get([w.status.remote() for w in workers])
+        rounds = max(s["rounds"] for s in stats)
         return _async_info(
             algo, rounds, converged, reason, t0, stats, run_dir, final_dir
         )
@@ -541,55 +612,63 @@ class AsyncEngine:
         workers, run_dir, final_dir = self._spawn(
             graph, algo, run_dir, signal_threshold, mode
         )
+        loop_refs = [w.run_local.remote() for w in workers]
         return ContinuousComputation(
-            workers, algo, run_dir, final_dir, max_rounds, time_limit_s
+            workers, loop_refs, algo, run_dir, final_dir, max_rounds,
+            time_limit_s,
         )
 
 
 class ContinuousComputation:
-    """Handle for a running ContinuousAsynchronous computation: a driver
-    thread keeps stepping busy workers; the caller can query aggregates
-    mid-flight (continuous querying). Per-worker snapshots are atomic
-    (actor tasks serialize) but not globally synchronized — the same
+    """Handle for a running ContinuousAsynchronous computation: the
+    workers self-schedule their own loops (``run_local``) — there is no
+    driver in the dispatch path; a light monitor thread only enforces
+    the optional rounds/time limits. The caller can query aggregates
+    mid-flight (continuous querying). Per-worker reads run on another
+    concurrency slot of the threaded actor while the loop is live, so a
+    snapshot may interleave with a local round — the same chaotic
     read-consistency the reference's continuous mode offers."""
 
-    def __init__(self, workers, algo, run_dir, final_dir, max_rounds, time_limit_s):
+    def __init__(
+        self, workers, loop_refs, algo, run_dir, final_dir, max_rounds,
+        time_limit_s,
+    ):
         self._final_status: Optional[dict] = None
         self._final_info: Optional[ExecutionInformation] = None
         self._pool_released = False
         self._workers = workers
+        self._loop_refs = loop_refs
         self._algo = algo
         self._run_dir = run_dir
         self._final_dir = final_dir
         self._max_rounds = max_rounds
         self._time_limit_s = time_limit_s
-        self._rounds = 0
         self._t0 = time.monotonic()
         self._stop = threading.Event()
         self._reason: Optional[str] = None
-        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread = threading.Thread(target=self._monitor, daemon=True)
         self._thread.start()
 
-    def _drive(self):
+    def _monitor(self):
+        """Limits watchdog only — dispatch belongs to the workers. When a
+        limit trips it parks the worker loops (pool stays alive for
+        status/aggregate reads until stop())."""
         import ray
 
         while not self._stop.is_set():
-            if self._rounds >= self._max_rounds:
-                self._reason = "StepsLimitReached"
-                return
             if (
                 self._time_limit_s is not None
                 and time.monotonic() - self._t0 > self._time_limit_s
             ):
                 self._reason = "TimeLimitReached"
-                return
+                break
             stats = ray.get([w.status.remote() for w in self._workers])
-            busy = [i for i, s in enumerate(stats) if s["has_work"]]
-            if busy:
-                ray.get([self._workers[i].step.remote() for i in busy])
-                self._rounds += 1
-            else:
-                time.sleep(0.005)  # stalled: keep running (continuous)
+            if max(s["rounds"] for s in stats) >= self._max_rounds:
+                self._reason = "StepsLimitReached"
+                break
+            self._stop.wait(0.02)
+        if self._reason is not None and not self._pool_released:
+            ray.get([w.stop_loop.remote() for w in self._workers])
 
     @property
     def running(self) -> bool:
@@ -607,7 +686,7 @@ class ContinuousComputation:
             )
         stats = ray.get([w.status.remote() for w in self._workers])
         return {
-            "rounds": self._rounds,
+            "rounds": max(s["rounds"] for s in stats),
             "running": self.running,
             "sent": sum(s["sent"] for s in stats),
             "received": sum(s["received"] for s in stats),
@@ -662,6 +741,10 @@ class ContinuousComputation:
         self._stop.set()
         self._thread.join()
         try:
+            # park the worker loops and join them so no round can race
+            # the consistent-boundary drain below
+            ray.get([w.stop_loop.remote() for w in self._workers])
+            ray.get(self._loop_refs)
             _drain(self._workers)
             ray.get(
                 [w.write_final.remote(self._final_dir) for w in self._workers]
@@ -674,8 +757,9 @@ class ContinuousComputation:
             for w in self._workers:
                 ray.kill(w, no_restart=True)
         quiesced = not any(s["has_work"] for s in stats)
+        rounds = max(s["rounds"] for s in stats)
         self._final_status = {
-            "rounds": self._rounds,
+            "rounds": rounds,
             "running": False,
             "sent": sum(s["sent"] for s in stats),
             "received": sum(s["received"] for s in stats),
@@ -685,7 +769,7 @@ class ContinuousComputation:
         }
         self._final_info = _async_info(
             self._algo,
-            self._rounds,
+            rounds,
             quiesced,
             self._reason or "Stopped",
             self._t0,

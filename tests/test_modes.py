@@ -144,6 +144,19 @@ def test_continuous_handle_query_stop(tmp_path):
     assert final_sum == pytest.approx(float(np.sum(sa)))
 
 
+def test_continuous_immediate_stop_joins_worker_loops(tmp_path):
+    """stop() right after start() must not deadlock: on the threaded
+    actor a stop_loop() can be served BEFORE run_local begins, so the
+    loop must honor a pre-set stop flag (never clear it)."""
+    g = _rand_graph(tmp_path, "cis", sym=True)
+    eng = AsyncEngine(EngineConfig(num_partitions=4), num_workers=3)
+    comp = eng.start(g, ConnectedComponents(), run_dir=str(tmp_path / "cis"))
+    info = comp.stop()  # would hang on ray.get(loop_refs) if racy
+    assert info.termination_reason in ("Stopped", "Converged")
+    # idempotent: the cached final info comes back
+    assert comp.stop() is info
+
+
 def test_continuous_stop_failure_is_not_retried_on_dead_pool(tmp_path):
     """If stop()'s final snapshot fails after the pool is released, a
     retried stop() must raise a clear error instead of re-driving dead
