@@ -22,6 +22,7 @@ from signal_collect_ray.functions.dedup import (
     minhash_lsh_candidates,
     jaccard_verify,
     dedup_minhash,
+    ngram_jaccard_pairs,
     simhash_signatures,
 )
 from signal_collect_ray.functions.similarity import (
@@ -44,7 +45,7 @@ __all__ = [
     "LanguageId", "QualityScore", "TokenCount", "Fingerprint",
     "analyze_documents",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
-    "dedup_minhash", "simhash_signatures",
+    "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
     "MEDIA_SCHEMA", "synthesize_media_table", "media_from_documents",
     "MediaFeatureExtractor", "extract_media_features",

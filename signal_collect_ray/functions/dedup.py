@@ -588,6 +588,197 @@ def dedup_minhash(
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index co-occurrence, no candidate stage)
+# ---------------------------------------------------------------------------
+
+# A single shingle shared by this many documents aborts the exact
+# pipeline: emitting its co-occurrence pairs is inherently O(n²) and the
+# result would be dominated by boilerplate, not duplication — the same
+# explicit contract as similarity.embedding_dedup_pairs (exact ops are
+# the oracle baseline; the scale path is dedup_minhash).
+NGRAM_GROUP_LIMIT = 10_000
+# Broadcasting the per-doc shingle-set sizes costs ~16 B/doc; past this
+# the exact pipeline refuses rather than silently materializing.
+NGRAM_SIZES_BYTES_LIMIT = 1 << 30
+
+
+class _DistinctShingles:
+    __name__ = "_DistinctShingles"
+
+    """batch → one row per DISTINCT (shingle, doc): the map-side unit of
+    the inverted index. Shingle hashing is the batch-flat vectorized
+    path (`_batch_shingles`); per-doc distinct is one lexsort + boundary
+    mask, no Python loop."""
+
+    def __init__(self, id_col: str, shingle_k: int):
+        self.id_col = id_col
+        self.k = shingle_k
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        sh, counts = _batch_shingles(tbl.column("text").to_pylist(), self.k)
+        doc_of = np.repeat(np.arange(len(ids)), counts)
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        first = np.ones(len(sh_s), dtype=bool)
+        first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        return pa.table(
+            {
+                # int64 view: groupby keys hash identically, zero-copy
+                "gram": pa.array(sh_s[first].view(np.int64)),
+                "doc": pa.array(
+                    ids[doc_s[first]].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+class _ShingleSetSizes:
+    __name__ = "_ShingleSetSizes"
+
+    """batch → (doc, n_distinct_shingles). A second map-only pass over
+    the corpus: recomputing shingles is embarrassingly parallel, while
+    counting sizes from the (gram, doc) table would re-shuffle the whole
+    token stream a second time."""
+
+    def __init__(self, id_col: str, shingle_k: int):
+        self.id_col = id_col
+        self.k = shingle_k
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        sh, counts = _batch_shingles(tbl.column("text").to_pylist(), self.k)
+        doc_of = np.repeat(np.arange(len(ids)), counts)
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        first = np.ones(len(sh_s), dtype=bool)
+        first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        n = np.bincount(doc_s[first], minlength=len(ids))
+        return pa.table(
+            {
+                "doc": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_shingles": pa.array(n, pa.int64()),
+            }
+        )
+
+
+class _GramPairs:
+    __name__ = "_GramPairs"
+
+    """One inverted-index posting list → all co-occurring (id_a < id_b)
+    pairs. Exactness requires EVERY pair (the downstream count per pair
+    IS the intersection size), so an oversized posting list aborts with
+    direction to the sketch path instead of min-linking."""
+
+    def __init__(self, limit: int | None = None):
+        # read the module global at CALL time so it stays tunable
+        self.limit = NGRAM_GROUP_LIMIT if limit is None else limit
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        docs = np.sort(tbl.column("doc").to_numpy())
+        n = len(docs)
+        if n > self.limit:
+            raise RuntimeError(
+                f"a single {n}-document shingle posting list exceeds "
+                f"NGRAM_GROUP_LIMIT={self.limit}: exact n-gram Jaccard "
+                "is O(n²) on shared boilerplate — use dedup_minhash / "
+                "minhash_lsh_candidates for this corpus"
+            )
+        if n < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        ia, ib = np.triu_indices(n, 1)
+        return pa.table(
+            {
+                "id_a": pa.array(docs[ia], pa.int64()),
+                "id_b": pa.array(docs[ib], pa.int64()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    docs_ds, id_col: str = "doc_id", shingle_k: int = 5,
+    threshold: float = 0.8,
+):
+    """EXACT word-n-gram Jaccard similar pairs over the whole corpus —
+    no candidate/sketch stage, so it needs no recall argument: for every
+    pair sharing at least one shingle the true Jaccard is computed, and
+    pairs sharing none have J = 0 < threshold by definition.
+
+    Shape: distinct (shingle, doc) postings per batch (map) → groupby
+    shingle → co-occurrence pairs per posting list → groupby pair COUNT
+    = |A ∩ B| → J = inter / (|A| + |B| − inter) with set sizes from a
+    broadcast map-only pass. ONE wide exchange over the posting table
+    plus one over the pair table; skew is bounded by NGRAM_GROUP_LIMIT
+    (shared-boilerplate corpora must use the MinHash path).
+
+    Set-Jaccard over 64-bit shingle hashes equals string-shingle Jaccard
+    up to hash collisions (~n²/2⁶⁴) — the DuckDB oracle computes the
+    string version and matches exactly at test scale."""
+    import ray
+    from ray.data.aggregate import Count
+
+    texts = docs_ds.select_columns([id_col, "text"])
+    postings = texts.map_batches(
+        _DistinctShingles(id_col, shingle_k), batch_format="pyarrow"
+    )
+    pairs = postings.groupby("gram").map_groups(
+        _GramPairs(), batch_format="pyarrow"
+    )
+    inter = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="inter"))
+
+    sizes_mat = texts.map_batches(
+        _ShingleSetSizes(id_col, shingle_k), batch_format="pyarrow"
+    ).materialize()
+    n_docs = sizes_mat.count()
+    if n_docs * 16 > NGRAM_SIZES_BYTES_LIMIT:
+        raise RuntimeError(
+            f"{n_docs} docs exceed the exact pipeline's size-map "
+            "broadcast budget — use dedup_minhash"
+        )
+    st = pa.concat_tables(ray.get(sizes_mat.to_arrow_refs()))
+    doc_ids = st.column("doc").to_numpy(zero_copy_only=False)
+    n_sh = st.column("n_shingles").to_numpy(zero_copy_only=False)
+    order = np.argsort(doc_ids)
+    # broadcast ONCE: two flat int64 arrays, 16 B/doc, searchsorted lookup
+    sizes_ref = ray.put((doc_ids[order], n_sh[order].astype(np.float64)))
+
+    def jaccard(tbl: pa.Table) -> pa.Table:
+        keys, vals = ray.get(sizes_ref)
+        ia = tbl.column("id_a").to_numpy(zero_copy_only=False)
+        ib = tbl.column("id_b").to_numpy(zero_copy_only=False)
+        c = tbl.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = vals[np.searchsorted(keys, ia)]
+        nb = vals[np.searchsorted(keys, ib)]
+        j = c / np.maximum(na + nb - c, 1.0)
+        keep = np.flatnonzero(j >= threshold)
+        out = pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "jaccard": pa.array(np.round(j, 6), pa.float64()),
+            }
+        )
+        return out.take(pa.array(keep, pa.int64()))
+
+    out = inter.map_batches(jaccard, batch_format="pyarrow")
+    return pin_schema(
+        out,
+        pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -637,6 +637,20 @@ def q_doc_dedup_exact(sf_dir: str):
     return dedup_exact(ds).select_columns(["doc_id"])
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-5-gram Jaccard pairs at J ≥ 0.8 over the corpus —
+    the inverted-index exact path (no sketch, no recall argument); the
+    DuckDB oracle computes the same Jaccard over string shingles."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs(ds, shingle_k=5, threshold=0.8)
+
+
 def q_knn_vec0_top5(sf_dir: str):
     import ray.data as rd
 
@@ -1385,6 +1399,31 @@ _EMB_DUP_PAIRS_SQL = (
 )
 
 
+def _ngram_pairs_sql(threshold: float = 0.8) -> str:
+    """Exact word-5-shingle Jaccard pairs (string shingles — the Ray
+    side hashes shingles, which preserves set Jaccard up to 64-bit hash
+    collisions). Same shingle CTEs as ``_survivors_sql``; the filter is
+    on the unrounded Jaccard, mirroring ``ngram_jaccard_pairs``."""
+    return (
+        "WITH docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array("
+        "trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM documents), "
+        "sh AS MATERIALIZED ("
+        "SELECT doc_id, array_to_string(w, ' ') AS s FROM docs WHERE len(w) < 5 "
+        "UNION ALL "
+        "SELECT d.doc_id, array_to_string(d.w[i.i:i.i+4], ' ') AS s "
+        "FROM docs d, LATERAL (SELECT unnest(range(1, len(d.w) - 3)) AS i) i "
+        "WHERE len(d.w) >= 5), "
+        "shs AS MATERIALIZED (SELECT doc_id, list(DISTINCT s) AS S "
+        "FROM sh GROUP BY doc_id), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.S, b.S)) / GREATEST(len(a.S) + len(b.S) "
+        "- len(list_intersect(a.S, b.S)), 1) AS j "
+        "FROM shs a JOIN shs b ON a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p "
+        f"WHERE j >= {threshold}"
+    )
+
+
 def _survivors_sql(k: int = 16, threshold: float = 0.8) -> str:
     """Oracle for dedup_minhash end-to-end retention: EXACT all-pairs
     word-5-shingle Jaccard ≥ threshold (the LSH pass at 32 bands × 2
@@ -1663,6 +1702,7 @@ def queries():
         "largest_components": q_largest_components,
         "doc_token_counts": q_doc_token_counts,
         "doc_dedup_exact": q_doc_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_vec0_top5": q_knn_vec0_top5,
         "pagerank_k20": q_pagerank_k20,
         "lang_id_counts": q_lang_id_counts,
@@ -1786,6 +1826,7 @@ def oracle_sql():
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,
         "dedup_minhash_survivors": _survivors_sql(16, 0.8),
+        "ngram_jaccard_pairs": _ngram_pairs_sql(0.8),
         "game_of_life_k8": _cellular_sql("gol", 8),
         "schelling_k8": _cellular_sql("schelling", 8),
         "token_diffusion_k4": _token_sql(4),

@@ -138,6 +138,54 @@ def test_minhash_candidates_and_verify():
     assert vp.get((0, 1), 0) == 1.0  # identical after normalization
 
 
+def test_ngram_jaccard_pairs_exact():
+    from signal_collect_ray.functions import ngram_jaccard_pairs
+    from signal_collect_ray.functions.dedup import _shingles
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs_ds(), shingle_k=5, threshold=0.3
+        ).take_all()
+    }
+    # brute-force oracle over the same shingle definition
+    texts = {r["doc_id"]: r["text"] for r in _docs_ds().take_all()}
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = set(_shingles(texts[a], 5)), set(_shingles(texts[b], 5))
+            j = len(sa & sb) / max(len(sa | sb), 1)
+            if j >= 0.3:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    assert got[(0, 1)] == 1.0  # case-duplicates
+    assert (0, 4) in got  # one-word-changed near-dup
+
+
+def test_ngram_jaccard_posting_list_cap():
+    """A degenerate shared shingle must abort with direction to the
+    sketch path, not silently run O(n²)."""
+    from signal_collect_ray.functions import dedup as dd
+
+    n = 40
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([f"same same same same same {i}" for i in range(n)]),
+        }
+    )
+    old = dd.NGRAM_GROUP_LIMIT
+    dd.NGRAM_GROUP_LIMIT = 10
+    try:
+        with pytest.raises(Exception, match="NGRAM_GROUP_LIMIT"):
+            dd.ngram_jaccard_pairs(
+                rd.from_arrow(tbl), shingle_k=5, threshold=0.1
+            ).take_all()
+    finally:
+        dd.NGRAM_GROUP_LIMIT = old
+
+
 def test_simhash_near_duplicates():
     out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
     assert out[0] == out[1]
