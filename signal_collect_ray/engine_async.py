@@ -114,6 +114,7 @@ class _AsyncWorker:
         # read-only-racy (monotonic ints, rebound-not-mutated arrays)
         self._mu = threading.Lock()
         self._stop_evt = threading.Event()
+        self._wake_evt = threading.Event()
 
     def set_peers(self, handles):
         self.peers = handles
@@ -122,6 +123,7 @@ class _AsyncWorker:
         with self._mu:
             self.inbox.extend(pieces)
             self.received += n_rows
+        self._wake_evt.set()  # rouse an idle run_local loop immediately
 
     def status(self) -> dict:
         has_active = any(
@@ -170,12 +172,21 @@ class _AsyncWorker:
                 self._signal_phase()
                 self._collect_phase()
                 self.rounds += 1
-            else:
-                self._stop_evt.wait(idle_sleep_s)
+                continue
+            # idle: park until a peer push() wakes us (a quiesced or
+            # stalled worker — continuous mode parks here for its whole
+            # life — must not rescan the active masks in a busy loop).
+            # clear-then-recheck closes the race with a push that landed
+            # between the work check above and the clear.
+            self._wake_evt.clear()
+            if self._has_local_work():
+                continue
+            self._wake_evt.wait(idle_sleep_s * 50)
         return self.status()
 
     def stop_loop(self) -> bool:
         self._stop_evt.set()
+        self._wake_evt.set()  # unpark an idle loop so the join is prompt
         return True
 
     def _signal_phase(self):
