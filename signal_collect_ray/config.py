@@ -102,6 +102,14 @@ class EngineConfig:
     # costs more than it saves at test scale.
     salt_buckets: int = 1
 
+    # Resident-executor fault tolerance: when a worker actor dies
+    # mid-run (node loss, OOM kill), ResidentEngine.run rebuilds the
+    # pool and resumes from the latest complete per-superstep checkpoint
+    # up to this many times before surfacing the error. 0 disables
+    # recovery (fail fast). The step-0 checkpoint written at start
+    # guarantees a resume point always exists.
+    max_worker_restarts: int = 2
+
     # Where runs live unless an explicit run_dir is passed.
     checkpoint_root: str = "/tmp/scray_runs"
 

@@ -743,8 +743,43 @@ class ResidentEngine:
             signal_threshold, checkpoint_interval, time_limit_s,
             convergence_check_interval,
         )
+        self._last_ns = ns  # introspection / fault-injection tests
+        restarts = 0
+        t0_orig = ns.t0
         try:
-            return self._run_loop(ns, graph, algo, global_termination)
+            while True:
+                try:
+                    return self._run_loop(ns, graph, algo, global_termination)
+                except ray.exceptions.RayActorError as e:
+                    # a worker actor died mid-run (node loss, OOM kill).
+                    # The per-superstep checkpoints exist precisely for
+                    # this: rebuild the pool and resume from the latest
+                    # complete step instead of losing the whole run —
+                    # on a 256-node cluster a single lost worker must
+                    # not cost a multi-hour 100-TB pass.
+                    restarts += 1
+                    if restarts > self.config.max_worker_restarts:
+                        raise
+                    _logger.warning(
+                        "resident worker pool lost (%s); restarting from "
+                        "the latest checkpoint (attempt %d/%d)",
+                        e, restarts, self.config.max_worker_restarts,
+                    )
+                    for w in ns.workers:
+                        ray.kill(w, no_restart=True)
+                    old_steps = ns.per_step
+                    ns = self._prepare(
+                        graph, algo, ns.run_dir, True, eps, max_supersteps,
+                        signal_threshold, checkpoint_interval, time_limit_s,
+                        convergence_check_interval,
+                    )
+                    # splice pre-crash manifests below the resume point so
+                    # per_step / edges_traversed_total stay complete
+                    ns.per_step = [
+                        m for m in old_steps if m["superstep"] < ns.k
+                    ] + ns.per_step
+                    ns.t0 = t0_orig  # wall / time-limit span the whole run
+                    self._last_ns = ns
         finally:
             # release the pool whatever path ends the run: each worker
             # reserves a CPU slot until the actor dies, and leaving
