@@ -25,6 +25,10 @@ from signal_collect_ray.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from signal_collect_ray.functions.windows import (
+    sessionize,
+    tumbling_window,
+)
 from signal_collect_ray.functions.similarity import (
     knn_brute_force,
     lsh_buckets,
@@ -46,6 +50,7 @@ __all__ = [
     "analyze_documents",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
+    "sessionize", "tumbling_window",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
     "MEDIA_SCHEMA", "synthesize_media_table", "media_from_documents",
     "MediaFeatureExtractor", "extract_media_features",

@@ -651,6 +651,36 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, shingle_k=5, threshold=0.8)
 
 
+def q_event_sessions(sf_dir: str):
+    """Gap-based sessionization of the events log (4 h gap): one hash
+    exchange on user_id, vectorized per-user kernel. LAG+cumsum DuckDB
+    oracle."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return sessionize(ds, gap_s=14400.0)
+
+
+def q_event_windows(sf_dir: str):
+    """Hourly tumbling-window count + value sum per event type — the
+    partial-per-block aggregation shape (exchange is O(windows × types),
+    not O(events))."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.windows import tumbling_window
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return tumbling_window(ds, width_s=3600.0)
+
+
 def q_knn_vec0_top5(sf_dir: str):
     import ray.data as rd
 
@@ -1703,6 +1733,8 @@ def queries():
         "doc_token_counts": q_doc_token_counts,
         "doc_dedup_exact": q_doc_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "event_sessions": q_event_sessions,
+        "event_windows": q_event_windows,
         "knn_vec0_top5": q_knn_vec0_top5,
         "pagerank_k20": q_pagerank_k20,
         "lang_id_counts": q_lang_id_counts,
@@ -1827,6 +1859,24 @@ def oracle_sql():
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,
         "dedup_minhash_survivors": _survivors_sql(16, 0.8),
         "ngram_jaccard_pairs": _ngram_pairs_sql(0.8),
+        "event_sessions": (
+            "WITH o AS (SELECT user_id, ts, value, CASE WHEN "
+            "epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
+            "> 14400 THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, value, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS session FROM o) "
+            "SELECT user_id, session, COUNT(*) AS n_events, "
+            "epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, session"
+        ),
+        "event_windows": (
+            "SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_us, "
+            "event_type, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
         "game_of_life_k8": _cellular_sql("gol", 8),
         "schelling_k8": _cellular_sql("schelling", 8),
         "token_diffusion_k4": _token_sql(4),

@@ -186,6 +186,43 @@ def test_ngram_jaccard_posting_list_cap():
         dd.NGRAM_GROUP_LIMIT = old
 
 
+def test_sessionize_gap_semantics():
+    from signal_collect_ray.functions import sessionize, tumbling_window
+
+    us = 1_000_000
+    rows = [  # (user, ts_us, value)
+        (1, 0, 1.0), (1, 50 * us, 2.0), (1, 200 * us, 4.0),  # gap 150s > 100s
+        (2, 10 * us, 8.0),
+        (1, 210 * us, 16.0),  # same session as 200s
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "event_type": pa.array(["x"] * len(rows)),
+        }
+    )
+    out = {
+        (r["user_id"], r["session"]): r
+        for r in sessionize(rd.from_arrow(tbl), gap_s=100.0).take_all()
+    }
+    assert len(out) == 3
+    s0 = out[(1, 0)]
+    assert s0["n_events"] == 2 and s0["start_us"] == 0 and s0["end_us"] == 50 * us
+    assert s0["sum_value"] == 3.0
+    s1 = out[(1, 1)]
+    assert s1["n_events"] == 2 and s1["sum_value"] == 20.0
+    assert out[(2, 0)]["n_events"] == 1
+
+    win = {
+        (r["window_us"], r["event_type"]): r
+        for r in tumbling_window(rd.from_arrow(tbl), width_s=60.0).take_all()
+    }
+    assert win[(0, "x")]["n_events"] == 3  # 0s, 50s, 10s
+    assert win[(180 * us, "x")]["n_events"] == 2  # 200s, 210s
+
+
 def test_simhash_near_duplicates():
     out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
     assert out[0] == out[1]
