@@ -29,6 +29,7 @@ from signal_collect_ray.functions.windows import (
     sessionize,
     tumbling_window,
 )
+from signal_collect_ray.functions.joins import asof_join
 from signal_collect_ray.functions.similarity import (
     knn_brute_force,
     lsh_buckets,
@@ -50,7 +51,7 @@ __all__ = [
     "analyze_documents",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
-    "sessionize", "tumbling_window",
+    "sessionize", "tumbling_window", "asof_join",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
     "MEDIA_SCHEMA", "synthesize_media_table", "media_from_documents",
     "MediaFeatureExtractor", "extract_media_features",

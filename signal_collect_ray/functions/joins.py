@@ -1,0 +1,122 @@
+"""Temporal joins Ray Data lacks natively.
+
+``asof_join``: for each left row, attach the right row with the same
+``by`` key and the greatest ``on`` value ≤ the left's (backward as-of —
+the attribution / point-in-time-feature join every event pipeline
+needs). Built from primitives the engine already trusts at scale:
+
+* ONE hash exchange — both sides are tagged and unioned, then a single
+  ``groupby(by)`` co-partitions each key's rows (the same shape as
+  ``dedup.drop_ids``'s anti-join; no broadcast, no driver state),
+* a fully vectorized per-key merge kernel (sort the right side once,
+  ``np.searchsorted`` every left timestamp into it).
+
+Skew bound: the hottest single ``by`` key's row count (both sides) must
+fit one task — inherent to any per-key as-of; salt upstream if a key is
+truly degenerate. Ties on ``on`` within a key are resolved to the last
+row in sort order; the driver-facing query avoids ties entirely (the
+events table has microsecond timestamps).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from signal_collect_ray.util import pin_schema
+
+_SIDE = "__asof_side"
+
+
+class _AsofMerge:
+    """One ``by`` key's co-partitioned rows → left rows + as-of values."""
+
+    __name__ = "_AsofMerge"
+
+    def __init__(self, on: str, left_cols: list, value_cols: list, suffix: str):
+        self.on = on
+        self.left_cols = left_cols
+        self.value_cols = value_cols
+        self.suffix = suffix
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        on_vals = tbl.column(self.on).to_numpy(zero_copy_only=False)
+        left_mask = side == 0
+        left = tbl.filter(pa.array(left_mask)).select(self.left_cols)
+        out_cols = {c: left.column(c) for c in self.left_cols}
+        r_on = on_vals[~left_mask]
+        order = np.argsort(r_on, kind="stable")
+        r_on = r_on[order]
+        l_on = on_vals[left_mask]
+        # greatest right.on <= left.on; -1 = no match (stays null)
+        idx = np.searchsorted(r_on, l_on, side="right") - 1
+        ok = idx >= 0
+        right = tbl.filter(pa.array(~left_mask))
+        for c in self.value_cols:
+            rv = right.column(c).to_numpy(zero_copy_only=False)[order]
+            vals = np.where(ok, rv[np.maximum(idx, 0)], np.nan)
+            out_cols[f"{c}{self.suffix}"] = pa.array(
+                vals, pa.float64(), mask=~ok
+            )
+        return pa.table(out_cols)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str = "ts_us",
+    by: str = "user_id",
+    value_cols: Sequence[str] = ("value",),
+    suffix: str = "_asof",
+):
+    """Backward as-of join (see module docstring). ``on`` must be a
+    numeric column on both sides (epoch microseconds for timestamps —
+    cast upstream so the output hashes identically to a SQL oracle);
+    ``value_cols`` are right-side float columns to attach, nullable
+    where a left row has no prior right row."""
+    value_cols = list(value_cols)
+    left_schema = left_ds.schema()
+    left_cols = [n for n in left_schema.names]
+    for c in value_cols:
+        out_name = f"{c}{suffix}"
+        if out_name in left_cols:
+            raise ValueError(f"output column {out_name!r} collides with left")
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out = tbl.append_column(_SIDE, pa.array(np.zeros(n, np.int8)))
+        for c in value_cols:
+            out = out.append_column(c, pa.nulls(n, pa.float64()))
+        return out
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {by: tbl.column(by), on: tbl.column(on)}
+        for c in left_cols:
+            if c not in cols:
+                f = left_schema.base_schema.field(c)
+                cols[c] = pa.nulls(n, f.type)
+        out = pa.table(cols).append_column(
+            _SIDE, pa.array(np.ones(n, np.int8))
+        )
+        for c in value_cols:
+            out = out.append_column(c, tbl.column(c).cast(pa.float64()))
+        # column order must match tag_left for the union
+        return out.select(left_cols + [_SIDE] + value_cols)
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.select_columns(
+        [by, on] + [c for c in value_cols]
+    ).map_batches(tag_right, batch_format="pyarrow")
+    merged = lt.union(rt).groupby(by).map_groups(
+        _AsofMerge(on, left_cols, value_cols, suffix),
+        batch_format="pyarrow",
+    )
+    out_schema = pa.schema(
+        [left_schema.base_schema.field(c) for c in left_cols]
+        + [pa.field(f"{c}{suffix}", pa.float64()) for c in value_cols]
+    )
+    return pin_schema(merged, out_schema)

@@ -681,6 +681,42 @@ def q_event_windows(sf_dir: str):
     return tumbling_window(ds, width_s=3600.0)
 
 
+def q_click_attribution(sf_dir: str):
+    """Backward as-of join: every click gets the value of the same
+    user's most recent prior view (classic attribution). One hash
+    exchange + vectorized per-user merge; DuckDB's native ASOF LEFT
+    JOIN is the oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def _prep(typ: str, cols: list):
+        def f(tbl: pa.Table) -> pa.Table:
+            t = tbl.filter(pc.equal(tbl.column("event_type"), typ))
+            out = {c: t.column(c) for c in cols if c != "ts_us"}
+            out["ts_us"] = t.column("ts").cast(pa.int64())
+            return pa.table({c: out[c] for c in cols})
+
+        return f
+
+    clicks = ev.map_batches(
+        _prep("click", ["event_id", "user_id", "ts_us"]),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        _prep("view", ["user_id", "ts_us", "value"]), batch_format="pyarrow"
+    )
+    return asof_join(
+        clicks, views, on="ts_us", by="user_id", value_cols=["value"]
+    )
+
+
 def q_knn_vec0_top5(sf_dir: str):
     import ray.data as rd
 
@@ -1735,6 +1771,7 @@ def queries():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
+        "click_attribution": q_click_attribution,
         "knn_vec0_top5": q_knn_vec0_top5,
         "pagerank_k20": q_pagerank_k20,
         "lang_id_counts": q_lang_id_counts,
@@ -1876,6 +1913,15 @@ def oracle_sql():
             "event_type, COUNT(*) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "click_attribution": (
+            "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'click'), "
+            "v AS (SELECT user_id, epoch_us(ts) AS ts_us, value "
+            "FROM events WHERE event_type = 'view') "
+            "SELECT c.event_id, c.user_id, c.ts_us, v.value AS value_asof "
+            "FROM c ASOF LEFT JOIN v "
+            "ON c.user_id = v.user_id AND v.ts_us <= c.ts_us"
         ),
         "game_of_life_k8": _cellular_sql("gol", 8),
         "schelling_k8": _cellular_sql("schelling", 8),

@@ -223,6 +223,37 @@ def test_sessionize_gap_semantics():
     assert win[(180 * us, "x")]["n_events"] == 2  # 200s, 210s
 
 
+def test_asof_join_semantics():
+    from signal_collect_ray.functions.joins import asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts_us": pa.array([5, 10, 3, 7], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "ts_us": pa.array([4, 10, 9], pa.int64()),
+                "value": pa.array([1.5, 2.5, 9.0], pa.float64()),
+            }
+        )
+    )
+    out = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right).take_all()
+    }
+    assert out[0] == 1.5  # 4 <= 5, latest prior
+    assert out[1] == 2.5  # equality included (10 <= 10)
+    assert out[2] is None  # no right row at or before 3
+    assert out[3] is None  # user 2's only view is later (9 > 7)
+
+
 def test_simhash_near_duplicates():
     out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
     assert out[0] == out[1]
