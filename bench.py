@@ -199,6 +199,22 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         lambda: analyze_documents(docs).count()
     )
 
+    # 10. event-log operators: sessionize + tumbling windows + as-of
+    # attribution over the events table (round-3 additions)
+    from signal_collect_ray.pipelines.queries import (
+        q_click_attribution,
+        q_event_sessions,
+        q_event_windows,
+    )
+
+    def events_ops():
+        n = q_event_sessions(sf_dir).count()
+        n += q_event_windows(sf_dir).count()
+        n += q_click_attribution(sf_dir).count()
+        return n
+
+    queries["events_ops"], extra["n_event_rows_out"] = _timed(events_ops)
+
     total = sum(queries.values())
     return {
         "metric": "e2e_linkgraph_bench_sec",
