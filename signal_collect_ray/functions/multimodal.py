@@ -120,11 +120,28 @@ class MediaFeatureExtractor:
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
         self.decoder = decoder
+        self._pil = None
+        if decoder == "real":
+            # decoder load happens ONCE PER ACTOR, here — never per batch
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
     def _decode_real(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "image" and self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((4, 4))  # DIM=16 grayscale thumbnail
+            return np.asarray(img, dtype=np.float64).reshape(-1) / 255.0
         raise NotImplementedError(
-            "real decode needs PIL/soundfile/av — not available in this "
-            "environment; plug the library call here"
+            f"real {kind} decode needs "
+            + ("soundfile/av" if kind != "image" else "PIL")
+            + " — not available in this environment; the import-try in "
+            "__init__ activates it automatically where installed"
         )
 
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
