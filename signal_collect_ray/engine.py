@@ -646,6 +646,9 @@ class SuperstepEngine:
         start."""
         import ray.data as rd
 
+        from signal_collect_ray.util import silence_empty_block_schema_noise
+
+        silence_empty_block_schema_noise()
         cfg = self.config
         eps = cfg.eps if eps is None else eps
         max_supersteps = (
