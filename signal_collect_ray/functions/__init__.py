@@ -30,6 +30,7 @@ from signal_collect_ray.functions.windows import (
     tumbling_window,
 )
 from signal_collect_ray.functions.joins import asof_join
+from signal_collect_ray.functions.sampling import hash_sample
 from signal_collect_ray.functions.similarity import (
     knn_brute_force,
     lsh_buckets,
@@ -51,7 +52,7 @@ __all__ = [
     "analyze_documents",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
-    "sessionize", "tumbling_window", "asof_join",
+    "sessionize", "tumbling_window", "asof_join", "hash_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
     "MEDIA_SCHEMA", "synthesize_media_table", "media_from_documents",
     "MediaFeatureExtractor", "extract_media_features",

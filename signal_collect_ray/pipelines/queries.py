@@ -681,6 +681,19 @@ def q_event_windows(sf_dir: str):
     return tumbling_window(ds, width_s=3600.0)
 
 
+def q_doc_sample_10pct(sf_dir: str):
+    """Deterministic 10% hash sample of documents (train/val-split
+    operator) — md5-threshold predicate with an exact DuckDB mirror."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sampling import hash_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return hash_sample(ds, key="doc_id", rate=0.1, seed=42)
+
+
 def q_click_attribution(sf_dir: str):
     """Backward as-of join: every click gets the value of the same
     user's most recent prior view (classic attribution). One hash
@@ -1772,6 +1785,7 @@ def queries():
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
         "click_attribution": q_click_attribution,
+        "doc_sample_10pct": q_doc_sample_10pct,
         "knn_vec0_top5": q_knn_vec0_top5,
         "pagerank_k20": q_pagerank_k20,
         "lang_id_counts": q_lang_id_counts,
@@ -1913,6 +1927,11 @@ def oracle_sql():
             "event_type, COUNT(*) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "doc_sample_10pct": (
+            "SELECT doc_id FROM documents WHERE "
+            "CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) < CAST(0.1 * 4294967296 AS UBIGINT)"
         ),
         "click_attribution": (
             "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "

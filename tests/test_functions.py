@@ -223,6 +223,22 @@ def test_sessionize_gap_semantics():
     assert win[(180 * us, "x")]["n_events"] == 2  # 200s, 210s
 
 
+def test_hash_sample_deterministic_and_nested():
+    from signal_collect_ray.functions import hash_sample
+
+    ids = pa.table({"doc_id": pa.array(list(range(2000)), pa.int64())})
+    s10 = {r["doc_id"] for r in hash_sample(rd.from_arrow(ids), rate=0.1).take_all()}
+    s10b = {r["doc_id"] for r in hash_sample(rd.from_arrow(ids), rate=0.1).take_all()}
+    s01 = {r["doc_id"] for r in hash_sample(rd.from_arrow(ids), rate=0.01).take_all()}
+    assert s10 == s10b  # reproducible
+    assert s01 <= s10  # rates nest under the same seed
+    assert 120 <= len(s10) <= 280  # ~10% of 2000
+    other = {r["doc_id"] for r in hash_sample(rd.from_arrow(ids), rate=0.1, seed=7).take_all()}
+    assert other != s10  # seed changes the sample
+    with pytest.raises(ValueError):
+        hash_sample(rd.from_arrow(ids), rate=1.5)
+
+
 def test_asof_join_semantics():
     from signal_collect_ray.functions.joins import asof_join
 
