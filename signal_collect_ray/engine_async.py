@@ -115,6 +115,15 @@ class _AsyncWorker:
         self._mu = threading.Lock()
         self._stop_evt = threading.Event()
         self._wake_evt = threading.Event()
+        # True for the whole span of a local round. Without it the
+        # driver's quiescence poll can land mid-_collect_phase — inbox
+        # already swapped out, counters frozen, new active masks not yet
+        # assigned — and see a spuriously idle worker; two such polls
+        # would falsely double-confirm convergence. Set BEFORE the round
+        # starts and cleared only after `rounds` increments, so any poll
+        # overlapping a round sees either busy=True or a changed rounds
+        # counter.
+        self._in_round = False
 
     def set_peers(self, handles):
         self.peers = handles
@@ -126,31 +135,36 @@ class _AsyncWorker:
         self._wake_evt.set()  # rouse an idle run_local loop immediately
 
     def status(self) -> dict:
-        has_active = any(
-            bool(st["active"].any()) for st in self.state.values()
-        )
+        # list() snapshots are C-level-atomic vs the loop thread's dict
+        # inserts (on_undeliverable='create' materializes partitions
+        # mid-run); iterating .values() directly could raise
+        # "dictionary changed size during iteration"
+        states = list(self.state.values())
+        has_active = any(bool(st["active"].any()) for st in states)
         res = max(
-            (float(st["residual"].max(initial=0.0)) for st in self.state.values()),
+            (float(st["residual"].max(initial=0.0)) for st in states),
             default=0.0,
         )
         return {
             "wid": self.wid,
-            "has_work": bool(self.inbox) or has_active,
+            "has_work": bool(self.inbox) or has_active or self._in_round,
             "sent": self.sent,
             "received": self.received,
             "residual_max": res,
-            "n_active": int(
-                sum(int(st["active"].sum()) for st in self.state.values())
-            ),
+            "n_active": int(sum(int(st["active"].sum()) for st in states)),
             "rounds": self.rounds,
             "undeliverable": self.undeliverable,
         }
 
     # -- one local round: signal scheduled vertices, then collect inbox ----
     def step(self) -> dict:
-        self._signal_phase()
-        self._collect_phase()
-        self.rounds += 1
+        self._in_round = True
+        try:
+            self._signal_phase()
+            self._collect_phase()
+            self.rounds += 1
+        finally:
+            self._in_round = False
         return self.status()
 
     def _has_local_work(self) -> bool:
@@ -169,9 +183,13 @@ class _AsyncWorker:
         starts, and clearing would erase it and deadlock the join."""
         while not self._stop_evt.is_set():
             if self._has_local_work():
-                self._signal_phase()
-                self._collect_phase()
-                self.rounds += 1
+                self._in_round = True
+                try:
+                    self._signal_phase()
+                    self._collect_phase()
+                    self.rounds += 1
+                finally:
+                    self._in_round = False
                 continue
             # idle: park until a peer push() wakes us (a quiesced or
             # stalled worker — continuous mode parks here for its whole

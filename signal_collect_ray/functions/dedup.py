@@ -602,33 +602,40 @@ NGRAM_GROUP_LIMIT = 10_000
 NGRAM_SIZES_BYTES_LIMIT = 1 << 30
 
 
+def _distinct_shingle_rows(tbl: pa.Table, id_col: str, k: int):
+    """Shared kernel for the inverted-index stages: batch → per-doc
+    DISTINCT shingles as (shingle values, local doc indices, doc ids).
+    Batch-flat vectorized hashing (`_batch_shingles`), one lexsort, one
+    boundary mask — no Python loop. Both the postings and the set-size
+    stages MUST use this same sequence or the Jaccard denominators
+    silently diverge from the numerators."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    sh, counts = _batch_shingles(tbl.column("text").to_pylist(), k)
+    doc_of = np.repeat(np.arange(len(ids)), counts)
+    order = np.lexsort((sh, doc_of))
+    sh_s, doc_s = sh[order], doc_of[order]
+    first = np.ones(len(sh_s), dtype=bool)
+    first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+    return sh_s[first], doc_s[first], ids
+
+
 class _DistinctShingles:
     __name__ = "_DistinctShingles"
 
     """batch → one row per DISTINCT (shingle, doc): the map-side unit of
-    the inverted index. Shingle hashing is the batch-flat vectorized
-    path (`_batch_shingles`); per-doc distinct is one lexsort + boundary
-    mask, no Python loop."""
+    the inverted index."""
 
     def __init__(self, id_col: str, shingle_k: int):
         self.id_col = id_col
         self.k = shingle_k
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
-        sh, counts = _batch_shingles(tbl.column("text").to_pylist(), self.k)
-        doc_of = np.repeat(np.arange(len(ids)), counts)
-        order = np.lexsort((sh, doc_of))
-        sh_s, doc_s = sh[order], doc_of[order]
-        first = np.ones(len(sh_s), dtype=bool)
-        first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        sh, doc_idx, ids = _distinct_shingle_rows(tbl, self.id_col, self.k)
         return pa.table(
             {
                 # int64 view: groupby keys hash identically, zero-copy
-                "gram": pa.array(sh_s[first].view(np.int64)),
-                "doc": pa.array(
-                    ids[doc_s[first]].astype(np.int64), pa.int64()
-                ),
+                "gram": pa.array(sh.view(np.int64)),
+                "doc": pa.array(ids[doc_idx].astype(np.int64), pa.int64()),
             }
         )
 
@@ -646,14 +653,8 @@ class _ShingleSetSizes:
         self.k = shingle_k
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
-        sh, counts = _batch_shingles(tbl.column("text").to_pylist(), self.k)
-        doc_of = np.repeat(np.arange(len(ids)), counts)
-        order = np.lexsort((sh, doc_of))
-        sh_s, doc_s = sh[order], doc_of[order]
-        first = np.ones(len(sh_s), dtype=bool)
-        first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-        n = np.bincount(doc_s[first], minlength=len(ids))
+        _, doc_idx, ids = _distinct_shingle_rows(tbl, self.id_col, self.k)
+        n = np.bincount(doc_idx, minlength=len(ids))
         return pa.table(
             {
                 "doc": pa.array(ids.astype(np.int64), pa.int64()),

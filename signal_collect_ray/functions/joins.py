@@ -57,7 +57,13 @@ class _AsofMerge:
         right = tbl.filter(pa.array(~left_mask))
         for c in self.value_cols:
             rv = right.column(c).to_numpy(zero_copy_only=False)[order]
-            vals = np.where(ok, rv[np.maximum(idx, 0)], np.nan)
+            if len(rv):
+                vals = np.where(ok, rv[np.maximum(idx, 0)], np.nan)
+            else:
+                # a key with left rows but NO right rows: every left row
+                # is unmatched (gathering from the empty array would
+                # IndexError — np.where evaluates its branches eagerly)
+                vals = np.full(len(l_on), np.nan)
             out_cols[f"{c}{self.suffix}"] = pa.array(
                 vals, pa.float64(), mask=~ok
             )
@@ -81,6 +87,12 @@ def asof_join(
     left_schema = left_ds.schema()
     left_cols = [n for n in left_schema.names]
     for c in value_cols:
+        if c in left_cols:
+            raise ValueError(
+                f"value column {c!r} also exists on the left side — the "
+                "tagged union would create duplicate-named columns; drop "
+                "or rename it on one side first"
+            )
         out_name = f"{c}{suffix}"
         if out_name in left_cols:
             raise ValueError(f"output column {out_name!r} collides with left")

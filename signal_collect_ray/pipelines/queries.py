@@ -1929,9 +1929,12 @@ def oracle_sql():
             "FROM events GROUP BY 1, 2"
         ),
         "doc_sample_10pct": (
+            # floor() matches hash_sample's truncating int(rate * 2^32)
+            # exactly — a plain CAST would round-to-nearest and disagree
+            # on rows whose 32-bit md5 prefix equals the boundary value
             "SELECT doc_id FROM documents WHERE "
             "CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
-            "AS UBIGINT) < CAST(0.1 * 4294967296 AS UBIGINT)"
+            "AS UBIGINT) < CAST(floor(0.1 * 4294967296) AS UBIGINT)"
         ),
         "click_attribution": (
             "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "

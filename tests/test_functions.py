@@ -269,6 +269,35 @@ def test_asof_join_semantics():
     assert out[2] is None  # no right row at or before 3
     assert out[3] is None  # user 2's only view is later (9 > 7)
 
+    # a key with left rows but NO right rows at all must yield nulls,
+    # not crash (empty-array gather regression)
+    lonely = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([9], pa.int64()),
+                "user_id": pa.array([77], pa.int64()),
+                "ts_us": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    out2 = asof_join(lonely, right).take_all()
+    assert len(out2) == 1 and out2[0]["value_asof"] is None
+
+    # left already owning a value column must fail fast, not produce a
+    # duplicate-named union schema
+    bad_left = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([0], pa.int64()),
+                "user_id": pa.array([1], pa.int64()),
+                "ts_us": pa.array([5], pa.int64()),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="also exists on the left"):
+        asof_join(bad_left, right)
+
 
 def test_simhash_near_duplicates():
     out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
