@@ -130,3 +130,71 @@ def test_sessionize_matches_duckdb(inputs):
         for r in sessionize(rd.from_arrow(ev), gap_s=gap / 1e6).take_all()
     }
     assert got == want
+
+
+@st.composite
+def _corpus(draw):
+    words = ["alpha", "beta", "gamma", "delta", "x"]
+    n_docs = draw(st.integers(2, 8))
+    docs = []
+    for _ in range(n_docs):
+        n_w = draw(st.integers(0, 12))
+        docs.append(" ".join(draw(st.sampled_from(words)) for _ in range(n_w)))
+    # exercise normalization: random case + extra whitespace
+    docs = [
+        d.upper() if draw(st.booleans()) else (" " + d + "  ")
+        for d in docs
+    ]
+    return docs
+
+
+@given(_corpus(), st.sampled_from([0.2, 0.5, 0.8]))
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ngram_jaccard_matches_duckdb(docs, threshold):
+    """Random tiny corpora with short docs (< k words), empty docs, case
+    and whitespace noise — pins the normalization and the whole-text
+    short-doc shingle branch against the SQL mirror."""
+    from signal_collect_ray.functions.dedup import ngram_jaccard_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            f"""
+            WITH docs AS (SELECT doc_id, regexp_split_to_array(
+              trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM documents),
+            sh AS (
+              SELECT doc_id, array_to_string(w, ' ') AS s FROM docs
+              WHERE len(w) < 5
+              UNION ALL
+              SELECT d.doc_id, array_to_string(d.w[i.i:i.i+4], ' ') AS s
+              FROM docs d,
+                LATERAL (SELECT unnest(range(1, len(d.w) - 3)) AS i) i
+              WHERE len(d.w) >= 5),
+            shs AS (SELECT doc_id, list(DISTINCT s) AS S FROM sh
+                    GROUP BY doc_id),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.S, b.S)) / GREATEST(len(a.S) + len(b.S)
+              - len(list_intersect(a.S, b.S)), 1) AS j
+              FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, ROUND(j, 6) FROM p WHERE j >= {threshold}
+            """
+        ).fetchall()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            rd.from_arrow(tbl), shingle_k=5, threshold=threshold
+        ).take_all()
+    }
+    assert got == want
