@@ -1,5 +1,6 @@
 from signal_collect_ray.algorithms.pagerank import PageRank
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
+from signal_collect_ray.algorithms.hits import Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
@@ -17,6 +18,7 @@ from signal_collect_ray.algorithms.triangles import (
 __all__ = [
     "PageRank",
     "CrawlingPageRank",
+    "Hits",
     "ConnectedComponents",
     "SSSP",
     "ChineseWhispers",

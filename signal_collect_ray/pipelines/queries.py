@@ -309,6 +309,32 @@ def _cc_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, lab AS label FROM l{k}"
 
 
+def _hits_sql(k: int) -> str:
+    """HITS oracle — simultaneous update, k rounds, final L1
+    normalization (mirrors ``algorithms/hits.py`` exactly: hub_i(u) =
+    Σ auth_{i-1}(v) over out-links u→v; auth_i(v) = Σ hub_{i-1}(u)
+    over in-links)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "ha0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS h, CAST(1.0 AS DOUBLE) AS a FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"ha{i} AS MATERIALIZED (SELECT v.vid, "
+            f"COALESCE(hb.s, 0) AS h, COALESCE(ab.s, 0) AS a FROM v "
+            f"LEFT JOIN (SELECT e.src AS vid, SUM(p.a) AS s FROM e "
+            f"JOIN ha{i-1} p ON p.vid = e.dst GROUP BY e.src) hb ON hb.vid = v.vid "
+            f"LEFT JOIN (SELECT e.dst AS vid, SUM(p.h) AS s FROM e "
+            f"JOIN ha{i-1} p ON p.vid = e.src GROUP BY e.dst) ab ON ab.vid = v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, ROUND(h / NULLIF((SELECT SUM(h) FROM ha{k}), 0), 6) AS hub, "
+        f"ROUND(a / NULLIF((SELECT SUM(a) FROM ha{k}), 0), 6) AS auth FROM ha{k}"
+    )
+
+
 def _sssp_sql(k: int, source: int = 0) -> str:
     ctes = [
         f"e AS MATERIALIZED ({_E_SQL})",
@@ -424,6 +450,66 @@ def q_top10_pagerank_k4(sf_dir: str):
     r = t.column("rank").to_numpy(zero_copy_only=False)
     order = np.lexsort((vid, -r))[:10]
     return t.take(pa.array(order, pa.int64()))
+
+
+def hits_edges(edges_ds):
+    """Signed bidirected doubling of a link table for HITS: every link
+    u→v becomes (u, v, +1) carrying hub forward and (v, u, -1) carrying
+    authority backward (see ``algorithms/hits.py``). Pure per-batch
+    transform — no shuffle; the build's own exchange partitions both
+    directions together."""
+
+    def double(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        n = len(s)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                "weight": pa.array(
+                    np.concatenate([np.ones(n), -np.ones(n)]), pa.float64()
+                ),
+            }
+        )
+
+    return edges_ds.map_batches(double, batch_format="pyarrow")
+
+
+def _hits_graph(sf_dir: str):
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, "hits")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = Graph.build(
+            hits_edges(derived_edges_ds(sf_dir)),
+            _work_dir(sf_dir, "graph_hits"),
+            num_partitions=_P,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def q_hits_k4(sf_dir: str):
+    from signal_collect_ray.algorithms import Hits
+
+    g = _hits_graph(sf_dir)
+    info = _engine(4, eps=0.0).run(
+        g, Hits(), run_dir=_work_dir(sf_dir, "run_hits_k4"), resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    hub = t.column("state").to_numpy(zero_copy_only=False)
+    auth = t.column("last").to_numpy(zero_copy_only=False)
+    hs, as_ = hub.sum(), auth.sum()
+    return pa.table(
+        {
+            "vid": t.column("vid"),
+            "hub": pa.array(np.round(hub / hs if hs else hub, 6), pa.float64()),
+            "auth": pa.array(np.round(auth / as_ if as_ else auth, 6), pa.float64()),
+        }
+    )
 
 
 def q_in_degrees(sf_dir: str):
@@ -1770,6 +1856,7 @@ def queries():
         "top10_pagerank_k4": q_top10_pagerank_k4,
         "in_degrees": q_in_degrees,
         "pagerank_weighted_k4": q_pagerank_weighted_k4,
+        "hits_k4": q_hits_k4,
         "connected_components": q_cc_labels,
         "component_sizes": q_component_sizes,
         "sssp_from0": q_sssp_from0,
@@ -1835,6 +1922,7 @@ def oracle_sql():
             "SELECT src AS vid, COUNT(*) AS out_degree FROM e GROUP BY src"
         ),
         "pagerank_k4": _pr_sql(4),
+        "hits_k4": _hits_sql(4),
         "rank_sum_k4": (
             _pr_sql(4).replace(
                 "SELECT vid, ROUND(r, 6) AS rank FROM r4",
