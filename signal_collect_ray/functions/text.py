@@ -155,6 +155,61 @@ class Fingerprint:
         return tbl.append_column("fingerprint", pa.array(out, pa.string()))
 
 
+# PII patterns — deliberately restricted to syntax with identical
+# semantics in Python re and RE2 (DuckDB regexp_*): no lookaround, no
+# backreferences, ASCII \b word boundaries, greedy quantifiers only —
+# so the SQL oracle is an exact mirror, not an approximation.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+class PiiScrub:
+    """PII detection + redaction over a ``text`` column — the curation
+    stage every web-scale training corpus runs before release (emails,
+    phone numbers, IP addresses → typed placeholder tokens).
+
+    Adds ``n_emails``/``n_ips``/``n_phones`` (non-overlapping match
+    counts on the ORIGINAL text) and ``scrubbed`` (redaction applied
+    email → ip → phone, so an address embedded in an already-replaced
+    span is not double-counted). Regexes compile once per actor;
+    per-doc work is three C-level scans. Exact SQL mirror:
+    ``length(regexp_extract_all(t, pat))`` + chained
+    ``regexp_replace(..., 'g')``.
+    """
+
+    __name__ = "PiiScrub"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.email = re.compile(PII_EMAIL)
+        self.ipv4 = re.compile(PII_IPV4)
+        self.phone = re.compile(PII_PHONE)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_em = np.empty(n, dtype=np.int64)
+        n_ip = np.empty(n, dtype=np.int64)
+        n_ph = np.empty(n, dtype=np.int64)
+        scrubbed = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_em[i] = len(self.email.findall(t))
+            n_ip[i] = len(self.ipv4.findall(t))
+            n_ph[i] = len(self.phone.findall(t))
+            s = self.email.sub("<EMAIL>", t)
+            s = self.ipv4.sub("<IP>", s)
+            s = self.phone.sub("<PHONE>", s)
+            scrubbed.append(s)
+        return (
+            tbl.append_column("n_emails", pa.array(n_em, pa.int64()))
+            .append_column("n_ips", pa.array(n_ip, pa.int64()))
+            .append_column("n_phones", pa.array(n_ph, pa.int64()))
+            .append_column("scrubbed", pa.array(scrubbed, pa.string()))
+        )
+
+
 def _strip_schema_metadata(tbl: pa.Table) -> pa.Table:
     """Drop pandas-writer schema metadata: pyarrow 16's Schema.__hash__
     chokes on it (unhashable dict), making Ray Data's block-unify log

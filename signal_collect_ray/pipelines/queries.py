@@ -975,6 +975,78 @@ def q_pagerank_converged(sf_dir: str):
     return _round_state(t, "rank", 5)
 
 
+def tickets_ds(sf_dir: str):
+    """Deterministic PII-bearing 'support ticket' text derived from the
+    customer table (the synthetic documents contain no emails/phones/
+    IPs, which would make a scrub query vacuous — same derivation
+    pattern as the lineitem graph, reconstructible exactly in SQL)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+
+    def tickets(tbl: pa.Table) -> pa.Table:
+        ck = tbl.column("c_custkey").to_numpy(zero_copy_only=False)
+        names = tbl.column("c_name").to_pylist()
+        segs = tbl.column("c_mktsegment").to_pylist()
+        text = [
+            f"Reach {nm} at user{k}@example.com or "
+            f"{800 + k % 200}-{100 + (k * 7) % 900}-{1000 + (k * 13) % 9000}. "
+            f"Server 10.{k % 256}.{(k * 3) % 256}.{(k * 5) % 254 + 1} "
+            f"logged segment {sg}."
+            for k, nm, sg in zip(ck, names, segs)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ck, pa.int64()),
+                "text": pa.array(text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(tickets, batch_format="pyarrow")
+
+
+_TICKETS_SQL = (
+    "SELECT c_custkey AS doc_id, "
+    "'Reach ' || c_name || ' at user' || c_custkey || '@example.com or ' || "
+    "CAST(800 + c_custkey % 200 AS VARCHAR) || '-' || "
+    "CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' || "
+    "CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR) || "
+    "'. Server 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || "
+    "CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' || "
+    "CAST((c_custkey * 5) % 254 + 1 AS VARCHAR) || "
+    "' logged segment ' || c_mktsegment || '.' AS text FROM customer"
+)
+
+
+def q_pii_scrub(sf_dir: str):
+    from signal_collect_ray.functions.text import PiiScrub
+
+    return (
+        tickets_ds(sf_dir)
+        .map_batches(PiiScrub, batch_format="pyarrow", batch_size=2048, concurrency=2)
+        .select_columns(["doc_id", "n_emails", "n_ips", "n_phones", "scrubbed"])
+    )
+
+
+def _pii_sql() -> str:
+    from signal_collect_ray.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return (
+        f"WITH t AS ({_TICKETS_SQL}) "
+        f"SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips, "
+        f"len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g') AS scrubbed FROM t"
+    )
+
+
 def q_lang_id_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -1877,6 +1949,7 @@ def queries():
         "pagerank_k20": q_pagerank_k20,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
+        "pii_scrub": q_pii_scrub,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -1993,6 +2066,7 @@ def oracle_sql():
         ),
         "pagerank_k20": _pr_sql(20),
         "lang_id_counts": _lang_sql(),
+        "pii_scrub": _pii_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

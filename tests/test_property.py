@@ -198,3 +198,68 @@ def test_ngram_jaccard_matches_duckdb(docs, threshold):
         ).take_all()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: Python `re` vs DuckDB RE2 dialect parity on adversarial text
+# ---------------------------------------------------------------------------
+
+_PII_FRAGMENTS = [
+    "plain words here",
+    "a.b-c_d@sub.example.org",
+    "user+tag@host.io",
+    "not@an@email",          # second @ starts no valid match? exercise it
+    "x@y.z",                 # 1-char TLD: must NOT match ({2,})
+    "10.0.0.1",
+    "999.999.999.999",       # degenerate but matches \d{1,3} quads
+    "1.2.3.4.5",             # 5 quads: leftmost 4 match, trailing .5 outside
+    "555-123-4567",
+    "5551-123-4567",         # 4-digit prefix: \b kills the match
+    "call 555-123-4567.",
+    "v1.2.3 release",        # version string: only 3 quads, no IP match
+    "end@example.com",
+]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_PII_FRAGMENTS), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pii_scrub_matches_duckdb(frag_lists):
+    """Counts and redacted text must agree exactly between the Python-re
+    stage and the DuckDB RE2 mirror, including the near-miss fragments —
+    the dialect-parity risk the restricted pattern syntax is meant to
+    remove."""
+    from signal_collect_ray.functions.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, PiiScrub,
+    )
+
+    docs = [" ".join(f) for f in frag_lists]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = PiiScrub()(tbl)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        f"SELECT doc_id, len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips, "
+        f"len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IPV4}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g') AS scrubbed "
+        f"FROM t ORDER BY doc_id"
+    ).fetchall()
+    for i, (doc_id, n_em, n_ip, n_ph, scrubbed) in enumerate(want):
+        assert got.column("n_emails")[i].as_py() == n_em
+        assert got.column("n_ips")[i].as_py() == n_ip
+        assert got.column("n_phones")[i].as_py() == n_ph
+        assert got.column("scrubbed")[i].as_py() == scrubbed
