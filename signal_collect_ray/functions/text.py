@@ -155,6 +155,48 @@ class Fingerprint:
         return tbl.append_column("fingerprint", pa.array(out, pa.string()))
 
 
+class RepetitionScore:
+    """Gopher-style repetition signals (Rae et al. 2021, public): the
+    dominant text-quality filters for web-corpus curation. Per document,
+    over lowercased whitespace words:
+
+    * ``dup_word_frac``   = 1 − distinct words / words
+    * ``top_word_frac``   = occurrences of the most frequent word / words
+    * ``top_bigram_frac`` = occurrences of the most frequent adjacent
+      word pair / total pairs
+
+    All 0.0 for empty documents (and ``top_bigram_frac`` 0.0 for
+    single-word ones). Rounded to 6 digits to match the SQL mirror
+    (split → unnest → group counts). Counter work is C-level dict ops;
+    no per-character Python."""
+
+    __name__ = "RepetitionScore"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = tbl.column("text").to_pylist()
+        n = len(texts)
+        dupw = np.zeros(n)
+        topw = np.zeros(n)
+        topb = np.zeros(n)
+        for i, t in enumerate(texts):
+            words = (t or "").lower().split()
+            nw = len(words)
+            if nw:
+                wc = Counter(words)
+                dupw[i] = 1.0 - len(wc) / nw
+                topw[i] = max(wc.values()) / nw
+            if nw >= 2:
+                bc = Counter(zip(words, words[1:]))
+                topb[i] = max(bc.values()) / (nw - 1)
+        return (
+            tbl.append_column("dup_word_frac", pa.array(np.round(dupw, 6)))
+            .append_column("top_word_frac", pa.array(np.round(topw, 6)))
+            .append_column("top_bigram_frac", pa.array(np.round(topb, 6)))
+        )
+
+
 # PII patterns — deliberately restricted to syntax with identical
 # semantics in Python re and RE2 (DuckDB regexp_*): no lookaround, no
 # backreferences, ASCII \b word boundaries, greedy quantifiers only —

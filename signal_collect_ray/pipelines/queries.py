@@ -1047,6 +1047,54 @@ def _pii_sql() -> str:
     )
 
 
+def q_doc_repetition(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import RepetitionScore
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(RepetitionScore, batch_format="pyarrow",
+                     batch_size=2048, concurrency=2)
+        .select_columns(
+            ["doc_id", "dup_word_frac", "top_word_frac", "top_bigram_frac"]
+        )
+    )
+
+
+_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM d),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM words WHERE word <> ''
+  GROUP BY doc_id, word),
+wstats AS (
+  SELECT doc_id, SUM(c) AS nw, COUNT(*) AS ndw, MAX(c) AS topc
+  FROM wc GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM d, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2 AND w[1] <> ''),
+bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+bstats AS (
+  SELECT doc_id, SUM(c) AS nb, MAX(c) AS topc FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+  ROUND(COALESCE(1.0 - ws.ndw / CAST(ws.nw AS DOUBLE), 0.0), 6) AS dup_word_frac,
+  ROUND(COALESCE(ws.topc / CAST(ws.nw AS DOUBLE), 0.0), 6) AS top_word_frac,
+  ROUND(COALESCE(bs.topc / CAST(bs.nb AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM d LEFT JOIN wstats ws ON ws.doc_id = d.doc_id
+LEFT JOIN bstats bs ON bs.doc_id = d.doc_id
+"""
+
+
 def q_lang_id_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -1950,6 +1998,7 @@ def queries():
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
+        "doc_repetition": q_doc_repetition,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2067,6 +2116,7 @@ def oracle_sql():
         "pagerank_k20": _pr_sql(20),
         "lang_id_counts": _lang_sql(),
         "pii_scrub": _pii_sql(),
+        "doc_repetition": _REPETITION_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -263,3 +263,40 @@ def test_pii_scrub_matches_duckdb(frag_lists):
         assert got.column("n_ips")[i].as_py() == n_ip
         assert got.column("n_phones")[i].as_py() == n_ph
         assert got.column("scrubbed")[i].as_py() == scrubbed
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "THE", "cat", "sat", "on", "mat", ""]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_repetition_score_matches_duckdb(word_lists):
+    """Empty docs, single-word docs, case noise, repeated words — pins
+    the repetition signals against the SQL unnest/group mirror exactly
+    (same rounding both sides)."""
+    from signal_collect_ray.functions.text import RepetitionScore
+    from signal_collect_ray.pipelines.queries import _REPETITION_SQL
+
+    docs = [" ".join(w) for w in word_lists]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = RepetitionScore()(tbl)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(_REPETITION_SQL + " ORDER BY d.doc_id").fetchall()
+    for i, (_, dup_w, top_w, top_b) in enumerate(want):
+        assert got.column("dup_word_frac")[i].as_py() == dup_w, docs[i]
+        assert got.column("top_word_frac")[i].as_py() == top_w, docs[i]
+        assert got.column("top_bigram_frac")[i].as_py() == top_b, docs[i]
