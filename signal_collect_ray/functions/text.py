@@ -155,6 +155,64 @@ class Fingerprint:
         return tbl.append_column("fingerprint", pa.array(out, pa.string()))
 
 
+class ChunkDocuments:
+    """Sliding-window document chunking — the sequence-prep step of a
+    training-data pipeline (fixed context windows with overlap). A
+    flat-map batch stage: each document yields
+
+        ceil(max(n_words − size, 0) / stride) + 1
+
+    chunks of up to ``size`` whitespace words starting every ``stride``
+    words (the final window is the first one reaching the document
+    end — no trailing sub-stride fragments); empty documents yield no
+    rows. Output: ``doc_id, chunk_id, chunk_words, chunk_text``
+    (words rejoined with single spaces, so chunk boundaries are stable
+    however the source was whitespace-formatted). Exact SQL mirror via
+    1-based end-inclusive list slicing ``w[c*stride+1 : c*stride+size]``.
+
+    At 100 TB this is shape-changing but shuffle-free: one pass, output
+    rows stay in the producing block, row count grows ~size/stride ×.
+    """
+
+    __name__ = "ChunkDocuments"
+
+    def __init__(self, size: int = 64, stride: int = 48):
+        if size < 1 or stride < 1:
+            raise ValueError("size and stride must be >= 1")
+        self.size, self.stride = size, stride
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = tbl.column("text").to_pylist()
+        out_doc, out_cid, out_nw, out_txt = [], [], [], []
+        size, stride = self.size, self.stride
+        for did, t in zip(doc_ids, texts):
+            words = (t or "").split()
+            nw = len(words)
+            if nw == 0:
+                continue
+            c = 0
+            start = 0
+            while True:
+                chunk = words[start : start + size]
+                out_doc.append(did)
+                out_cid.append(c)
+                out_nw.append(len(chunk))
+                out_txt.append(" ".join(chunk))
+                if start + size >= nw:
+                    break
+                c += 1
+                start += stride
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "chunk_words": pa.array(out_nw, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+
 class RepetitionScore:
     """Gopher-style repetition signals (Rae et al. 2021, public): the
     dominant text-quality filters for web-corpus curation. Per document,

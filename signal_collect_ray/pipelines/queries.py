@@ -1095,6 +1095,45 @@ LEFT JOIN bstats bs ON bs.doc_id = d.doc_id
 """
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+def q_doc_chunks(sf_dir: str):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import ChunkDocuments
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        ChunkDocuments(_CHUNK_SIZE, _CHUNK_STRIDE),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
+_CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+  FROM documents),
+dd AS (
+  SELECT doc_id, w, len(w) AS nw FROM d WHERE w[1] <> ''),
+c AS (
+  SELECT doc_id, w, unnest(range(0, 1 + CAST(CEIL(
+           GREATEST(nw - {_CHUNK_SIZE}, 0) / {float(_CHUNK_STRIDE)}) AS BIGINT)
+         )) AS chunk_id
+  FROM dd)
+SELECT doc_id, chunk_id,
+  len(w[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}])
+    AS chunk_words,
+  array_to_string(
+    w[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+    ' ') AS chunk_text
+FROM c
+"""
+
+
 def q_lang_id_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -1999,6 +2038,7 @@ def queries():
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
         "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2117,6 +2157,7 @@ def oracle_sql():
         "lang_id_counts": _lang_sql(),
         "pii_scrub": _pii_sql(),
         "doc_repetition": _REPETITION_SQL,
+        "doc_chunks": _CHUNKS_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

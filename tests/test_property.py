@@ -300,3 +300,48 @@ def test_repetition_score_matches_duckdb(word_lists):
         assert got.column("dup_word_frac")[i].as_py() == dup_w, docs[i]
         assert got.column("top_word_frac")[i].as_py() == top_w, docs[i]
         assert got.column("top_bigram_frac")[i].as_py() == top_b, docs[i]
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=12),
+    st.sampled_from([(8, 8), (8, 4), (5, 3), (1, 1)]),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_chunk_documents_matches_duckdb(word_counts, size_stride):
+    """Random doc lengths (incl. 0, exactly size, size±1, divisible and
+    non-divisible strides) — chunk boundaries, final-window cut-off and
+    empty-doc elision must agree exactly with the SQL slicing mirror."""
+    from signal_collect_ray.functions.text import ChunkDocuments
+
+    size, stride = size_stride
+    docs = [" ".join(f"w{j}" for j in range(n)) for n in word_counts]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = ChunkDocuments(size, stride)(tbl)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(f"""
+        WITH d AS (SELECT doc_id,
+            regexp_split_to_array(trim(COALESCE(text,'')), '\\s+') AS w
+          FROM documents),
+        dd AS (SELECT doc_id, w, len(w) AS nw FROM d WHERE w[1] <> ''),
+        c AS (SELECT doc_id, w, unnest(range(0, 1 + CAST(CEIL(
+            GREATEST(nw - {size}, 0) / {float(stride)}) AS BIGINT))) AS chunk_id
+          FROM dd)
+        SELECT doc_id, chunk_id,
+          len(w[chunk_id*{stride}+1 : chunk_id*{stride}+{size}]) AS chunk_words,
+          array_to_string(w[chunk_id*{stride}+1 : chunk_id*{stride}+{size}], ' ')
+            AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id
+    """).fetchall()
+    assert got.num_rows == len(want)
+    for i, (did, cid, cw, ct) in enumerate(want):
+        assert got.column("doc_id")[i].as_py() == did
+        assert got.column("chunk_id")[i].as_py() == cid
+        assert got.column("chunk_words")[i].as_py() == cw
+        assert got.column("chunk_text")[i].as_py() == ct
