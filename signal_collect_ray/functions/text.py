@@ -318,6 +318,54 @@ def _strip_schema_metadata(tbl: pa.Table) -> pa.Table:
     return tbl.replace_schema_metadata(None)
 
 
+def curate_corpus(
+    docs_ds,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_top_word_frac: float = 0.15,
+    id_col: str = "doc_id",
+):
+    """End-to-end training-corpus curation — the composition every
+    web-scale pipeline runs before tokenization: language filter →
+    quality floor → Gopher repetition ceiling → exact dedup (min-id
+    representative per normalized text).
+
+    The three scoring stages are column-append ``map_batches`` over ONE
+    streaming pass (no materialization); the only shuffle is exact
+    dedup's groupby(content_hash), and it runs over the already-filtered
+    survivors, not the full corpus. Threshold comparisons use the
+    6-digit-rounded scores so the SQL oracle (same rounding) decides
+    every boundary row identically. Returns (id_col, lang_pred,
+    quality) for the surviving documents."""
+    from signal_collect_ray.functions.dedup import dedup_exact
+
+    ds = docs_ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None
+    )
+    for cls in (LanguageId, QualityScore, RepetitionScore):
+        ds = ds.map_batches(cls(), batch_format="pyarrow", batch_size=2048)
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        tw = tbl.column("top_word_frac").to_numpy(zero_copy_only=False)
+        lp = tbl.column("lang_pred").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(
+            (lp == lang) & (q >= min_quality) & (tw <= max_top_word_frac)
+        )
+        t = tbl.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "text": t.column("text"),
+                "lang_pred": t.column("lang_pred"),
+                "quality": pa.array(q[keep], pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(flt, batch_format="pyarrow", batch_size=2048)
+    return dedup_exact(ds, id_col=id_col).drop_columns(["text"])
+
+
 def analyze_documents(docs_ds, concurrency=None):
     """Full text-analysis pipeline over a documents Dataset: language ID,
     quality scoring, token counting, fingerprinting — four chained

@@ -1134,6 +1134,50 @@ FROM c
 """
 
 
+_CURATE_LANG, _CURATE_MINQ, _CURATE_MAXTW = "en", 0.5, 0.15
+
+
+def q_corpus_curation(sf_dir: str):
+    """Flagship corpus-curation composition: language filter → quality
+    floor → repetition ceiling → exact dedup, one streaming pass + one
+    shuffle (functions.text.curate_corpus)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import curate_corpus
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return curate_corpus(
+        ds,
+        lang=_CURATE_LANG,
+        min_quality=_CURATE_MINQ,
+        max_top_word_frac=_CURATE_MAXTW,
+    )
+
+
+def _curation_sql() -> str:
+    """Composition of the lang/quality/repetition mirrors + the exact-
+    dedup GROUP BY — each sub-mirror is the same SQL that already gates
+    its standalone query, so boundary rows agree by construction."""
+    return (
+        f"WITH pred AS ({_lang_pred_sql()}), "
+        f"q AS ({_QUALITY_SQL}), "
+        f"r AS ({_REPETITION_SQL}), "
+        "f AS (SELECT d.doc_id, "
+        "trim(regexp_replace(lower(COALESCE(d.text, '')), '\\s+', ' ', 'g')) "
+        "AS norm FROM documents d "
+        "JOIN pred USING (doc_id) JOIN q USING (doc_id) JOIN r USING (doc_id) "
+        f"WHERE pred.lang_pred = '{_CURATE_LANG}' "
+        f"AND q.quality >= {_CURATE_MINQ} "
+        f"AND r.top_word_frac <= {_CURATE_MAXTW}), "
+        "s AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY norm) "
+        "SELECT s.doc_id, pred.lang_pred, q.quality FROM s "
+        "JOIN pred ON pred.doc_id = s.doc_id "
+        "JOIN q ON q.doc_id = s.doc_id"
+    )
+
+
 def q_lang_id_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -1528,7 +1572,7 @@ def _media_sql() -> str:
 # SQL generators for the document / embedding oracles
 # ---------------------------------------------------------------------------
 
-def _lang_sql() -> str:
+def _lang_pred_sql() -> str:
     """Exact SQL mirror of functions.text.LanguageId: per-language marker
     substring counts per 1000 chars (non-overlapping counts via the
     replace-length trick, identical to ``str.count``), argmax with
@@ -1558,9 +1602,15 @@ def _lang_sql() -> str:
     return (
         "WITH s AS (SELECT doc_id, lower(COALESCE(text, '')) AS t, "
         "GREATEST(length(COALESCE(text, '')), 1) AS n FROM documents), "
-        "sc AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM s), "
-        "pred AS (SELECT doc_id, CASE " + " ".join(cases) + " END AS lang_pred "
-        "FROM sc) "
+        "sc AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM s) "
+        "SELECT doc_id, CASE " + " ".join(cases) + " END AS lang_pred "
+        "FROM sc"
+    )
+
+
+def _lang_sql() -> str:
+    return (
+        f"WITH pred AS ({_lang_pred_sql()}) "
         "SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred"
     )
 
@@ -2039,6 +2089,7 @@ def queries():
         "pii_scrub": q_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
+        "corpus_curation": q_corpus_curation,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2158,6 +2209,7 @@ def oracle_sql():
         "pii_scrub": _pii_sql(),
         "doc_repetition": _REPETITION_SQL,
         "doc_chunks": _CHUNKS_SQL,
+        "corpus_curation": _curation_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -129,6 +129,25 @@ def test_dedup_exact():
     assert set(kept) <= {0, 2, 3, 4}
 
 
+def test_curate_corpus_composition():
+    from signal_collect_ray.functions.text import curate_corpus
+
+    # permissive thresholds: only the language filter and exact dedup
+    # bite on this corpus — docs 2/3 classify non-en under the marker
+    # heuristic, doc 1 dups doc 0
+    out = curate_corpus(
+        _docs_ds(), lang="en", min_quality=0.0, max_top_word_frac=1.0
+    ).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 4]
+    assert all(r["lang_pred"] == "en" for r in out)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    # a quality floor of 1.1 removes everything
+    assert (
+        curate_corpus(_docs_ds(), lang="en", min_quality=1.1).count() == 0
+    )
+
+
 def test_minhash_candidates_and_verify():
     pairs_ds = minhash_lsh_candidates(_docs_ds(), num_perm=64, num_bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
