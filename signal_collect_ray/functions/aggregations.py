@@ -81,6 +81,55 @@ def top_k(state_ds, k: int, descending: bool = True):
     return pruned.sort("state", descending=descending).limit(k)
 
 
+class _GroupTopK:
+    """Keep the top-k rows per group under a total order (order_col
+    desc/asc, then id_col asc) — used both as the per-block combiner and
+    as the per-group finalizer, so the pruned union provably contains
+    the global per-group top-k."""
+
+    __name__ = "_GroupTopK"
+
+    def __init__(self, group_col, order_col, id_col, k, descending):
+        self.group_col, self.order_col, self.id_col = group_col, order_col, id_col
+        self.k, self.descending = k, descending
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows <= self.k:
+            return tbl
+        v = tbl.column(self.order_col).to_numpy(zero_copy_only=False)
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        g = tbl.column(self.group_col).to_numpy(zero_copy_only=False)
+        _, gcode = np.unique(g, return_inverse=True)
+        # lexsort: last key is primary → group, then value, then id
+        order = np.lexsort((ids, -v if self.descending else v, gcode))
+        gsorted = gcode[order]
+        starts = np.flatnonzero(np.r_[True, gsorted[1:] != gsorted[:-1]])
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)])
+        )
+        keep = order[rank < self.k]
+        return tbl.take(pa.array(np.sort(keep), pa.int64()))
+
+
+def grouped_top_k(
+    ds,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = True,
+):
+    """Exact top-k rows per group (the per-language / per-host / per-
+    bucket selection every curation pipeline needs). Two stages: a
+    stateless per-block partial top-k (bounds the shuffle to k rows per
+    group per block), then one groupby(group_col) finalizer. Ties break
+    by id_col ascending, so results are deterministic and exactly
+    mirror a SQL ROW_NUMBER() window."""
+    kern = _GroupTopK(group_col, order_col, id_col, k, descending)
+    pruned = ds.map_batches(kern, batch_format="pyarrow")
+    return pruned.groupby(group_col).map_groups(kern, batch_format="pyarrow")
+
+
 def id_state_map(state_ds) -> dict:
     """IdStateMapAggregator (AggregationOperations.scala:55-61) —
     materializes id→state on the driver; small graphs/tests only (the

@@ -1178,6 +1178,50 @@ def _curation_sql() -> str:
     )
 
 
+_TOPDOCS_K = 3
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Exact top-k documents by quality per predicted language —
+    grouped_top_k (per-block partial top-k combiner, one groupby)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+    from signal_collect_ray.functions.text import LanguageId, QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ds = ds.map_batches(LanguageId(), batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(QualityScore(), batch_format="pyarrow", batch_size=2048)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang_pred": tbl.column("lang_pred"),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_top_k(
+        ds, "lang_pred", "quality", "doc_id", _TOPDOCS_K, descending=True
+    )
+
+
+def _top_docs_sql() -> str:
+    return (
+        f"WITH pred AS ({_lang_pred_sql()}), q AS ({_QUALITY_SQL}), "
+        "j AS (SELECT q.doc_id, pred.lang_pred, q.quality, "
+        "ROW_NUMBER() OVER (PARTITION BY pred.lang_pred "
+        "ORDER BY q.quality DESC, q.doc_id ASC) AS rn "
+        "FROM q JOIN pred ON pred.doc_id = q.doc_id) "
+        f"SELECT doc_id, lang_pred, quality FROM j WHERE rn <= {_TOPDOCS_K}"
+    )
+
+
 def q_lang_id_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -2090,6 +2134,7 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "corpus_curation": q_corpus_curation,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2210,6 +2255,7 @@ def oracle_sql():
         "doc_repetition": _REPETITION_SQL,
         "doc_chunks": _CHUNKS_SQL,
         "corpus_curation": _curation_sql(),
+        "top_docs_per_lang": _top_docs_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

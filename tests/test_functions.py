@@ -148,6 +148,35 @@ def test_curate_corpus_composition():
     )
 
 
+def test_grouped_top_k_exact_with_ties():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    g = rng.integers(0, 7, n)
+    v = np.round(rng.random(n), 2)  # coarse values force ties
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"grp": pa.array(g, pa.int64()), "val": pa.array(v), "id": ids})
+    ).repartition(8)  # multi-block: the partial combiner must not lose rows
+    out = grouped_top_k(ds, "grp", "val", "id", 5).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], []).append((r["val"], r["id"]))
+    # oracle: full sort per group, ties by id asc
+    for grp in np.unique(g):
+        m = g == grp
+        exp = sorted(zip(v[m], ids[m]), key=lambda t: (-t[0], t[1]))[:5]
+        assert sorted(got[grp], key=lambda t: (-t[0], t[1])) == exp
+    # a group smaller than k survives whole
+    small = rd.from_arrow(
+        pa.table({"grp": [1, 1, 2], "val": [0.5, 0.1, 0.9], "id": [1, 2, 3]})
+    )
+    assert grouped_top_k(small, "grp", "val", "id", 5).count() == 3
+
+
 def test_minhash_candidates_and_verify():
     pairs_ds = minhash_lsh_candidates(_docs_ds(), num_perm=64, num_bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
