@@ -1,4 +1,4 @@
-from signal_collect_ray.algorithms.pagerank import PageRank
+from signal_collect_ray.algorithms.pagerank import PageRank, PersonalizedPageRank
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
@@ -17,6 +17,7 @@ from signal_collect_ray.algorithms.triangles import (
 
 __all__ = [
     "PageRank",
+    "PersonalizedPageRank",
     "CrawlingPageRank",
     "Hits",
     "ConnectedComponents",

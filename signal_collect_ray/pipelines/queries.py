@@ -269,6 +269,31 @@ def _pr_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
 
+_PPR_SOURCES = (0, 7)
+
+
+def _ppr_sql(k: int) -> str:
+    """Unrolled personalized-PageRank oracle: teleport baseline only on
+    the source set (same recurrence as _pr_sql otherwise)."""
+    srcs = ", ".join(str(s) for s in _PPR_SOURCES)
+    base = f"CASE WHEN vid IN ({srcs}) THEN 0.15 ELSE 0.0 END"
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
+        f"r0 AS (SELECT vid, CAST({base} AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, {base.replace('vid', 'v.vid')} "
+            f"+ 0.85 * COALESCE(SUM(r{i-1}.r / od.outd), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+
+
 def _prw_sql(k: int) -> str:
     """Weighted PageRank oracle: signal = r * weight / sum_out_weight
     (reference PageRank.scala:44-46 with non-unit edge weights)."""
@@ -522,6 +547,16 @@ def q_in_degrees(sf_dir: str):
         .aggregate(Count(alias_name="in_degree"))
         .rename_columns({"dst": "vid"})
     )
+
+
+def q_ppr_k4(sf_dir: str):
+    """4-step personalized PageRank from a 2-vertex seed set."""
+    from signal_collect_ray.algorithms import PersonalizedPageRank
+
+    t = _state(
+        sf_dir, PersonalizedPageRank(_PPR_SOURCES), False, 4, eps=0.0, tag="_k4"
+    )
+    return _round_state(t, "rank", 6)
 
 
 def q_pagerank_weighted_k4(sf_dir: str):
@@ -2109,6 +2144,7 @@ def queries():
         "top10_pagerank_k4": q_top10_pagerank_k4,
         "in_degrees": q_in_degrees,
         "pagerank_weighted_k4": q_pagerank_weighted_k4,
+        "ppr_k4": q_ppr_k4,
         "hits_k4": q_hits_k4,
         "connected_components": q_cc_labels,
         "component_sizes": q_component_sizes,
@@ -2199,6 +2235,7 @@ def oracle_sql():
             "SELECT dst AS vid, COUNT(*) AS in_degree FROM e GROUP BY dst"
         ),
         "pagerank_weighted_k4": _prw_sql(4),
+        "ppr_k4": _ppr_sql(4),
         "connected_components": _cc_sql(_CC_K),
         "component_sizes": (
             f"WITH cc AS ({_cc_sql(_CC_K)}) "

@@ -239,3 +239,28 @@ def triangle_oracle(src, dst):
                 tri[v] += 1
     total = sum(tri.values()) // 3
     return vids, np.array([tri[int(v)] for v in vids], dtype=np.int64), total
+
+
+def ppr_oracle(src, dst, sources, damping=0.85, tol=1e-13, max_iter=10000):
+    """Dense personalized PageRank: r = b + d * Σ_in r_u / outd_u with
+    teleport baseline b_v = (1-d)·[v ∈ sources]."""
+    vids = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    si = np.array([idx[v] for v in src])
+    di = np.array([idx[v] for v in dst])
+    outd = np.zeros(n)
+    np.add.at(outd, si, 1.0)
+    b = np.zeros(n)
+    for s in sources:
+        if s in idx:
+            b[idx[s]] = 1 - damping
+    r = b.copy()
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / outd[si])
+        r_new = b + damping * contrib
+        if np.abs(r_new - r).max() < tol:
+            return vids, r_new
+        r = r_new
+    return vids, r

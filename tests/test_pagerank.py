@@ -123,3 +123,45 @@ def test_weighted_pagerank_matches_oracle(tmp_path):
     t = info.state_table()
     ovid, orank = fx.pagerank_oracle(src, dst, weight=w)
     assert np.allclose(t.column("state").to_numpy(), orank, atol=1e-6)
+
+
+def test_personalized_pagerank_matches_oracle(tmp_path):
+    from signal_collect_ray.algorithms import PersonalizedPageRank
+
+    rng = np.random.RandomState(7)
+    n = 100
+    src = rng.randint(0, n, 500).astype(np.int64)
+    dst = rng.randint(0, n, 500).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    sources = (3, 58)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=500),
+        num_workers=2,
+    )
+    info = eng.run(
+        g, PersonalizedPageRank(sources), run_dir=str(tmp_path / "run"),
+        resume=False,
+    )
+    t = info.state_table()
+    vid = t.column("vid").to_numpy()
+    r = t.column("state").to_numpy()
+    ovid, orank = fx.ppr_oracle(src, dst, sources)
+    assert (vid == ovid).all()
+    assert np.allclose(r, orank, atol=1e-6)
+    # teleport mass confined to the seed neighborhood: unreachable
+    # vertices stay exactly 0
+    reach = {int(s) for s in sources if s in set(vid)}
+    frontier = list(reach)
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    while frontier:
+        u = frontier.pop()
+        for v in adj.get(u, []):
+            if v not in reach:
+                reach.add(v)
+                frontier.append(v)
+    unreachable = np.array([int(v) not in reach for v in vid])
+    assert np.all(r[unreachable] == 0.0)
