@@ -5,7 +5,7 @@ from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
 from signal_collect_ray.algorithms.coloring import VertexColoring
-from signal_collect_ray.algorithms.cellular import GameOfLife, SchellingSegregation
+from signal_collect_ray.algorithms.cellular import GameOfLife, KCore, SchellingSegregation
 from signal_collect_ray.algorithms.tokens import TokenDiffusion
 from signal_collect_ray.algorithms.sudoku import Sudoku
 from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
@@ -25,6 +25,7 @@ __all__ = [
     "ChineseWhispers",
     "VertexColoring",
     "GameOfLife",
+    "KCore",
     "SchellingSegregation",
     "TokenDiffusion",
     "Sudoku",

@@ -171,3 +171,25 @@ class SchellingSegregation(_BinaryCellular):
             frac = equal / np.maximum(total, 1)
         content = (frac >= self.threshold) | (total == 0)
         return np.where(content, state, (state + 1) % 2).astype(np.int64)
+
+
+class KCore(_BinaryCellular):
+    """k-core peeling (Seidman 1983, public): every vertex starts alive;
+    each round a vertex survives iff ≥ k of its neighbors are still
+    alive. Monotone (dead stays dead), so the fixpoint is the exact
+    k-core and any unrolled round count R agrees with the engine run at
+    max_supersteps=R — converged-early rounds are no-ops on both sides.
+
+    Same always-signal neighborhood-sum shape as the cellular automata
+    (StateForwarderEdge semantics over a SYMMETRIC edge table), so the
+    dense bincount exchange path applies unchanged. The web-scale use:
+    graph cleaning / spam-farm pruning before PageRank."""
+
+    name = "kcore"
+
+    def __init__(self, k: int):
+        super().__init__(init_fn=lambda vid: np.ones(len(vid), dtype=np.int64))
+        self.k = int(k)
+
+    def _rule(self, state, nsum, deg):
+        return ((state == 1) & (nsum >= self.k)).astype(np.int64)

@@ -294,6 +294,44 @@ def _ppr_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
 
+_KCORE_KS, _KCORE_ROUNDS = (12, 180), 8
+
+
+def _kcore_sql() -> str:
+    """Unrolled k-core peeling for both k values over the symmetric
+    graph. Peeling is monotone, so rounds past the fixpoint are no-ops
+    — the engine run at max_supersteps=R and the R-round unroll agree
+    even when convergence lands early."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0)",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+    ]
+    for k in _KCORE_KS:
+        ctes.append(f"a0_{k} AS (SELECT vid, 1 AS a FROM v)")
+        for i in range(1, _KCORE_ROUNDS + 1):
+            ctes.append(
+                f"a{i}_{k} AS MATERIALIZED (SELECT v.vid, "
+                f"CASE WHEN p.a = 1 AND COALESCE(SUM(n.a), 0) >= {k} "
+                f"THEN 1 ELSE 0 END AS a "
+                f"FROM v JOIN a{i-1}_{k} p ON p.vid = v.vid "
+                f"LEFT JOIN e ON e.dst = v.vid "
+                f"LEFT JOIN a{i-1}_{k} n ON n.vid = e.src "
+                f"GROUP BY v.vid, p.a)"
+            )
+    r = _KCORE_ROUNDS
+    sel = ", ".join(
+        f"CAST(c{k}.a AS BIGINT) AS in_core_k{k}" for k in _KCORE_KS
+    )
+    joins = " ".join(
+        f"JOIN a{r}_{k} c{k} ON c{k}.vid = v.vid" for k in _KCORE_KS
+    )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT v.vid, {sel} FROM v {joins}"
+    )
+
+
 def _prw_sql(k: int) -> str:
     """Weighted PageRank oracle: signal = r * weight / sum_out_weight
     (reference PageRank.scala:44-46 with non-unit edge weights)."""
@@ -547,6 +585,21 @@ def q_in_degrees(sf_dir: str):
         .aggregate(Count(alias_name="in_degree"))
         .rename_columns({"dst": "vid"})
     )
+
+
+def q_kcore(sf_dir: str):
+    """k-core membership at both probe k values after 8 peel rounds
+    (algorithms.cellular.KCore over the symmetric graph)."""
+    from signal_collect_ray.algorithms import KCore
+
+    cols = {}
+    for k in _KCORE_KS:
+        t = _state(
+            sf_dir, KCore(k), True, _KCORE_ROUNDS, eps=0.0, tag=f"_k{k}"
+        )
+        cols["vid"] = t.column("vid")
+        cols[f"in_core_k{k}"] = t.column("state")
+    return pa.table(cols)
 
 
 def q_ppr_k4(sf_dir: str):
@@ -2145,6 +2198,7 @@ def queries():
         "in_degrees": q_in_degrees,
         "pagerank_weighted_k4": q_pagerank_weighted_k4,
         "ppr_k4": q_ppr_k4,
+        "kcore": q_kcore,
         "hits_k4": q_hits_k4,
         "connected_components": q_cc_labels,
         "component_sizes": q_component_sizes,
@@ -2236,6 +2290,7 @@ def oracle_sql():
         ),
         "pagerank_weighted_k4": _prw_sql(4),
         "ppr_k4": _ppr_sql(4),
+        "kcore": _kcore_sql(),
         "connected_components": _cc_sql(_CC_K),
         "component_sizes": (
             f"WITH cc AS ({_cc_sql(_CC_K)}) "

@@ -126,3 +126,39 @@ def test_sudoku_constraint_propagation(tmp_path):
         np.testing.assert_array_equal(
             np.array([digits[c] for c in range(81)]), sol
         )
+
+
+def test_kcore_clique_plus_chain(tmp_path, ray_session):
+    """4-clique (3-core) with a pendant chain: the chain peels away
+    round by round; the clique survives k=3 but not k=4."""
+    import numpy as np
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import KCore
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+             (3, 4), (4, 5), (5, 6)]                          # chain
+    src = np.array([a for a, b in pairs] + [b for a, b in pairs], np.int64)
+    dst = np.array([b for a, b in pairs] + [a for a, b in pairs], np.int64)
+
+    def run(k):
+        g = Graph.from_edge_arrays(
+            src, dst, str(tmp_path / f"g{k}"), num_partitions=2
+        )
+        eng = ResidentEngine(
+            EngineConfig(num_partitions=2, eps=0.0, max_supersteps=10),
+            num_workers=2,
+        )
+        info = eng.run(
+            g, KCore(k), run_dir=str(tmp_path / f"run{k}"), resume=False
+        )
+        t = info.state_table()
+        return dict(zip(t.column("vid").to_pylist(), t.column("state").to_pylist()))
+
+    c3 = run(3)
+    assert [c3[v] for v in range(7)] == [1, 1, 1, 1, 0, 0, 0]
+    c4 = run(4)
+    assert all(v == 0 for v in c4.values())
+    c1 = run(1)
+    assert all(v == 1 for v in c1.values())
