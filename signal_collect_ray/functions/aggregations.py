@@ -99,7 +99,12 @@ class _GroupTopK:
         v = tbl.column(self.order_col).to_numpy(zero_copy_only=False)
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         g = tbl.column(self.group_col).to_numpy(zero_copy_only=False)
-        _, gcode = np.unique(g, return_inverse=True)
+        if ids.dtype == object:
+            # string tie-break: factorize — np.unique returns lexically
+            # sorted uniques, so the codes preserve the string order
+            _, ids = np.unique(ids.astype(str), return_inverse=True)
+        _, gcode = np.unique(g.astype(str) if g.dtype == object else g,
+                             return_inverse=True)
         # lexsort: last key is primary → group, then value, then id
         order = np.lexsort((ids, -v if self.descending else v, gcode))
         gsorted = gcode[order]

@@ -318,6 +318,83 @@ def _strip_schema_metadata(tbl: pa.Table) -> pa.Table:
     return tbl.replace_schema_metadata(None)
 
 
+class _TfExplode:
+    """documents → one row per (doc_id, word) with its in-doc term
+    frequency. Words = whitespace split of the lowered text (the same
+    tokenization as RepetitionScore, SQL-mirrorable via
+    regexp_split_to_array)."""
+
+    __name__ = "_TfExplode"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = tbl.column("text").to_pylist()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_w, out_tf = [], [], []
+        for i, t in enumerate(texts):
+            wc = Counter((t or "").lower().split())
+            out_id.extend([int(ids[i])] * len(wc))
+            out_w.extend(wc.keys())
+            out_tf.extend(wc.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "word": pa.array(out_w, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+
+class _DfAnnotate:
+    """Per word group: document frequency = group size (each (doc,word)
+    row is unique), annotated onto every row."""
+
+    __name__ = "_DfAnnotate"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "df", pa.array(np.full(tbl.num_rows, tbl.num_rows), pa.int64())
+        )
+
+
+def tfidf_top_terms(docs_ds, k: int = 5, n_docs: int | None = None):
+    """Top-k terms per document by tf-idf (tf · ln(N/df)) — the
+    inverted-index scoring primitive for keyword extraction and search
+    indexing over a web corpus.
+
+    Exactly two shuffles: groupby(word) computes df WITHIN the same
+    exchange that co-locates the postings (no separate df table, no
+    join), then grouped_top_k's per-block partial top-k bounds the
+    groupby(doc_id) shuffle to k rows per doc per block. ``n_docs``
+    defaults to ``docs_ds.count()`` (metadata-only on Parquet reads).
+    Known skew: a stopword's posting group holds one row per containing
+    document — at extreme corpus sizes pre-drop a stopword list or
+    df-cap the groups the way ngram_jaccard_pairs caps posting lists.
+    Scores round to 6 digits (ulp-absorbing, same convention as every
+    float mirror here); ties break by word ascending."""
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    n = float(n_docs if n_docs is not None else docs_ds.count())
+    tf = docs_ds.map_batches(_TfExplode(), batch_format="pyarrow", batch_size=2048)
+    wf = tf.groupby("word").map_groups(_DfAnnotate(), batch_format="pyarrow")
+
+    def score(tbl: pa.Table) -> pa.Table:
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False)
+        dfv = tbl.column("df").to_numpy(zero_copy_only=False)
+        s = np.round(tfv * np.log(n / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "word": tbl.column("word"),
+                "tfidf": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = wf.map_batches(score, batch_format="pyarrow")
+    return grouped_top_k(scored, "doc_id", "tfidf", "word", k, descending=True)
+
+
 def curate_corpus(
     docs_ds,
     lang: str = "en",

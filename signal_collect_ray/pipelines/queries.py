@@ -1266,6 +1266,40 @@ def _curation_sql() -> str:
     )
 
 
+_TFIDF_K = 5
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 tf-idf terms per document (functions.text.tfidf_top_terms:
+    tf+df in one groupby(word) exchange, then grouped_top_k)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import tfidf_top_terms
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(ds, k=_TFIDF_K)
+
+
+def _tfidf_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array("
+        "trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM documents), "
+        "words AS (SELECT doc_id, unnest(w) AS word FROM d), "
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM words WHERE word <> '' GROUP BY doc_id, word), "
+        "df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.word, "
+        "ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf, "
+        "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY ROUND(tf.tf * ln(n.n / df.df), 6) DESC, tf.word ASC) AS rn "
+        "FROM tf JOIN df USING (word), n) "
+        f"SELECT doc_id, word, tfidf FROM s WHERE rn <= {_TFIDF_K}"
+    )
+
+
 _TOPDOCS_K = 3
 
 
@@ -2225,6 +2259,7 @@ def queries():
         "doc_chunks": q_doc_chunks,
         "corpus_curation": q_corpus_curation,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2348,6 +2383,7 @@ def oracle_sql():
         "doc_chunks": _CHUNKS_SQL,
         "corpus_curation": _curation_sql(),
         "top_docs_per_lang": _top_docs_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

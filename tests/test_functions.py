@@ -177,6 +177,37 @@ def test_grouped_top_k_exact_with_ties():
     assert grouped_top_k(small, "grp", "val", "id", 5).count() == 3
 
 
+def test_tfidf_top_terms():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import tfidf_top_terms
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [
+                    "apple apple banana common",
+                    "banana cherry common",
+                    "cherry cherry cherry common",
+                ],
+            }
+        )
+    )
+    out = tfidf_top_terms(docs, k=2).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["word"], r["tfidf"]))
+    # 'common' is in every doc → idf = ln(1) = 0 → never top under k=2
+    # with two positive-scoring terms available; doc 0's top term is
+    # the doubled 'apple' (df=1), doc 2's the tripled 'cherry' (df=2)
+    assert by_doc[0][0][0] == "apple"
+    assert abs(by_doc[0][0][1] - round(2 * np.log(3.0 / 1), 6)) < 1e-9
+    top2 = {w for w, s in by_doc[2]}
+    assert "cherry" in top2 and "common" not in by_doc[0][0]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
 def test_minhash_candidates_and_verify():
     pairs_ds = minhash_lsh_candidates(_docs_ds(), num_perm=64, num_bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
