@@ -12,7 +12,7 @@ sides (column names match exactly — driver hashes sorted-by-name).
 from __future__ import annotations
 
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -24,6 +24,21 @@ _E_SQL = (
     f"SELECT DISTINCT l_orderkey % {V_GRAPH} AS src, "
     f"l_partkey % {V_GRAPH} AS dst FROM lineitem "
     f"WHERE (l_orderkey % {V_GRAPH}) <> (l_partkey % {V_GRAPH})"
+)
+
+# the event-mutated edge set (Graph.update: click = add, error = remove)
+_E_UPD_SQL = (
+    f"WITH base AS ({_E_SQL}), "
+    f"adds AS (SELECT DISTINCT user_id % {V_GRAPH} AS src, "
+    f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
+    f"WHERE event_type = 'click' "
+    f"AND user_id % {V_GRAPH} <> (event_id * 7) % {V_GRAPH}), "
+    f"rems AS (SELECT user_id % {V_GRAPH} AS src, "
+    f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
+    "WHERE event_type = 'error') "
+    "SELECT src, dst FROM "
+    "(SELECT src, dst FROM base UNION SELECT src, dst FROM adds) "
+    "EXCEPT SELECT src, dst FROM rems"
 )
 
 # Oracle round counts for the to-convergence queries (engine side runs
@@ -252,9 +267,9 @@ def _state(sf_dir, algo, symmetric, max_supersteps, eps=1e-6, tag=""):
 # SQL generators for the iterative oracles (unrolled fixed-k CTE chains)
 # ---------------------------------------------------------------------------
 
-def _pr_sql(k: int) -> str:
+def _pr_sql(k: int, edges_sql: Optional[str] = None) -> str:
     ctes = [
-        f"e AS MATERIALIZED ({_E_SQL})",
+        f"e AS MATERIALIZED ({edges_sql or _E_SQL})",
         "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
         "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
         "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
@@ -754,6 +769,12 @@ def q_graph_update_events(sf_dir: str):
     """Batch graph mutation driven by the events table: 'click' events
     add edges (user_id%V → event_id*7%V), 'error' events remove them —
     Graph.update in one co-partitioned exchange (GraphEditor parity)."""
+    return _updated_graph(sf_dir).edges_ds().select_columns(["src", "dst"])
+
+
+def _event_edge_deltas(sf_dir: str, kind: str):
+    """events → (src, dst) edge deltas of the given event kind
+    (click = add, error = remove)."""
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -761,31 +782,55 @@ def q_graph_update_events(sf_dir: str):
         columns=["event_id", "user_id", "event_type"],
     )
 
-    def derive(kind):
-        def fn(tbl: pa.Table) -> pa.Table:
-            et = tbl.column("event_type").to_pylist()
-            keep = np.array([e == kind for e in et], dtype=bool)
-            u = tbl.column("user_id").to_numpy(zero_copy_only=False)[keep] % V_GRAPH
-            e = (
-                tbl.column("event_id").to_numpy(zero_copy_only=False)[keep] * 7
-            ) % V_GRAPH
-            ok = u != e
-            return pa.table(
-                {
-                    "src": pa.array(u[ok], pa.int64()),
-                    "dst": pa.array(e[ok], pa.int64()),
-                }
-            )
+    def fn(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type").to_pylist()
+        keep = np.array([e == kind for e in et], dtype=bool)
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)[keep] % V_GRAPH
+        e = (
+            tbl.column("event_id").to_numpy(zero_copy_only=False)[keep] * 7
+        ) % V_GRAPH
+        ok = u != e
+        return pa.table(
+            {
+                "src": pa.array(u[ok], pa.int64()),
+                "dst": pa.array(e[ok], pa.int64()),
+            }
+        )
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
-    g = _graph(sf_dir)
-    g2 = g.update(
-        _work_dir(sf_dir, "graph_upd"),
-        add_edges_ds=derive("click"),
-        remove_edges_ds=derive("error"),
+
+def _updated_graph(sf_dir: str):
+    key = (sf_dir, "updated")
+    g2 = _GRAPH_CACHE.get(key)
+    if g2 is None:
+        g2 = _graph(sf_dir).update(
+            _work_dir(sf_dir, "graph_upd"),
+            add_edges_ds=_event_edge_deltas(sf_dir, "click"),
+            remove_edges_ds=_event_edge_deltas(sf_dir, "error"),
+        )
+        _GRAPH_CACHE[key] = g2
+    return g2
+
+
+def q_pagerank_updated_k4(sf_dir: str):
+    """4-step PageRank over the event-MUTATED graph — drives
+    Graph.update end-to-end through the rank oracle, not just the edge
+    set: a wrong merge/remove shows up in every downstream score."""
+    from signal_collect_ray import EngineConfig
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    g2 = _updated_graph(sf_dir)
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=g2.num_partitions, eps=0.0, max_supersteps=4),
+        num_workers=2,
     )
-    return g2.edges_ds().select_columns(["src", "dst"])
+    info = eng.run(
+        g2, PageRank(), run_dir=_work_dir(sf_dir, "run_pr_upd_k4"),
+        resume=False, checkpoint_interval=50,
+    )
+    return _round_state(info.state_table(), "rank", 6)
 
 
 def q_doc_token_counts(sf_dir: str):
@@ -2225,6 +2270,7 @@ def queries():
     return {
         "graph_edges": q_graph_edges,
         "graph_update_events": q_graph_update_events,
+        "pagerank_updated_k4": q_pagerank_updated_k4,
         "out_degrees": q_out_degrees,
         "pagerank_k4": q_pagerank_k4,
         "rank_sum_k4": q_rank_sum_k4,
@@ -2287,19 +2333,8 @@ def queries():
 def oracle_sql():
     return {
         "graph_edges": _E_SQL,
-        "graph_update_events": (
-            f"WITH base AS ({_E_SQL}), "
-            f"adds AS (SELECT DISTINCT user_id % {V_GRAPH} AS src, "
-            f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
-            f"WHERE event_type = 'click' "
-            f"AND user_id % {V_GRAPH} <> (event_id * 7) % {V_GRAPH}), "
-            f"rems AS (SELECT user_id % {V_GRAPH} AS src, "
-            f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
-            "WHERE event_type = 'error') "
-            "SELECT src, dst FROM "
-            "(SELECT src, dst FROM base UNION SELECT src, dst FROM adds) "
-            "EXCEPT SELECT src, dst FROM rems"
-        ),
+        "graph_update_events": _E_UPD_SQL,
+        "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (
             f"WITH e AS ({_E_SQL}) "
             "SELECT src AS vid, COUNT(*) AS out_degree FROM e GROUP BY src"
