@@ -135,6 +135,42 @@ def grouped_top_k(
     return pruned.groupby(group_col).map_groups(kern, batch_format="pyarrow")
 
 
+def exact_quantiles_int(ds, col: str, qs):
+    """EXACT quantiles of an integer-valued column without a global
+    sort: each block reduces to a (value → count) histogram (map_batches
+    combiner), histograms merge on the driver (vocabulary = distinct
+    values, tiny for bounded metrics like word counts), and the q-th
+    quantile is the order statistic at rank ceil(q·n) over the merged
+    cdf. At 100 TB this moves only per-block histograms — bytes per
+    distinct value — instead of shuffling every row to sort.
+
+    Returns a list of (q, value) in the order given."""
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"value": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
+        )
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[r["value"]] = agg.get(r["value"], 0) + r["cnt"]
+    values = np.array(sorted(agg), dtype=np.int64)
+    counts = np.array([agg[v] for v in values], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append((q, None))
+            continue
+        rank = max(int(np.ceil(q * n)), 1)
+        out.append((q, int(values[np.searchsorted(cum, rank)])))
+    return out
+
+
 def id_state_map(state_ds) -> dict:
     """IdStateMapAggregator (AggregationOperations.scala:55-61) —
     materializes id→state on the driver; small graphs/tests only (the

@@ -1311,6 +1311,43 @@ def _curation_sql() -> str:
     )
 
 
+_QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact word-count quantiles via distributed counting histograms
+    (functions.aggregations.exact_quantiles_int — no global sort)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import exact_quantiles_int
+    from signal_collect_ray.functions.text import TokenCount
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(TokenCount(), batch_format="pyarrow", batch_size=2048)
+    res = exact_quantiles_int(ds, "n_words", _QUANTILE_QS)
+    return pa.table(
+        {
+            "q": pa.array([q for q, _ in res], pa.float64()),
+            "n_words": pa.array([v for _, v in res], pa.int64()),
+        }
+    )
+
+
+def _quantiles_sql() -> str:
+    vals = ", ".join(f"({q})" for q in _QUANTILE_QS)
+    return (
+        "WITH w AS (SELECT CAST(length(regexp_extract_all(COALESCE(text, ''), "
+        "'\\S+')) AS BIGINT) AS v FROM documents), "
+        "o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM w), "
+        "n AS (SELECT COUNT(*) AS n FROM w), "
+        f"qs(q) AS (VALUES {vals}) "
+        "SELECT CAST(qs.q AS DOUBLE) AS q, o.v AS n_words "
+        "FROM qs, n JOIN o "
+        "ON o.rn = GREATEST(CAST(CEIL(qs.q * n.n) AS BIGINT), 1)"
+    )
+
+
 _TFIDF_K = 5
 
 
@@ -2306,6 +2343,7 @@ def queries():
         "corpus_curation": q_corpus_curation,
         "top_docs_per_lang": q_top_docs_per_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2419,6 +2457,7 @@ def oracle_sql():
         "corpus_curation": _curation_sql(),
         "top_docs_per_lang": _top_docs_sql(),
         "tfidf_top_terms": _tfidf_sql(),
+        "doc_length_quantiles": _quantiles_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

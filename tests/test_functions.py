@@ -730,3 +730,21 @@ def test_ntriples_loader_and_pagerank(ray_session, tmp_path):
     np.testing.assert_allclose(
         t.column("state").to_numpy(zero_copy_only=False), 1.0, atol=1e-3
     )
+
+
+def test_exact_quantiles_int():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import exact_quantiles_int
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 50, 10007).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(6)
+    got = exact_quantiles_int(ds, "x", (0.01, 0.5, 0.9, 1.0))
+    sv = np.sort(v)
+    for q, val in got:
+        rank = max(int(np.ceil(q * len(v))), 1)
+        assert val == sv[rank - 1], (q, val, sv[rank - 1])
+    assert exact_quantiles_int(
+        rd.from_arrow(pa.table({"x": pa.array([], pa.int64())})), "x", (0.5,)
+    ) == [(0.5, None)]
