@@ -53,3 +53,58 @@ def hash_sample(ds, key: str = "doc_id", rate: float = 0.1, seed: int = 42):
     return ds.map_batches(
         _HashSampleFilter(key, rate, seed), batch_format="pyarrow"
     )
+
+
+class _StratifiedSampleFilter:
+    __name__ = "_StratifiedSampleFilter"
+
+    def __init__(self, key, stratum_col, rates, default_rate, seed):
+        for r in list(rates.values()) + [default_rate]:
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(f"rate must be in [0, 1], got {r}")
+        self.key = key
+        self.stratum_col = stratum_col
+        self.thresh = {s: int(r * (1 << 32)) for s, r in rates.items()}
+        self.default_thresh = int(default_rate * (1 << 32))
+        self.prefix = f"{seed}:".encode("utf-8")
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(self.key).to_pylist()
+        strata = tbl.column(self.stratum_col).to_pylist()
+        pre = self.prefix
+        th = self.thresh
+        dt = self.default_thresh
+        keep = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(pre + str(i).encode("utf-8")).digest()[:4],
+                    "big",
+                )
+                < th.get(s, dt)
+                for i, s in zip(ids, strata)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return tbl.filter(pa.array(keep))
+
+
+def stratified_sample(
+    ds,
+    stratum_col: str,
+    rates: dict,
+    default_rate: float = 1.0,
+    key: str = "doc_id",
+    seed: int = 42,
+):
+    """Per-stratum deterministic downsampling — the corpus-rebalancing
+    op (e.g. cap the dominant language at 10%, keep the rest whole).
+    Same md5 predicate as ``hash_sample`` with the threshold chosen by
+    the row's stratum: still a pure map (no shuffle), still nesting
+    (a stratum's 1% sample ⊂ its 10% sample under the same seed), and
+    the per-row hash depends only on ``key``, so changing one stratum's
+    rate never reshuffles which rows OTHER strata keep."""
+    return ds.map_batches(
+        _StratifiedSampleFilter(key, stratum_col, rates, default_rate, seed),
+        batch_format="pyarrow",
+    )

@@ -1311,6 +1311,43 @@ def _curation_sql() -> str:
     )
 
 
+_STRAT_RATES, _STRAT_DEFAULT, _STRAT_SEED = {"en": 0.25}, 1.0, 42
+
+
+def q_stratified_sample(sf_dir: str):
+    """Language-rebalanced corpus sample: cap predicted-English docs at
+    25%, keep every other language whole (functions.sampling.
+    stratified_sample over the LanguageId stage — pure map, no
+    shuffle)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sampling import stratified_sample
+    from signal_collect_ray.functions.text import LanguageId
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(LanguageId(), batch_format="pyarrow", batch_size=2048)
+    out = stratified_sample(
+        ds, "lang_pred", _STRAT_RATES, _STRAT_DEFAULT, seed=_STRAT_SEED
+    )
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN pred.lang_pred = '{s}' THEN {int(r * (1 << 32))}::UBIGINT"
+        for s, r in _STRAT_RATES.items()
+    )
+    default = f"{int(_STRAT_DEFAULT * (1 << 32))}::UBIGINT"
+    return (
+        f"WITH pred AS ({_lang_pred_sql()}) "
+        "SELECT doc_id, lang_pred FROM pred WHERE "
+        f"CAST(('0x' || substr(md5('{_STRAT_SEED}:' || CAST(doc_id AS VARCHAR)), "
+        "1, 8)) AS UBIGINT) "
+        f"< CASE {cases} ELSE {default} END"
+    )
+
+
 _QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -2344,6 +2381,7 @@ def queries():
         "top_docs_per_lang": q_top_docs_per_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "stratified_sample": q_stratified_sample,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2458,6 +2496,7 @@ def oracle_sql():
         "top_docs_per_lang": _top_docs_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "doc_length_quantiles": _quantiles_sql(),
+        "stratified_sample": _stratified_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -748,3 +748,36 @@ def test_exact_quantiles_int():
     assert exact_quantiles_int(
         rd.from_arrow(pa.table({"x": pa.array([], pa.int64())})), "x", (0.5,)
     ) == [(0.5, None)]
+
+
+def test_stratified_sample_nesting_and_isolation():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    n = 4000
+    strata = ["a" if i % 2 else "b" for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()),
+             "s": pa.array(strata, pa.string())}
+        )
+    )
+    kept10 = {r["doc_id"] for r in
+              stratified_sample(ds, "s", {"a": 0.1}, 1.0).take_all()}
+    kept30 = {r["doc_id"] for r in
+              stratified_sample(ds, "s", {"a": 0.3}, 1.0).take_all()}
+    # stratum b untouched in both
+    b_ids = {i for i in range(n) if i % 2 == 0}
+    assert b_ids <= kept10 and b_ids <= kept30
+    # nesting within stratum a
+    assert kept10 <= kept30
+    # rate ballpark for stratum a
+    a10 = len(kept10 - b_ids) / (n / 2)
+    assert 0.05 < a10 < 0.16
+    # per-stratum selection == plain hash_sample at the same rate/seed
+    plain10 = {r["doc_id"] for r in hash_sample(ds, rate=0.1).take_all()}
+    assert (kept10 - b_ids) == {i for i in plain10 if i % 2 == 1}
