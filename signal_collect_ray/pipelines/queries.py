@@ -1311,6 +1311,29 @@ def _curation_sql() -> str:
     )
 
 
+_COCITE_K = 20
+
+
+def q_cocitation_top20(sf_dir: str):
+    """Top-20 'related page' pairs by shared in-link sources
+    (algorithms.cocitation.cocitation_top_pairs)."""
+    from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+
+    return cocitation_top_pairs(derived_edges_ds(sf_dir), k=_COCITE_K)
+
+
+def _cocitation_sql() -> str:
+    return (
+        f"WITH e AS MATERIALIZED ({_E_SQL}), "
+        "p AS (SELECT a.dst AS id_a, b.dst AS id_b FROM e a "
+        "JOIN e b ON a.src = b.src AND a.dst < b.dst), "
+        "c AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM p GROUP BY id_a, id_b) "
+        "SELECT id_a, id_b, n FROM c "
+        f"ORDER BY n DESC, id_a ASC, id_b ASC LIMIT {_COCITE_K}"
+    )
+
+
 _STRAT_RATES, _STRAT_DEFAULT, _STRAT_SEED = {"en": 0.25}, 1.0, 42
 
 
@@ -2382,6 +2405,7 @@ def queries():
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_length_quantiles": q_doc_length_quantiles,
         "stratified_sample": q_stratified_sample,
+        "cocitation_top20": q_cocitation_top20,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2497,6 +2521,7 @@ def oracle_sql():
         "tfidf_top_terms": _tfidf_sql(),
         "doc_length_quantiles": _quantiles_sql(),
         "stratified_sample": _stratified_sql(),
+        "cocitation_top20": _cocitation_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -70,3 +70,29 @@ def test_random_graph_vs_oracle():
 def test_triangle_free_graph():
     src, dst = fx.cycle(6)  # directed 6-cycle has no triangles
     assert total_triangles(_edges_ds(src, dst)) == 0
+
+
+def test_cocitation_top_pairs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+
+    # sources 0/1 both link {10,11,12}; source 2 links {10,11}
+    src = np.array([0, 0, 0, 1, 1, 1, 2, 2], dtype=np.int64)
+    dst = np.array([10, 11, 12, 10, 11, 12, 10, 11], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    t = cocitation_top_pairs(edges, k=10)
+    rows = list(zip(t.column("id_a").to_pylist(),
+                    t.column("id_b").to_pylist(),
+                    t.column("n").to_pylist()))
+    assert rows[0] == (10, 11, 3)
+    assert set(rows[1:]) == {(10, 12, 2), (11, 12, 2)}
+    # deterministic tie order: (10,12) before (11,12)
+    assert rows[1] == (10, 12, 2)
+    # out-degree cap keeps the lexically smallest dsts
+    t2 = cocitation_top_pairs(edges, k=10, max_out_degree=2)
+    pairs2 = set(zip(t2.column("id_a").to_pylist(),
+                     t2.column("id_b").to_pylist()))
+    assert pairs2 == {(10, 11)}
