@@ -132,3 +132,73 @@ def asof_join(
         + [pa.field(f"{c}{suffix}", pa.float64()) for c in value_cols]
     )
     return pin_schema(merged, out_schema)
+
+
+_BROADCAST_JOIN_LIMIT = 256 << 20  # bytes; dimension tables only
+
+
+def broadcast_join(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    max_broadcast_bytes: int = _BROADCAST_JOIN_LIMIT,
+):
+    """Broadcast hash join — the star-schema (fact ⨝ dimension) join:
+    the small right side is materialized ONCE, ``ray.put`` into the
+    object store, and every left batch resolves it with a vectorized
+    sorted-array ``searchsorted`` lookup. The fact side streams: no
+    shuffle, no driver-side row loop, join cost is O(batch · log |dim|).
+
+    Right ``on`` keys must be UNIQUE (dimension semantics — raises
+    otherwise, so a fan-out join can't silently duplicate fact rows);
+    the right side must fit ``max_broadcast_bytes`` (raises with a
+    pointer to the tagged-union co-partition shape used by
+    ``asof_join``/``dedup.drop_ids`` for big-big joins). ``how`` is
+    ``inner`` or ``left`` (misses null-fill the right columns)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right = pa.concat_tables(
+        right_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if right.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"right side is {right.nbytes} bytes > cap {max_broadcast_bytes}; "
+            "use a co-partitioned groupby join (asof_join's tagged-union "
+            "shape) for big-big joins"
+        )
+    keys = right.column(on).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(f"right side has duplicate join keys on {on!r}")
+    right = right.take(pa.array(order, pa.int64()))
+    payload_cols = [c for c in right.column_names if c != on]
+    ref = ray.put((keys, right.select(payload_cols)))
+
+    def join(tbl: pa.Table) -> pa.Table:
+        rkeys, rtbl = ray.get(ref)
+        lk = tbl.column(on).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rkeys, lk)
+        pos_c = np.minimum(pos, len(rkeys) - 1) if len(rkeys) else pos
+        hit = (
+            (pos < len(rkeys)) & (rkeys[pos_c] == lk)
+            if len(rkeys)
+            else np.zeros(len(lk), dtype=bool)
+        )
+        if how == "inner":
+            sel = np.flatnonzero(hit)
+            out = tbl.take(pa.array(sel, pa.int64()))
+            ridx = pa.array(pos_c[sel], pa.int64())
+        else:
+            out = tbl
+            ridx = pa.array(
+                np.where(hit, pos_c, -1), pa.int64(), mask=~hit
+            )
+        for c in rtbl.column_names:
+            out = out.append_column(c, rtbl.column(c).take(ridx))
+        return out
+
+    return left_ds.map_batches(join, batch_format="pyarrow")

@@ -1311,6 +1311,110 @@ def _curation_sql() -> str:
     )
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Order count + revenue per nation: the star-schema pattern —
+    orders fact streams, customer/nation dimensions broadcast
+    (functions.joins.broadcast_join), one small groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).rename_columns({"c_custkey": "o_custkey"})
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns({"n_nationkey": "c_nationkey"})
+    j = broadcast_join(orders, cust, on="o_custkey")
+    j = broadcast_join(j, nation, on="c_nationkey")
+    agg = j.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"),
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        r = np.round(tbl.column("revenue").to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {
+                "n_name": tbl.column("n_name"),
+                "n_orders": tbl.column("n_orders"),
+                "revenue": pa.array(r, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_ORDERS_BY_NATION_SQL = (
+    "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "ROUND(SUM(o.o_totalprice), 2) AS revenue "
+    "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+    "GROUP BY n.n_name"
+)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: multi-aggregate per
+    (returnflag, linestatus) with per-block partial aggregation — the
+    plain relational face of the engine."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def disc(tbl: pa.Table) -> pa.Table:
+        ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "disc_price", pa.array(ep * (1.0 - d), pa.float64())
+        )
+
+    agg = li.map_batches(disc, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        cols = {c: tbl.column(c) for c in ("l_returnflag", "l_linestatus")}
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            cols[c] = pa.array(
+                np.round(tbl.column(c).to_numpy(zero_copy_only=False), 2),
+                pa.float64(),
+            )
+        cols["count_order"] = tbl.column("count_order")
+        return pa.table(cols)
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_PRICING_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "CAST(COUNT(*) AS BIGINT) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
 _COCITE_K = 20
 
 
@@ -2406,6 +2510,8 @@ def queries():
         "doc_length_quantiles": q_doc_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "cocitation_top20": q_cocitation_top20,
+        "orders_by_nation": q_orders_by_nation,
+        "pricing_summary": q_pricing_summary,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2522,6 +2628,8 @@ def oracle_sql():
         "doc_length_quantiles": _quantiles_sql(),
         "stratified_sample": _stratified_sql(),
         "cocitation_top20": _cocitation_sql(),
+        "orders_by_nation": _ORDERS_BY_NATION_SQL,
+        "pricing_summary": _PRICING_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

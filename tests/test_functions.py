@@ -781,3 +781,36 @@ def test_stratified_sample_nesting_and_isolation():
     # per-stratum selection == plain hash_sample at the same rate/seed
     plain10 = {r["doc_id"] for r in hash_sample(ds, rate=0.1).take_all()}
     assert (kept10 - b_ids) == {i for i in plain10 if i % 2 == 1}
+
+
+def test_broadcast_join_semantics():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()),
+                  "x": pa.array([10, 20, 30, 21], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([2, 1], pa.int64()),
+                  "name": ["two", "one"]})
+    )
+    inner = sorted(
+        (r["k"], r["x"], r["name"])
+        for r in broadcast_join(left, right, on="k").take_all()
+    )
+    assert inner == [(1, 10, "one"), (2, 20, "two"), (2, 21, "two")]
+    left_rows = sorted(
+        (r["k"], r["name"])
+        for r in broadcast_join(left, right, on="k", how="left").take_all()
+    )
+    assert left_rows == [(1, "one"), (2, "two"), (2, "two"), (3, None)]
+    # duplicate dimension keys refused
+    dup = rd.from_arrow(pa.table({"k": pa.array([1, 1], pa.int64()),
+                                  "name": ["a", "b"]}))
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(left, dup, on="k").take_all()
+    # byte cap refused with a pointer to the co-partition shape
+    with pytest.raises(ValueError, match="co-partitioned"):
+        broadcast_join(left, right, on="k", max_broadcast_bytes=1).take_all()
