@@ -202,3 +202,123 @@ def broadcast_join(
         return out
 
     return left_ds.map_batches(join, batch_format="pyarrow")
+
+
+_HJ_SIDE = "__hj_side"
+
+
+class _HashJoinMerge:
+    """One hash partition's tagged rows → joined rows. Vectorized:
+    right rows sort by key once, every left key resolves with one
+    ``searchsorted`` — no per-key Python."""
+
+    __name__ = "_HashJoinMerge"
+
+    def __init__(self, on, how, left_cols, right_cols):
+        self.on, self.how = on, how
+        self.left_cols, self.right_cols = left_cols, right_cols
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        side = tbl.column(_HJ_SIDE).to_numpy(zero_copy_only=False)
+        keys = tbl.column(self.on).to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        rk = keys[ri]
+        order = np.argsort(rk, kind="stable")
+        rk = rk[order]
+        if len(rk) > 1 and (rk[1:] == rk[:-1]).any():
+            raise ValueError(
+                f"hash_join right side has duplicate keys on {self.on!r}"
+            )
+        lk = keys[li]
+        pos = np.searchsorted(rk, lk)
+        pos_c = np.minimum(pos, max(len(rk) - 1, 0))
+        hit = (
+            (pos < len(rk)) & (rk[pos_c] == lk)
+            if len(rk)
+            else np.zeros(len(lk), dtype=bool)
+        )
+        if self.how == "inner":
+            sel = li[hit]
+            ridx = ri[order[pos_c[hit]]]
+            rmask = None
+        else:  # left
+            sel = li
+            ridx = np.where(hit, ri[order[pos_c]] if len(rk) else 0, 0)
+            rmask = ~hit
+        lsel = pa.array(sel, pa.int64())
+        rsel = pa.array(ridx, pa.int64(), mask=rmask) if len(sel) else pa.array(
+            [], pa.int64()
+        )
+        cols = {self.on: tbl.column(self.on).take(lsel)}
+        for c in self.left_cols:
+            cols[c] = tbl.column(c).take(lsel)
+        for c in self.right_cols:
+            cols[c] = tbl.column(c).take(rsel)
+        return pa.table(cols)
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    num_partitions: int = 64,
+):
+    """Big-big equi-join without a broadcast: tag both sides, union,
+    hash-partition on the key, and merge each partition with one
+    vectorized kernel — the SAME single-exchange tagged-union shape as
+    ``asof_join`` and ``dedup.drop_ids``, so no side needs to fit in
+    memory; only one hash partition's rows co-reside per task.
+
+    Right keys must be unique (dimension/entity side — enforced, so a
+    many-to-many can't silently explode the output). ``how`` is
+    ``inner`` or ``left``. Skew bound: the hottest partition's rows
+    must fit one task; raise ``num_partitions`` for bigger inputs."""
+    import ray  # noqa: F401  (parity with broadcast_join's env expectations)
+
+    from signal_collect_ray.util import part_of
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    left_cols = [n for n in l_schema.names if n != on]
+    right_cols = [n for n in r_schema.names if n != on]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"column name overlap {sorted(overlap)}; rename first")
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+
+    all_types = {**l_types, **r_types}
+
+    def tag(side: int, own_cols):
+        own = set(own_cols)
+
+        def fn(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            k = tbl.column(on).to_numpy(zero_copy_only=False)
+            cols = {
+                "gpart": pa.array(
+                    part_of(k.astype(np.int64), num_partitions), pa.int32()
+                ),
+                _HJ_SIDE: pa.array(np.full(n, side, np.int8), pa.int8()),
+                on: tbl.column(on),
+            }
+            # FIXED column order on both sides — union requires it
+            for c in left_cols + right_cols:
+                cols[c] = (
+                    tbl.column(c) if c in own else pa.nulls(n, all_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0, left_cols), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    merged = lt.union(rt).groupby("gpart").map_groups(
+        _HashJoinMerge(on, how, left_cols, right_cols),
+        batch_format="pyarrow",
+    )
+    return merged

@@ -1438,6 +1438,77 @@ def _cocitation_sql() -> str:
     )
 
 
+def q_order_priority_lines(sf_dir: str):
+    """Line counts + quantity per order priority: big-big equi-join
+    (lineitem ⨝ orders on orderkey) via the co-partitioned
+    functions.joins.hash_join — no broadcast, one exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).rename_columns({"l_orderkey": "orderkey"})
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).rename_columns({"o_orderkey": "orderkey"})
+    j = hash_join(li, orders, on="orderkey", how="inner")
+    agg = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        s = np.round(tbl.column("sum_qty").to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {
+                "o_orderpriority": tbl.column("o_orderpriority"),
+                "n_lines": tbl.column("n_lines"),
+                "sum_qty": pa.array(s, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_ORDER_PRIORITY_SQL = (
+    "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "ROUND(SUM(l.l_quantity), 2) AS sum_qty "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY o.o_orderpriority"
+)
+
+
+def q_coupling_top20(sf_dir: str):
+    """Top-20 source pairs by bibliographic coupling (shared out-link
+    targets) — the dual of co-citation: the same operator over the
+    REVERSED edge table (Kessler 1963, public)."""
+    from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        return pa.table({"src": tbl.column("dst"), "dst": tbl.column("src")})
+
+    edges = derived_edges_ds(sf_dir).select_columns(["src", "dst"]).map_batches(
+        rev, batch_format="pyarrow"
+    )
+    return cocitation_top_pairs(edges, k=_COCITE_K)
+
+
+def _coupling_sql() -> str:
+    return (
+        f"WITH e AS MATERIALIZED ({_E_SQL}), "
+        "p AS (SELECT a.src AS id_a, b.src AS id_b FROM e a "
+        "JOIN e b ON a.dst = b.dst AND a.src < b.src), "
+        "c AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM p GROUP BY id_a, id_b) "
+        "SELECT id_a, id_b, n FROM c "
+        f"ORDER BY n DESC, id_a ASC, id_b ASC LIMIT {_COCITE_K}"
+    )
+
+
 _STRAT_RATES, _STRAT_DEFAULT, _STRAT_SEED = {"en": 0.25}, 1.0, 42
 
 
@@ -2510,8 +2581,10 @@ def queries():
         "doc_length_quantiles": q_doc_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "cocitation_top20": q_cocitation_top20,
+        "coupling_top20": q_coupling_top20,
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
+        "order_priority_lines": q_order_priority_lines,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2628,8 +2701,10 @@ def oracle_sql():
         "doc_length_quantiles": _quantiles_sql(),
         "stratified_sample": _stratified_sql(),
         "cocitation_top20": _cocitation_sql(),
+        "coupling_top20": _coupling_sql(),
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,
+        "order_priority_lines": _ORDER_PRIORITY_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

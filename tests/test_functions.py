@@ -814,3 +814,37 @@ def test_broadcast_join_semantics():
     # byte cap refused with a pointer to the co-partition shape
     with pytest.raises(ValueError, match="co-partitioned"):
         broadcast_join(left, right, on="k", max_broadcast_bytes=1).take_all()
+
+
+def test_hash_join_copartitioned():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()),
+                  "x": pa.array([10, 20, 30, 21], pa.int64())})
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([2, 1, 9], pa.int64()),
+                  "name": ["two", "one", "nine"]})
+    ).repartition(2)
+    inner = sorted(
+        (r["k"], r["x"], r["name"])
+        for r in hash_join(left, right, on="k").take_all()
+    )
+    assert inner == [(1, 10, "one"), (2, 20, "two"), (2, 21, "two")]
+    lj = sorted(
+        (r["k"], r["x"], r["name"])
+        for r in hash_join(left, right, on="k", how="left").take_all()
+    )
+    assert lj == [(1, 10, "one"), (2, 20, "two"), (2, 21, "two"),
+                  (3, 30, None)]
+    dup = rd.from_arrow(pa.table({"k": pa.array([1, 1], pa.int64()),
+                                  "name": ["a", "b"]}))
+    with pytest.raises(Exception, match="duplicate"):
+        hash_join(left, dup, on="k").take_all()
+    clash = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "x": pa.array([9], pa.int64())}))
+    with pytest.raises(ValueError, match="overlap"):
+        hash_join(left, clash, on="k")
