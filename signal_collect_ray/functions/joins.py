@@ -226,7 +226,12 @@ class _HashJoinMerge:
         rk = keys[ri]
         order = np.argsort(rk, kind="stable")
         rk = rk[order]
-        if len(rk) > 1 and (rk[1:] == rk[:-1]).any():
+        # semi/anti only test key EXISTENCE — right dups are harmless
+        if (
+            self.how in ("inner", "left")
+            and len(rk) > 1
+            and (rk[1:] == rk[:-1]).any()
+        ):
             raise ValueError(
                 f"hash_join right side has duplicate keys on {self.on!r}"
             )
@@ -238,6 +243,13 @@ class _HashJoinMerge:
             if len(rk)
             else np.zeros(len(lk), dtype=bool)
         )
+        if self.how in ("semi", "anti"):
+            sel = li[hit] if self.how == "semi" else li[~hit]
+            lsel = pa.array(sel, pa.int64())
+            cols = {self.on: tbl.column(self.on).take(lsel)}
+            for c in self.left_cols:
+                cols[c] = tbl.column(c).take(lsel)
+            return pa.table(cols)
         if self.how == "inner":
             sel = li[hit]
             ridx = ri[order[pos_c[hit]]]
@@ -271,16 +283,17 @@ def hash_join(
     ``asof_join`` and ``dedup.drop_ids``, so no side needs to fit in
     memory; only one hash partition's rows co-reside per task.
 
-    Right keys must be unique (dimension/entity side — enforced, so a
-    many-to-many can't silently explode the output). ``how`` is
-    ``inner`` or ``left``. Skew bound: the hottest partition's rows
-    must fit one task; raise ``num_partitions`` for bigger inputs."""
+    Right keys must be unique for inner/left (dimension/entity side —
+    enforced, so a many-to-many can't silently explode the output);
+    ``semi``/``anti`` only test key existence (dups allowed) and return
+    left columns only. Skew bound: the hottest partition's rows must
+    fit one task; raise ``num_partitions`` for bigger inputs."""
     import ray  # noqa: F401  (parity with broadcast_join's env expectations)
 
     from signal_collect_ray.util import part_of
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     left_cols = [n for n in l_schema.names if n != on]

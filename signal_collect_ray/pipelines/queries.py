@@ -1482,6 +1482,68 @@ _ORDER_PRIORITY_SQL = (
 )
 
 
+_BIG_ORDER = 400000
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers who never placed a large order
+    (hash_join how='anti' — existence test over the co-partitioned
+    exchange; right-side duplicate keys are fine for semi/anti)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).rename_columns({"c_custkey": "custkey"})
+
+    def big(tbl: pa.Table) -> pa.Table:
+        tp = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = tbl.take(pa.array(np.flatnonzero(tp > _BIG_ORDER), pa.int64()))
+        return pa.table({"custkey": t.column("o_custkey")})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(big, batch_format="pyarrow")
+    return hash_join(cust, orders, on="custkey", how="anti")
+
+
+_CUST_NO_ORDERS_SQL = (
+    "SELECT c_custkey AS custkey, c_mktsegment FROM customer "
+    "WHERE c_custkey NOT IN "
+    f"(SELECT o_custkey FROM orders WHERE o_totalprice > {_BIG_ORDER})"
+)
+
+
+def q_distinct_users_per_event(sf_dir: str):
+    """Exact distinct-user counts per event type: dedup (type, user)
+    pairs in one groupby, then a tiny count groupby — the standard
+    two-stage exact COUNT(DISTINCT) at scale."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+
+    def first_row(tbl: pa.Table) -> pa.Table:
+        return tbl.take(pa.array([0], pa.int64()))
+
+    dedup = ev.groupby(["event_type", "user_id"]).map_groups(
+        first_row, batch_format="pyarrow"
+    )
+    return dedup.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+_DISTINCT_USERS_SQL = (
+    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY event_type"
+)
+
+
 def q_coupling_top20(sf_dir: str):
     """Top-20 source pairs by bibliographic coupling (shared out-link
     targets) — the dual of co-citation: the same operator over the
@@ -2585,6 +2647,8 @@ def queries():
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
         "order_priority_lines": q_order_priority_lines,
+        "customers_without_orders": q_customers_without_orders,
+        "distinct_users_per_event": q_distinct_users_per_event,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2705,6 +2769,8 @@ def oracle_sql():
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,
         "order_priority_lines": _ORDER_PRIORITY_SQL,
+        "customers_without_orders": _CUST_NO_ORDERS_SQL,
+        "distinct_users_per_event": _DISTINCT_USERS_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -848,3 +848,25 @@ def test_hash_join_copartitioned():
                                     "x": pa.array([9], pa.int64())}))
     with pytest.raises(ValueError, match="overlap"):
         hash_join(left, clash, on="k")
+
+
+def test_hash_join_semi_anti():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "x": pa.array([10, 20, 30], pa.int64())})
+    )
+    # duplicate right keys are legal for existence tests
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 2, 9], pa.int64()),
+                                    "y": pa.array([0, 0, 0], pa.int64())}))
+    semi = sorted(r["k"] for r in
+                  hash_join(left, right, on="k", how="semi").take_all())
+    anti = sorted(r["k"] for r in
+                  hash_join(left, right, on="k", how="anti").take_all())
+    assert semi == [2] and anti == [1, 3]
+    # left columns only in the output
+    cols = hash_join(left, right, on="k", how="semi").schema().names
+    assert "y" not in cols
