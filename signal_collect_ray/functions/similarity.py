@@ -651,3 +651,59 @@ def knn_ivf(
             return tbl.take(pa.array(order, pa.int64()))
 
     return partials.groupby("qid").map_groups(_FinalTopK(), batch_format="pyarrow")
+
+
+def vector_mean_by_key(ds, key_col: str, emb_col: str = "embedding"):
+    """Element-wise mean embedding per key — class centroids (the
+    k-means / prototype primitive over an embedding column). Returns a
+    Dataset of EXPLODED rows (key, pos, mean_val): scalar columns hash
+    cleanly in any downstream compare and write to plain Parquet.
+
+    Per block: one ``np.add.at`` scatter accumulates (key × dim) partial
+    sums + counts (zero-copy flat-list → matrix via _emb_matrix); the
+    only exchange is a hash-partitioned segment-sum over key·dim+pos
+    composite keys — sums and counts merge in the SAME exchange, so the
+    mean divides exactly once, at the end. Shuffle volume is
+    O(distinct keys · dim) per block, independent of row count."""
+    import pyarrow as pa
+
+    from signal_collect_ray.algorithms.triangles import _np
+    from signal_collect_ray.util import part_of, segment_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        m = _emb_matrix(tbl, emb_col).astype(np.float64)
+        keys = _np(tbl, key_col).astype(np.int64)
+        dim = m.shape[1]
+        u, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(u), dim))
+        np.add.at(sums, inv, m)
+        cnts = np.bincount(inv, minlength=len(u)).astype(np.float64)
+        k2 = (u[:, None] * dim + np.arange(dim, dtype=np.int64)).ravel()
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(k2, 64), pa.int32()),
+                "k2": pa.array(k2, pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "c": pa.array(np.repeat(cnts, dim), pa.float64()),
+                "dim": pa.array(np.full(len(k2), dim, np.int64), pa.int64()),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        k2 = _np(tbl, "k2")
+        dim = int(tbl.column("dim")[0].as_py())
+        ks, ss = segment_sum(k2, tbl.column("s").to_numpy(zero_copy_only=False))
+        _, cs = segment_sum(k2, tbl.column("c").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                key_col: pa.array(ks // dim, pa.int64()),
+                "pos": pa.array(ks % dim, pa.int64()),
+                "mean_val": pa.array(ss / cs, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1544,6 +1544,42 @@ _DISTINCT_USERS_SQL = (
 )
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids, exploded to (label, pos, mean_val)
+    (functions.similarity.vector_mean_by_key)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import vector_mean_by_key
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    out = vector_mean_by_key(emb, "label")
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        m = np.round(tbl.column("mean_val").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "label": tbl.column("label"),
+                "pos": tbl.column("pos"),
+                "mean_val": pa.array(m, pa.float64()),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_LABEL_CENTROIDS_SQL = (
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(r.pos - 1 AS BIGINT) AS pos, "
+    "ROUND(SUM(CAST(embedding[r.pos] AS DOUBLE)) / COUNT(*), 6) AS mean_val "
+    "FROM embeddings, "
+    "unnest(range(1, len(embedding) + 1)) AS r(pos) "
+    "GROUP BY label, r.pos"
+)
+
+
 def q_coupling_top20(sf_dir: str):
     """Top-20 source pairs by bibliographic coupling (shared out-link
     targets) — the dual of co-citation: the same operator over the
@@ -2649,6 +2685,7 @@ def queries():
         "order_priority_lines": q_order_priority_lines,
         "customers_without_orders": q_customers_without_orders,
         "distinct_users_per_event": q_distinct_users_per_event,
+        "label_centroids": q_label_centroids,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2771,6 +2808,7 @@ def oracle_sql():
         "order_priority_lines": _ORDER_PRIORITY_SQL,
         "customers_without_orders": _CUST_NO_ORDERS_SQL,
         "distinct_users_per_event": _DISTINCT_USERS_SQL,
+        "label_centroids": _LABEL_CENTROIDS_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -870,3 +870,30 @@ def test_hash_join_semi_anti():
     # left columns only in the output
     cols = hash_join(left, right, on="k", how="semi").schema().names
     assert "y" not in cols
+
+
+def test_vector_mean_by_key():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import vector_mean_by_key
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 8
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    m = rng.random((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(labels, pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(5)
+    rows = vector_mean_by_key(ds, "label").take_all()
+    got = {}
+    for r in rows:
+        got[(r["label"], r["pos"])] = r["mean_val"]
+    for lbl in range(3):
+        exp = m[labels == lbl].astype(np.float64).mean(axis=0)
+        for p in range(dim):
+            assert abs(got[(lbl, p)] - exp[p]) < 1e-9
