@@ -128,3 +128,66 @@ def tumbling_window(events_ds, width_s: float = 3600.0):
         )
 
     return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+class _SlidingWindowKey:
+    """Explode each event into every sliding window that covers it —
+    ceil(width/slide) copies per row, fully vectorized (one repeat +
+    one tiled arange per batch)."""
+
+    __name__ = "_SlidingWindowKey"
+
+    def __init__(self, width_us: int, slide_us: int):
+        if width_us % slide_us != 0:
+            raise ValueError("width must be a multiple of slide")
+        self.width_us = width_us
+        self.slide_us = slide_us
+        self.k = width_us // slide_us
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        # windows containing t start at floor(t/slide)*slide - j*slide,
+        # j = 0..k-1 (all starts w on slide boundaries with
+        # t-width < w <= t)
+        newest = (ts // self.slide_us) * self.slide_us
+        offs = np.arange(self.k, dtype=np.int64) * self.slide_us
+        win = np.repeat(newest, self.k) - np.tile(offs, n)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.k))
+        return pa.table(
+            {
+                "window_us": pa.array(win, pa.int64()),
+                "event_type": tbl.column("event_type").take(idx),
+                "value": tbl.column("value").take(idx),
+            }
+        )
+
+
+def sliding_window(events_ds, width_s: float = 7200.0, slide_s: float = 3600.0):
+    """Overlapping (sliding) window aggregate per event type — each
+    event lands in width/slide windows (flat-map key explosion, then
+    the same pre-combined hash aggregation as tumbling_window). A
+    window's key is its START timestamp; an event at t belongs to
+    windows starting in (t - width, t] on slide boundaries."""
+    from ray.data.aggregate import Count, Sum
+
+    width_us = int(width_s * 1_000_000)
+    slide_us = int(slide_s * 1_000_000)
+    ev = events_ds.select_columns(["ts", "event_type", "value"])
+    keyed = ev.map_batches(
+        _SlidingWindowKey(width_us, slide_us), batch_format="pyarrow"
+    )
+    agg = keyed.groupby(["window_us", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("sum_value").to_numpy(zero_copy_only=False)
+        return tbl.set_column(
+            tbl.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(np.round(s, 6), pa.float64()),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")

@@ -1544,6 +1544,36 @@ _DISTINCT_USERS_SQL = (
 )
 
 
+_SLIDE_W_S, _SLIDE_S_S = 7200, 3600
+
+
+def q_event_sliding_windows(sf_dir: str):
+    """2h windows sliding hourly over events (functions.windows.
+    sliding_window — vectorized key explosion, pre-combined hash agg)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.windows import sliding_window
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return sliding_window(ev, width_s=_SLIDE_W_S, slide_s=_SLIDE_S_S)
+
+
+def _sliding_sql() -> str:
+    w = _SLIDE_W_S * 1_000_000
+    s = _SLIDE_S_S * 1_000_000
+    k = w // s
+    return (
+        f"SELECT (epoch_us(ts) // {s}) * {s} - j.j * {s} AS window_us, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(value), 6) AS sum_value "
+        f"FROM events, unnest(range(0, {k})) AS j(j) "
+        "GROUP BY 1, 2"
+    )
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids, exploded to (label, pos, mean_val)
     (functions.similarity.vector_mean_by_key)."""
@@ -2686,6 +2716,7 @@ def queries():
         "customers_without_orders": q_customers_without_orders,
         "distinct_users_per_event": q_distinct_users_per_event,
         "label_centroids": q_label_centroids,
+        "event_sliding_windows": q_event_sliding_windows,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2809,6 +2840,7 @@ def oracle_sql():
         "customers_without_orders": _CUST_NO_ORDERS_SQL,
         "distinct_users_per_event": _DISTINCT_USERS_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
+        "event_sliding_windows": _sliding_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

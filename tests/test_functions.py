@@ -897,3 +897,30 @@ def test_vector_mean_by_key():
         exp = m[labels == lbl].astype(np.float64).mean(axis=0)
         for p in range(dim):
             assert abs(got[(lbl, p)] - exp[p]) < 1e-9
+
+
+def test_sliding_window_coverage():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.windows import sliding_window
+
+    # events at 0s, 30s, 90s; width 60s, slide 30s
+    ts = pa.array(
+        np.array([0, 30_000_000, 90_000_000], np.int64),
+        pa.timestamp("us"),
+    )
+    ev = rd.from_arrow(
+        pa.table({"ts": ts,
+                  "event_type": ["a", "a", "a"],
+                  "value": pa.array([1.0, 1.0, 1.0])})
+    )
+    rows = sliding_window(ev, width_s=60, slide_s=30).take_all()
+    got = {r["window_us"]: r["n_events"] for r in rows}
+    # window starts (µs): -30s covers {0}; 0 covers {0,30}; 30 covers
+    # {30}; 60 covers {90}; 90 covers {90}
+    assert got == {
+        -30_000_000: 1, 0: 2, 30_000_000: 1,
+        60_000_000: 1, 90_000_000: 1,
+    }
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_window(ev, width_s=50, slide_s=30).take_all()
