@@ -345,3 +345,99 @@ def test_chunk_documents_matches_duckdb(word_counts, size_stride):
         assert got.column("chunk_id")[i].as_py() == cid
         assert got.column("chunk_words")[i].as_py() == cw
         assert got.column("chunk_text")[i].as_py() == ct
+
+
+@st.composite
+def _join_inputs(draw):
+    nl = draw(st.integers(0, 25))
+    lk = [draw(st.integers(0, 6)) for _ in range(nl)]
+    rk = draw(st.lists(st.integers(0, 6), max_size=7, unique=True))
+    return lk, rk
+
+
+@given(_join_inputs())
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_hash_join_matches_duckdb(inputs):
+    from signal_collect_ray.functions.joins import hash_join
+
+    lk, rk = inputs
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "x": pa.array(list(range(len(lk))), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rk, pa.int64()),
+            "name": pa.array([f"v{v}" for v in rk], pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql in (
+        ("inner", "SELECT l.k, l.x, r.name FROM l JOIN r USING (k)"),
+        ("left", "SELECT l.k, l.x, r.name FROM l LEFT JOIN r USING (k)"),
+        ("semi", "SELECT l.k, l.x FROM l SEMI JOIN r USING (k)"),
+        ("anti", "SELECT l.k, l.x FROM l ANTI JOIN r USING (k)"),
+    ):
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        rows = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", how=how,
+            num_partitions=3,
+        ).take_all()
+        if how in ("semi", "anti"):
+            got = sorted((r["k"], r["x"]) for r in rows)
+        else:
+            got = sorted((r["k"], r["x"], r["name"]) for r in rows)
+        assert got == want, how
+
+
+@st.composite
+def _topk_inputs(draw):
+    n = draw(st.integers(0, 40))
+    g = [draw(st.integers(0, 4)) for _ in range(n)]
+    v = [draw(st.integers(0, 9)) for _ in range(n)]  # small ints force ties
+    k = draw(st.integers(1, 4))
+    return g, v, k
+
+
+@given(_topk_inputs())
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_grouped_top_k_matches_duckdb(inputs):
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    g, v, k = inputs
+    tbl = pa.table(
+        {
+            "grp": pa.array(g, pa.int64()),
+            "val": pa.array([float(x) for x in v], pa.float64()),
+            "id": pa.array(list(range(len(g))), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT grp, val, id FROM (SELECT *, ROW_NUMBER() OVER "
+                "(PARTITION BY grp ORDER BY val DESC, id ASC) AS rn FROM t) "
+                f"WHERE rn <= {k}"
+            ).fetchall(),
+        )
+    )
+    got = sorted(
+        (r["grp"], r["val"], r["id"])
+        for r in grouped_top_k(
+            rd.from_arrow(tbl).repartition(3), "grp", "val", "id", k
+        ).take_all()
+    )
+    assert got == want
