@@ -4,6 +4,8 @@ from signal_collect_ray.functions.aggregations import (
     count_vertices,
     sample_vertex_ids,
     top_k,
+    grouped_top_k,
+    exact_quantiles_int,
     id_state_map,
     map_reduce,
     foreach_vertex,
@@ -15,7 +17,12 @@ from signal_collect_ray.functions.text import (
     QualityScore,
     TokenCount,
     Fingerprint,
+    RepetitionScore,
+    ChunkDocuments,
+    PiiScrub,
     analyze_documents,
+    curate_corpus,
+    tfidf_top_terms,
 )
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
@@ -28,13 +35,15 @@ from signal_collect_ray.functions.dedup import (
 from signal_collect_ray.functions.windows import (
     sessionize,
     tumbling_window,
+    sliding_window,
 )
-from signal_collect_ray.functions.joins import asof_join
-from signal_collect_ray.functions.sampling import hash_sample
+from signal_collect_ray.functions.joins import asof_join, broadcast_join, hash_join
+from signal_collect_ray.functions.sampling import hash_sample, stratified_sample
 from signal_collect_ray.functions.similarity import (
     knn_brute_force,
     lsh_buckets,
     embedding_dedup_cosine,
+    vector_mean_by_key,
 )
 from signal_collect_ray.functions.multimodal import (
     MEDIA_SCHEMA,
@@ -46,14 +55,19 @@ from signal_collect_ray.functions.multimodal import (
 
 __all__ = [
     "sum_of_states", "product_of_states", "count_vertices",
-    "sample_vertex_ids", "top_k", "id_state_map", "map_reduce",
+    "sample_vertex_ids", "top_k", "grouped_top_k",
+    "exact_quantiles_int", "id_state_map", "map_reduce",
     "foreach_vertex", "for_vertex_with_id", "multi_aggregate",
     "LanguageId", "QualityScore", "TokenCount", "Fingerprint",
-    "analyze_documents",
+    "RepetitionScore", "ChunkDocuments", "PiiScrub",
+    "analyze_documents", "curate_corpus", "tfidf_top_terms",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
-    "sessionize", "tumbling_window", "asof_join", "hash_sample",
+    "sessionize", "tumbling_window", "sliding_window",
+    "asof_join", "broadcast_join", "hash_join",
+    "hash_sample", "stratified_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
+    "vector_mean_by_key",
     "MEDIA_SCHEMA", "synthesize_media_table", "media_from_documents",
     "MediaFeatureExtractor", "extract_media_features",
 ]
