@@ -255,6 +255,36 @@ class RepetitionScore:
         )
 
 
+class EntropyScore:
+    """Unigram word entropy per document (bits) — low entropy flags
+    machine-generated / keyword-stuffed / repetitive text that length
+    and punctuation heuristics miss (standard web-corpus curation
+    signal alongside the Gopher repetition fractions).
+
+    H = −Σ p·log2(p) over the lowercased whitespace word distribution;
+    0.0 for empty documents. Rounded to 6 digits (ulp-absorbing, same
+    convention as every float mirror)."""
+
+    __name__ = "EntropyScore"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = tbl.column("text").to_pylist()
+        ent = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            words = (t or "").lower().split()
+            if words:
+                c = np.fromiter(
+                    Counter(words).values(), dtype=np.float64
+                )
+                p = c / len(words)
+                ent[i] = -(p * np.log2(p)).sum()
+        return tbl.append_column(
+            "word_entropy", pa.array(np.round(ent, 6), pa.float64())
+        )
+
+
 # PII patterns — deliberately restricted to syntax with identical
 # semantics in Python re and RE2 (DuckDB regexp_*): no lookaround, no
 # backreferences, ASCII \b word boundaries, greedy quantifiers only —

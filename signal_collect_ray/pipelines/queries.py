@@ -1228,6 +1228,43 @@ LEFT JOIN bstats bs ON bs.doc_id = d.doc_id
 """
 
 
+def q_doc_entropy(sf_dir: str):
+    """Unigram word entropy per document (functions.text.EntropyScore)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import EntropyScore
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(EntropyScore(), batch_format="pyarrow", batch_size=2048)
+        .select_columns(["doc_id", "word_entropy"])
+    )
+
+
+_ENTROPY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM d),
+wc AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS c FROM words
+  WHERE word <> '' GROUP BY doc_id, word),
+ws AS (
+  SELECT doc_id, SUM(c) AS nw FROM wc GROUP BY doc_id),
+h AS (
+  SELECT wc.doc_id,
+         -SUM((wc.c / ws.nw) * ln(wc.c / ws.nw) / ln(2)) AS ent
+  FROM wc JOIN ws ON ws.doc_id = wc.doc_id GROUP BY wc.doc_id)
+SELECT d.doc_id, ROUND(COALESCE(h.ent, 0.0), 6) AS word_entropy
+FROM d LEFT JOIN h ON h.doc_id = d.doc_id
+"""
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
 
 
@@ -2703,6 +2740,7 @@ def queries():
         "pii_scrub": q_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
+        "doc_entropy": q_doc_entropy,
         "corpus_curation": q_corpus_curation,
         "top_docs_per_lang": q_top_docs_per_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2827,6 +2865,7 @@ def oracle_sql():
         "pii_scrub": _pii_sql(),
         "doc_repetition": _REPETITION_SQL,
         "doc_chunks": _CHUNKS_SQL,
+        "doc_entropy": _ENTROPY_SQL,
         "corpus_curation": _curation_sql(),
         "top_docs_per_lang": _top_docs_sql(),
         "tfidf_top_terms": _tfidf_sql(),

@@ -924,3 +924,25 @@ def test_sliding_window_coverage():
     }
     with pytest.raises(ValueError, match="multiple"):
         sliding_window(ev, width_s=50, slide_s=30).take_all()
+
+
+def test_entropy_score():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import EntropyScore
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": ["a a a a", "a b c d", "", "A a"],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r["word_entropy"]
+            for r in docs.map_batches(EntropyScore(),
+                                      batch_format="pyarrow").take_all()}
+    assert rows[0] == 0.0            # uniform repeat → zero entropy
+    assert abs(rows[1] - 2.0) < 1e-9  # 4 distinct words → 2 bits
+    assert rows[2] == 0.0            # empty doc
+    assert rows[3] == 0.0            # case-folded duplicate
