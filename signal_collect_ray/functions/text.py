@@ -425,6 +425,48 @@ def tfidf_top_terms(docs_ds, k: int = 5, n_docs: int | None = None):
     return grouped_top_k(scored, "doc_id", "tfidf", "word", k, descending=True)
 
 
+def top_bigrams(docs_ds, k: int = 20):
+    """Global top-k adjacent word pairs (collocations) across the
+    corpus — the n-gram LM counting primitive. Per-block Counter
+    pre-combine → one groupby(bigram) sum → global top-k via
+    grouped_top_k with a constant group (per-block prune bounds the
+    final sort to k rows per block). Ties break by bigram ascending."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            words = (t or "").lower().split()
+            c.update(zip(words, words[1:]))
+        bgs = [f"{a} {b}" for a, b in c.keys()]
+        return pa.table(
+            {
+                "bg": pa.array(bgs, pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("bg")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "g", pa.array(np.zeros(tbl.num_rows, np.int64), pa.int64())
+        )
+
+    top = grouped_top_k(
+        counts.map_batches(tag, batch_format="pyarrow"), "g", "n", "bg", k
+    )
+    return top.drop_columns(["g"])
+
+
 def curate_corpus(
     docs_ds,
     lang: str = "en",

@@ -1228,6 +1228,35 @@ LEFT JOIN bstats bs ON bs.doc_id = d.doc_id
 """
 
 
+_BIGRAM_K = 20
+
+
+def q_top_bigrams(sf_dir: str):
+    """Global top-20 collocations (functions.text.top_bigrams)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import top_bigrams
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return top_bigrams(ds, k=_BIGRAM_K)
+
+
+_TOP_BIGRAMS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+bigrams AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bg
+  FROM d, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2 AND w[1] <> ''),
+c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM bigrams GROUP BY bg)
+SELECT bg, n FROM c ORDER BY n DESC, bg ASC LIMIT {_BIGRAM_K}
+"""
+
+
 def q_doc_entropy(sf_dir: str):
     """Unigram word entropy per document (functions.text.EntropyScore)."""
     import ray.data as rd
@@ -2741,6 +2770,7 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "doc_entropy": q_doc_entropy,
+        "top_bigrams": q_top_bigrams,
         "corpus_curation": q_corpus_curation,
         "top_docs_per_lang": q_top_docs_per_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2866,6 +2896,7 @@ def oracle_sql():
         "doc_repetition": _REPETITION_SQL,
         "doc_chunks": _CHUNKS_SQL,
         "doc_entropy": _ENTROPY_SQL,
+        "top_bigrams": _TOP_BIGRAMS_SQL,
         "corpus_curation": _curation_sql(),
         "top_docs_per_lang": _top_docs_sql(),
         "tfidf_top_terms": _tfidf_sql(),

@@ -946,3 +946,22 @@ def test_entropy_score():
     assert abs(rows[1] - 2.0) < 1e-9  # 4 distinct words → 2 bits
     assert rows[2] == 0.0            # empty doc
     assert rows[3] == 0.0            # case-folded duplicate
+
+
+def test_top_bigrams():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import top_bigrams
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": ["the cat sat on the cat", "the cat ran"],
+            }
+        )
+    ).repartition(2)
+    rows = [(r["bg"], r["n"]) for r in top_bigrams(docs, k=3).take_all()]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    assert rows[0] == ("the cat", 3)
+    assert len(rows) == 3
