@@ -335,3 +335,114 @@ def hash_join(
         batch_format="pyarrow",
     )
     return merged
+
+
+_IJ_SIDE = "__ij_side"
+
+
+class _IntervalMerge:
+    """One ``by`` key's co-partitioned rows → left rows + the covering
+    interval's payload. Intervals must be non-overlapping per key
+    (validated), so one sort + one searchsorted resolves every event."""
+
+    __name__ = "_IntervalMerge"
+
+    def __init__(self, time_col, start_col, end_col, left_cols, value_cols, how):
+        self.time_col, self.start_col, self.end_col = time_col, start_col, end_col
+        self.left_cols, self.value_cols, self.how = left_cols, value_cols, how
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        side = tbl.column(_IJ_SIDE).to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        left = tbl.filter(pa.array(lmask))
+        right = tbl.filter(pa.array(~lmask))
+        rs = right.column(self.start_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(rs, kind="stable")
+        right = right.take(pa.array(order, pa.int64()))
+        rs = rs[order]
+        re_ = right.column(self.end_col).to_numpy(zero_copy_only=False)
+        if len(rs) > 1 and (rs[1:] <= re_[:-1]).any():
+            raise ValueError(
+                "interval_join requires non-overlapping intervals per key "
+                "(found overlap within one by-group)"
+            )
+        t = left.column(self.time_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rs, t, side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        hit = (
+            (pos >= 0) & (t <= re_[pos_c])
+            if len(rs)
+            else np.zeros(len(t), dtype=bool)
+        )
+        if self.how == "inner":
+            lsel = pa.array(np.flatnonzero(hit), pa.int64())
+            rsel = pa.array(pos_c[hit], pa.int64())
+        else:  # left
+            lsel = pa.array(np.arange(len(t)), pa.int64())
+            rsel = pa.array(pos_c, pa.int64(), mask=~hit)
+        cols = {c: left.column(c).take(lsel) for c in self.left_cols}
+        for c in self.value_cols:
+            cols[c] = right.column(c).take(rsel)
+        return pa.table(cols)
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    by: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    value_cols: Sequence[str] = (),
+    how: str = "inner",
+):
+    """Range / interval join: attach to each left event the right-side
+    interval (same ``by`` key) whose [start, end] contains the event's
+    time — session assignment, validity-window features, shift/price
+    ranges. Same single-exchange tagged-union shape as ``asof_join``;
+    per key one sort + one ``searchsorted`` (intervals must be
+    NON-OVERLAPPING per key — enforced; overlapping ranges need the
+    per-event fan-out of a different operator and usually a different
+    question). ``how``: inner drops uncovered events; left null-fills."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    value_cols = list(value_cols)
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    r_schema = right_ds.schema()
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    attach = [start_col, end_col] + [c for c in value_cols]
+    clash = set(attach) & set(left_cols)
+    if clash:
+        raise ValueError(f"right columns {sorted(clash)} exist on the left")
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out = tbl.append_column(_IJ_SIDE, pa.array(np.zeros(n, np.int8)))
+        for c in attach:
+            out = out.append_column(c, pa.nulls(n, r_types[c]))
+        return out.select(left_cols + [_IJ_SIDE] + attach)
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {by: tbl.column(by)}
+        for c in left_cols:
+            if c not in cols:
+                cols[c] = pa.nulls(n, left_schema.base_schema.field(c).type)
+        out = pa.table(cols).append_column(
+            _IJ_SIDE, pa.array(np.ones(n, np.int8))
+        )
+        for c in attach:
+            out = out.append_column(c, tbl.column(c))
+        return out.select(left_cols + [_IJ_SIDE] + attach)
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.select_columns([by] + attach).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+    merged = lt.union(rt).groupby(by).map_groups(
+        _IntervalMerge(time_col, start_col, end_col, left_cols,
+                       [start_col, end_col] + value_cols, how),
+        batch_format="pyarrow",
+    )
+    return merged

@@ -1640,6 +1640,62 @@ def _sliding_sql() -> str:
     )
 
 
+def q_click_sessions(sf_dir: str):
+    """Assign every click to its gap-session: sessionize → interval
+    (range) join on [start_us, end_us] per user (functions.joins.
+    interval_join — the brief's range-join operator)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import interval_join
+    from signal_collect_ray.functions.windows import sessionize
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    sessions = sessionize(ev.select_columns(["user_id", "ts", "value"]))
+
+    def clicks(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type").to_pylist()
+        keep = np.array([e == "click" for e in et], dtype=bool)
+        t = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pyarrow")
+    out = interval_join(
+        left, sessions, by="user_id", time_col="ts_us",
+        start_col="start_us", end_col="end_us", value_cols=["session"],
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "session"])
+
+
+def _click_sessions_sql() -> str:
+    sessions = (
+        "WITH o AS (SELECT user_id, ts, value, CASE WHEN "
+        "epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
+        "> 14400 THEN 1 ELSE 0 END AS brk FROM events), "
+        "s AS (SELECT user_id, ts, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+        "AS session FROM o) "
+        "SELECT user_id, session, epoch_us(MIN(ts)) AS start_us, "
+        "epoch_us(MAX(ts)) AS end_us FROM s GROUP BY user_id, session"
+    )
+    return (
+        f"WITH sess AS ({sessions}) "
+        "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "
+        "CAST(sess.session AS BIGINT) AS session "
+        "FROM events e JOIN sess ON sess.user_id = e.user_id "
+        "AND epoch_us(e.ts) BETWEEN sess.start_us AND sess.end_us "
+        "WHERE e.event_type = 'click'"
+    )
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids, exploded to (label, pos, mean_val)
     (functions.similarity.vector_mean_by_key)."""
@@ -2785,6 +2841,7 @@ def queries():
         "distinct_users_per_event": q_distinct_users_per_event,
         "label_centroids": q_label_centroids,
         "event_sliding_windows": q_event_sliding_windows,
+        "click_sessions": q_click_sessions,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2911,6 +2968,7 @@ def oracle_sql():
         "distinct_users_per_event": _DISTINCT_USERS_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "event_sliding_windows": _sliding_sql(),
+        "click_sessions": _click_sessions_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

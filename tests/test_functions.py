@@ -965,3 +965,62 @@ def test_top_bigrams():
     rows.sort(key=lambda t: (-t[1], t[0]))
     assert rows[0] == ("the cat", 3)
     assert len(rows) == 3
+
+
+def test_interval_join_semantics():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import interval_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([0, 1, 2, 3], pa.int64()),
+                "u": pa.array([1, 1, 1, 2], pa.int64()),
+                "t": pa.array([5, 15, 25, 5], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([1, 1, 2], pa.int64()),
+                "s": pa.array([0, 20, 100], pa.int64()),
+                "e": pa.array([10, 30, 200], pa.int64()),
+                "sid": pa.array([7, 8, 9], pa.int64()),
+            }
+        )
+    )
+    inner = sorted(
+        (r["eid"], r["sid"])
+        for r in interval_join(
+            left, right, by="u", time_col="t", start_col="s",
+            end_col="e", value_cols=["sid"],
+        ).take_all()
+    )
+    # t=15 falls in the gap; user 2's event precedes its interval
+    assert inner == [(0, 7), (2, 8)]
+    lj = sorted(
+        (r["eid"], r["sid"])
+        for r in interval_join(
+            left, right, by="u", time_col="t", start_col="s",
+            end_col="e", value_cols=["sid"], how="left",
+        ).take_all()
+    )
+    assert lj == [(0, 7), (1, None), (2, 8), (3, None)]
+    # overlapping intervals per key are refused
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([1, 1], pa.int64()),
+                "s": pa.array([0, 5], pa.int64()),
+                "e": pa.array([10, 15], pa.int64()),
+                "sid": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="non-overlapping"):
+        interval_join(
+            left, bad, by="u", time_col="t", start_col="s",
+            end_col="e", value_cols=["sid"],
+        ).take_all()
