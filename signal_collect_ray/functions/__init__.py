@@ -37,7 +37,12 @@ from signal_collect_ray.functions.windows import (
     tumbling_window,
     sliding_window,
 )
-from signal_collect_ray.functions.joins import asof_join, broadcast_join, hash_join
+from signal_collect_ray.functions.joins import (
+    asof_join,
+    broadcast_join,
+    hash_join,
+    interval_join,
+)
 from signal_collect_ray.functions.sampling import hash_sample, stratified_sample
 from signal_collect_ray.functions.similarity import (
     knn_brute_force,
@@ -64,7 +69,7 @@ __all__ = [
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "sessionize", "tumbling_window", "sliding_window",
-    "asof_join", "broadcast_join", "hash_join",
+    "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hash_sample", "stratified_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
     "vector_mean_by_key",

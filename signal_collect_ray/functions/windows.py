@@ -191,3 +191,36 @@ def sliding_window(events_ds, width_s: float = 7200.0, slide_s: float = 3600.0):
         )
 
     return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+class _RunningTotals:
+    """One user's co-partitioned events → ts-ordered cumulative sum."""
+
+    __name__ = "_RunningTotals"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        t = tbl.take(pa.array(order, pa.int64()))
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(ts[order], pa.int64()),
+                "running_value": pa.array(
+                    np.round(np.cumsum(v), 6), pa.float64()
+                ),
+            }
+        )
+
+
+def running_totals(events_ds):
+    """Per-user cumulative value ordered by time — the prefix-aggregate
+    window (SUM OVER ... ROWS UNBOUNDED PRECEDING). One user_id
+    exchange; the per-key kernel is one sort + one cumsum, and the
+    addition order is the timestamp order on BOTH engine and oracle, so
+    prefix sums match bit-for-bit before the shared ROUND(,6)."""
+    ev = events_ds.select_columns(["user_id", "ts", "value"])
+    return ev.groupby("user_id").map_groups(
+        _RunningTotals(), batch_format="pyarrow"
+    )

@@ -1640,6 +1640,27 @@ def _sliding_sql() -> str:
     )
 
 
+def q_user_running_totals(sf_dir: str):
+    """Per-user cumulative value over time (functions.windows.
+    running_totals — prefix-aggregate window, one user exchange)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.windows import running_totals
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return running_totals(ev)
+
+
+_RUNNING_TOTALS_SQL = (
+    "SELECT user_id, epoch_us(ts) AS ts_us, "
+    "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING), 6) AS running_value FROM events"
+)
+
+
 def q_click_sessions(sf_dir: str):
     """Assign every click to its gap-session: sessionize → interval
     (range) join on [start_us, end_us] per user (functions.joins.
@@ -2842,6 +2863,7 @@ def queries():
         "label_centroids": q_label_centroids,
         "event_sliding_windows": q_event_sliding_windows,
         "click_sessions": q_click_sessions,
+        "user_running_totals": q_user_running_totals,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -2969,6 +2991,7 @@ def oracle_sql():
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "event_sliding_windows": _sliding_sql(),
         "click_sessions": _click_sessions_sql(),
+        "user_running_totals": _RUNNING_TOTALS_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,
