@@ -171,6 +171,78 @@ def exact_quantiles_int(ds, col: str, qs):
     return out
 
 
+def grouped_quantiles_int(ds, group_col: str, col: str, qs):
+    """Per-group EXACT quantiles of an integer column — the grouped
+    sibling of exact_quantiles_int. Per block: one (group, value) →
+    count histogram (np.unique over a composite view); one
+    groupby(group) exchange merges histograms and reads the order
+    statistics off the cumulative counts. Shuffle volume is
+    O(distinct (group, value) pairs per block), never O(rows).
+
+    Returns a Dataset of (group_col, q, value) rows."""
+    qs = list(qs)
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ug, ginv = np.unique(
+            g.astype(str) if g.dtype == object else g, return_inverse=True
+        )
+        out_g, out_v, out_c = [], [], []
+        # per-block distinct groups are few (languages, labels) — the
+        # value histogram inside each stays vectorized
+        for i, gu in enumerate(ug):
+            u, c = np.unique(v[ginv == i], return_counts=True)
+            out_g.extend([gu] * len(u))
+            out_v.append(u)
+            out_c.append(c)
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "value": pa.array(
+                    np.concatenate(out_v) if out_v else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "cnt": pa.array(
+                    np.concatenate(out_c) if out_c else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    class _GroupQuantiles:
+        __name__ = "_GroupQuantiles"
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            c = tbl.column("cnt").to_numpy(zero_copy_only=False)
+            gval = tbl.column(group_col)[0].as_py()
+            order = np.argsort(v, kind="stable")
+            vv, cc = v[order], c[order]
+            # merge duplicate values from different blocks
+            uu, starts = np.unique(vv, return_index=True)
+            sums = np.add.reduceat(cc, starts)
+            cum = np.cumsum(sums)
+            n = int(cum[-1])
+            out_v = []
+            for q in qs:
+                rank = max(int(np.ceil(q * n)), 1)
+                out_v.append(int(uu[np.searchsorted(cum, rank)]))
+            return pa.table(
+                {
+                    group_col: pa.array([gval] * len(qs)),
+                    "q": pa.array(qs, pa.float64()),
+                    "value": pa.array(out_v, pa.int64()),
+                }
+            )
+
+    return (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_GroupQuantiles(), batch_format="pyarrow")
+    )
+
+
 def id_state_map(state_ds) -> dict:
     """IdStateMapAggregator (AggregationOperations.scala:55-61) —
     materializes id→state on the driver; small graphs/tests only (the

@@ -1854,6 +1854,44 @@ def _quantiles_sql() -> str:
     )
 
 
+def q_lang_length_quantiles(sf_dir: str):
+    """Per-language doc-length quantiles (functions.aggregations.
+    grouped_quantiles_int — per-block histograms, one group exchange)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import grouped_quantiles_int
+    from signal_collect_ray.functions.text import LanguageId, TokenCount
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ds = ds.map_batches(LanguageId(), batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(TokenCount(), batch_format="pyarrow", batch_size=2048)
+    out = grouped_quantiles_int(
+        ds.select_columns(["lang_pred", "n_words"]),
+        "lang_pred", "n_words", _QUANTILE_QS,
+    )
+    return out.rename_columns({"value": "n_words"})
+
+
+def _lang_quantiles_sql() -> str:
+    vals = ", ".join(f"({q})" for q in _QUANTILE_QS)
+    return (
+        f"WITH pred AS ({_lang_pred_sql()}), "
+        "w AS (SELECT pred.lang_pred, "
+        "CAST(length(regexp_extract_all(COALESCE(d.text, ''), '\\S+')) "
+        "AS BIGINT) AS v FROM documents d "
+        "JOIN pred ON pred.doc_id = d.doc_id), "
+        "o AS (SELECT lang_pred, v, ROW_NUMBER() OVER "
+        "(PARTITION BY lang_pred ORDER BY v) AS rn FROM w), "
+        "n AS (SELECT lang_pred, COUNT(*) AS n FROM w GROUP BY lang_pred), "
+        f"qs(q) AS (VALUES {vals}) "
+        "SELECT o.lang_pred, CAST(qs.q AS DOUBLE) AS q, o.v AS n_words "
+        "FROM qs, n JOIN o ON o.lang_pred = n.lang_pred "
+        "AND o.rn = GREATEST(CAST(CEIL(qs.q * n.n) AS BIGINT), 1)"
+    )
+
+
 _TFIDF_K = 5
 
 
@@ -2852,6 +2890,7 @@ def queries():
         "top_docs_per_lang": q_top_docs_per_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "lang_length_quantiles": q_lang_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "cocitation_top20": q_cocitation_top20,
         "coupling_top20": q_coupling_top20,
@@ -2980,6 +3019,7 @@ def oracle_sql():
         "top_docs_per_lang": _top_docs_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "doc_length_quantiles": _quantiles_sql(),
+        "lang_length_quantiles": _lang_quantiles_sql(),
         "stratified_sample": _stratified_sql(),
         "cocitation_top20": _cocitation_sql(),
         "coupling_top20": _coupling_sql(),

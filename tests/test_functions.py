@@ -1024,3 +1024,24 @@ def test_interval_join_semantics():
             left, bad, by="u", time_col="t", start_col="s",
             end_col="e", value_cols=["sid"],
         ).take_all()
+
+
+def test_grouped_quantiles_int():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import grouped_quantiles_int
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    g = np.where(rng.random(n) < 0.5, "a", "b")
+    v = rng.integers(0, 40, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"grp": pa.array(g), "x": pa.array(v, pa.int64())})
+    ).repartition(7)
+    rows = grouped_quantiles_int(ds, "grp", "x", (0.25, 0.5, 0.99)).take_all()
+    got = {(r["grp"], r["q"]): r["value"] for r in rows}
+    for grp in ("a", "b"):
+        sv = np.sort(v[g == grp])
+        for q in (0.25, 0.5, 0.99):
+            rank = max(int(np.ceil(q * len(sv))), 1)
+            assert got[(grp, q)] == sv[rank - 1]
