@@ -1377,6 +1377,67 @@ def _curation_sql() -> str:
     )
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Newman (2002, public) degree assortativity over the symmetric
+    graph: Pearson correlation of endpoint degrees across edges.
+    Degrees broadcast once (500-vertex table); per-block partial sums of
+    (j, k, j², k², jk); one driver-side formula — no shuffle at all."""
+    import ray
+
+    g = _graph(sf_dir, True)
+    vt = g.vertices_ds().select_columns(["vid", "out_degree"]).take_all()
+    vids = np.array([r["vid"] for r in vt], dtype=np.int64)
+    degs = np.array([r["out_degree"] for r in vt], dtype=np.float64)
+    order = np.argsort(vids)
+    ref = ray.put((vids[order], degs[order]))
+
+    def sums(tbl: pa.Table) -> pa.Table:
+        dv, dd = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        j = dd[np.searchsorted(dv, s)]
+        k = dd[np.searchsorted(dv, d)]
+        return pa.table(
+            {
+                "m": pa.array([float(len(s))], pa.float64()),
+                "sjk": pa.array([float((j * k).sum())], pa.float64()),
+                "sj": pa.array([float((0.5 * (j + k)).sum())], pa.float64()),
+                "sj2": pa.array(
+                    [float((0.5 * (j * j + k * k)).sum())], pa.float64()
+                ),
+            }
+        )
+
+    parts = g.edges_ds().select_columns(["src", "dst"]).map_batches(
+        sums, batch_format="pyarrow"
+    ).take_all()
+    m = sum(r["m"] for r in parts)
+    sjk = sum(r["sjk"] for r in parts)
+    sj = sum(r["sj"] for r in parts)
+    sj2 = sum(r["sj2"] for r in parts)
+    num = sjk / m - (sj / m) ** 2
+    den = sj2 / m - (sj / m) ** 2
+    r_coef = num / den if den else 0.0
+    return pa.table({"assortativity": pa.array([round(r_coef, 6)], pa.float64())})
+
+
+def _assortativity_sql() -> str:
+    return (
+        f"WITH e0 AS MATERIALIZED ({_E_SQL}), "
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0), "
+        "deg AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS d "
+        "FROM e GROUP BY src), "
+        "je AS (SELECT dj.d AS j, dk.d AS k FROM e "
+        "JOIN deg dj ON dj.vid = e.src JOIN deg dk ON dk.vid = e.dst), "
+        "s AS (SELECT COUNT(*) AS m, SUM(j * k) AS sjk, "
+        "SUM(0.5 * (j + k)) AS sj, SUM(0.5 * (j * j + k * k)) AS sj2 "
+        "FROM je) "
+        "SELECT ROUND((sjk / m - (sj / m) * (sj / m)) / "
+        "(sj2 / m - (sj / m) * (sj / m)), 6) AS assortativity FROM s"
+    )
+
+
 def q_orders_by_nation(sf_dir: str):
     """Order count + revenue per nation: the star-schema pattern —
     orders fact streams, customer/nation dimensions broadcast
@@ -2894,6 +2955,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "cocitation_top20": q_cocitation_top20,
         "coupling_top20": q_coupling_top20,
+        "degree_assortativity": q_degree_assortativity,
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
         "order_priority_lines": q_order_priority_lines,
@@ -3023,6 +3085,7 @@ def oracle_sql():
         "stratified_sample": _stratified_sql(),
         "cocitation_top20": _cocitation_sql(),
         "coupling_top20": _coupling_sql(),
+        "degree_assortativity": _assortativity_sql(),
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,
         "order_priority_lines": _ORDER_PRIORITY_SQL,
