@@ -6,6 +6,7 @@ from signal_collect_ray.functions.aggregations import (
     top_k,
     grouped_top_k,
     exact_quantiles_int,
+    grouped_quantiles_int,
     id_state_map,
     map_reduce,
     foreach_vertex,
@@ -20,9 +21,11 @@ from signal_collect_ray.functions.text import (
     RepetitionScore,
     ChunkDocuments,
     PiiScrub,
+    EntropyScore,
     analyze_documents,
     curate_corpus,
     tfidf_top_terms,
+    top_bigrams,
 )
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
@@ -36,6 +39,7 @@ from signal_collect_ray.functions.windows import (
     sessionize,
     tumbling_window,
     sliding_window,
+    running_totals,
 )
 from signal_collect_ray.functions.joins import (
     asof_join,
@@ -61,14 +65,16 @@ from signal_collect_ray.functions.multimodal import (
 __all__ = [
     "sum_of_states", "product_of_states", "count_vertices",
     "sample_vertex_ids", "top_k", "grouped_top_k",
-    "exact_quantiles_int", "id_state_map", "map_reduce",
+    "exact_quantiles_int", "grouped_quantiles_int",
+    "id_state_map", "map_reduce",
     "foreach_vertex", "for_vertex_with_id", "multi_aggregate",
     "LanguageId", "QualityScore", "TokenCount", "Fingerprint",
-    "RepetitionScore", "ChunkDocuments", "PiiScrub",
+    "RepetitionScore", "ChunkDocuments", "PiiScrub", "EntropyScore",
     "analyze_documents", "curate_corpus", "tfidf_top_terms",
+    "top_bigrams",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
-    "sessionize", "tumbling_window", "sliding_window",
+    "sessionize", "tumbling_window", "sliding_window", "running_totals",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hash_sample", "stratified_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",
