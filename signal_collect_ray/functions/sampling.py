@@ -108,3 +108,51 @@ def stratified_sample(
         _StratifiedSampleFilter(key, stratum_col, rates, default_rate, seed),
         batch_format="pyarrow",
     )
+
+
+def weighted_sample(ds, weight_col: str, k: int, key: str = "doc_id",
+                    seed: int = 42):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    public — the A-ES one-pass scheme): each row gets
+    ``score = u^(1/w)`` with u a deterministic md5-derived uniform in
+    (0,1), and the k largest scores are the sample. Deterministic across
+    runs/partitionings (same md5 predicate family as hash_sample),
+    single streaming pass + the bounded top-k exchange of
+    grouped_top_k. Rows with w ≤ 0 are excluded. Returns (key,
+    weight_col, score) for the k sampled rows."""
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    prefix = f"{seed}:".encode("utf-8")
+
+    def score(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(key).to_pylist()
+        w = tbl.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(prefix + str(i).encode("utf-8")).digest()[:4],
+                    "big",
+                )
+                for i in ids
+            ),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        u = (h + 0.5) / 4294967296.0  # exact double, never 0 or 1
+        keep = w > 0
+        with np.errstate(invalid="ignore"):
+            s = np.where(keep, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        t = tbl.take(pa.array(np.flatnonzero(keep), pa.int64()))
+        return pa.table(
+            {
+                key: t.column(key),
+                weight_col: t.column(weight_col),
+                "score": pa.array(s[keep], pa.float64()),
+                "g": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=2048)
+    return grouped_top_k(scored, "g", "score", key, k).drop_columns(["g"])

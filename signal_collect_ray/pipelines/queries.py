@@ -1878,6 +1878,59 @@ def _stratified_sql() -> str:
     )
 
 
+_WSAMPLE_K, _WSAMPLE_SEED = 50, 42
+
+
+def q_weighted_sample(sf_dir: str):
+    """Quality-weighted 50-doc sample without replacement
+    (functions.sampling.weighted_sample, Efraimidis–Spirakis keys)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sampling import weighted_sample
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(QualityScore(), batch_format="pyarrow", batch_size=2048)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "quality": pa.array(q)}
+        )
+
+    out = weighted_sample(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "quality", _WSAMPLE_K, seed=_WSAMPLE_SEED,
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        s = np.round(tbl.column("score").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "quality": tbl.column("quality"),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _weighted_sample_sql() -> str:
+    u = (
+        f"(CAST(('0x' || substr(md5('{_WSAMPLE_SEED}:' || "
+        "CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0"
+    )
+    return (
+        f"WITH q AS ({_QUALITY_SQL}), "
+        f"s AS (SELECT doc_id, quality, pow({u}, 1.0 / quality) AS score "
+        "FROM q WHERE quality > 0) "
+        "SELECT doc_id, quality, ROUND(score, 6) AS score FROM s "
+        f"ORDER BY s.score DESC, doc_id ASC LIMIT {_WSAMPLE_K}"
+    )
+
+
 _QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -2953,6 +3006,7 @@ def queries():
         "doc_length_quantiles": q_doc_length_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "cocitation_top20": q_cocitation_top20,
         "coupling_top20": q_coupling_top20,
         "degree_assortativity": q_degree_assortativity,
@@ -3083,6 +3137,7 @@ def oracle_sql():
         "doc_length_quantiles": _quantiles_sql(),
         "lang_length_quantiles": _lang_quantiles_sql(),
         "stratified_sample": _stratified_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "cocitation_top20": _cocitation_sql(),
         "coupling_top20": _coupling_sql(),
         "degree_assortativity": _assortativity_sql(),

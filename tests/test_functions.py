@@ -1045,3 +1045,30 @@ def test_grouped_quantiles_int():
         for q in (0.25, 0.5, 0.99):
             rank = max(int(np.ceil(q * len(sv))), 1)
             assert got[(grp, q)] == sv[rank - 1]
+
+
+def test_weighted_sample_determinism_and_bias():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sampling import weighted_sample
+
+    n = 2000
+    # half the rows carry 50x the weight — they should dominate the sample
+    w = np.where(np.arange(n) % 2 == 0, 5.0, 0.1)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    ).repartition(4)
+    s1 = sorted(r["doc_id"] for r in weighted_sample(ds, "w", 100).take_all())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(ds, "w", 100).take_all())
+    assert s1 == s2 and len(s1) == 100  # deterministic
+    heavy = sum(1 for i in s1 if i % 2 == 0)
+    assert heavy > 80
+    # zero/negative weights never sampled
+    wz = np.where(np.arange(n) < 1990, 0.0, 1.0)
+    dz = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "w": pa.array(wz, pa.float64())})
+    )
+    sz = [r["doc_id"] for r in weighted_sample(dz, "w", 100).take_all()]
+    assert len(sz) == 10 and all(i >= 1990 for i in sz)
