@@ -1377,6 +1377,148 @@ def _curation_sql() -> str:
     )
 
 
+_OUTLIER_Z = 3.0
+
+
+def q_event_outliers(sf_dir: str):
+    """Per-type z-score outliers (|z| > 3): tiny per-type stats
+    aggregate broadcast back over the streaming pass — the canonical
+    two-phase split-apply filter, no row shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Std, Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    # exact population variance from sums (Std's ddof choice would need
+    # matching — sums are unambiguous and SQL-mirrorable)
+    def moments(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        return tbl.select(["event_type"]).append_column(
+            "v", pa.array(v, pa.float64())
+        ).append_column("v2", pa.array(v * v, pa.float64()))
+
+    stats = (
+        ev.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("v", alias_name="sv"),
+            Sum("v2", alias_name="sv2"),
+        )
+        .take_all()
+    )
+    table = {
+        r["event_type"]: (
+            r["sv"] / r["n"],
+            max(r["sv2"] / r["n"] - (r["sv"] / r["n"]) ** 2, 0.0) ** 0.5,
+        )
+        for r in stats
+    }
+    ref = ray.put(table)
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        et = tbl.column("event_type").to_pylist()
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        mu = np.array([t[e][0] for e in et])
+        sd = np.array([t[e][1] for e in et])
+        z = np.abs(v - mu) / np.maximum(sd, 1e-300)
+        keep = np.flatnonzero(z > _OUTLIER_Z)
+        out = tbl.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "event_id": out.column("event_id"),
+                "event_type": out.column("event_type"),
+                "value": out.column("value"),
+                "z": pa.array(np.round(z[keep], 6), pa.float64()),
+            }
+        )
+
+    return ev.map_batches(flt, batch_format="pyarrow")
+
+
+_OUTLIERS_SQL = (
+    "WITH s AS (SELECT event_type, COUNT(*) AS n, SUM(value) AS sv, "
+    "SUM(value * value) AS sv2 FROM events GROUP BY event_type), "
+    "m AS (SELECT event_type, sv / n AS mu, "
+    "sqrt(GREATEST(sv2 / n - (sv / n) * (sv / n), 0.0)) AS sd FROM s) "
+    "SELECT e.event_id, e.event_type, e.value, "
+    "ROUND(abs(e.value - m.mu) / GREATEST(m.sd, 1e-300), 6) AS z "
+    "FROM events e JOIN m ON m.event_type = e.event_type "
+    f"WHERE abs(e.value - m.mu) / GREATEST(m.sd, 1e-300) > {_OUTLIER_Z}"
+)
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """Fraction of directed edges whose reverse also exists — the
+    reciprocity statistic of the link graph. A self semi-join: reversed
+    edges tagged and co-partitioned with forward edges in one exchange;
+    emit per-partition counts, reduce on the driver."""
+    edges = derived_edges_ds(sf_dir).select_columns(["src", "dst"])
+
+    def tag(reverse: bool):
+        from signal_collect_ray.util import part_of
+
+        def fn(tbl: pa.Table) -> pa.Table:
+            s = tbl.column("src").to_numpy(zero_copy_only=False)
+            d = tbl.column("dst").to_numpy(zero_copy_only=False)
+            a, b = (d, s) if reverse else (s, d)
+            key = (a.astype(np.int64) << 32) | b.astype(np.int64)
+            return pa.table(
+                {
+                    "gpart": pa.array(part_of(key, 32), pa.int32()),
+                    "key": pa.array(key, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(key), int(reverse), np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    fwd = edges.map_batches(tag(False), batch_format="pyarrow")
+    rev = edges.map_batches(tag(True), batch_format="pyarrow")
+
+    def count_part(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        f = np.unique(key[side == 0])
+        r = np.unique(key[side == 1])
+        hits = np.isin(f, r, assume_unique=True).sum()
+        return pa.table(
+            {
+                "n_fwd": pa.array([int(len(f))], pa.int64()),
+                "n_recip": pa.array([int(hits)], pa.int64()),
+            }
+        )
+
+    parts = fwd.union(rev).groupby("gpart").map_groups(
+        count_part, batch_format="pyarrow"
+    ).take_all()
+    n = sum(r["n_fwd"] for r in parts)
+    h = sum(r["n_recip"] for r in parts)
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "n_reciprocal": pa.array([h], pa.int64()),
+            "reciprocity": pa.array([round(h / n, 6) if n else 0.0], pa.float64()),
+        }
+    )
+
+
+_RECIPROCITY_SQL = (
+    f"WITH e AS MATERIALIZED ({_E_SQL}), "
+    "r AS (SELECT COUNT(*) AS h FROM e a SEMI JOIN e b "
+    "ON b.src = a.dst AND b.dst = a.src), "
+    "n AS (SELECT COUNT(*) AS n FROM e) "
+    "SELECT n.n AS n_edges, r.h AS n_reciprocal, "
+    "ROUND(CAST(r.h AS DOUBLE) / n.n, 6) AS reciprocity FROM n, r"
+)
+
+
 def q_degree_assortativity(sf_dir: str):
     """Newman (2002, public) degree assortativity over the symmetric
     graph: Pearson correlation of endpoint degrees across edges.
@@ -3010,6 +3152,8 @@ def queries():
         "cocitation_top20": q_cocitation_top20,
         "coupling_top20": q_coupling_top20,
         "degree_assortativity": q_degree_assortativity,
+        "event_outliers": q_event_outliers,
+        "edge_reciprocity": q_edge_reciprocity,
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
         "order_priority_lines": q_order_priority_lines,
@@ -3141,6 +3285,8 @@ def oracle_sql():
         "cocitation_top20": _cocitation_sql(),
         "coupling_top20": _coupling_sql(),
         "degree_assortativity": _assortativity_sql(),
+        "event_outliers": _OUTLIERS_SQL,
+        "edge_reciprocity": _RECIPROCITY_SQL,
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,
         "order_priority_lines": _ORDER_PRIORITY_SQL,
