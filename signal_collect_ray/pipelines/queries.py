@@ -1377,6 +1377,59 @@ def _curation_sql() -> str:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Pivot/crosstab: per user, one count column per event type. Per
+    block the wide partial rows are built vectorized (np.unique over
+    the (user, type-code) composite), then ONE groupby(user) sums the
+    partials — the exchange carries at most |types| ints per user per
+    block, never event rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    tcode = {t: i for i, t in enumerate(_EVENT_TYPES)}
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type").to_pylist()
+        c = np.fromiter((tcode[e] for e in et), np.int64, count=len(et))
+        key = u * len(_EVENT_TYPES) + c
+        uk, cnt = np.unique(key, return_counts=True)
+        users = uk // len(_EVENT_TYPES)
+        codes = uk % len(_EVENT_TYPES)
+        uu = np.unique(users)
+        mat = np.zeros((len(uu), len(_EVENT_TYPES)), np.int64)
+        rows = np.searchsorted(uu, users)
+        mat[rows, codes] = cnt
+        cols = {"user_id": pa.array(uu, pa.int64())}
+        for i, t in enumerate(_EVENT_TYPES):
+            cols[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+_PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
 _OUTLIER_Z = 3.0
 
 
@@ -3153,6 +3206,7 @@ def queries():
         "coupling_top20": q_coupling_top20,
         "degree_assortativity": q_degree_assortativity,
         "event_outliers": q_event_outliers,
+        "event_type_pivot": q_event_type_pivot,
         "edge_reciprocity": q_edge_reciprocity,
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -3286,6 +3340,7 @@ def oracle_sql():
         "coupling_top20": _coupling_sql(),
         "degree_assortativity": _assortativity_sql(),
         "event_outliers": _OUTLIERS_SQL,
+        "event_type_pivot": _PIVOT_SQL,
         "edge_reciprocity": _RECIPROCITY_SQL,
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,
