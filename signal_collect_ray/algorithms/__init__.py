@@ -3,6 +3,7 @@ from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
+from signal_collect_ray.algorithms.mis import MaximalIndependentSet
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
 from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.cellular import GameOfLife, KCore, SchellingSegregation
@@ -22,6 +23,7 @@ __all__ = [
     "Hits",
     "ConnectedComponents",
     "SSSP",
+    "MaximalIndependentSet",
     "ChineseWhispers",
     "VertexColoring",
     "GameOfLife",

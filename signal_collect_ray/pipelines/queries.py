@@ -1430,6 +1430,72 @@ _PIVOT_SQL = (
 )
 
 
+def q_mis_validity(sf_dir: str):
+    """Maximal independent set over the symmetric graph — deterministic
+    Luby (algorithms/mis.py). Per-vertex membership has no SQL mirror,
+    but VALIDITY does (vertex_coloring pattern): zero in-set edges,
+    every OUT vertex dominated by an IN neighbor, all vertices decided.
+    The checks run distributedly (membership broadcast once)."""
+    import ray
+
+    from signal_collect_ray.algorithms import MaximalIndependentSet
+    from signal_collect_ray.algorithms.mis import IN, OUT
+    from signal_collect_ray.util import isin_sorted
+
+    t = _state(sf_dir, MaximalIndependentSet(), True, 200, eps=0.0, tag="")
+    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    st = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid)
+    vid_s, st_s = vid[order], st[order]
+    ref = ray.put((vid_s, st_s))
+
+    def checks(tbl: pa.Table) -> pa.Table:
+        vs, ss = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        hs, ps = isin_sorted(vs, s)
+        hd, pd = isin_sorted(vs, d)
+        both_in = hs & hd & (ss[ps] == IN) & (ss[pd] == IN)
+        # per-edge domination marks: src is OUT and dst is IN
+        dominated = hs & hd & (ss[ps] == OUT) & (ss[pd] == IN)
+        dom_src = np.unique(s[dominated])
+        return pa.table(
+            {
+                "viol": pa.array([int(both_in.sum())], pa.int64()),
+                "dom": pa.array([dom_src], pa.list_(pa.int64())),
+            }
+        )
+
+    g = _graph(sf_dir, True)
+    parts = g.edges_ds().map_batches(checks, batch_format="pyarrow").take_all()
+    n_viol = sum(r["viol"] for r in parts)
+    dominated = set()
+    for r in parts:
+        dominated.update(int(x) for x in r["dom"])
+    out_vs = {int(v) for v, s in zip(vid_s, st_s) if s == OUT}
+    uncovered = len(out_vs - dominated)
+    undecided = int((st_s == 0).sum())
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(vid_s)], pa.int64()),
+            "in_set_edges": pa.array([n_viol], pa.int64()),
+            "uncovered_out": pa.array([uncovered], pa.int64()),
+            "undecided": pa.array([undecided], pa.int64()),
+        }
+    )
+
+
+_MIS_SQL = (
+    f"WITH e0 AS ({_E_SQL}), "
+    "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), "
+    "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+    "CAST(0 AS BIGINT) AS in_set_edges, "
+    "CAST(0 AS BIGINT) AS uncovered_out, "
+    "CAST(0 AS BIGINT) AS undecided FROM v"
+)
+
+
 _OUTLIER_Z = 3.0
 
 
@@ -3207,6 +3273,7 @@ def queries():
         "degree_assortativity": q_degree_assortativity,
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
+        "mis_validity": q_mis_validity,
         "edge_reciprocity": q_edge_reciprocity,
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -3341,6 +3408,7 @@ def oracle_sql():
         "degree_assortativity": _assortativity_sql(),
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
+        "mis_validity": _MIS_SQL,
         "edge_reciprocity": _RECIPROCITY_SQL,
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,
