@@ -255,78 +255,91 @@ class _Intersect:
     __name__ = "_Intersect"
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        from signal_collect_ray.util import pair_hash
-
-        kind_other = _np(tbl, "other")
-        owners = tbl.filter(pa.array(kind_other < 0))
-        edges = tbl.filter(pa.array(kind_other >= 0))
         empty = pa.table(
             {"vid": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())}
         )
-        if len(owners) == 0 or len(edges) == 0:
+        wedges = _closed_wedges(tbl)
+        if wedges is None:
             return empty
-        ok = _np(owners, "key")
-        oorder = np.argsort(ok, kind="stable")
-        ok = ok[oorder]
-        onbrs = owners.column("nbrs").combine_chunks().take(
-            pa.array(oorder, pa.int64())
-        )
-        off = onbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = onbrs.values.to_numpy(zero_copy_only=False)
-
-        # local oriented-edge key set (v, w) for membership tests
-        ocounts = np.diff(off)
-        v_rep = np.repeat(ok, ocounts)
-        ekeys = np.sort(pair_hash(v_rep, vals))
-
-        e_dst = _np(edges, "key")
-        e_src = _np(edges, "other")
-        e_nbrs = edges.column("nbrs").combine_chunks()
-        eoff = e_nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        evals = e_nbrs.values.to_numpy(zero_copy_only=False)
-
-        ecounts = np.diff(eoff)
-        wedge_u = np.repeat(e_src, ecounts)
-        wedge_v = np.repeat(e_dst, ecounts)
-        wedge_w = evals
-
-        wkeys = pair_hash(wedge_v, wedge_w)
-        pos = np.searchsorted(ekeys, wkeys)
-        pos_c = np.minimum(pos, len(ekeys) - 1)
-        cand = ekeys[pos_c] == wkeys
-
-        # exact verification of the hash matches — vectorized ragged
-        # binary search: each candidate searches its owner's sorted
-        # adjacency segment, all candidates advanced together per
-        # bisection round (≤ log2(max_deg) vectorized passes).
-        ci = np.flatnonzero(cand)
-        if len(ci) == 0:
-            return empty
-        vl = np.searchsorted(ok, wedge_v[ci])
-        w_q = wedge_w[ci]
-        lo = off[vl].copy()
-        hi = off[vl + 1].copy()
-        while True:
-            open_m = lo < hi
-            if not open_m.any():
-                break
-            mid = (lo + hi) >> 1
-            mv = vals[np.minimum(mid, len(vals) - 1)]
-            go_right = open_m & (mv < w_q)
-            go_left = open_m & ~go_right
-            lo[go_right] = mid[go_right] + 1
-            hi[go_left] = mid[go_left]
-        in_range = lo < off[vl + 1]
-        verified = in_range & (vals[np.minimum(lo, len(vals) - 1)] == w_q)
-        tri = ci[verified]
-        if len(tri) == 0:
-            return empty
-        contrib_vid = np.concatenate([wedge_u[tri], wedge_v[tri], wedge_w[tri]])
-        contrib_cnt = np.ones(3 * len(tri), dtype=np.int64)
+        wu, wv, ww = wedges
+        contrib_vid = np.concatenate([wu, wv, ww])
+        contrib_cnt = np.ones(3 * len(wu), dtype=np.int64)
         vid, cnt = segment_sum(contrib_vid, contrib_cnt)
         return pa.table(
             {"vid": pa.array(vid, pa.int64()), "triangles": pa.array(cnt, pa.int64())}
         )
+
+
+def _closed_wedges(tbl: pa.Table):
+    """Shared wedge-closing core of the intersect stage: returns the
+    verified triangle corner arrays (u, v, w) for one ipart group, or
+    None when the group closes nothing. (u,v), (u,w), (v,w) are all
+    oriented edges of the triangle — consumers aggregate per vertex
+    (_Intersect) or per edge (ktruss edge support)."""
+    from signal_collect_ray.util import pair_hash
+
+    kind_other = _np(tbl, "other")
+    owners = tbl.filter(pa.array(kind_other < 0))
+    edges = tbl.filter(pa.array(kind_other >= 0))
+    if len(owners) == 0 or len(edges) == 0:
+        return None
+    ok = _np(owners, "key")
+    oorder = np.argsort(ok, kind="stable")
+    ok = ok[oorder]
+    onbrs = owners.column("nbrs").combine_chunks().take(
+        pa.array(oorder, pa.int64())
+    )
+    off = onbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = onbrs.values.to_numpy(zero_copy_only=False)
+
+    # local oriented-edge key set (v, w) for membership tests
+    ocounts = np.diff(off)
+    v_rep = np.repeat(ok, ocounts)
+    ekeys = np.sort(pair_hash(v_rep, vals))
+
+    e_dst = _np(edges, "key")
+    e_src = _np(edges, "other")
+    e_nbrs = edges.column("nbrs").combine_chunks()
+    eoff = e_nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    evals = e_nbrs.values.to_numpy(zero_copy_only=False)
+
+    ecounts = np.diff(eoff)
+    wedge_u = np.repeat(e_src, ecounts)
+    wedge_v = np.repeat(e_dst, ecounts)
+    wedge_w = evals
+
+    wkeys = pair_hash(wedge_v, wedge_w)
+    pos = np.searchsorted(ekeys, wkeys)
+    pos_c = np.minimum(pos, len(ekeys) - 1)
+    cand = ekeys[pos_c] == wkeys
+
+    # exact verification of the hash matches — vectorized ragged
+    # binary search: each candidate searches its owner's sorted
+    # adjacency segment, all candidates advanced together per
+    # bisection round (≤ log2(max_deg) vectorized passes).
+    ci = np.flatnonzero(cand)
+    if len(ci) == 0:
+        return None
+    vl = np.searchsorted(ok, wedge_v[ci])
+    w_q = wedge_w[ci]
+    lo = off[vl].copy()
+    hi = off[vl + 1].copy()
+    while True:
+        open_m = lo < hi
+        if not open_m.any():
+            break
+        mid = (lo + hi) >> 1
+        mv = vals[np.minimum(mid, len(vals) - 1)]
+        go_right = open_m & (mv < w_q)
+        go_left = open_m & ~go_right
+        lo[go_right] = mid[go_right] + 1
+        hi[go_left] = mid[go_left]
+    in_range = lo < off[vl + 1]
+    verified = in_range & (vals[np.minimum(lo, len(vals) - 1)] == w_q)
+    tri = ci[verified]
+    if len(tri) == 0:
+        return None
+    return wedge_u[tri], wedge_v[tri], wedge_w[tri]
 
 
 # Above this many vertices the degree table is joined (two co-partition

@@ -1430,6 +1430,53 @@ _PIVOT_SQL = (
 )
 
 
+_KTRUSS_K, _KTRUSS_ROUNDS = 5, 8
+
+
+def q_ktruss5(sf_dir: str):
+    """5-truss of the link graph (algorithms/ktruss.py — per-edge
+    triangle-support peeling on the oriented wedge exchange). Both
+    sides run exactly the same R synchronous peel rounds, so the
+    unrolled oracle matches even before the fixpoint."""
+    from signal_collect_ray.algorithms.ktruss import ktruss
+
+    return ktruss(
+        derived_edges_ds(sf_dir).select_columns(["src", "dst"]),
+        _KTRUSS_K,
+        max_rounds=_KTRUSS_ROUNDS,
+    )
+
+
+def _ktruss_sql() -> str:
+    thresh = _KTRUSS_K - 2
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "u0 AS MATERIALIZED (SELECT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0 GROUP BY 1, 2)",
+    ]
+    for i in range(_KTRUSS_ROUNDS):
+        ctes.append(
+            f"tri{i} AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc "
+            f"FROM u{i} x JOIN u{i} y ON y.a = x.b "
+            f"JOIN u{i} z ON z.a = x.a AND z.b = y.b)"
+        )
+        ctes.append(
+            f"supp{i} AS (SELECT a, b, COUNT(*) AS s FROM ("
+            f"SELECT ta AS a, tb AS b FROM tri{i} "
+            f"UNION ALL SELECT tb, tc FROM tri{i} "
+            f"UNION ALL SELECT ta, tc FROM tri{i}) GROUP BY a, b)"
+        )
+        ctes.append(
+            f"u{i+1} AS MATERIALIZED (SELECT u.a, u.b FROM u{i} u "
+            f"JOIN supp{i} s ON s.a = u.a AND s.b = u.b "
+            f"WHERE s.s >= {thresh})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT a, b FROM u{_KTRUSS_ROUNDS}"
+    )
+
+
 def q_mis_validity(sf_dir: str):
     """Maximal independent set over the symmetric graph — deterministic
     Luby (algorithms/mis.py). Per-vertex membership has no SQL mirror,
@@ -3274,6 +3321,7 @@ def queries():
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
         "mis_validity": q_mis_validity,
+        "ktruss5": q_ktruss5,
         "edge_reciprocity": q_edge_reciprocity,
         "orders_by_nation": q_orders_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -3409,6 +3457,7 @@ def oracle_sql():
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
         "mis_validity": _MIS_SQL,
+        "ktruss5": _ktruss_sql(),
         "edge_reciprocity": _RECIPROCITY_SQL,
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
         "pricing_summary": _PRICING_SQL,

@@ -96,3 +96,38 @@ def test_cocitation_top_pairs(ray_session):
     pairs2 = set(zip(t2.column("id_a").to_pylist(),
                      t2.column("id_b").to_pylist()))
     assert pairs2 == {(10, 11)}
+
+
+def test_ktruss_peeling(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms.ktruss import ktruss
+
+    # K5 (a 5-truss... every edge in 3 triangles) plus a pendant
+    # triangle attached by a bridge, plus a tail edge
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    extra = [(4, 10), (10, 11), (11, 12), (12, 10), (12, 20)]
+    pairs = k5 + extra
+    src = np.array([a for a, b in pairs], np.int64)
+    dst = np.array([b for a, b in pairs], np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    def pairs_of(t):
+        return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+
+    # k=3: every edge on ≥1 triangle survives; bridge (4,10) and tail
+    # (12,20) peel away
+    t3 = pairs_of(ktruss(edges, 3))
+    assert t3 == set(k5) | {(10, 11), (10, 12), (11, 12)}
+    # k=4: each edge needs ≥2 triangles — only K5 (3 per edge) survives
+    t4 = pairs_of(ktruss(edges, 4))
+    assert t4 == set(k5)
+    # k=5: K5 still qualifies (3 = 5-2)
+    assert pairs_of(ktruss(edges, 5)) == set(k5)
+    # k=6: needs 4 triangles/edge → empty
+    assert pairs_of(ktruss(edges, 6)) == set()
+    # k=2: everything incl. triangle-free edges survives (canonical a<b)
+    canon = {(min(a, b), max(a, b)) for a, b in pairs}
+    assert pairs_of(ktruss(edges, 2)) == canon
