@@ -10,6 +10,8 @@ from signal_collect_ray.algorithms.cellular import GameOfLife, KCore, SchellingS
 from signal_collect_ray.algorithms.tokens import TokenDiffusion
 from signal_collect_ray.algorithms.sudoku import Sudoku
 from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
+from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -32,6 +34,9 @@ __all__ = [
     "TokenDiffusion",
     "Sudoku",
     "simple_paths",
+    "cocitation_top_pairs",
+    "edge_support",
+    "ktruss",
     "best_paths",
     "triangle_counts",
     "total_triangles",
