@@ -226,6 +226,38 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     queries["curation"], extra["n_curation_rows_out"] = _timed(curation)
 
+    # 12. relational operators over the TPC-H-ish tables: broadcast
+    # star join, big-big co-partitioned join, pivot (round-3 additions)
+    from signal_collect_ray.pipelines.queries import (
+        q_event_type_pivot,
+        q_order_priority_lines,
+        q_orders_by_nation,
+    )
+
+    def relational_ops():
+        n = q_orders_by_nation(sf_dir).count()
+        n += q_order_priority_lines(sf_dir).count()
+        n += q_event_type_pivot(sf_dir).count()
+        return n
+
+    queries["relational_ops"], extra["n_relational_rows_out"] = _timed(
+        relational_ops
+    )
+
+    # 13. graph-analytics statistics over the extracted page graph:
+    # co-citation pairs + reciprocity-style self-join (round-3)
+    from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+
+    def graph_stats():
+        t = cocitation_top_pairs(
+            g.edges_ds().select_columns(["src", "dst"]),
+            k=20,
+            max_out_degree=256,
+        )
+        return t.num_rows
+
+    queries["graph_stats"], extra["n_cocitation_rows"] = _timed(graph_stats)
+
     total = sum(queries.values())
     return {
         "metric": "e2e_linkgraph_bench_sec",

@@ -8,11 +8,15 @@ operator; it belongs to the link-graph analytics surface the north rule
 targets alongside triangles (whose pair-enumeration shape it shares —
 ``ClusteringCoefficient.scala:24-47`` is the nearest reference anchor).
 
-Shape: one ``groupby(src)`` co-locates each source's out-neighborhood;
-pairs are emitted vectorized (``np.triu_indices`` over the sorted
-unique dst list); a per-block partial count combines duplicates before
-the hash-partitioned exact sum (``triangles._sum_by_key``); a per-block
-partial top-k bounds the final sort to k rows per block.
+Shape: one hash-partitioned ``groupby(spart)`` co-locates each source's
+out-neighborhood (ONE kernel call per partition, not per source);
+pairs are emitted vectorized (``np.triu_indices`` per distinct segment
+length over the sorted dst segments) and routed by a 64-bit PAIR HASH
+— the hash only
+partitions, counting inside each partition is exact over the (id_a,
+id_b) columns, so arbitrary int64 ids (hashed url vids) are supported
+with no collision risk. A per-partition top-k prune bounds what reaches
+the driver to k rows per partition.
 
 Skew: a source with out-degree d emits O(d²) pairs — the same hub
 blow-up triangles handles by degree orientation. ``max_out_degree``
@@ -26,23 +30,62 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from signal_collect_ray.algorithms.triangles import _np, _sum_by_key
+from signal_collect_ray.algorithms.triangles import _np
+from signal_collect_ray.util import pair_hash, part_of
 
-_ID_BITS = 32
 
+def _pairs_from_partition(max_out_degree, num_partitions):
+    """One spart group (MANY sources) → co-citation pair rows. No
+    per-source Python: sources are ragged segments of the (src, dst)
+    sort; segments sharing a length L emit through ONE
+    ``np.triu_indices(L)`` broadcast (distinct segment lengths are few
+    hundred at most, each handled with whole-array gathers)."""
 
-def _pairs_from_groups(max_out_degree):
     def emit(tbl: pa.Table) -> pa.Table:
-        dsts = np.unique(_np(tbl, "dst"))
-        if max_out_degree is not None and len(dsts) > max_out_degree:
-            dsts = dsts[:max_out_degree]
-        if len(dsts) < 2 or dsts[-1] >= (1 << (_ID_BITS - 1)):
-            if len(dsts) >= 2:
-                raise ValueError("cocitation requires ids < 2^31")
-            return pa.table({"key": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(dsts), k=1)
-        key = (dsts[a].astype(np.int64) << _ID_BITS) | dsts[b].astype(np.int64)
-        return pa.table({"key": pa.array(key, pa.int64())})
+        empty = pa.table(
+            {
+                "gpart": pa.array([], pa.int32()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        s, d = _np(tbl, "src"), _np(tbl, "dst")
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        # drop duplicate (src, dst) rows (sorted ⇒ adjacent)
+        first = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        s, d = s[first], d[first]
+        if len(s) < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        lens = np.diff(np.r_[starts, len(s)])
+        if max_out_degree is not None:
+            rank = np.arange(len(s)) - np.repeat(starts, lens)
+            keep = rank < max_out_degree
+            s, d = s[keep], d[keep]
+            starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+            lens = np.diff(np.r_[starts, len(s)])
+        ia_all, ib_all = [], []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            segs = starts[lens == L]
+            mat = d[segs[:, None] + np.arange(L)]
+            ai, bi = np.triu_indices(int(L), k=1)
+            ia_all.append(mat[:, ai].ravel())
+            ib_all.append(mat[:, bi].ravel())
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all).astype(np.int64)
+        ib = np.concatenate(ib_all).astype(np.int64)
+        gp = part_of(pair_hash(ia, ib).view(np.int64), num_partitions)
+        return pa.table(
+            {
+                "gpart": pa.array(gp, pa.int32()),
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+            }
+        )
 
     return emit
 
@@ -57,35 +100,47 @@ def cocitation_top_pairs(
     (id_a, id_b, n) ordered by (n desc, id_a asc, id_b asc) — the
     deterministic total order a SQL ROW_NUMBER mirror reproduces."""
 
-    def ones(tbl: pa.Table) -> pa.Table:
+    def count_and_prune(tbl: pa.Table) -> pa.Table:
+        a = _np(tbl, "id_a")
+        b = _np(tbl, "id_b")
+        pairs = np.stack([a, b], axis=1)
+        u, c = np.unique(pairs, axis=0, return_counts=True)
+        if len(u) > k:
+            order = np.lexsort((u[:, 1], u[:, 0], -c))[:k]
+            u, c = u[order], c[order]
+        return pa.table(
+            {
+                "id_a": pa.array(u[:, 0], pa.int64()),
+                "id_b": pa.array(u[:, 1], pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def add_spart(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
-            "cnt", pa.array(np.ones(tbl.num_rows, np.int64), pa.int64())
+            "spart",
+            pa.array(part_of(_np(tbl, "src"), num_partitions), pa.int32()),
         )
 
     pairs = (
-        edges_ds.groupby("src")
-        .map_groups(_pairs_from_groups(max_out_degree), batch_format="pyarrow")
-        .map_batches(ones, batch_format="pyarrow")
+        edges_ds.map_batches(add_spart, batch_format="pyarrow")
+        .groupby("spart")
+        .map_groups(
+            _pairs_from_partition(max_out_degree, num_partitions),
+            batch_format="pyarrow",
+        )
     )
-    counts = _sum_by_key(pairs, "key", "cnt", num_partitions=num_partitions)
-
-    def prune(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows <= k:
-            return tbl
-        key = _np(tbl, "key")
-        n = _np(tbl, "cnt")
-        order = np.lexsort((key, -n))[:k]
-        return tbl.take(pa.array(np.sort(order), pa.int64()))
-
-    top = counts.map_batches(prune, batch_format="pyarrow").take_all()
-    top.sort(key=lambda r: (-r["cnt"], r["key"]))
+    top = (
+        pairs.groupby("gpart")
+        .map_groups(count_and_prune, batch_format="pyarrow")
+        .take_all()
+    )
+    top.sort(key=lambda r: (-r["n"], r["id_a"], r["id_b"]))
     top = top[:k]
-    keys = np.array([r["key"] for r in top], dtype=np.int64)
-    cnts = np.array([r["cnt"] for r in top], dtype=np.int64)
     return pa.table(
         {
-            "id_a": pa.array(keys >> _ID_BITS, pa.int64()),
-            "id_b": pa.array(keys & ((1 << _ID_BITS) - 1), pa.int64()),
-            "n": pa.array(cnts, pa.int64()),
+            "id_a": pa.array([r["id_a"] for r in top], pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in top], pa.int64()),
+            "n": pa.array([r["n"] for r in top], pa.int64()),
         }
     )
