@@ -441,3 +441,61 @@ def test_grouped_top_k_matches_duckdb(inputs):
         ).take_all()
     )
     assert got == want
+
+
+@st.composite
+def _interval_inputs(draw):
+    nl = draw(st.integers(0, 20))
+    lu = [draw(st.integers(0, 3)) for _ in range(nl)]
+    lt = [draw(st.integers(0, 100)) for _ in range(nl)]
+    # non-overlapping intervals per key: cut sorted boundary points
+    ivs = []
+    for u in range(4):
+        pts = sorted(draw(st.lists(
+            st.integers(0, 100), min_size=0, max_size=6, unique=True)))
+        for i in range(0, len(pts) - 1, 2):
+            ivs.append((u, pts[i], pts[i + 1] - 1))
+    return lu, lt, ivs
+
+
+@given(_interval_inputs())
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_interval_join_matches_duckdb(inputs):
+    from signal_collect_ray.functions.joins import interval_join
+
+    lu, lt, ivs = inputs
+    left = pa.table(
+        {
+            "eid": pa.array(list(range(len(lu))), pa.int64()),
+            "u": pa.array(lu, pa.int64()),
+            "t": pa.array(lt, pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([u for u, _, _ in ivs], pa.int64()),
+            "s": pa.array([s for _, s, _ in ivs], pa.int64()),
+            "e": pa.array([e for _, _, e in ivs], pa.int64()),
+            "sid": pa.array(list(range(len(ivs))), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = sorted(
+        map(tuple, con.execute(
+            "SELECT l.eid, r.sid FROM l JOIN r ON r.u = l.u "
+            "AND l.t BETWEEN r.s AND r.e"
+        ).fetchall())
+    )
+    got = sorted(
+        (row["eid"], row["sid"])
+        for row in interval_join(
+            rd.from_arrow(left), rd.from_arrow(right), by="u",
+            time_col="t", start_col="s", end_col="e", value_cols=["sid"],
+        ).take_all()
+    )
+    assert got == want
