@@ -176,6 +176,11 @@ def broadcast_join(
         raise ValueError(f"right side has duplicate join keys on {on!r}")
     right = right.take(pa.array(order, pa.int64()))
     payload_cols = [c for c in right.column_names if c != on]
+    overlap = set(payload_cols) & set(left_ds.schema().names)
+    if overlap:
+        raise ValueError(
+            f"column name overlap {sorted(overlap)}; rename first"
+        )
     ref = ray.put((keys, right.select(payload_cols)))
 
     def join(tbl: pa.Table) -> pa.Table:
@@ -205,6 +210,21 @@ def broadcast_join(
 
 
 _HJ_SIDE = "__hj_side"
+_HJ_GPART = "__hj_gpart"
+
+
+def _key_hashes(k: np.ndarray) -> np.ndarray:
+    """int64 partition hashes for a join-key array — numeric keys pass
+    through; string/object keys get a per-value blake2b (the same hash
+    family dedup uses), so hash_join works on string keys too (the
+    merge kernel's sort/searchsorted compares the actual values)."""
+    if k.dtype == object or k.dtype.kind in "US":
+        from signal_collect_ray.functions.dedup import _hash64
+
+        return np.fromiter(
+            (_hash64(str(x)) for x in k), dtype=np.int64, count=len(k)
+        )
+    return k.astype(np.int64)
 
 
 class _HashJoinMerge:
@@ -286,8 +306,11 @@ def hash_join(
     Right keys must be unique for inner/left (dimension/entity side —
     enforced, so a many-to-many can't silently explode the output);
     ``semi``/``anti`` only test key existence (dups allowed) and return
-    left columns only. Skew bound: the hottest partition's rows must
-    fit one task; raise ``num_partitions`` for bigger inputs."""
+    left columns only. Keys may be numeric (partitioned directly) or
+    strings (partitioned by a per-value blake2b; the merge compares the
+    actual values, so hashing never affects correctness). Skew bound:
+    the hottest partition's rows must fit one task; raise
+    ``num_partitions`` for bigger inputs."""
     import ray  # noqa: F401  (parity with broadcast_join's env expectations)
 
     from signal_collect_ray.util import part_of
@@ -301,6 +324,12 @@ def hash_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"column name overlap {sorted(overlap)}; rename first")
+    reserved = {_HJ_GPART, _HJ_SIDE} & set(l_schema.names + r_schema.names)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} are reserved by hash_join's "
+            "internal exchange; rename them first"
+        )
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
     r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
 
@@ -313,8 +342,8 @@ def hash_join(
             n = tbl.num_rows
             k = tbl.column(on).to_numpy(zero_copy_only=False)
             cols = {
-                "gpart": pa.array(
-                    part_of(k.astype(np.int64), num_partitions), pa.int32()
+                _HJ_GPART: pa.array(
+                    part_of(_key_hashes(k), num_partitions), pa.int32()
                 ),
                 _HJ_SIDE: pa.array(np.full(n, side, np.int8), pa.int8()),
                 on: tbl.column(on),
@@ -330,7 +359,7 @@ def hash_join(
 
     lt = left_ds.map_batches(tag(0, left_cols), batch_format="pyarrow")
     rt = right_ds.map_batches(tag(1, right_cols), batch_format="pyarrow")
-    merged = lt.union(rt).groupby("gpart").map_groups(
+    merged = lt.union(rt).groupby(_HJ_GPART).map_groups(
         _HashJoinMerge(on, how, left_cols, right_cols),
         batch_format="pyarrow",
     )

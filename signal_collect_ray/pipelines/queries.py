@@ -1591,7 +1591,9 @@ def q_event_outliers(sf_dir: str):
         v = tbl.column("value").to_numpy(zero_copy_only=False)
         mu = np.array([t[e][0] for e in et])
         sd = np.array([t[e][1] for e in et])
-        z = np.abs(v - mu) / np.maximum(sd, 1e-300)
+        # compare the ROUNDED z on both sides so summation-order ulps
+        # in mu/sd can't flip a boundary row across the threshold
+        z = np.round(np.abs(v - mu) / np.maximum(sd, 1e-300), 6)
         keep = np.flatnonzero(z > _OUTLIER_Z)
         out = tbl.take(pa.array(keep, pa.int64()))
         return pa.table(
@@ -1599,7 +1601,7 @@ def q_event_outliers(sf_dir: str):
                 "event_id": out.column("event_id"),
                 "event_type": out.column("event_type"),
                 "value": out.column("value"),
-                "z": pa.array(np.round(z[keep], 6), pa.float64()),
+                "z": pa.array(z[keep], pa.float64()),
             }
         )
 
@@ -1614,7 +1616,7 @@ _OUTLIERS_SQL = (
     "SELECT e.event_id, e.event_type, e.value, "
     "ROUND(abs(e.value - m.mu) / GREATEST(m.sd, 1e-300), 6) AS z "
     "FROM events e JOIN m ON m.event_type = e.event_type "
-    f"WHERE abs(e.value - m.mu) / GREATEST(m.sd, 1e-300) > {_OUTLIER_Z}"
+    f"WHERE ROUND(abs(e.value - m.mu) / GREATEST(m.sd, 1e-300), 6) > {_OUTLIER_Z}"
 )
 
 
@@ -1629,10 +1631,18 @@ def q_edge_reciprocity(sf_dir: str):
         from signal_collect_ray.util import part_of
 
         def fn(tbl: pa.Table) -> pa.Table:
+            from signal_collect_ray.algorithms.ktruss import _ID_BITS
+
             s = tbl.column("src").to_numpy(zero_copy_only=False)
             d = tbl.column("dst").to_numpy(zero_copy_only=False)
             a, b = (d, s) if reverse else (s, d)
-            key = (a.astype(np.int64) << 32) | b.astype(np.int64)
+            # directed pair key — same packing contract (and id-range
+            # guard) as ktruss._pack, but WITHOUT canonicalization:
+            # (a,b) and (b,a) must stay distinct for reciprocity
+            hi = np.maximum(a, b) if len(a) else a
+            if len(hi) and hi.max() >= (1 << (_ID_BITS - 1)):
+                raise ValueError("edge_reciprocity requires ids < 2^31")
+            key = (a.astype(np.int64) << _ID_BITS) | b.astype(np.int64)
             return pa.table(
                 {
                     "gpart": pa.array(part_of(key, 32), pa.int32()),
@@ -1953,24 +1963,48 @@ _CUST_NO_ORDERS_SQL = (
 
 
 def q_distinct_users_per_event(sf_dir: str):
-    """Exact distinct-user counts per event type: dedup (type, user)
-    pairs in one groupby, then a tiny count groupby — the standard
-    two-stage exact COUNT(DISTINCT) at scale."""
+    """Exact distinct-user counts per event type: per-block partial
+    dedup of (type, user) pairs (vectorized np.unique — no per-pair
+    Python), then one groupby(type) whose kernel dedups the merged
+    partials and counts — the standard two-stage exact COUNT(DISTINCT)
+    with the exchange bounded by distinct pairs per block."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "user_id"],
     )
 
-    def first_row(tbl: pa.Table) -> pa.Table:
-        return tbl.take(pa.array([0], pa.int64()))
+    def partial(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(et.astype(str), return_inverse=True)
+        pairs = np.unique(
+            np.stack([inv.astype(np.int64), u.astype(np.int64)], axis=1),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(codes[pairs[:, 0]], pa.string()),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
 
-    dedup = ev.groupby(["event_type", "user_id"]).map_groups(
-        first_row, batch_format="pyarrow"
+    def count_group(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type")[0].as_py()
+        n = len(np.unique(tbl.column("user_id").to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n_users": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(count_group, batch_format="pyarrow")
     )
-    return dedup.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
 _DISTINCT_USERS_SQL = (

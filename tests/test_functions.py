@@ -1072,3 +1072,51 @@ def test_weighted_sample_determinism_and_bias():
     )
     sz = [r["doc_id"] for r in weighted_sample(dz, "w", 100).take_all()]
     assert len(sz) == 10 and all(i >= 1990 for i in sz)
+
+
+def test_hash_join_reserved_and_string_keys():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    # review finding: a user column named like the old internal
+    # partition column must not silently corrupt the exchange
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "gpart": pa.array([9, 9, 9], pa.int64())})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                    "name": ["a", "b", "c"]}))
+    rows = sorted(
+        (r["k"], r["gpart"], r["name"])
+        for r in hash_join(left, right, on="k").take_all()
+    )
+    assert rows == [(1, 9, "a"), (2, 9, "b"), (3, 9, "c")]
+    # string join keys work end-to-end
+    ls = rd.from_arrow(pa.table({"name": ["x", "y", "x"],
+                                 "v": pa.array([1, 2, 3], pa.int64())}))
+    rs = rd.from_arrow(pa.table({"name": ["x", "z"],
+                                 "tag": ["ex", "zed"]}))
+    got = sorted(
+        (r["name"], r["v"], r["tag"])
+        for r in hash_join(ls, rs, on="name").take_all()
+    )
+    assert got == [("x", 1, "ex"), ("x", 3, "ex")]
+    # truly reserved internal names are rejected upfront
+    bad = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                  "__hj_side": pa.array([0], pa.int64())}))
+    with pytest.raises(ValueError, match="reserved"):
+        hash_join(bad, right, on="k")
+
+
+def test_broadcast_join_overlap_rejected():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "name": ["l"]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "name": ["r"]}))
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_join(left, right, on="k").take_all()
