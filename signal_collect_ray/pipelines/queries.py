@@ -1379,6 +1379,95 @@ def _curation_sql() -> str:
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered-funnel conversion: users whose FIRST view precedes their
+    first click precedes their first purchase. Per-block partial
+    min-timestamp per (user, stage) — the exchange carries ≤ |stages|
+    rows per user per block — then one groupby(user) reduce; stage
+    counts aggregate on the driver (|stages| ints)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    stage_of = {s: i for i, s in enumerate(_FUNNEL)}
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type").to_pylist()
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        code = np.fromiter(
+            (stage_of.get(e, -1) for e in et), np.int64, count=len(et)
+        )
+        keep = code >= 0
+        u, ts, code = u[keep], ts[keep], code[keep]
+        key = u * len(_FUNNEL) + code
+        order = np.lexsort((ts, key))
+        key, ts = key[order], ts[order]
+        first = np.r_[True, key[1:] != key[:-1]]
+        return pa.table(
+            {
+                "user_id": pa.array(key[first] // len(_FUNNEL), pa.int64()),
+                "stage": pa.array(key[first] % len(_FUNNEL), pa.int64()),
+                "ts_us": pa.array(ts[first], pa.int64()),
+            }
+        )
+
+    def reduce_user(tbl: pa.Table) -> pa.Table:
+        st = tbl.column("stage").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        firsts = np.full(len(_FUNNEL), np.iinfo(np.int64).max)
+        np.minimum.at(firsts, st, ts)
+        # user reaches stage i iff all first-ts up to i exist in order
+        depth = 0
+        for i in range(len(_FUNNEL)):
+            if firsts[i] == np.iinfo(np.int64).max:
+                break
+            if i > 0 and firsts[i] <= firsts[i - 1]:
+                break
+            depth = i + 1
+        return pa.table({"depth": pa.array([depth], pa.int64())})
+
+    depths = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(reduce_user, batch_format="pyarrow")
+        .take_all()
+    )
+    counts = np.zeros(len(_FUNNEL) + 1, np.int64)
+    for r in depths:
+        counts[r["depth"]] += 1
+    # cumulative: users reaching AT LEAST stage i
+    reach = np.cumsum(counts[::-1])[::-1]
+    return pa.table(
+        {
+            "stage": pa.array(list(_FUNNEL), pa.string()),
+            "n_users": pa.array(reach[1:], pa.int64()),
+        }
+    )
+
+
+def _funnel_sql() -> str:
+    return (
+        "WITH f AS (SELECT user_id, "
+        "MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t0, "
+        "MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t1, "
+        "MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t2 "
+        "FROM events GROUP BY user_id), "
+        "d AS (SELECT CASE "
+        "WHEN t0 IS NULL THEN 0 "
+        "WHEN t1 IS NULL OR t1 <= t0 THEN 1 "
+        "WHEN t2 IS NULL OR t2 <= t1 THEN 2 "
+        "ELSE 3 END AS depth FROM f) "
+        "SELECT s.stage, CAST((SELECT COUNT(*) FROM d WHERE depth >= s.i) "
+        "AS BIGINT) AS n_users FROM (VALUES ('view', 1), ('click', 2), "
+        "('purchase', 3)) AS s(stage, i)"
+    )
+
 
 def q_event_type_pivot(sf_dir: str):
     """Pivot/crosstab: per user, one count column per event type. Per
@@ -3354,6 +3443,7 @@ def queries():
         "degree_assortativity": q_degree_assortativity,
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
+        "funnel_counts": q_funnel_counts,
         "mis_validity": q_mis_validity,
         "ktruss5": q_ktruss5,
         "edge_reciprocity": q_edge_reciprocity,
@@ -3490,6 +3580,7 @@ def oracle_sql():
         "degree_assortativity": _assortativity_sql(),
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
+        "funnel_counts": _funnel_sql(),
         "mis_validity": _MIS_SQL,
         "ktruss5": _ktruss_sql(),
         "edge_reciprocity": _RECIPROCITY_SQL,
