@@ -2309,6 +2309,67 @@ def _stratified_sql() -> str:
     )
 
 
+def q_quality_percentiles(sf_dir: str):
+    """Percentile-rank (CUME_DIST) transform of the quality score —
+    computed WITHOUT a global sort: the rounded scores are discrete, so
+    a counting histogram (one tiny aggregate) broadcast with its cumsum
+    ranks every row in a streaming second pass. Exact: the rank ratio
+    is int/int on both engines."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(QualityScore(), batch_format="pyarrow", batch_size=2048)
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        qi = np.round(q * 1e6).astype(np.int64)
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "qi": pa.array(qi, pa.int64())})
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        u, c = np.unique(tbl.column("qi").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"qi": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    parts = kd.map_batches(hist, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[r["qi"]] = agg.get(r["qi"], 0) + r["c"]
+    vals = np.array(sorted(agg), dtype=np.int64)
+    cum = np.cumsum(np.array([agg[v] for v in vals], dtype=np.int64))
+    n = float(cum[-1]) if len(cum) else 1.0
+    ref = ray.put((vals, cum))
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        qi = tbl.column("qi").to_numpy(zero_copy_only=False)
+        pct = c[np.searchsorted(v, qi)] / n
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "quality": pa.array(qi / 1e6, pa.float64()),
+                "pct_rank": pa.array(np.round(pct, 6), pa.float64()),
+            }
+        )
+
+    return kd.map_batches(rank, batch_format="pyarrow")
+
+
+def _quality_pct_sql() -> str:
+    return (
+        f"WITH q AS ({_QUALITY_SQL}) "
+        "SELECT doc_id, quality, "
+        "ROUND(CUME_DIST() OVER (ORDER BY quality), 6) AS pct_rank FROM q"
+    )
+
+
 _WSAMPLE_K, _WSAMPLE_SEED = 50, 42
 
 
@@ -3438,6 +3499,7 @@ def queries():
         "lang_length_quantiles": q_lang_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "quality_percentiles": q_quality_percentiles,
         "cocitation_top20": q_cocitation_top20,
         "coupling_top20": q_coupling_top20,
         "degree_assortativity": q_degree_assortativity,
@@ -3575,6 +3637,7 @@ def oracle_sql():
         "lang_length_quantiles": _lang_quantiles_sql(),
         "stratified_sample": _stratified_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "quality_percentiles": _quality_pct_sql(),
         "cocitation_top20": _cocitation_sql(),
         "coupling_top20": _coupling_sql(),
         "degree_assortativity": _assortativity_sql(),
