@@ -12,6 +12,7 @@ from signal_collect_ray.algorithms.sudoku import Sudoku
 from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
 from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
 from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
+from signal_collect_ray.algorithms.scc import scc_labels
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -37,6 +38,7 @@ __all__ = [
     "cocitation_top_pairs",
     "edge_support",
     "ktruss",
+    "scc_labels",
     "best_paths",
     "triangle_counts",
     "total_triangles",

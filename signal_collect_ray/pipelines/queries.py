@@ -1566,6 +1566,31 @@ def _ktruss_sql() -> str:
     )
 
 
+def q_scc_labels(sf_dir: str):
+    """Strongly connected components of the DIRECTED link graph —
+    forward-backward coloring over the engine's min-label propagations
+    (algorithms/scc.py); the web bowtie analysis. Oracle: mutual
+    reachability via a recursive-CTE transitive closure."""
+    from signal_collect_ray.algorithms.scc import scc_labels
+
+    return scc_labels(
+        derived_edges_ds(sf_dir).select_columns(["src", "dst"]),
+        _work_dir(sf_dir, "scc"),
+    )
+
+
+_SCC_SQL = (
+    f"WITH RECURSIVE e AS ({_E_SQL}), "
+    "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e), "
+    "reach(s, t) AS (SELECT src, dst FROM e UNION "
+    "SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t), "
+    "mut AS (SELECT a.s AS x, a.t AS y FROM reach a "
+    "JOIN reach b ON b.s = a.t AND b.t = a.s) "
+    "SELECT v.vid, CAST(LEAST(v.vid, COALESCE(MIN(m.y), v.vid)) AS BIGINT) "
+    "AS scc FROM v LEFT JOIN mut m ON m.x = v.vid GROUP BY v.vid"
+)
+
+
 def q_mis_validity(sf_dir: str):
     """Maximal independent set over the symmetric graph — deterministic
     Luby (algorithms/mis.py). Per-vertex membership has no SQL mirror,
@@ -3506,6 +3531,7 @@ def queries():
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
         "funnel_counts": q_funnel_counts,
+        "scc_labels": q_scc_labels,
         "mis_validity": q_mis_validity,
         "ktruss5": q_ktruss5,
         "edge_reciprocity": q_edge_reciprocity,
@@ -3644,6 +3670,7 @@ def oracle_sql():
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
         "funnel_counts": _funnel_sql(),
+        "scc_labels": _SCC_SQL,
         "mis_validity": _MIS_SQL,
         "ktruss5": _ktruss_sql(),
         "edge_reciprocity": _RECIPROCITY_SQL,
