@@ -499,3 +499,32 @@ def test_interval_join_matches_duckdb(inputs):
         ).take_all()
     )
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=0, max_size=60, unique=True),
+    st.sampled_from([0.0, 0.05, 0.3, 0.9, 1.0]),
+)
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_hash_sample_matches_duckdb(ids, rate):
+    from signal_collect_ray.functions.sampling import hash_sample
+
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", tbl)
+    thresh = int(rate * (1 << 32))
+    want = sorted(
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM t WHERE "
+            "CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) < {thresh}"
+        ).fetchall()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in hash_sample(rd.from_arrow(tbl), rate=rate).take_all()
+    )
+    assert got == want
