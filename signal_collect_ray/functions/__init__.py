@@ -26,6 +26,7 @@ from signal_collect_ray.functions.text import (
     curate_corpus,
     tfidf_top_terms,
     top_bigrams,
+    unigram_logprob,
 )
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
@@ -71,7 +72,7 @@ __all__ = [
     "LanguageId", "QualityScore", "TokenCount", "Fingerprint",
     "RepetitionScore", "ChunkDocuments", "PiiScrub", "EntropyScore",
     "analyze_documents", "curate_corpus", "tfidf_top_terms",
-    "top_bigrams",
+    "top_bigrams", "unigram_logprob",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",

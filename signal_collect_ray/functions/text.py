@@ -467,6 +467,164 @@ def top_bigrams(docs_ds, k: int = 20):
     return top.drop_columns(["g"])
 
 
+# Vocabulary-size ceiling for the broadcast scoring path. Web-corpus
+# unigram vocabularies are heavy-tailed but bounded (~10^7-10^8 distinct
+# words at CC scale after lowercasing); above the cap the postings
+# exchange scores without any driver materialization.
+UNIGRAM_BROADCAST_LIMIT = 4_000_000
+
+
+def unigram_logprob(docs_ds, max_broadcast_vocab: int = UNIGRAM_BROADCAST_LIMIT):
+    """CCNet-style language-model quality signal: per-document mean log
+    corpus-unigram probability (the cheap stand-in for the reference-LM
+    perplexity filter used to rank web text for training corpora).
+
+    Phase 1 — build the LM: per-block ``Counter`` pre-combine →
+    ONE ``groupby(word).sum`` exchange = the corpus unigram counts;
+    total token count N comes from the same small counts table
+    (``sum('n')``), not a second pass over the documents.
+
+    Phase 2 — score: when the vocabulary fits (≤ ``max_broadcast_vocab``
+    rows) the {word → ln(count)} map is broadcast ONCE via ``ray.put``
+    and every batch scores its documents with C-level dict lookups — no
+    second shuffle. A larger vocabulary falls back to the postings
+    exchange (the ``tfidf_top_terms`` trick): explode (doc_id, word,
+    tf), annotate the corpus count INSIDE ``groupby(word)`` — Σ tf per
+    group IS the count, no join — then ``groupby(doc_id)`` computes the
+    tf-weighted mean. Either way the score is
+
+        logprob = (1/n_words) · Σ_w ln(c(w) / N)
+
+    over the lowercased whitespace words of the document (the same
+    tokenization as EntropyScore/RepetitionScore), 0.0 for empty
+    documents, rounded to 6 digits (ulp-absorbing float-mirror
+    convention). Words absent from the model (only possible when
+    scoring documents the model was not built from) use count 1.
+
+    Returns a Dataset of (doc_id, n_words, logprob)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode_counts(tbl: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            c.update((t or "").lower().split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(
+            explode_counts, batch_format="pyarrow", batch_size=2048
+        )
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .materialize()
+    )
+    n_total = float(counts.sum("n") or 1.0)
+    vocab_rows = counts.count()
+
+    if vocab_rows <= max_broadcast_vocab:
+        lnc = {}
+        for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+            words = b.column("word").to_pylist()
+            ns = np.log(b.column("n").to_numpy(zero_copy_only=False))
+            lnc.update(zip(words, ns))
+        ref = ray.put(lnc)
+        ln_n = np.log(n_total)
+
+        def score(tbl: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            texts = tbl.column("text").to_pylist()
+            nw = np.zeros(len(texts), dtype=np.int64)
+            lp = np.zeros(len(texts))
+            for i, t in enumerate(texts):
+                ws = (t or "").lower().split()
+                if ws:
+                    nw[i] = len(ws)
+                    lp[i] = sum(m.get(w, 0.0) for w in ws) / len(ws) - ln_n
+            return pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "n_words": pa.array(nw, pa.int64()),
+                    "logprob": pa.array(np.round(lp, 6), pa.float64()),
+                }
+            )
+
+        return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+    # postings-exchange fallback: no driver-side vocabulary at all
+    def annotate(tbl: pa.Table) -> pa.Table:
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+        c = float(tf.sum())
+        return tbl.append_column(
+            "lnc", pa.array(np.full(tbl.num_rows, np.log(c)), pa.float64())
+        )
+
+    tf = docs_ds.map_batches(_TfExplode(), batch_format="pyarrow", batch_size=2048)
+    wf = tf.groupby("word").map_groups(annotate, batch_format="pyarrow")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        # per-block partial (Σ tf·lnc, Σ tf) per doc bounds the doc shuffle
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        lnc = tbl.column("lnc").to_numpy(zero_copy_only=False)
+        uid, inv = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(uid))
+        w = np.zeros(len(uid))
+        np.add.at(s, inv, tfv * lnc)
+        np.add.at(w, inv, tfv)
+        return pa.table(
+            {
+                "doc_id": pa.array(uid, pa.int64()),
+                "s": pa.array(s, pa.float64()),
+                "w": pa.array(w, pa.float64()),
+            }
+        )
+
+    ln_n = np.log(n_total)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("sum(s)").to_numpy(zero_copy_only=False)
+        w = tbl.column("sum(w)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_words": pa.array(w.astype(np.int64), pa.int64()),
+                "logprob": pa.array(np.round(s / w - ln_n, 6), pa.float64()),
+            }
+        )
+
+    agg = (
+        wf.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s"), Sum("w"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    # empty documents never reach the postings exchange — union them back
+    def empties(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        keep = [i for i, t in enumerate(texts) if not (t or "").split()]
+        t = tbl.take(pa.array(keep, pa.int64()))
+        z = np.zeros(t.num_rows)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(z.astype(np.int64), pa.int64()),
+                "logprob": pa.array(z, pa.float64()),
+            }
+        )
+
+    return agg.union(
+        docs_ds.map_batches(empties, batch_format="pyarrow", batch_size=2048)
+    )
+
+
 def curate_corpus(
     docs_ds,
     lang: str = "en",

@@ -1294,6 +1294,43 @@ FROM d LEFT JOIN h ON h.doc_id = d.doc_id
 """
 
 
+def q_doc_logprob(sf_dir: str):
+    """Corpus-unigram-LM quality score per document (CCNet-style
+    perplexity-filter stand-in; functions.text.unigram_logprob)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import unigram_logprob
+
+    return unigram_logprob(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    )
+
+
+_LOGPROB_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM d WHERE w[1] <> ''),
+wc AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf FROM words
+  WHERE word <> '' GROUP BY doc_id, word),
+c AS (SELECT word, SUM(tf) AS c FROM wc GROUP BY word),
+n AS (SELECT SUM(c) AS n FROM c),
+s AS (
+  SELECT wc.doc_id, CAST(SUM(wc.tf) AS BIGINT) AS n_words,
+         SUM(wc.tf * ln(c.c)) / SUM(wc.tf) - ANY_VALUE(ln(n.n)) AS lp
+  FROM wc JOIN c USING (word) CROSS JOIN n GROUP BY wc.doc_id)
+SELECT d.doc_id, COALESCE(s.n_words, 0) AS n_words,
+       ROUND(COALESCE(s.lp, 0.0), 6) AS logprob
+FROM d LEFT JOIN s USING (doc_id)
+"""
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
 
 
@@ -3516,6 +3553,7 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "doc_entropy": q_doc_entropy,
+        "doc_logprob": q_doc_logprob,
         "top_bigrams": q_top_bigrams,
         "corpus_curation": q_corpus_curation,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -3655,6 +3693,7 @@ def oracle_sql():
         "doc_repetition": _REPETITION_SQL,
         "doc_chunks": _CHUNKS_SQL,
         "doc_entropy": _ENTROPY_SQL,
+        "doc_logprob": _LOGPROB_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,
         "corpus_curation": _curation_sql(),
         "top_docs_per_lang": _top_docs_sql(),

@@ -948,6 +948,43 @@ def test_entropy_score():
     assert rows[3] == 0.0            # case-folded duplicate
 
 
+def test_unigram_logprob_semantics_and_fallback():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import unigram_logprob
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": ["a a b", "b c", "", "A"],
+            }
+        )
+    ).repartition(2)
+    # corpus counts: a=3 (incl. case-fold), b=2, c=1; N=6
+    import math
+
+    exp = {
+        0: round((2 * math.log(3) + math.log(2)) / 3 - math.log(6), 6),
+        1: round((math.log(2) + math.log(1)) / 2 - math.log(6), 6),
+        2: 0.0,
+        3: round(math.log(3) - math.log(6), 6),
+    }
+    got = {
+        r["doc_id"]: r["logprob"] for r in unigram_logprob(docs).take_all()
+    }
+    assert got == pytest.approx(exp, abs=2e-6)
+    # postings-exchange fallback (vocab cap 1 forces it) must agree
+    got_fb = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob(docs, max_broadcast_vocab=1).take_all()
+    }
+    assert got_fb == pytest.approx(exp, abs=2e-6)
+    nw = {r["doc_id"]: r["n_words"]
+          for r in unigram_logprob(docs, max_broadcast_vocab=1).take_all()}
+    assert nw == {0: 3, 1: 2, 2: 0, 3: 1}
+
+
 def test_top_bigrams():
     import ray.data as rd
 
