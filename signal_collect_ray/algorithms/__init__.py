@@ -10,7 +10,10 @@ from signal_collect_ray.algorithms.cellular import GameOfLife, KCore, SchellingS
 from signal_collect_ray.algorithms.tokens import TokenDiffusion
 from signal_collect_ray.algorithms.sudoku import Sudoku
 from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
-from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+from signal_collect_ray.algorithms.cocitation import (
+    adamic_adar_top_pairs,
+    cocitation_top_pairs,
+)
 from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
 from signal_collect_ray.algorithms.scc import scc_labels
 from signal_collect_ray.algorithms.triangles import (
@@ -35,7 +38,7 @@ __all__ = [
     "TokenDiffusion",
     "Sudoku",
     "simple_paths",
-    "cocitation_top_pairs",
+    "cocitation_top_pairs", "adamic_adar_top_pairs",
     "edge_support",
     "ktruss",
     "scc_labels",

@@ -2034,6 +2034,29 @@ def _cocitation_sql() -> str:
     )
 
 
+def q_adamic_adar_top20(sf_dir: str):
+    """Top-20 link-prediction pairs by Adamic–Adar score over shared
+    in-link sources (algorithms.cocitation.adamic_adar_top_pairs)."""
+    from signal_collect_ray.algorithms.cocitation import adamic_adar_top_pairs
+
+    return adamic_adar_top_pairs(derived_edges_ds(sf_dir), k=_COCITE_K)
+
+
+def _adamic_adar_sql() -> str:
+    return (
+        f"WITH e AS MATERIALIZED ({_E_SQL}), "
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d "
+        "FROM e GROUP BY src), "
+        "p AS (SELECT a.dst AS id_a, b.dst AS id_b, 1.0 / ln(deg.d) AS w "
+        "FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN deg ON deg.src = a.src), "
+        "c AS (SELECT id_a, id_b, ROUND(SUM(w), 6) AS aa "
+        "FROM p GROUP BY id_a, id_b) "
+        "SELECT id_a, id_b, aa FROM c "
+        f"ORDER BY aa DESC, id_a ASC, id_b ASC LIMIT {_COCITE_K}"
+    )
+
+
 def q_order_priority_lines(sf_dir: str):
     """Line counts + quantity per order priority: big-big equi-join
     (lineitem ⨝ orders on orderkey) via the co-partitioned
@@ -3564,6 +3587,7 @@ def queries():
         "weighted_sample": q_weighted_sample,
         "quality_percentiles": q_quality_percentiles,
         "cocitation_top20": q_cocitation_top20,
+        "adamic_adar_top20": q_adamic_adar_top20,
         "coupling_top20": q_coupling_top20,
         "degree_assortativity": q_degree_assortativity,
         "event_outliers": q_event_outliers,
@@ -3704,6 +3728,7 @@ def oracle_sql():
         "weighted_sample": _weighted_sample_sql(),
         "quality_percentiles": _quality_pct_sql(),
         "cocitation_top20": _cocitation_sql(),
+        "adamic_adar_top20": _adamic_adar_sql(),
         "coupling_top20": _coupling_sql(),
         "degree_assortativity": _assortativity_sql(),
         "event_outliers": _OUTLIERS_SQL,

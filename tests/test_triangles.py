@@ -98,6 +98,39 @@ def test_cocitation_top_pairs(ray_session):
     assert pairs2 == {(10, 11)}
 
 
+def test_adamic_adar_top_pairs(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms.cocitation import adamic_adar_top_pairs
+
+    # sources 0/1 both link {10,11,12} (outdeg 3); source 2 links
+    # {10,11} (outdeg 2) — its weight 1/ln(2) is LARGER, so (10,11)
+    # wins on Adamic-Adar even though co-citation counts tie on hubs
+    src = np.array([0, 0, 0, 1, 1, 1, 2, 2], dtype=np.int64)
+    dst = np.array([10, 11, 12, 10, 11, 12, 10, 11], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    t = adamic_adar_top_pairs(edges, k=10)
+    rows = list(zip(t.column("id_a").to_pylist(),
+                    t.column("id_b").to_pylist(),
+                    t.column("aa").to_pylist()))
+    w3, w2 = 1.0 / math.log(3), 1.0 / math.log(2)
+    assert rows[0][:2] == (10, 11)
+    assert rows[0][2] == pytest.approx(2 * w3 + w2, abs=2e-6)
+    assert rows[1] == (10, 12, round(2 * w3, 6))
+    assert rows[2] == (11, 12, round(2 * w3, 6))
+    # cap truncates emission but weights keep the TRUE out-degree:
+    # sources 0/1 emit only (10,11) at weight 1/ln(3) each
+    t2 = adamic_adar_top_pairs(edges, k=10, max_out_degree=2)
+    rows2 = list(zip(t2.column("id_a").to_pylist(),
+                     t2.column("id_b").to_pylist(),
+                     t2.column("aa").to_pylist()))
+    assert rows2 == [(10, 11, round(2 * w3 + w2, 6))]
+
+
 def test_ktruss_peeling(ray_session):
     import numpy as np
     import pyarrow as pa
