@@ -15,6 +15,7 @@ from signal_collect_ray.algorithms.cocitation import (
     cocitation_top_pairs,
 )
 from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
+from signal_collect_ray.algorithms.walks import random_walks
 from signal_collect_ray.algorithms.scc import scc_labels
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
@@ -42,6 +43,7 @@ __all__ = [
     "edge_support",
     "ktruss",
     "scc_labels",
+    "random_walks",
     "best_paths",
     "triangle_counts",
     "total_triangles",

@@ -3341,6 +3341,48 @@ def _survivors_sql(k: int = 16, threshold: float = 0.8) -> str:
 _PQ_NODES = [("star", 1), ("fixed", 7), ("wild",), ("fixed", 11)]
 
 
+_WALK_LEN, _WALK_MOD, _WALK_SEED = 6, 16, 42
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk traces (DeepWalk/node2vec sampling
+    primitive) from every source vid divisible by 16
+    (algorithms.walks.random_walks)."""
+    from signal_collect_ray.algorithms.walks import random_walks
+
+    return random_walks(
+        _graph(sf_dir), walk_len=_WALK_LEN, seed=_WALK_SEED,
+        start_mod=_WALK_MOD,
+    )
+
+
+def _walks_sql() -> str:
+    head = (
+        f"WITH e AS MATERIALIZED ({_E_SQL}), "
+        "adj AS (SELECT src, dst, "
+        "CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 "
+        "AS UBIGINT) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY src) AS UBIGINT) AS deg "
+        "FROM e), "
+        "s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM e "
+        f"WHERE src % {_WALK_MOD} = 0)"
+    )
+    steps = []
+    for t in range(1, _WALK_LEN + 1):
+        steps.append(
+            f", s{t} AS (SELECT s{t - 1}.walk_id, a.dst AS cur "
+            f"FROM s{t - 1} JOIN adj a ON a.src = s{t - 1}.cur "
+            "AND a.rn = CAST(('0x' || substr(md5("
+            f"'{_WALK_SEED}:' || CAST(s{t - 1}.walk_id AS VARCHAR) "
+            f"|| ':{t}'), 1, 8)) AS UBIGINT) % a.deg)"
+        )
+    sels = [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vid FROM s{t}"
+        for t in range(_WALK_LEN + 1)
+    ]
+    return head + "".join(steps) + " " + " UNION ALL ".join(sels)
+
+
 def q_path_query(sf_dir: str):
     """Bounded path-pattern match over the derived graph — the
     reference's PathQuery example (``PathQuery.scala:28-160``) as an
@@ -3614,6 +3656,7 @@ def queries():
         "token_diffusion_k4": q_token_diffusion_k4,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "path_query_star": q_path_query,
+        "random_walks": q_random_walks,
         "hamiltonian_best": q_hamiltonian_best,
         "host_pagerank_k4": q_host_pagerank_k4,
         "vertex_coloring": q_vertex_coloring,
@@ -3794,6 +3837,7 @@ def oracle_sql():
             _EMB_DUP_PAIRS_SQL, "embeddings", "vec_id", 16
         ),
         "path_query_star": _pq_sql(),
+        "random_walks": _walks_sql(),
         "hamiltonian_best": _ham_sql(),
         "host_pagerank_k4": _host_pr_sql(4),
         "vertex_coloring": _COLORING_SQL,

@@ -86,3 +86,60 @@ def test_no_matches_is_empty(tmp_path):
     dst = np.array([1, 2], dtype=np.int64)
     g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=2)
     assert _run(g, 0, [("wild",), ("fixed", 99)]) == set()
+
+
+def _sim_walks(src, dst, walk_len, seed, start_mod):
+    """Independent oracle: simulate the md5-argmod walk on an adjacency
+    dict of sorted deduplicated neighbor lists."""
+    import hashlib
+
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    rows = set()
+    for w in sorted({s for s in src.tolist() if s % start_mod == 0}):
+        cur = w
+        rows.add((w, 0, w))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{w}:{t}".encode()).digest()[:4], "big"
+            )
+            cur = nbrs[h % len(nbrs)]
+            rows.add((w, t, cur))
+    return rows
+
+
+def test_random_walks_match_simulator(tmp_path):
+    from signal_collect_ray.algorithms.walks import random_walks
+
+    rng = np.random.default_rng(7)
+    n, m = 30, 120
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    exp = _sim_walks(src, dst, walk_len=5, seed=9, start_mod=3)
+    for P in (2, 4):  # determinism across partitioning
+        g = Graph.from_edge_arrays(
+            src, dst, str(tmp_path / f"gw{P}"), num_partitions=P
+        )
+        df = random_walks(g, walk_len=5, seed=9, start_mod=3).to_pandas()
+        got = set(zip(df["walk_id"], df["step"], df["vid"]))
+        assert got == exp
+
+
+def test_random_walks_sink_stops(tmp_path):
+    from signal_collect_ray.algorithms.walks import random_walks
+
+    # 0 -> 1 -> 2 (sink): the walk from 0 emits exactly steps 0..2
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "gs"), num_partitions=2)
+    df = random_walks(g, walk_len=8, seed=1, start_mod=1).to_pandas()
+    rows = sorted(zip(df["walk_id"], df["step"], df["vid"]))
+    assert rows == [(0, 0, 0), (0, 1, 1), (0, 2, 2), (1, 0, 1), (1, 1, 2)]
