@@ -12,6 +12,7 @@ from signal_collect_ray.functions.aggregations import (
     foreach_vertex,
     for_vertex_with_id,
     multi_aggregate,
+    rollup_aggregate,
 )
 from signal_collect_ray.functions.text import (
     LanguageId,
@@ -65,7 +66,7 @@ from signal_collect_ray.functions.multimodal import (
 
 __all__ = [
     "sum_of_states", "product_of_states", "count_vertices",
-    "sample_vertex_ids", "top_k", "grouped_top_k",
+    "sample_vertex_ids", "top_k", "grouped_top_k", "rollup_aggregate",
     "exact_quantiles_int", "grouped_quantiles_int",
     "id_state_map", "map_reduce",
     "foreach_vertex", "for_vertex_with_id", "multi_aggregate",

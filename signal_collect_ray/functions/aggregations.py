@@ -327,3 +327,100 @@ def top_activity(info, k: int = 5) -> pa.Table:
             ),
         }
     )
+
+
+def rollup_aggregate(ds, keys, value_col):
+    """``GROUP BY ROLLUP(keys...)`` with COUNT(*) + SUM(value),
+    Ray-Data-first: the raw data is aggregated ONCE at the finest level
+    (a per-block pandas partial pre-agg bounds the shuffle to distinct
+    key combinations per block); every coarser level re-aggregates the
+    PREVIOUS level's already-tiny result, so the full rollup cube costs
+    one pass over the data plus len(keys) aggregations over aggregates.
+    Rolled-up key columns are NULL (the SQL ROLLUP convention — as in
+    SQL, a NULL data key at the finest level is indistinguishable from
+    a rollup marker, so use non-null keys). Sums round to 6 digits
+    (float-mirror convention). Returns keys + (n, sum_val)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    schema = ds.schema()
+    key_types = {
+        n: schema.types[i] for i, n in enumerate(schema.names) if n in keys
+    }
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(list(keys) + [value_col]).to_pandas()
+        g = (
+            df.groupby(list(keys), sort=False, dropna=False)[value_col]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        out = pa.table(
+            {
+                **{k: pa.array(g[k]).cast(key_types[k]) for k in keys},
+                "cnt": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "sv": pa.array(g["sum"].to_numpy(np.float64), pa.float64()),
+            }
+        )
+        return out
+
+    def merge(level_keys):
+        """one groupby over an (already aggregated) level"""
+
+        def to_level(src_ds):
+            if level_keys:
+                agg = src_ds.groupby(list(level_keys)).aggregate(
+                    Sum("cnt", alias_name="cnt2"), Sum("sv", alias_name="sv2")
+                )
+            else:
+
+                def tag(tbl: pa.Table) -> pa.Table:
+                    return tbl.append_column(
+                        "g", pa.array(np.zeros(tbl.num_rows, np.int64))
+                    )
+
+                agg = (
+                    src_ds.map_batches(tag, batch_format="pyarrow")
+                    .groupby("g")
+                    .aggregate(
+                        Sum("cnt", alias_name="cnt2"),
+                        Sum("sv", alias_name="sv2"),
+                    )
+                )
+
+            def shape(tbl: pa.Table) -> pa.Table:
+                n = tbl.num_rows
+                cols = {}
+                for k in keys:
+                    if k in level_keys:
+                        cols[k] = tbl.column(k)
+                    else:
+                        cols[k] = pa.nulls(n, key_types[k])
+                cols["cnt"] = tbl.column("cnt2")
+                cols["sv"] = tbl.column("sv2")
+                return pa.table(cols)
+
+            return agg.map_batches(shape, batch_format="pyarrow")
+
+        return to_level
+
+    finest_partials = ds.map_batches(partial, batch_format="pyarrow")
+    levels = [merge(keys)(finest_partials).materialize()]
+    for i in range(len(keys) - 1, -1, -1):
+        levels.append(merge(keys[:i])(levels[-1]).materialize())
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        sv = np.round(tbl.column("sv").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                **{k: tbl.column(k) for k in keys},
+                "n": tbl.column("cnt"),
+                "sum_val": pa.array(sv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -2394,6 +2394,44 @@ def _stratified_sql() -> str:
     )
 
 
+def q_event_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user cohort) over events — count +
+    value sum at every rollup level, finest level aggregated once and
+    coarser levels derived from it
+    (functions.aggregations.rollup_aggregate)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import rollup_aggregate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"],
+    )
+
+    def cohort(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "cohort": pa.array(u % 4, pa.int64()),
+                "value": tbl.column("value"),
+            }
+        )
+
+    return rollup_aggregate(
+        ds.map_batches(cohort, batch_format="pyarrow"),
+        ["event_type", "cohort"],
+        "value",
+    )
+
+
+_EVENT_ROLLUP_SQL = """
+SELECT event_type, user_id % 4 AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_val
+FROM events GROUP BY ROLLUP(event_type, cohort)
+"""
+
+
 def q_quality_percentiles(sf_dir: str):
     """Percentile-rank (CUME_DIST) transform of the quality score —
     computed WITHOUT a global sort: the rounded scores are discrete, so
@@ -3634,6 +3672,7 @@ def queries():
         "degree_assortativity": q_degree_assortativity,
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
+        "event_rollup": q_event_rollup,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
         "mis_validity": q_mis_validity,
@@ -3776,6 +3815,7 @@ def oracle_sql():
         "degree_assortativity": _assortativity_sql(),
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
+        "event_rollup": _EVENT_ROLLUP_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
         "mis_validity": _MIS_SQL,

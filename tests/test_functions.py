@@ -1157,3 +1157,31 @@ def test_broadcast_join_overlap_rejected():
                                     "name": ["r"]}))
     with pytest.raises(ValueError, match="overlap"):
         broadcast_join(left, right, on="k").take_all()
+
+
+def test_rollup_aggregate_levels():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import rollup_aggregate
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": pa.array([1, 2, 1, 1, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    rows = rollup_aggregate(
+        rd.from_arrow(t).repartition(3), ["a", "b"], "v"
+    ).take_all()
+    got = {(r["a"], r["b"]): (r["n"], r["sum_val"]) for r in rows}
+    assert got == {
+        ("x", 1): (1, 1.0),
+        ("x", 2): (1, 2.0),
+        ("y", 1): (2, 7.0),
+        ("y", 2): (1, 5.0),
+        ("x", None): (2, 3.0),
+        ("y", None): (3, 12.0),
+        (None, None): (5, 15.0),
+    }
+    assert len(rows) == 7
