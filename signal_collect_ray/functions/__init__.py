@@ -29,6 +29,11 @@ from signal_collect_ray.functions.text import (
     top_bigrams,
     unigram_logprob,
 )
+from signal_collect_ray.functions.models import (
+    LinearTextClassifier,
+    classify_documents,
+    synthetic_weights,
+)
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
     minhash_lsh_candidates,
@@ -74,6 +79,7 @@ __all__ = [
     "RepetitionScore", "ChunkDocuments", "PiiScrub", "EntropyScore",
     "analyze_documents", "curate_corpus", "tfidf_top_terms",
     "top_bigrams", "unigram_logprob",
+    "LinearTextClassifier", "classify_documents", "synthetic_weights",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",

@@ -2432,6 +2432,44 @@ FROM events GROUP BY ROLLUP(event_type, cohort)
 """
 
 
+def q_classifier_scores(sf_dir: str):
+    """fastText-style hashed-linear-classifier inference over documents
+    (functions.models.classify_documents) — actor-pool model scoring
+    with a deterministic md5-derived weight vector, so the inference
+    dataflow has an exact SQL mirror."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.models import classify_documents
+
+    return classify_documents(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        concurrency=2,
+    ).select_columns(["doc_id", "cls_score"])
+
+
+_CLASSIFIER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM d WHERE w[1] <> ''),
+wt AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5('w:' || CAST(
+             CAST(('0x' || substr(md5(word), 1, 8)) AS UBIGINT) % 1024
+           AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 - 0.5) AS v
+  FROM words WHERE word <> ''),
+s AS (SELECT doc_id, AVG(v) AS raw FROM wt GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(COALESCE(1.0 / (1.0 + exp(-8.0 * s.raw)), 0.5), 6) AS cls_score
+FROM d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_quality_percentiles(sf_dir: str):
     """Percentile-rank (CUME_DIST) transform of the quality score —
     computed WITHOUT a global sort: the rounded scores are discrete, so
@@ -3657,6 +3695,7 @@ def queries():
         "doc_chunks": q_doc_chunks,
         "doc_entropy": q_doc_entropy,
         "doc_logprob": q_doc_logprob,
+        "classifier_scores": q_classifier_scores,
         "top_bigrams": q_top_bigrams,
         "corpus_curation": q_corpus_curation,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -3800,6 +3839,7 @@ def oracle_sql():
         "doc_chunks": _CHUNKS_SQL,
         "doc_entropy": _ENTROPY_SQL,
         "doc_logprob": _LOGPROB_SQL,
+        "classifier_scores": _CLASSIFIER_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,
         "corpus_curation": _curation_sql(),
         "top_docs_per_lang": _top_docs_sql(),

@@ -1185,3 +1185,46 @@ def test_rollup_aggregate_levels():
         (None, None): (5, 15.0),
     }
     assert len(rows) == 7
+
+
+def test_linear_classifier_scoring():
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from signal_collect_ray.functions.models import (
+        LinearTextClassifier, classify_documents, synthetic_weights,
+    )
+
+    w = synthetic_weights(1024)
+
+    def u32(b):
+        return int.from_bytes(hashlib.md5(b).digest()[:4], "big")
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": ["Hello world hello", ""],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r["cls_score"]
+            for r in classify_documents(docs).take_all()}
+    toks = ["hello", "world", "hello"]
+    raw = sum(w[u32(t.encode()) % 1024] for t in toks) / 3
+    assert rows[0] == pytest.approx(
+        round(1 / (1 + math.exp(-8 * raw)), 6), abs=1e-9
+    )
+    assert rows[1] == 0.5  # empty doc scores sigmoid(0)
+    # custom weights must be honored, wrong length rejected
+    with pytest.raises(ValueError):
+        LinearTextClassifier(num_buckets=8, weights=np.zeros(4))
+    zero = classify_documents(docs, num_buckets=8,
+                              weights=np.zeros(8)).take_all()
+    assert all(r["cls_score"] == 0.5 for r in zero)
+    # actor-pool path (concurrency) gives identical scores
+    pooled = {r["doc_id"]: r["cls_score"]
+              for r in classify_documents(docs, concurrency=2).take_all()}
+    assert pooled == rows
