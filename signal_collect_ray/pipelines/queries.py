@@ -678,6 +678,44 @@ def q_sssp_from0(sf_dir: str):
     return pa.table({"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())})
 
 
+_HC_SOURCES = (0, 16, 32, 48)
+
+
+def q_harmonic_closeness(sf_dir: str):
+    """Harmonic closeness centrality w.r.t. a deterministic source
+    sample (the standard scalable estimator — Boldi & Vigna 2014,
+    public literature: exact closeness needs all-pairs BFS, so
+    production systems run k pivot BFSs and sum 1/d): four engine SSSP
+    runs (one per pivot), then a per-vertex Σ 1/d(s,v) over the pivots.
+    At scale the k distance maps union + groupby(vid); at gate scale
+    the state tables are small and combine in numpy."""
+    from signal_collect_ray.algorithms import SSSP
+
+    acc = {}
+    for s in _HC_SOURCES:
+        t = _state(sf_dir, SSSP(s), False, 50, tag=f"_hc{s}")
+        vid = t.column("vid").to_numpy(zero_copy_only=False)
+        d = t.column("state").to_numpy(zero_copy_only=False)
+        inv = np.where(np.isfinite(d) & (d > 0), 1.0 / np.maximum(d, 1e-30), 0.0)
+        for v, x in zip(vid, inv):
+            acc[int(v)] = acc.get(int(v), 0.0) + float(x)
+    vids = np.array(sorted(acc), dtype=np.int64)
+    h = np.round(np.array([acc[int(v)] for v in vids]), 6)
+    return pa.table(
+        {"vid": pa.array(vids, pa.int64()), "harmonic": pa.array(h, pa.float64())}
+    )
+
+
+def _harmonic_sql() -> str:
+    subs = " UNION ALL ".join(
+        f"SELECT vid, dist FROM ({_sssp_sql(_BFS_K, s)})" for s in _HC_SOURCES
+    )
+    return (
+        "SELECT vid, ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist "
+        f"ELSE 0 END), 6) AS harmonic FROM ({subs}) GROUP BY vid"
+    )
+
+
 def _graph_weighted(sf_dir: str):
     from signal_collect_ray import Graph
 
@@ -3673,6 +3711,7 @@ def queries():
         "connected_components": q_cc_labels,
         "component_sizes": q_component_sizes,
         "sssp_from0": q_sssp_from0,
+        "harmonic_closeness": q_harmonic_closeness,
         "sssp_weighted_from0": q_sssp_weighted_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "triangle_total": q_triangle_total,
@@ -3789,6 +3828,7 @@ def oracle_sql():
             "FROM cc GROUP BY label"
         ),
         "sssp_from0": _sssp_sql(_BFS_K),
+        "harmonic_closeness": _harmonic_sql(),
         "sssp_weighted_from0": _ssspw_sql(12),
         "chinese_whispers_k1": _CW1_SQL,
         "triangle_total": _TRI_SQL_BASE
