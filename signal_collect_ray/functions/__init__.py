@@ -34,6 +34,10 @@ from signal_collect_ray.functions.models import (
     classify_documents,
     synthetic_weights,
 )
+from signal_collect_ray.functions.sketches import (
+    approx_distinct,
+    approx_distinct_by_key,
+)
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
     minhash_lsh_candidates,
@@ -80,6 +84,7 @@ __all__ = [
     "analyze_documents", "curate_corpus", "tfidf_top_terms",
     "top_bigrams", "unigram_logprob",
     "LinearTextClassifier", "classify_documents", "synthetic_weights",
+    "approx_distinct", "approx_distinct_by_key",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",

@@ -2432,6 +2432,27 @@ def _stratified_sql() -> str:
     )
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type
+    (functions.sketches.approx_distinct_by_key) — the shuffle-free
+    sketch counterpart of the exact ``distinct_users_per_event`` query.
+    Rows-only driver check (approximate by construction); the ≤5 %
+    error bound vs the exact counts is pinned in
+    tests/test_functions.py."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import approx_distinct_by_key
+
+    return approx_distinct_by_key(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        ),
+        key="event_type",
+        col="user_id",
+    )
+
+
 def q_event_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, user cohort) over events — count +
     value sum at every rollup level, finest level aggregated once and
@@ -3787,6 +3808,7 @@ def queries():
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
         "pagerank_async": q_pagerank_async,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

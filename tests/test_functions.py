@@ -1228,3 +1228,36 @@ def test_linear_classifier_scoring():
     pooled = {r["doc_id"]: r["cls_score"]
               for r in classify_documents(docs, concurrency=2).take_all()}
     assert pooled == rows
+
+
+def test_hll_approx_distinct_bounds():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import (
+        approx_distinct, approx_distinct_by_key,
+    )
+
+    n = 50_000
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids})).repartition(8)
+    est = approx_distinct(ds, "id", p=12)
+    assert abs(est - n) / n < 0.05
+    # deterministic across partitioning (same hashes, max-merge)
+    est2 = approx_distinct(
+        rd.from_arrow(pa.table({"id": ids})).repartition(3), "id", p=12
+    )
+    assert est == est2
+    # duplicates don't inflate the estimate
+    dup = rd.from_arrow(pa.table({"id": np.repeat(ids[:1000], 50)}))
+    est3 = approx_distinct(dup, "id", p=12)
+    assert abs(est3 - 1000) / 1000 < 0.05
+
+    # grouped: two keys with known cardinalities
+    k = np.where(ids % 5 == 0, "a", "b")
+    g = rd.from_arrow(
+        pa.table({"k": pa.array(k.tolist(), pa.string()), "id": ids})
+    ).repartition(6)
+    rows = {r["k"]: r["approx_n"]
+            for r in approx_distinct_by_key(g, "k", "id", p=12).take_all()}
+    assert abs(rows["a"] - n / 5) / (n / 5) < 0.05
+    assert abs(rows["b"] - 4 * n / 5) / (4 * n / 5) < 0.05
