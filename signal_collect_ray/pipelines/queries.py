@@ -2432,6 +2432,28 @@ def _stratified_sql() -> str:
     )
 
 
+def q_neighborhood_function(sf_dir: str):
+    """HyperBall approximate neighborhood function N(t) + effective
+    diameter of the derived graph (algorithms.hyperball). Rows-only
+    driver check (HLL-approximate by construction); ≤15 % error vs an
+    exact BFS closure and partition-invariance are pinned in
+    tests/test_hyperball.py."""
+    from signal_collect_ray.algorithms.hyperball import neighborhood_function
+
+    out = neighborhood_function(_graph(sf_dir), p=8)
+    nf = out["nf"]
+    return pa.table(
+        {
+            "t": pa.array(np.arange(len(nf), dtype=np.int64), pa.int64()),
+            "n_pairs": pa.array(np.round(nf, 3), pa.float64()),
+            "effective_diameter": pa.array(
+                np.full(len(nf), out["effective_diameter"], np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type
     (functions.sketches.approx_distinct_by_key) — the shuffle-free
@@ -3809,6 +3831,7 @@ def queries():
         "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
         "pagerank_async": q_pagerank_async,
         "approx_distinct_users": q_approx_distinct_users,
+        "neighborhood_function": q_neighborhood_function,
     }
 
 
