@@ -37,6 +37,10 @@ from signal_collect_ray.functions.models import (
 from signal_collect_ray.functions.sketches import (
     approx_distinct,
     approx_distinct_by_key,
+    bloom_build,
+    bloom_contains,
+    bloom_drop_ids,
+    heavy_hitters,
 )
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
@@ -85,6 +89,7 @@ __all__ = [
     "top_bigrams", "unigram_logprob",
     "LinearTextClassifier", "classify_documents", "synthetic_weights",
     "approx_distinct", "approx_distinct_by_key",
+    "bloom_build", "bloom_contains", "bloom_drop_ids", "heavy_hitters",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",

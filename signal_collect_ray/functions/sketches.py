@@ -133,3 +133,157 @@ def approx_distinct_by_key(ds, key: str, col: str, p: int = 12):
         .groupby(key)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — approximate membership for billion-key anti-joins.
+# ---------------------------------------------------------------------------
+
+def _bloom_hashes(h: np.ndarray, k: int, num_bits: int):
+    """k bit positions per key via double hashing (Kirsch–Mitzenmacher
+    2006, public literature): pos_i = (h1 + i·h2) mod m."""
+    h1 = h % np.uint64(num_bits)
+    h2 = mix64(h ^ np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_bits - 1) + np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
+
+
+def bloom_build(ds, col: str, num_bits: int = 1 << 20, k: int = 7) -> np.ndarray:
+    """Build a Bloom filter over ``ds[col]`` — per-block partial bit
+    arrays OR-merged (the mergeable-sketch pattern: fixed-size partials,
+    no key shuffle). Returns a packed uint64 bit array of
+    ``num_bits / 64`` words. Size it ~10 bits/key for ~1 % FPR.
+
+    This is the 100-TB shape of ``dedup.drop_ids``'s broadcast: a
+    billion dupe ids no longer fit a sorted int64 broadcast (8 GB), but
+    their 10-bit/key Bloom image (~1.2 GB) does — membership then has
+    no false NEGATIVES, so every true duplicate is still dropped, and
+    the ~1 % false-positive overdrop is acceptable for corpus dedup (or
+    verified exactly afterwards on the tiny flagged subset)."""
+    words = num_bits // 64
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        h = _hash_col(tbl.column(col).combine_chunks())
+        for pos in _bloom_hashes(h, k, num_bits):
+            np.bitwise_or.at(
+                bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+        return pa.table({"bits": pa.array([bits], pa.list_(pa.uint64()))})
+
+    merged = np.zeros(words, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for r in b.column("bits").to_pylist():
+            np.bitwise_or(merged, np.asarray(r, dtype=np.uint64), out=merged)
+    return merged
+
+
+def bloom_contains(bits: np.ndarray, arr, k: int = 7) -> np.ndarray:
+    """Vectorized membership test (no false negatives)."""
+    num_bits = len(bits) * 64
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr)
+    h = _hash_col(arr)
+    hit = np.ones(len(h), dtype=bool)
+    for pos in _bloom_hashes(h, k, num_bits):
+        word = bits[pos // 64]
+        hit &= (word >> (pos % 64).astype(np.uint64)) & np.uint64(1) != 0
+    return hit
+
+
+def bloom_drop_ids(ds, dupes_ds, id_col: str = "doc_id",
+                   num_bits: int = 1 << 20, k: int = 7):
+    """Approximate anti-join: drop rows of ``ds`` whose id is (probably)
+    in ``dupes_ds`` — every true member IS dropped (no false
+    negatives); ~(1-e^{-kn/m})^k of the survivors are overdropped.
+    One fixed-size broadcast via ``ray.put``, no shuffle."""
+    import ray
+
+    bits = bloom_build(dupes_ds, "id", num_bits=num_bits, k=k)
+    ref = ray.put(bits)
+
+    def drop(tbl: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        hit = bloom_contains(b, tbl.column(id_col).combine_chunks(), k=k)
+        return tbl.filter(pa.array(~hit))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving / Misra–Gries heavy hitters — mergeable top-k counts.
+# ---------------------------------------------------------------------------
+
+def _mg_merge(counters: dict, items, counts, capacity: int):
+    """Fold (items, counts) into a Misra–Gries counter dict of bounded
+    size, decrementing all by the evicted minimum when over capacity
+    (Misra & Gries 1982; Metwally's Space-Saving merge — public
+    literature)."""
+    for it, c in zip(items, counts):
+        if it in counters:
+            counters[it] += int(c)
+        else:
+            counters[it] = int(c)
+    if len(counters) > capacity:
+        # evict smallest so that `capacity` remain; subtract the
+        # (capacity+1)-th largest count from the survivors
+        vals = sorted(counters.values(), reverse=True)
+        cut = vals[capacity]
+        counters2 = {
+            it: c - cut for it, c in counters.items() if c - cut > 0
+        }
+        counters.clear()
+        counters.update(counters2)
+    return counters
+
+
+def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
+    """Approximate top-k most frequent values with bounded memory: each
+    block reduces to ≤ ``capacity`` Misra–Gries counters (np.unique per
+    block, then the bounded fold), partials merge driver-side (tiny,
+    fixed-size). Estimated counts undercount by at most N/capacity, so
+    with capacity ≫ k·(skew factor) the top-k SET and ORDER match the
+    exact counts — pinned in tests on Zipf data. Returns a pyarrow
+    Table (value, approx_count) ordered by (count desc, value asc)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(col).combine_chunks()
+        if pa.types.is_integer(arr.type):
+            vals, counts = np.unique(
+                arr.to_numpy(zero_copy_only=False), return_counts=True
+            )
+            vals = vals.tolist()
+        else:
+            import collections
+
+            c = collections.Counter(arr.to_pylist())
+            vals, counts = list(c.keys()), np.fromiter(
+                c.values(), dtype=np.int64, count=len(c)
+            )
+        counters = _mg_merge({}, vals, counts, capacity)
+        return pa.table(
+            {
+                "item": pa.array(list(counters.keys()), arr.type),
+                "cnt": pa.array(list(counters.values()), pa.int64()),
+            }
+        )
+
+    counters: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        counters = _mg_merge(
+            counters,
+            b.column("item").to_pylist(),
+            b.column("cnt").to_numpy(zero_copy_only=False),
+            capacity,
+        )
+    top = sorted(counters.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return pa.table(
+        {
+            "value": pa.array([t[0] for t in top]),
+            "approx_count": pa.array([t[1] for t in top], pa.int64()),
+        }
+    )

@@ -2454,6 +2454,34 @@ def q_neighborhood_function(sf_dir: str):
     )
 
 
+def q_top_event_types(sf_dir: str):
+    """Misra–Gries/Space-Saving heavy hitters over event_type
+    (functions.sketches.heavy_hitters). With the distinct-value count
+    below the counter capacity the sketch never evicts and the counts
+    are EXACT — which is what makes this oracle-checkable; the
+    approximate regime's N/capacity error bound is pinned on Zipf data
+    in tests/test_functions.py."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import heavy_hitters
+
+    return heavy_hitters(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+        ),
+        "event_type",
+        k=5,
+        capacity=64,
+    )
+
+
+_TOP_EVENT_TYPES_SQL = """
+SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS approx_count
+FROM events GROUP BY event_type
+ORDER BY approx_count DESC, value ASC LIMIT 5
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type
     (functions.sketches.approx_distinct_by_key) — the shuffle-free
@@ -3794,6 +3822,7 @@ def queries():
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
         "event_rollup": q_event_rollup,
+        "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
         "mis_validity": q_mis_validity,
@@ -3941,6 +3970,7 @@ def oracle_sql():
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
+        "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
         "mis_validity": _MIS_SQL,

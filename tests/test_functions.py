@@ -1261,3 +1261,60 @@ def test_hll_approx_distinct_bounds():
             for r in approx_distinct_by_key(g, "k", "id", p=12).take_all()}
     assert abs(rows["a"] - n / 5) / (n / 5) < 0.05
     assert abs(rows["b"] - 4 * n / 5) / (4 * n / 5) < 0.05
+
+
+def test_bloom_filter_no_false_negatives():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import (
+        bloom_build, bloom_contains, bloom_drop_ids,
+    )
+
+    members = np.arange(0, 20_000, 2, dtype=np.int64)  # evens
+    mem_ds = rd.from_arrow(pa.table({"id": members})).repartition(5)
+    bits = bloom_build(mem_ds, "id", num_bits=1 << 18, k=7)
+    # every member hits (no false negatives)
+    assert bloom_contains(bits, pa.array(members)).all()
+    # FPR on non-members near theory (~1% at 10 bits/key) — allow 3%
+    non = np.arange(1, 20_000, 2, dtype=np.int64)
+    fpr = bloom_contains(bits, pa.array(non)).mean()
+    assert fpr < 0.03
+    # anti-join: all members dropped, most non-members kept
+    all_ds = rd.from_arrow(
+        pa.table({"doc_id": np.arange(20_000, dtype=np.int64)})
+    ).repartition(4)
+    dupes = rd.from_arrow(pa.table({"id": members}))
+    kept = np.array(
+        [r["doc_id"] for r in
+         bloom_drop_ids(all_ds, dupes, num_bits=1 << 18).take_all()]
+    )
+    assert (kept % 2 == 1).all()          # no member survived
+    assert len(kept) > 0.97 * len(non)    # overdrop bounded by FPR
+
+
+def test_heavy_hitters_zipf():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.5, 40_000)
+    vals = vals[vals < 1000].astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+    got = heavy_hitters(ds, "v", k=5, capacity=512)
+    u, c = np.unique(vals, return_counts=True)
+    order = np.lexsort((u, -c))
+    exact_top = [int(u[i]) for i in order[:5]]
+    assert got.column("value").to_pylist() == exact_top
+    # estimated counts within N/capacity of exact
+    exact_counts = {int(u[i]): int(c[i]) for i in range(len(u))}
+    for v, a in zip(got.column("value").to_pylist(),
+                    got.column("approx_count").to_pylist()):
+        assert 0 < exact_counts[v] - a <= len(vals) // 512 + 1 or a == exact_counts[v]
+    # string keys work too
+    sds = rd.from_arrow(
+        pa.table({"s": pa.array(["a"] * 50 + ["b"] * 30 + ["c"] * 5)})
+    ).repartition(3)
+    st = heavy_hitters(sds, "s", k=2, capacity=16)
+    assert st.column("value").to_pylist() == ["a", "b"]
+    assert st.column("approx_count").to_pylist() == [50, 30]
