@@ -80,20 +80,30 @@ def _pnum(path: str) -> int:
 
 
 def neighborhood_function(
-    graph, p: int = 8, max_rounds: int = 64, alpha: float = 0.9
+    graph, p: int = 8, max_rounds: int = 64, alpha: float = 0.9,
+    exchange_buckets: int = 16,
 ):
     """Run HyperBall over ``graph``. Returns a dict with
 
     - ``nf``: list of N(t) estimates, t = 0..T (monotone, converged)
     - ``effective_diameter``: smallest t with N(t) ≥ alpha · N(T)
     - ``rounds``: T
-    """
+
+    The exchange runs over ``min(P, exchange_buckets)`` state BUCKETS
+    (graph partitions grouped ``part % B``): register traffic per round
+    is inherently Σ|shard dst sets| · 2^p bytes regardless of B, but
+    task/ObjectRef count is O(B²) per round, so a measured B ≈ CPU
+    count keeps Ray bookkeeping off the critical path where hundreds of
+    engine-sized partitions would drown it (the same reasoning as the
+    resident engine's worker-pool cost model). Per-bucket planning
+    (unique dsts, owners, CSR concat) runs as one remote task per
+    bucket, not on the driver."""
     import pyarrow.parquet as pq
     import ray
 
     csr_refs = graph.csr_refs()
-    parts = sorted(csr_refs)
     P = graph.num_partitions
+    B = max(1, min(P, exchange_buckets))
 
     # all partition vertices (vid-sorted shards), not just sources —
     # sinks keep their singleton ball and must count in N(t)
@@ -104,24 +114,59 @@ def neighborhood_function(
             zero_copy_only=False
         )
         vids_by_part[q] = np.asarray(v, dtype=np.int64)
-    for q in parts:
-        vids_by_part.setdefault(q, np.empty(0, np.int64))
 
-    # ---- static routing plan (once): per CSR shard, the unique dsts,
-    # their owners, and each source's row in the partition vid order
-    plans: Dict[int, dict] = {}
-    for q in parts:
-        csr = ray.get(csr_refs[q])
-        dst_u, dst_inv = np.unique(csr["dst"], return_inverse=True)
-        src_rows = np.searchsorted(vids_by_part[q], csr["src_ids"])
-        plans[q] = {
+    parts = sorted(set(list(csr_refs) + list(vids_by_part)))
+    bucket_parts = {b: [q for q in parts if q % B == b] for b in range(B)}
+
+    @ray.remote
+    def build_plan(member_vids, *csrs):
+        """one bucket's static routing plan: concatenated CSR segments,
+        unique dsts + owner buckets, source rows in bucket vid order."""
+        bucket_vids = (
+            np.sort(np.concatenate(member_vids))
+            if member_vids
+            else np.empty(0, np.int64)
+        )
+        dsts, indptrs, srcs = [], [np.zeros(1, np.int64)], []
+        off = 0
+        for csr in csrs:
+            dsts.append(csr["dst"])
+            indptrs.append(csr["indptr"][1:] + off)
+            off += len(csr["dst"])
+            srcs.append(csr["src_ids"])
+        dst_all = (
+            np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        )
+        src_all = (
+            np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        )
+        dst_u, dst_inv = np.unique(dst_all, return_inverse=True)
+        plan = {
             "dst_unique": dst_u,
             "dst_inv": dst_inv.astype(np.int64),
-            "owner": part_of(dst_u, P),
-            "src_rows": src_rows.astype(np.int64),
-            "indptr": csr["indptr"],
+            "owner": part_of(dst_u, P) % B,
+            "src_rows": np.searchsorted(bucket_vids, src_all).astype(
+                np.int64
+            ),
+            "indptr": np.concatenate(indptrs).astype(np.int64),
         }
-    # request[r][q] = vids partition q needs from owner r (sorted)
+        return plan, bucket_vids
+
+    plan_outs = {
+        b: build_plan.remote(
+            [vids_by_part[q] for q in bucket_parts[b] if q in vids_by_part],
+            *[csr_refs[q] for q in bucket_parts[b] if q in csr_refs],
+        )
+        for b in range(B)
+    }
+    plans: Dict[int, dict] = {}
+    vids_by_bucket: Dict[int, np.ndarray] = {}
+    for b in range(B):
+        plans[b], vids_by_bucket[b] = ray.get(plan_outs[b])
+    parts = list(range(B))
+    vids_by_part = vids_by_bucket
+
+    # request[r][q] = vids bucket q needs from owner bucket r (sorted)
     request: Dict[int, Dict[int, np.ndarray]] = {r: {} for r in parts}
     for q in parts:
         owner = plans[q]["owner"]
@@ -131,29 +176,44 @@ def neighborhood_function(
                 request[r][q] = plans[q]["dst_unique"][sel]
 
     @ray.remote
-    def serve(state, vids, wanted):
-        """register rows for the sorted `wanted` vids; vids absent from
-        this partition (dangling dsts) yield zero rows (empty balls)."""
-        out = np.zeros((len(wanted), state.shape[1]), dtype=np.uint8)
-        if len(vids):
-            pos = np.searchsorted(vids, wanted)
-            pos_c = np.minimum(pos, len(vids) - 1)
-            found = (pos < len(vids)) & (vids[pos_c] == wanted)
-            if found.any():
-                out[found] = state[pos_c[found]]
-        return out
+    def serve(state, vids, changed, *wanted_lists):
+        """DELTA propagation (the HyperBall systolic optimization): a
+        neighbor row that did not change last round is already absorbed
+        by every receiver (max-merge is monotone), so only CHANGED rows
+        ship — per-round traffic decays with the shrinking frontier.
+        ONE task per owner partition per round with one return value per
+        requesting partition (``num_returns``): O(P) tasks, and each
+        requester fetches only its own (positions, rows) slice. Vids
+        absent from this partition (dangling dsts) contribute nothing
+        (empty balls)."""
+        outs = []
+        for wanted in wanted_lists:
+            if len(vids):
+                pos = np.searchsorted(vids, wanted)
+                pos_c = np.minimum(pos, len(vids) - 1)
+                hot = (pos < len(vids)) & (vids[pos_c] == wanted)
+                hot &= changed[pos_c]
+                idx = np.flatnonzero(hot)
+                rows = state[pos_c[idx]]
+            else:
+                idx = np.empty(0, np.int64)
+                rows = np.empty((0, state.shape[1]), np.uint8)
+            outs.append((idx.astype(np.int64), rows))
+        return outs[0] if len(outs) == 1 else tuple(outs)
 
     @ray.remote
     def update(state, plan_d, hll_p, *served):
-        """fold edge-aligned neighbor rows into each source's registers;
-        returns (new_state, changed, sum_of_estimates)."""
+        """fold the served (positions-into-wanted, rows) deltas into
+        each source's registers via one segment-max; unserved neighbor
+        slots stay zero — a no-op under max."""
         m = state.shape[1]
         nbr = np.zeros((len(plan_d["dst_unique"]), m), dtype=np.uint8)
         i = 0
         owner = plan_d["owner"]
         for r in sorted(set(owner.tolist())):  # same order as `served`
             sel = np.flatnonzero(owner == r)
-            nbr[sel] = served[i]
+            idx, rows = served[i]
+            nbr[sel[idx]] = rows
             i += 1
         if len(plan_d["src_rows"]):
             edge_rows = nbr[plan_d["dst_inv"]]
@@ -161,13 +221,15 @@ def neighborhood_function(
                 edge_rows, plan_d["indptr"][:-1], axis=0
             )
             new_state = state.copy()
-            rows = plan_d["src_rows"]
-            new_state[rows] = np.maximum(state[rows], seg_max)
+            rows_ = plan_d["src_rows"]
+            new_state[rows_] = np.maximum(state[rows_], seg_max)
+            changed_mask = (new_state != state).any(axis=1)
         else:
             new_state = state
-        changed = bool((new_state != state).any())
+            changed_mask = np.zeros(len(state), dtype=bool)
         est = float(_estimates(new_state, hll_p).sum())
-        return new_state, changed, est
+        # num_returns=3 at the call site: state and mask stay remote
+        return new_state, changed_mask, (bool(changed_mask.any()), est)
 
     # ---- init
     state_refs, vids_refs, plan_refs = {}, {}, {}
@@ -179,28 +241,49 @@ def neighborhood_function(
         vids_refs[q] = ray.put(vids_by_part[q])
         plan_refs[q] = ray.put(plans[q])
 
+    # request[r] iterated in a fixed order so serve's return slots are
+    # addressable: owner r serves sorted(request[r]) requesters
+    req_order = {r: sorted(request[r]) for r in parts}
+    # round 1: every row is "changed" (the initial singleton balls)
+    mask_refs = {
+        q: ray.put(np.ones(len(vids_by_part[q]), dtype=bool)) for q in parts
+    }
+
     nf: List[float] = [nf0]
     for _t in range(1, max_rounds + 1):
-        served = {
-            q: [
-                serve.remote(state_refs[r], vids_refs[r], request[r][q])
-                for r in parts
-                if q in request.get(r, {})
-            ]
-            for q in parts
-        }
+        # one multi-return serve per OWNER partition, changed rows only
+        slices: Dict[int, Dict[int, "object"]] = {q: {} for q in parts}
+        for r in parts:
+            qs = req_order[r]
+            if not qs:
+                continue
+            out = serve.options(num_returns=len(qs)).remote(
+                state_refs[r], vids_refs[r], mask_refs[r],
+                *[request[r][q] for q in qs],
+            )
+            if len(qs) == 1:
+                slices[qs[0]][r] = out
+            else:
+                for q, ref in zip(qs, out):
+                    slices[q][r] = ref
+        served = {q: [slices[q][r] for r in sorted(slices[q])] for q in parts}
+        # num_returns=3: state and changed-mask refs feed the next round
+        # WITHOUT round-tripping the driver; only (changed, estimate)
+        # scalars are fetched
         results = {
-            q: update.remote(state_refs[q], plan_refs[q], p, *served[q])
+            q: update.options(num_returns=3).remote(
+                state_refs[q], plan_refs[q], p, *served[q]
+            )
             for q in parts
         }
+        metas = ray.get([results[q][2] for q in parts])
         any_changed = False
         total = 0.0
-        for q in parts:
-            new_state, changed, est = ray.get(results[q])
+        for (changed, est), q in zip(metas, parts):
             any_changed |= changed
             total += est
-            if changed:
-                state_refs[q] = ray.put(new_state)
+            state_refs[q] = results[q][0]
+            mask_refs[q] = results[q][1]
         if not any_changed:
             break
         nf.append(total)
