@@ -258,6 +258,32 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     queries["graph_stats"], extra["n_cocitation_rows"] = _timed(graph_stats)
 
+    # 14. sketches + walk sampling (late round-3): HyperBall
+    # neighborhood function over the page graph (p=6 HLL ball
+    # exchange, delta-propagated), deterministic random walks, HLL
+    # distinct users, Misra-Gries heavy hitters over events
+    from signal_collect_ray.algorithms.hyperball import neighborhood_function
+    from signal_collect_ray.algorithms.walks import random_walks
+    from signal_collect_ray.functions.sketches import (
+        approx_distinct,
+        heavy_hitters,
+    )
+
+    def sketch_ops():
+        hb = neighborhood_function(g, p=6, max_rounds=12)
+        extra["effective_diameter"] = hb["effective_diameter"]
+        n = len(hb["nf"])
+        n += random_walks(g, walk_len=8, start_mod=64).count()
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        extra["approx_distinct_users"] = int(approx_distinct(ev, "user_id"))
+        n += heavy_hitters(ev, "event_type", k=5, capacity=64).num_rows
+        return n
+
+    queries["sketch_ops"], extra["n_sketch_rows"] = _timed(sketch_ops)
+
     total = sum(queries.values())
     return {
         "metric": "e2e_linkgraph_bench_sec",

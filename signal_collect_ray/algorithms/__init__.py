@@ -17,6 +17,7 @@ from signal_collect_ray.algorithms.cocitation import (
 from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
 from signal_collect_ray.algorithms.walks import random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
+from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
@@ -46,6 +47,7 @@ __all__ = [
     "scc_labels",
     "random_walks",
     "neighborhood_function",
+    "betweenness_sampled",
     "best_paths",
     "triangle_counts",
     "total_triangles",

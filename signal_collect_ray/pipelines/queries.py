@@ -2482,6 +2482,17 @@ ORDER BY approx_count DESC, value ASC LIMIT 5
 """
 
 
+def q_betweenness(sf_dir: str):
+    """Pivot-sampled Brandes betweenness over the derived graph
+    (algorithms.betweenness.betweenness_sampled, sources = vids
+    divisible by 16). Rows-only driver check; exactness of the
+    all-sources case vs a brute-force path-counting oracle is pinned in
+    tests/test_betweenness.py."""
+    from signal_collect_ray.algorithms.betweenness import betweenness_sampled
+
+    return betweenness_sampled(_graph(sf_dir), sample_mod=16)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type
     (functions.sketches.approx_distinct_by_key) — the shuffle-free
@@ -3861,6 +3872,7 @@ def queries():
         "pagerank_async": q_pagerank_async,
         "approx_distinct_users": q_approx_distinct_users,
         "neighborhood_function": q_neighborhood_function,
+        "betweenness_sampled": q_betweenness,
     }
 
 
