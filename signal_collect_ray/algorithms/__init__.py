@@ -13,7 +13,9 @@ from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
 from signal_collect_ray.algorithms.cocitation import (
     adamic_adar_top_pairs,
     cocitation_top_pairs,
+    jaccard_top_pairs,
 )
+from signal_collect_ray.algorithms.salsa import Salsa
 from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
 from signal_collect_ray.algorithms.walks import random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
@@ -41,7 +43,8 @@ __all__ = [
     "TokenDiffusion",
     "Sudoku",
     "simple_paths",
-    "cocitation_top_pairs", "adamic_adar_top_pairs",
+    "cocitation_top_pairs", "adamic_adar_top_pairs", "jaccard_top_pairs",
+    "Salsa",
     "edge_support",
     "ktruss",
     "scc_labels",

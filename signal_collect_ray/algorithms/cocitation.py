@@ -224,6 +224,175 @@ def adamic_adar_top_pairs(
     )
 
 
+# Above this many vertices the in-degree table is attached by two
+# co-partitioned joins instead of broadcast (same threshold rationale as
+# triangles.BROADCAST_DEGREE_LIMIT: 20M (vid, deg) int64 pairs ≈ 320 MB
+# ray.put once, zero-copy per task).
+BROADCAST_INDEG_LIMIT = 20_000_000
+
+
+def _in_degrees(edges_ds, num_partitions: int = 64):
+    """Distinct in-degree per dst: (vid:int64, deg:int64). Exact under
+    duplicate input edges — in-batch pre-dedup, then exact dedup + count
+    co-partitioned by hash(dst) (equal (src, dst) rows share the key)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s, d = _np(tbl, "src"), _np(tbl, "dst")
+        pairs = np.unique(np.stack([d, s], axis=1), axis=0)
+        return pa.table(
+            {
+                "dpart": pa.array(
+                    part_of(pairs[:, 0], num_partitions), pa.int32()
+                ),
+                "dst": pa.array(pairs[:, 0], pa.int64()),
+                "src": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def count(tbl: pa.Table) -> pa.Table:
+        d, s = _np(tbl, "dst"), _np(tbl, "src")
+        pairs = np.unique(np.stack([d, s], axis=1), axis=0)
+        vid, idx = np.unique(pairs[:, 0], return_index=True)
+        deg = np.diff(np.r_[idx, len(pairs)])
+        return pa.table(
+            {
+                "vid": pa.array(vid, pa.int64()),
+                "deg": pa.array(deg.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(count, batch_format="pyarrow")
+    )
+
+
+def jaccard_top_pairs(
+    edges_ds,
+    k: int = 20,
+    max_out_degree=None,
+    num_partitions: int = 64,
+):
+    """Top-k page pairs by Jaccard similarity of their in-link source
+    sets: J(a,b) = |N_in(a) ∩ N_in(b)| / |N_in(a) ∪ N_in(b)| — the
+    degree-normalized sibling of co-citation (link prediction baseline,
+    Liben-Nowell & Kleinberg 2003 — public literature). Same
+    two-exchange pair machinery as ``cocitation_top_pairs`` (the pair
+    hash routes every instance of a pair to one partition, so the
+    per-partition common-count is exact); the union size comes from the
+    distinct in-degrees, broadcast once below ``BROADCAST_INDEG_LIMIT``
+    vertices and attached by two co-partitioned joins above it. Scores
+    round to 6 digits BEFORE the per-block top-k prune (each unique pair
+    exists on exactly one row after the count, so per-block top-k +
+    driver merge is exact); ties break (id_a, id_b) ascending. Returns
+    a pyarrow Table (id_a, id_b, jac)."""
+    import ray
+
+    def count_exact(tbl: pa.Table) -> pa.Table:
+        a, b = _np(tbl, "id_a"), _np(tbl, "id_b")
+        pairs = np.stack([a, b], axis=1)
+        u, c = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "id_a": pa.array(u[:, 0], pa.int64()),
+                "id_b": pa.array(u[:, 1], pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def add_spart(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "spart",
+            pa.array(part_of(_np(tbl, "src"), num_partitions), pa.int32()),
+        )
+
+    counts = (
+        edges_ds.map_batches(add_spart, batch_format="pyarrow")
+        .groupby("spart")
+        .map_groups(
+            _pairs_from_partition(max_out_degree, num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("gpart")
+        .map_groups(count_exact, batch_format="pyarrow")
+    )
+
+    degs = _in_degrees(edges_ds, num_partitions).materialize()
+    n_vertices = degs.count()
+    if n_vertices <= BROADCAST_INDEG_LIMIT:
+        dt = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
+        ).sort_by("vid")
+        deg_ref = ray.put(
+            (
+                dt.column("vid").combine_chunks().to_numpy(),
+                dt.column("deg").combine_chunks().to_numpy(),
+            )
+        )
+
+        def score_prune(tbl: pa.Table) -> pa.Table:
+            vid, deg = ray.get(deg_ref)
+            a, b = _np(tbl, "id_a"), _np(tbl, "id_b")
+            n = _np(tbl, "n").astype(np.float64)
+            da = deg[np.searchsorted(vid, a)].astype(np.float64)
+            db = deg[np.searchsorted(vid, b)].astype(np.float64)
+            jac = np.round(n / (da + db - n), 6)
+            if len(a) > k:
+                order = np.lexsort((b, a, -jac))[:k]
+                a, b, jac = a[order], b[order], jac[order]
+            return pa.table(
+                {
+                    "id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64()),
+                    "jac": pa.array(jac, pa.float64()),
+                }
+            )
+
+        scored = counts.map_batches(score_prune, batch_format="pyarrow")
+    else:
+        from signal_collect_ray.algorithms.triangles import _attach
+
+        with_da = _attach(
+            counts, "id_a", degs.rename_columns(["vid", "deg_a"]), "vid",
+            ["deg_a"], num_partitions,
+        )
+        with_db = _attach(
+            with_da, "id_b", degs.rename_columns(["vid", "deg_b"]), "vid",
+            ["deg_b"], num_partitions,
+        )
+
+        def score_prune_joined(tbl: pa.Table) -> pa.Table:
+            a, b = _np(tbl, "id_a"), _np(tbl, "id_b")
+            n = _np(tbl, "n").astype(np.float64)
+            da = _np(tbl, "deg_a").astype(np.float64)
+            db = _np(tbl, "deg_b").astype(np.float64)
+            jac = np.round(n / (da + db - n), 6)
+            if len(a) > k:
+                order = np.lexsort((b, a, -jac))[:k]
+                a, b, jac = a[order], b[order], jac[order]
+            return pa.table(
+                {
+                    "id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64()),
+                    "jac": pa.array(jac, pa.float64()),
+                }
+            )
+
+        scored = with_db.map_batches(score_prune_joined, batch_format="pyarrow")
+
+    top = scored.take_all()
+    top.sort(key=lambda r: (-r["jac"], r["id_a"], r["id_b"]))
+    top = top[:k]
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in top], pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in top], pa.int64()),
+            "jac": pa.array([r["jac"] for r in top], pa.float64()),
+        }
+    )
+
+
 def cocitation_top_pairs(
     edges_ds,
     k: int = 20,

@@ -2095,6 +2095,83 @@ def _adamic_adar_sql() -> str:
     )
 
 
+def q_jaccard_top20(sf_dir: str):
+    """Top-20 link-prediction pairs by Jaccard similarity of in-link
+    source sets (algorithms.cocitation.jaccard_top_pairs)."""
+    from signal_collect_ray.algorithms.cocitation import jaccard_top_pairs
+
+    return jaccard_top_pairs(derived_edges_ds(sf_dir), k=_COCITE_K)
+
+
+def _jaccard_sql() -> str:
+    return (
+        f"WITH e AS MATERIALIZED ({_E_SQL}), "
+        "deg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d "
+        "FROM e GROUP BY dst), "
+        "p AS (SELECT a.dst AS id_a, b.dst AS id_b FROM e a "
+        "JOIN e b ON a.src = b.src AND a.dst < b.dst), "
+        "c AS (SELECT id_a, id_b, CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM p GROUP BY id_a, id_b) "
+        "SELECT id_a, id_b, "
+        "ROUND(n / (da.d + db.d - n), 6) AS jac FROM c "
+        "JOIN deg da ON da.dst = id_a JOIN deg db ON db.dst = id_b "
+        f"ORDER BY jac DESC, id_a ASC, id_b ASC LIMIT {_COCITE_K}"
+    )
+
+
+def q_salsa_k4(sf_dir: str):
+    """4 SALSA rounds (degree-normalized HITS sibling) over the signed
+    bidirected build; final L1 normalization of both vectors."""
+    from signal_collect_ray.algorithms import Salsa
+
+    g = _hits_graph(sf_dir)
+    info = _engine(4, eps=0.0).run(
+        g, Salsa(), run_dir=_work_dir(sf_dir, "run_salsa_k4"), resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    hub = t.column("state").to_numpy(zero_copy_only=False)
+    auth = t.column("last").to_numpy(zero_copy_only=False)
+    hs, as_ = hub.sum(), auth.sum()
+    return pa.table(
+        {
+            "vid": t.column("vid"),
+            "hub": pa.array(np.round(hub / hs if hs else hub, 6), pa.float64()),
+            "auth": pa.array(np.round(auth / as_ if as_ else auth, 6), pa.float64()),
+        }
+    )
+
+
+def _salsa_sql(k: int) -> str:
+    """SALSA oracle — simultaneous update, k rounds, final L1
+    normalization (mirrors ``algorithms/salsa.py`` exactly: hub_i(u) =
+    Σ auth_{i-1}(v)/indeg(v) over out-links u→v; auth_i(v) =
+    Σ hub_{i-1}(u)/outdeg(u) over in-links)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "idg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY dst)",
+        "ha0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS h, CAST(1.0 AS DOUBLE) AS a FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"ha{i} AS MATERIALIZED (SELECT v.vid, "
+            f"COALESCE(hb.s, 0) AS h, COALESCE(ab.s, 0) AS a FROM v "
+            f"LEFT JOIN (SELECT e.src AS vid, SUM(p.a / idg.d) AS s FROM e "
+            f"JOIN ha{i-1} p ON p.vid = e.dst "
+            f"JOIN idg ON idg.dst = e.dst GROUP BY e.src) hb ON hb.vid = v.vid "
+            f"LEFT JOIN (SELECT e.dst AS vid, SUM(p.h / od.d) AS s FROM e "
+            f"JOIN ha{i-1} p ON p.vid = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst) ab ON ab.vid = v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, ROUND(h / NULLIF((SELECT SUM(h) FROM ha{k}), 0), 6) AS hub, "
+        f"ROUND(a / NULLIF((SELECT SUM(a) FROM ha{k}), 0), 6) AS auth FROM ha{k}"
+    )
+
+
 def q_order_priority_lines(sf_dir: str):
     """Line counts + quantity per order priority: big-big equi-join
     (lineitem ⨝ orders on orderkey) via the co-partitioned
@@ -3828,6 +3905,8 @@ def queries():
         "quality_percentiles": q_quality_percentiles,
         "cocitation_top20": q_cocitation_top20,
         "adamic_adar_top20": q_adamic_adar_top20,
+        "jaccard_top20": q_jaccard_top20,
+        "salsa_k4": q_salsa_k4,
         "coupling_top20": q_coupling_top20,
         "degree_assortativity": q_degree_assortativity,
         "event_outliers": q_event_outliers,
@@ -3977,6 +4056,8 @@ def oracle_sql():
         "quality_percentiles": _quality_pct_sql(),
         "cocitation_top20": _cocitation_sql(),
         "adamic_adar_top20": _adamic_adar_sql(),
+        "jaccard_top20": _jaccard_sql(),
+        "salsa_k4": _salsa_sql(4),
         "coupling_top20": _coupling_sql(),
         "degree_assortativity": _assortativity_sql(),
         "event_outliers": _OUTLIERS_SQL,

@@ -86,3 +86,61 @@ def test_partition_invariance(tmp_path):
     for hub, auth in results[1:]:
         np.testing.assert_allclose(hub, results[0][0], rtol=1e-12)
         np.testing.assert_allclose(auth, results[0][1], rtol=1e-12)
+
+
+def _salsa_numpy(src, dst, n, k):
+    """Simultaneous-update SALSA, unnormalized, k rounds."""
+    outd = np.bincount(src, minlength=n).astype(float)
+    ind = np.bincount(dst, minlength=n).astype(float)
+    hub, auth = np.ones(n), np.ones(n)
+    for _ in range(k):
+        nh, na = np.zeros(n), np.zeros(n)
+        np.add.at(na, dst, hub[src] / outd[src])
+        np.add.at(nh, src, auth[dst] / ind[dst])
+        hub, auth = nh, na
+    return hub, auth
+
+
+def _run_salsa(engine_cls, src, dst, tmp_path, k, P=4, tag=""):
+    from signal_collect_ray.algorithms import Salsa
+
+    s2, d2, w = _signed_double(src, dst)
+    g = Graph.from_edge_arrays(
+        s2, d2, str(tmp_path / f"gs{tag}"), weight=w, num_partitions=P
+    )
+    cfg = EngineConfig(num_partitions=P, max_supersteps=k, eps=0.0)
+    eng = engine_cls(cfg)
+    info = eng.run(g, Salsa(), run_dir=str(tmp_path / f"rs{tag}"), resume=False)
+    t = info.state_table()
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    order = np.argsort(vid)
+    return (
+        vid[order],
+        t.column("state").to_numpy(zero_copy_only=False)[order],
+        t.column("last").to_numpy(zero_copy_only=False)[order],
+    )
+
+
+@pytest.mark.parametrize("engine_cls", [SuperstepEngine, ResidentEngine])
+def test_star_salsa(engine_cls, tmp_path):
+    src, dst = fx.star5()
+    vid, hub, auth = _run_salsa(engine_cls, src, dst, tmp_path, k=3)
+    eh, ea = _salsa_numpy(src, dst, 5, 3)
+    np.testing.assert_allclose(hub, eh[vid], rtol=1e-12)
+    np.testing.assert_allclose(auth, ea[vid], rtol=1e-12)
+
+
+@pytest.mark.parametrize("engine_cls", [SuperstepEngine, ResidentEngine])
+def test_random_salsa(engine_cls, tmp_path):
+    rng = np.random.RandomState(5)
+    n = 40
+    src = rng.randint(0, n, 200).astype(np.int64)
+    dst = rng.randint(0, n, 200).astype(np.int64)
+    keep = src != dst
+    # dedup (the engines build a deduplicated CSR)
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    vid, hub, auth = _run_salsa(engine_cls, src, dst, tmp_path, k=4)
+    eh, ea = _salsa_numpy(src, dst, n, 4)
+    np.testing.assert_allclose(hub, eh[vid], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(auth, ea[vid], rtol=1e-9, atol=1e-12)

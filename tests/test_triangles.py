@@ -164,3 +164,71 @@ def test_ktruss_peeling(ray_session):
     # k=2: everything incl. triangle-free edges survives (canonical a<b)
     canon = {(min(a, b), max(a, b)) for a, b in pairs}
     assert pairs_of(ktruss(edges, 2)) == canon
+
+
+def test_jaccard_top_pairs(ray_session, monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms import cocitation
+
+    # sources 0/1 link {10,11,12}; source 2 links {10,11}:
+    # indeg(10)=indeg(11)=3, indeg(12)=2
+    # J(10,11)=3/(3+3-3)=1.0; J(10,12)=J(11,12)=2/(3+2-2)=2/3
+    src = np.array([0, 0, 0, 1, 1, 1, 2, 2], dtype=np.int64)
+    dst = np.array([10, 11, 12, 10, 11, 12, 10, 11], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    expected = [
+        (10, 11, 1.0),
+        (10, 12, round(2 / 3, 6)),
+        (11, 12, round(2 / 3, 6)),
+    ]
+    t = cocitation.jaccard_top_pairs(edges, k=10)
+    rows = list(zip(t.column("id_a").to_pylist(),
+                    t.column("id_b").to_pylist(),
+                    t.column("jac").to_pylist()))
+    assert rows == expected
+    # join fallback path (degree table "too large" to broadcast) must
+    # produce the identical result
+    monkeypatch.setattr(cocitation, "BROADCAST_INDEG_LIMIT", 0)
+    t2 = cocitation.jaccard_top_pairs(edges, k=10)
+    rows2 = list(zip(t2.column("id_a").to_pylist(),
+                     t2.column("id_b").to_pylist(),
+                     t2.column("jac").to_pylist()))
+    assert rows2 == expected
+
+
+def test_jaccard_random_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms.cocitation import jaccard_top_pairs
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 30, 300).astype(np.int64)
+    dst = rng.randint(0, 30, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # brute force over distinct edges
+    uniq = set(zip(src.tolist(), dst.tolist()))
+    in_sets = {}
+    for s, d in uniq:
+        in_sets.setdefault(d, set()).add(s)
+    scores = []
+    vs = sorted(in_sets)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1:]:
+            common = len(in_sets[a] & in_sets[b])
+            if common:
+                union = len(in_sets[a] | in_sets[b])
+                scores.append((round(common / union, 6), a, b))
+    scores.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expected = [(a, b, j) for j, a, b in scores[:15]]
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    t = jaccard_top_pairs(edges, k=15)
+    rows = list(zip(t.column("id_a").to_pylist(),
+                    t.column("id_b").to_pylist(),
+                    t.column("jac").to_pylist()))
+    assert rows == expected
