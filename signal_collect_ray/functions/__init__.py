@@ -56,6 +56,12 @@ from signal_collect_ray.functions.windows import (
     sliding_window,
     running_totals,
 )
+from signal_collect_ray.functions.analytics import (
+    inter_event_gaps,
+    cohort_retention,
+    cooccurring_event_pairs,
+    week_floor_us,
+)
 from signal_collect_ray.functions.joins import (
     asof_join,
     broadcast_join,
@@ -93,6 +99,8 @@ __all__ = [
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",
+    "inter_event_gaps", "cohort_retention", "cooccurring_event_pairs",
+    "week_floor_us",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hash_sample", "stratified_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",

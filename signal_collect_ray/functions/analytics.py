@@ -1,0 +1,295 @@
+"""Event-log analytics operators: inter-event gaps (LAG), cohort
+retention, and market-basket co-occurrence.
+
+The reference engine computes over vertex signals, but the web-scale
+pipeline this repo targets also ingests event logs (crawl logs, click
+streams), and three more canonical analytics shapes were still missing
+after the windowing family (`windows.py`):
+
+* ``inter_event_gaps`` — the LAG window: each event annotated with the
+  microseconds since the same user's previous event. ONE hash exchange
+  on ``user_id``; the per-partition kernel is a single lexsort + diff
+  over ALL users in the partition (no per-user Python), so skew is
+  bounded by the hottest partition, not the hottest user.
+* ``cohort_retention`` — the product-analytics retention matrix:
+  users cohorted by first active week, counted per (cohort, week
+  offset). ONE user exchange (each user's weeks must be co-resident to
+  find the first), per-partition distinct + partial counts, then a
+  tiny (cohort, k) sum — the exchange after the user shuffle carries
+  one row per (cohort, k) per partition, never per event.
+* ``cooccurring_event_pairs`` — market-basket pair counts: for every
+  unordered pair of event types, how many users did both. Per-block
+  distinct (user, type) partials bound the user exchange to one row
+  per (block, user, type); the per-partition kernel emits each user's
+  within-segment pairs (``np.triu_indices`` over segments — segment
+  width is the per-user distinct-type count, small by construction),
+  then partial pair counts ride a tiny final groupby.
+
+All three mirror exactly in ANSI SQL (LAG OVER, date_trunc('week') +
+integer week arithmetic, distinct self-join), so the driver's DuckDB
+parity harness pins them end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from signal_collect_ray.util import part_of
+
+_DAY_US = 86_400 * 1_000_000
+WEEK_US = 7 * _DAY_US
+
+
+def week_floor_us(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-aligned week truncation of epoch-µs timestamps — the same
+    bucket DuckDB's ``date_trunc('week', ts)`` yields (1970-01-01 was a
+    Thursday, so Mondays satisfy ``(day + 3) % 7 == 0``)."""
+    day = ts_us // _DAY_US
+    monday = day - ((day + 3) % 7)
+    return monday * _DAY_US
+
+
+def _ts_us(tbl: pa.Table, col: str = "ts") -> np.ndarray:
+    return tbl.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+class _PartitionLag:
+    """One hash partition (MANY users) → per-event gap to the user's
+    previous event. Fully vectorized: lexsort by (user, ts) then one
+    diff; user boundaries become NULL gaps (SQL LAG semantics)."""
+
+    __name__ = "_PartitionLag"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        u = uid[order]
+        t = ts[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        gap = np.zeros(len(t), dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        gap[first] = 0
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                # mask=True → NULL: a user's first event has no LAG
+                "gap_us": pa.array(gap, pa.int64(), mask=first),
+            }
+        )
+
+
+def inter_event_gaps(events_ds, num_partitions: int = 16):
+    """Per-event microseconds since the same user's previous event —
+    ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER
+    BY ts)``. First event per user gets NULL.
+
+    One ``part`` exchange; each partition handles all of its users in
+    one lexsort+diff kernel. With equal timestamps inside a user the
+    per-row gap assignment depends on tie order, but the (user, ts,
+    gap) ROW MULTISET does not (diffs of a sorted sequence), which is
+    what the order-insensitive oracle hash compares."""
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts_us": pa.array(_ts_us(tbl), pa.int64()),
+                "part": pa.array(part_of(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    ev = events_ds.select_columns(["user_id", "ts"])
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_PartitionLag(), batch_format="pyarrow")
+    )
+
+
+class _PartitionRetention:
+    """One hash partition (MANY users) → partial (cohort_us, k) counts.
+
+    Users are whole within a partition, so per-partition distinct-user
+    counts per (cohort, k) are disjoint across partitions and a plain
+    Sum finishes them."""
+
+    __name__ = "_PartitionRetention"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        wk = tbl.column("week_us").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "cohort_us": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        pairs = np.stack([uid, wk], axis=1)
+        pairs = np.unique(pairs, axis=0)  # sorted by (uid, week)
+        u, w = pairs[:, 0], pairs[:, 1]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        # cohort week = the user's first (minimum) active week
+        cohort = w[np.repeat(np.flatnonzero(first), np.diff(
+            np.append(np.flatnonzero(first), len(u))
+        ))]
+        k = (w - cohort) // WEEK_US
+        key = np.stack([cohort, k], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_us": pa.array(uniq[:, 0], pa.int64()),
+                "k": pa.array(uniq[:, 1], pa.int64()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def cohort_retention(events_ds, num_partitions: int = 16):
+    """Weekly cohort retention: rows (cohort_us, k, n_users) where
+    ``cohort_us`` is the Monday (epoch µs) of a user's first active
+    week and ``n_users`` counts that cohort's users active in week
+    ``cohort + k``. (k=0 row is the cohort size.)
+
+    Per-block distinct (user, week) partials bound the user exchange;
+    the post-exchange aggregate carries one row per (cohort, k) per
+    partition — tiny at any corpus scale."""
+    from ray.data.aggregate import Sum
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        wk = week_floor_us(_ts_us(tbl))
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "week_us": pa.array(pairs[:, 1], pa.int64()),
+                "part": pa.array(
+                    part_of(pairs[:, 0], num_partitions), pa.int32()
+                ),
+            }
+        )
+
+    ev = events_ds.select_columns(["user_id", "ts"])
+    partial = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_PartitionRetention(), batch_format="pyarrow")
+    )
+    agg = partial.groupby(["cohort_us", "k"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+    return agg
+
+
+class _PartitionPairs:
+    """One hash partition (MANY users) → partial co-occurrence counts
+    over unordered event-type pairs. Segment width = a user's distinct
+    type count (bounded by the type vocabulary), so the per-segment
+    ``np.triu_indices`` is O(types²) — constant — per user."""
+
+    __name__ = "_PartitionPairs"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type")
+        # dictionary-encode the (small) type vocabulary once per call
+        codes_arr = et.combine_chunks().dictionary_encode()
+        vocab = np.array(codes_arr.dictionary.to_pylist(), dtype=object)
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        # sort codes by VOCAB STRING so pair order is (a < b) lexicographic
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[np.argsort(vocab)] = np.arange(len(vocab))
+        r = rank[codes]
+        pairs = np.unique(np.stack([uid, r], axis=1), axis=0)
+        u, c = pairs[:, 0], pairs[:, 1]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]])
+        )
+        lens = np.diff(np.append(starts, len(u)))
+        a_all, b_all = [], []
+        for s, n in zip(starts, lens):
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            a_all.append(c[s + ia])
+            b_all.append(c[s + ib])
+        if not a_all:
+            return empty
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        key = np.stack([a, b], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        inv = np.empty(len(vocab), dtype=object)
+        inv[rank] = vocab
+        return pa.table(
+            {
+                "type_a": pa.array(inv[uniq[:, 0]].tolist(), pa.string()),
+                "type_b": pa.array(inv[uniq[:, 1]].tolist(), pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def cooccurring_event_pairs(
+    events_ds, min_users: int = 1, num_partitions: int = 16
+):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types (``type_a < type_b``), the number of distinct users that did
+    both. ``min_users`` filters low-support pairs (a-priori pruning).
+
+    Per-block distinct partials → one user exchange → per-partition
+    pair emission (users are whole per partition, so partial counts sum
+    disjointly) → final pair groupby over at most |types|² rows."""
+    from ray.data.aggregate import Sum
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        # per-block distinct (user, type) — Arrow hash group-by, no rows
+        distinct = tbl.group_by(["user_id", "event_type"]).aggregate([])
+        uid = distinct.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": distinct.column("user_id"),
+                "event_type": distinct.column("event_type"),
+                "part": pa.array(part_of(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    ev = events_ds.select_columns(["user_id", "event_type"])
+    partial = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_PartitionPairs(), batch_format="pyarrow")
+    )
+    agg = partial.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+    if min_users > 1:
+        agg = agg.filter(expr=f"n_users >= {int(min_users)}")
+    return agg

@@ -3849,6 +3849,75 @@ def _ham_sql() -> str:
     )
 
 
+def q_inter_event_gaps(sf_dir: str):
+    """Per-event LAG gap: microseconds since the same user's previous
+    event (functions.analytics.inter_event_gaps — one user-hash
+    exchange, one lexsort+diff kernel per partition)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import inter_event_gaps
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return inter_event_gaps(ev)
+
+
+_INTER_EVENT_GAPS_SQL = (
+    "SELECT user_id, epoch_us(ts) AS ts_us, "
+    "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts) AS gap_us FROM events"
+)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix (functions.analytics.
+    cohort_retention — per-block distinct partials, one user exchange,
+    tiny (cohort, k) sum)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import cohort_retention
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev)
+
+
+_COHORT_RETENTION_SQL = (
+    "WITH uw AS (SELECT DISTINCT user_id, "
+    "epoch_us(date_trunc('week', ts)) AS w FROM events), "
+    "fw AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id) "
+    "SELECT fw.cw AS cohort_us, (uw.w - fw.cw) // 604800000000 AS k, "
+    "COUNT(*) AS n_users FROM uw JOIN fw USING (user_id) GROUP BY 1, 2"
+)
+
+
+def q_event_pair_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence over event types (functions.
+    analytics.cooccurring_event_pairs — distinct partials, one user
+    exchange, per-partition pair emission)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import (
+        cooccurring_event_pairs,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return cooccurring_event_pairs(ev)
+
+
+_EVENT_PAIR_COOCCURRENCE_SQL = (
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "COUNT(*) AS n_users FROM ut a JOIN ut b ON a.user_id = b.user_id "
+    "AND a.event_type < b.event_type GROUP BY 1, 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3927,6 +3996,9 @@ def queries():
         "event_sliding_windows": q_event_sliding_windows,
         "click_sessions": q_click_sessions,
         "user_running_totals": q_user_running_totals,
+        "inter_event_gaps": q_inter_event_gaps,
+        "cohort_retention": q_cohort_retention,
+        "event_pair_cooccurrence": q_event_pair_cooccurrence,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -4078,6 +4150,9 @@ def oracle_sql():
         "event_sliding_windows": _sliding_sql(),
         "click_sessions": _click_sessions_sql(),
         "user_running_totals": _RUNNING_TOTALS_SQL,
+        "inter_event_gaps": _INTER_EVENT_GAPS_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "event_pair_cooccurrence": _EVENT_PAIR_COOCCURRENCE_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,
