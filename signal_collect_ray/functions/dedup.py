@@ -940,3 +940,112 @@ def simhash_dedup_pairs(
             [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
         ),
     )
+
+
+class _NgramExplode:
+    """documents → one row per DISTINCT (doc_id, word n-gram). Words are
+    the whitespace split of the lowered text (the same tokenization the
+    tfidf / repetition mirrors use, SQL-expressible via
+    ``regexp_extract_all(lower(text), '\\S+')``)."""
+
+    __name__ = "_NgramExplode"
+
+    def __init__(self, n: int, num_partitions: int):
+        self.n = n
+        self.num_partitions = num_partitions
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        texts = tbl.column("text").to_pylist()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_ng, out_part = [], [], []
+        n, P = self.n, self.num_partitions
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            if len(ws) < n:
+                continue
+            grams = {
+                " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
+            }
+            out_id.extend([int(ids[i])] * len(grams))
+            out_ng.extend(grams)
+            # crc32 only ROUTES grams (a collision merely co-locates two
+            # grams); the string stays the exact group key in the kernel
+            out_part.extend(crc32(g.encode("utf-8")) % P for g in grams)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "ng": pa.array(out_ng, pa.string()),
+                "part": pa.array(out_part, pa.int32()),
+            }
+        )
+
+
+class _PartitionSharedFlag:
+    """One hash partition (MANY n-grams, each wholly co-located) →
+    (doc_id, shared) rows. Arrow C++ group_by + hash join inside the
+    kernel — no per-group Python dispatch."""
+
+    __name__ = "_PartitionSharedFlag"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.drop_columns(["part"]).combine_chunks()
+        counts = tbl.group_by("ng").aggregate([("doc_id", "count")])
+        j = tbl.join(counts, keys="ng")
+        return pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "shared": pc.greater(
+                    j.column("doc_id_count"), 1
+                ).cast(pa.int64()),
+            }
+        )
+
+
+def duplicated_ngram_fraction(docs_ds, n: int = 5, num_partitions: int = 32):
+    """Per-document duplicated-n-gram fraction — the training-data
+    curation signal from Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): the share of a document's DISTINCT
+    word n-grams that also occur in at least one other document. Docs
+    shorter than ``n`` words have no n-grams and are omitted (the SQL
+    mirror's join drops them identically).
+
+    Two exchanges, both bounded: a crc32-routed groupby(part)
+    co-locates each n-gram's postings (one kernel per PARTITION — the
+    per-gram work is Arrow C++ group_by + join, not per-group Python;
+    boilerplate skew is the same as tfidf's stopword note, cap or
+    pre-drop hot shingles at extreme corpus size), then groupby(doc_id)
+    carries exactly one partial row per (block, doc). At 100 TB the
+    ``ng`` key would be a 64-bit content hash instead of the string;
+    strings keep the oracle exact here and change nothing structural."""
+    from ray.data.aggregate import Count, Sum
+
+    grams = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _NgramExplode(n, num_partitions),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    flagged = grams.groupby("part").map_groups(
+        _PartitionSharedFlag(), batch_format="pyarrow"
+    )
+    agg = flagged.groupby("doc_id").aggregate(
+        Sum("shared", alias_name="n_shared"),
+        Count(alias_name="n_grams"),
+    )
+
+    def frac(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("n_shared").to_numpy(zero_copy_only=False)
+        c = tbl.column("n_grams").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "dup_frac": pa.array(
+                    np.round(s / c, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(frac, batch_format="pyarrow")

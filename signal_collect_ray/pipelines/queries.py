@@ -3918,6 +3918,31 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_dup_ngram_fraction(sf_dir: str):
+    """Per-doc duplicated 5-gram fraction (functions.dedup.
+    duplicated_ngram_fraction — Lee et al. 2022 curation signal)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import duplicated_ngram_fraction
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicated_ngram_fraction(docs, n=5)
+
+
+_DUP_NGRAM_SQL = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, "
+    "'')), '\\S+') AS ws FROM documents), "
+    "g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS ng FROM w, "
+    "LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) t), "
+    "d AS (SELECT DISTINCT doc_id, ng FROM g), "
+    "c AS (SELECT ng, COUNT(*) AS nd FROM d GROUP BY ng) "
+    "SELECT d.doc_id, ROUND(AVG(CASE WHEN c.nd > 1 THEN 1.0 ELSE 0.0 END)"
+    ", 6) AS dup_frac FROM d JOIN c USING (ng) GROUP BY d.doc_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3999,6 +4024,7 @@ def queries():
         "inter_event_gaps": q_inter_event_gaps,
         "cohort_retention": q_cohort_retention,
         "event_pair_cooccurrence": q_event_pair_cooccurrence,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -4153,6 +4179,7 @@ def oracle_sql():
         "inter_event_gaps": _INTER_EVENT_GAPS_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_pair_cooccurrence": _EVENT_PAIR_COOCCURRENCE_SQL,
+        "dup_ngram_fraction": _DUP_NGRAM_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

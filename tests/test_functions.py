@@ -1318,3 +1318,42 @@ def test_heavy_hitters_zipf():
     st = heavy_hitters(sds, "s", k=2, capacity=16)
     assert st.column("value").to_pylist() == ["a", "b"]
     assert st.column("approx_count").to_pylist() == [50, 30]
+
+
+def test_duplicated_ngram_fraction():
+    from itertools import combinations
+
+    from signal_collect_ray.functions import duplicated_ngram_fraction
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # shares 3-grams w/ 1
+        "a quick brown fox jumps over a sleeping dog",
+        "completely unrelated words here and nowhere else",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "too short",                                     # < 3 words of grams? (2 words -> no 3-grams)
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(3)
+    got = {
+        r["doc_id"]: r["dup_frac"]
+        for r in duplicated_ngram_fraction(docs, n=3, num_partitions=8).take_all()
+    }
+    # brute-force oracle over the same tokenization
+    grams = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        grams[i] = {" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)}
+    want = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        others = set().union(*(g for k, g in grams.items() if k != i))
+        want[i] = round(sum(g in others for g in gs) / len(gs), 6)
+    assert set(got) == set(want)          # doc 4 (no 3-grams) omitted
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    assert got[0] == 1.0 and got[3] == 1.0   # exact dups fully shared
+    assert got[2] == 0.0                     # unique doc shares nothing
+    assert 0.0 < got[1] < 1.0
