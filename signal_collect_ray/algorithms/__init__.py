@@ -21,6 +21,7 @@ from signal_collect_ray.algorithms.walks import random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
 from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
+from signal_collect_ray.algorithms.modularity import partition_modularity
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -48,6 +49,7 @@ __all__ = [
     "edge_support",
     "ktruss",
     "scc_labels",
+    "partition_modularity",
     "random_walks",
     "neighborhood_function",
     "betweenness_sampled",

@@ -62,6 +62,7 @@ from signal_collect_ray.functions.analytics import (
     cohort_retention,
     cooccurring_event_pairs,
     week_floor_us,
+    gini_concentration,
 )
 from signal_collect_ray.functions.joins import (
     asof_join,
@@ -102,7 +103,7 @@ __all__ = [
     "duplicated_ngram_fraction",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",
     "inter_event_gaps", "cohort_retention", "cooccurring_event_pairs",
-    "week_floor_us",
+    "week_floor_us", "gini_concentration",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hash_sample", "stratified_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",

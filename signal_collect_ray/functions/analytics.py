@@ -293,3 +293,57 @@ def cooccurring_event_pairs(
     if min_users > 1:
         agg = agg.filter(expr=f"n_users >= {int(min_users)}")
     return agg
+
+
+class _ValueHistogram:
+    """Block → (value, count) partial histogram over a rounded-float
+    column keyed as int64 micro-units (exact on both engines)."""
+
+    __name__ = "_ValueHistogram"
+
+    def __init__(self, col: str, digits: int):
+        self.col = col
+        self.scale = 10 ** digits
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        v = tbl.column(self.col).to_numpy(zero_copy_only=False)
+        vi = np.round(np.round(v, 6) * self.scale).astype(np.int64)
+        u, c = np.unique(vi, return_counts=True)
+        return pa.table({"vi": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+
+def gini_concentration(ds, col: str, digits: int = 6):
+    """Gini coefficient of ``col`` — the standard inequality measure
+    (mean absolute difference over twice the mean; public formula),
+    e.g. of PageRank mass to quantify attention concentration on a web
+    graph. Exact under the repo's 6-digit rounding convention: values
+    are bucketed to int micro-units first, so ties are counted
+    identically by the SQL mirror's pairwise form.
+
+    Scale shape: per-block ``np.unique`` histograms, one tiny
+    ``groupby(vi)`` over blocks x distinct-values rows, then an O(K)
+    sorted cumsum fold on the driver (K = distinct rounded values,
+    bounded by the rounding granularity — never by row count). The
+    O(K²) pairwise definition is collapsed to cumulative sums:
+    sum_{k<l} f_k f_l (v_l - v_k) = sum_l f_l (v_l F_{l-1} - S_{l-1}).
+    Returns a one-row Table ``{"gini": float64}`` rounded to 6."""
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(_ValueHistogram(col, digits), batch_format="pyarrow")
+        .groupby("vi")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    vi = np.array([r["vi"] for r in rows], dtype=np.float64) / (10 ** digits)
+    f = np.array([r["n"] for r in rows], dtype=np.float64)
+    order = np.argsort(vi)
+    vi, f = vi[order], f[order]
+    n, s = f.sum(), float(f @ vi)
+    cum_f = np.concatenate([[0.0], np.cumsum(f)])[:-1]       # F_{l-1}
+    cum_s = np.concatenate([[0.0], np.cumsum(f * vi)])[:-1]  # S_{l-1}
+    mad_half = float(f @ (vi * cum_f - cum_s))               # sum_{k<l} pairs
+    gini = 0.0 if n == 0 or s == 0 else 2.0 * mad_half / (2.0 * n * s)
+    return pa.table({"gini": pa.array([round(gini, 6)], pa.float64())})

@@ -3918,6 +3918,55 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_host_modularity(sf_dir: str):
+    """Directed Newman modularity of the host partition (vid %
+    _HOST_MOD — the same coarsening as q_host_pagerank_k4) on the page
+    link graph: how self-linking hosts are. algorithms.modularity."""
+    from signal_collect_ray.algorithms.modularity import partition_modularity
+
+    return partition_modularity(
+        derived_edges_ds(sf_dir), lambda v: v % _HOST_MOD
+    )
+
+
+_HOST_MODULARITY_SQL = (
+    f"WITH e AS ({_E_SQL}), "
+    f"k AS (SELECT src % {{H}} AS cs, dst % {{H}} AS cd FROM e), "
+    "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM k), "
+    "w AS (SELECT CAST(COUNT(*) AS DOUBLE) AS w FROM k WHERE cs = cd), "
+    "ko AS (SELECT cs AS c, CAST(COUNT(*) AS DOUBLE) AS ko FROM k GROUP BY cs), "
+    "ki AS (SELECT cd AS c, CAST(COUNT(*) AS DOUBLE) AS ki FROM k GROUP BY cd), "
+    "x AS (SELECT COALESCE(SUM(ko.ko * ki.ki), 0) AS s FROM ko JOIN ki USING (c)) "
+    "SELECT ROUND(w.w / m.m - x.s / (m.m * m.m), 6) AS modularity FROM w, m, x"
+)
+
+
+def q_pagerank_gini(sf_dir: str):
+    """Gini coefficient of 4-step PageRank mass (attention
+    concentration on the link graph). functions.analytics.
+    gini_concentration over the same rounded ranks as pagerank_k4."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import gini_concentration
+
+    return gini_concentration(
+        rd.from_arrow(q_pagerank_k4(sf_dir)).repartition(4), "rank"
+    )
+
+
+def _pr_gini_sql() -> str:
+    # pairwise (mean-absolute-difference) Gini over the value histogram
+    # — ties handled identically to the cumsum fold on the Ray side
+    return (
+        f"WITH pr AS ({_pr_sql(4)}), "
+        "h AS (SELECT rank AS v, CAST(COUNT(*) AS DOUBLE) AS f "
+        "FROM pr GROUP BY rank), "
+        "t AS (SELECT SUM(f) AS n, SUM(f * v) AS s FROM h), "
+        "mad AS (SELECT SUM(a.f * b.f * ABS(a.v - b.v)) AS m FROM h a, h b) "
+        "SELECT ROUND(mad.m / (2.0 * t.n * t.s), 6) AS gini FROM mad, t"
+    )
+
+
 def q_dup_ngram_fraction(sf_dir: str):
     """Per-doc duplicated 5-gram fraction (functions.dedup.
     duplicated_ngram_fraction — Lee et al. 2022 curation signal)."""
@@ -4025,6 +4074,8 @@ def queries():
         "cohort_retention": q_cohort_retention,
         "event_pair_cooccurrence": q_event_pair_cooccurrence,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "host_modularity": q_host_modularity,
+        "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -4180,6 +4231,8 @@ def oracle_sql():
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_pair_cooccurrence": _EVENT_PAIR_COOCCURRENCE_SQL,
         "dup_ngram_fraction": _DUP_NGRAM_SQL,
+        "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
+        "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,

@@ -1357,3 +1357,45 @@ def test_duplicated_ngram_fraction():
     assert got[0] == 1.0 and got[3] == 1.0   # exact dups fully shared
     assert got[2] == 0.0                     # unique doc shares nothing
     assert 0.0 < got[1] < 1.0
+
+
+def test_partition_modularity_directed():
+    from signal_collect_ray.algorithms import partition_modularity
+
+    # two 3-cliques (directed both ways) plus one cross edge each way
+    within = [(a, b) for c in (0, 3) for a in range(c, c + 3)
+              for b in range(c, c + 3) if a != b]
+    edges = within + [(0, 3), (3, 0)]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    ).repartition(3)
+    got = partition_modularity(ds, lambda v: v // 3)
+    # brute force: Q = sum_c w_c/m - sum_c ko_c*ki_c/m^2
+    m = len(edges)
+    comm = lambda v: v // 3
+    w = sum(comm(s) == comm(d) for s, d in edges)
+    ko = {c: sum(comm(s) == c for s, _ in edges) for c in (0, 1)}
+    ki = {c: sum(comm(d) == c for _, d in edges) for c in (0, 1)}
+    want = round(w / m - sum(ko[c] * ki[c] for c in (0, 1)) / m**2, 6)
+    assert got.column("modularity").to_pylist() == [want]
+    # a random partition of one community ~ 0-ish; all-in-one is exactly 0
+    one = partition_modularity(ds, lambda v: np.zeros_like(v))
+    assert one.column("modularity").to_pylist() == [0.0]
+
+
+def test_gini_concentration_matches_pairwise():
+    from signal_collect_ray.functions import gini_concentration
+
+    rng = np.random.default_rng(5)
+    # lognormal with injected ties after 6-digit rounding
+    x = np.round(rng.lognormal(0.0, 1.0, 4000), 6)
+    x[100:200] = x[0]
+    ds = rd.from_arrow(pa.table({"v": pa.array(x, pa.float64())})).repartition(5)
+    got = gini_concentration(ds, "v").column("gini").to_pylist()[0]
+    diffs = np.abs(x[:, None] - x[None, :]).sum()
+    want = round(diffs / (2.0 * len(x) ** 2 * x.mean()), 6)
+    assert abs(got - want) < 2e-6, (got, want)
+    # degenerate cases: equal values → 0
+    eq = rd.from_arrow(pa.table({"v": pa.array([3.5] * 100, pa.float64())}))
+    assert gini_concentration(eq, "v").column("gini").to_pylist() == [0.0]
