@@ -50,6 +50,7 @@ from signal_collect_ray.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
     duplicated_ngram_fraction,
+    dedup_paragraphs,
 )
 from signal_collect_ray.functions.windows import (
     sessionize,
@@ -100,7 +101,7 @@ __all__ = [
     "bloom_build", "bloom_contains", "bloom_drop_ids", "heavy_hitters",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
-    "duplicated_ngram_fraction",
+    "duplicated_ngram_fraction", "dedup_paragraphs",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",
     "inter_event_gaps", "cohort_retention", "cooccurring_event_pairs",
     "week_floor_us", "gini_concentration",

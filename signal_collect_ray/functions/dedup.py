@@ -1049,3 +1049,151 @@ def duplicated_ngram_fraction(docs_ds, n: int = 5, num_partitions: int = 32):
         )
 
     return agg.map_batches(frac, batch_format="pyarrow")
+
+
+class _ChunkExplode:
+    """documents → one row per (doc_id, chunk_idx, chunk) where a chunk
+    is ``w`` consecutive lowered whitespace words (the last chunk may be
+    shorter). The corpus-order key ``ord = doc_id * 1_000_000 +
+    chunk_idx`` makes keep-first deterministic and SQL-mirrorable."""
+
+    __name__ = "_ChunkExplode"
+
+    def __init__(self, w: int, num_partitions: int):
+        self.w = w
+        self.num_partitions = num_partitions
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        texts = tbl.column("text").to_pylist()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_ci, out_ch, out_part = [], [], [], []
+        w, P = self.w, self.num_partitions
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            for ci in range(0, (len(ws) + w - 1) // w):
+                ch = " ".join(ws[ci * w : (ci + 1) * w])
+                out_id.append(int(ids[i]))
+                out_ci.append(ci + 1)
+                out_ch.append(ch)
+                out_part.append(crc32(ch.encode("utf-8")) % P)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "cidx": pa.array(out_ci, pa.int64()),
+                "chunk": pa.array(out_ch, pa.string()),
+                "part": pa.array(out_part, pa.int32()),
+            }
+        )
+
+
+class _KeepFirstFlag:
+    """One chunk-hash partition → the same rows plus ``kept``: an
+    instance survives iff its corpus-order key is the global minimum
+    for its chunk text (each chunk's postings are wholly co-located by
+    the crc32 route, so the partition-local min IS the global min)."""
+
+    __name__ = "_KeepFirstFlag"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.drop_columns(["part"]).combine_chunks()
+        ordv = pc.add(
+            pc.multiply(tbl.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+            tbl.column("cidx"),
+        )
+        tbl = tbl.append_column("ord", ordv)
+        mins = tbl.group_by("chunk").aggregate([("ord", "min")])
+        j = tbl.join(mins, keys="chunk")
+        return pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "cidx": j.column("cidx"),
+                "chunk": j.column("chunk"),
+                "kept": pc.equal(j.column("ord"), j.column("ord_min")),
+            }
+        )
+
+
+class _ReassembleDocs:
+    """One doc_id-hash partition of flagged chunks → one row per doc:
+    surviving chunks rejoined in order, plus kept/dropped counts."""
+
+    __name__ = "_ReassembleDocs"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ci = tbl.column("cidx").to_numpy(zero_copy_only=False)
+        kept = tbl.column("kept").to_numpy(zero_copy_only=False)
+        chunks = tbl.column("chunk").to_pylist()
+        order = np.lexsort((ci, ids))
+        out_id, out_text, out_k, out_d = [], [], [], []
+        i = 0
+        while i < len(order):
+            j = i
+            did = ids[order[i]]
+            parts = []
+            nk = nd = 0
+            while j < len(order) and ids[order[j]] == did:
+                o = order[j]
+                if kept[o]:
+                    parts.append(chunks[o])
+                    nk += 1
+                else:
+                    nd += 1
+                j += 1
+            out_id.append(int(did))
+            out_text.append(" ".join(parts))
+            out_k.append(nk)
+            out_d.append(nd)
+            i = j
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "n_dropped": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def dedup_paragraphs(docs_ds, chunk_words: int = 10, num_partitions: int = 32):
+    """Corpus-wide paragraph-level exact dedup, CCNet-style (Wenzek et
+    al. 2020, public): split every document into consecutive
+    ``chunk_words``-word chunks, keep only the FIRST occurrence of each
+    distinct chunk across the whole corpus (corpus order = (doc_id,
+    chunk_idx)), and reassemble documents from their surviving chunks.
+    Docs whose every chunk appeared earlier come back with
+    ``clean_text = ''`` — exactly what boilerplate removal does to a
+    fully-duplicated page.
+
+    Scale shape: two bounded exchanges — a crc32 route co-locates each
+    chunk's postings (keep-first decided by an Arrow group_by min +
+    join per PARTITION, not per chunk), then a doc_id-hash route
+    reassembles (string join per doc inside one kernel per partition).
+    Hot boilerplate chunks skew only their posting list, which the
+    min-fold reduces without materializing pairs."""
+    from signal_collect_ray.util import part_of
+
+    chunks = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _ChunkExplode(chunk_words, num_partitions),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    flagged = chunks.groupby("part").map_groups(
+        _KeepFirstFlag(), batch_format="pyarrow"
+    )
+
+    def reroute(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "dpart", pa.array(part_of(ids, num_partitions), pa.int32())
+        )
+
+    return (
+        flagged.map_batches(reroute, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(_ReassembleDocs(), batch_format="pyarrow")
+    )

@@ -3918,6 +3918,38 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-wide keep-first chunk dedup + reassembly
+    (functions.dedup.dedup_paragraphs, 10-word chunks)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import dedup_paragraphs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup_paragraphs(docs, chunk_words=10)
+
+
+_PARA_DEDUP_SQL = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, "
+    "'')), '\\S+') AS ws FROM documents), "
+    "c AS (SELECT doc_id, i AS cidx, "
+    "array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS chunk "
+    "FROM w, LATERAL (SELECT unnest(range(1, "
+    "CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)) AS i) t), "
+    "m AS (SELECT chunk, MIN(doc_id * 1000000 + cidx) AS mn "
+    "FROM c GROUP BY chunk), "
+    "f AS (SELECT c.doc_id, c.cidx, c.chunk, "
+    "c.doc_id * 1000000 + c.cidx = m.mn AS kept FROM c JOIN m USING (chunk)) "
+    "SELECT doc_id, COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' "
+    "ORDER BY cidx), '') AS clean_text, "
+    "SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept, "
+    "SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped "
+    "FROM f GROUP BY doc_id"
+)
+
+
 def q_host_modularity(sf_dir: str):
     """Directed Newman modularity of the host partition (vid %
     _HOST_MOD — the same coarsening as q_host_pagerank_k4) on the page
@@ -4074,6 +4106,7 @@ def queries():
         "cohort_retention": q_cohort_retention,
         "event_pair_cooccurrence": q_event_pair_cooccurrence,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "paragraph_dedup": q_paragraph_dedup,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4231,6 +4264,7 @@ def oracle_sql():
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_pair_cooccurrence": _EVENT_PAIR_COOCCURRENCE_SQL,
         "dup_ngram_fraction": _DUP_NGRAM_SQL,
+        "paragraph_dedup": _PARA_DEDUP_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

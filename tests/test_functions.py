@@ -1399,3 +1399,27 @@ def test_gini_concentration_matches_pairwise():
     # degenerate cases: equal values → 0
     eq = rd.from_arrow(pa.table({"v": pa.array([3.5] * 100, pa.float64())}))
     assert gini_concentration(eq, "v").column("gini").to_pylist() == [0.0]
+
+
+def test_dedup_paragraphs_keep_first():
+    from signal_collect_ray.functions import dedup_paragraphs
+
+    c0 = "w0 w1 w2 w3"                       # doc 0, chunk (short, < w)
+    texts = [
+        c0,
+        "x0 x1 x2 x3 " + c0,                 # doc 1: own chunk + dup of c0's
+        c0,                                  # doc 2: fully duplicated
+        "y0 y1 y2 y3",
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_paragraphs(docs, chunk_words=4, num_partitions=8).take_all()
+    }
+    assert got[0] == (c0, 1, 0)              # first occurrence kept
+    assert got[1] == ("x0 x1 x2 x3", 1, 1)   # dup chunk removed, own kept
+    assert got[2] == ("", 0, 1)              # fully-duplicated doc emptied
+    assert got[3] == ("y0 y1 y2 y3", 1, 0)
