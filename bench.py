@@ -216,12 +216,19 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     queries["events_ops"], extra["n_event_rows_out"] = _timed(events_ops)
 
     # 11. corpus curation (lang → quality → repetition → exact dedup)
-    # + tf-idf top terms over documents (round-3 curation additions)
+    # + tf-idf top terms + duplicated-n-gram fraction + paragraph-level
+    # keep-first dedup over documents (round-3 curation additions)
+    from signal_collect_ray.functions.dedup import (
+        dedup_paragraphs,
+        duplicated_ngram_fraction,
+    )
     from signal_collect_ray.functions.text import curate_corpus, tfidf_top_terms
 
     def curation():
         n = curate_corpus(docs).count()
         n += tfidf_top_terms(docs, k=5, n_docs=n_docs).count()
+        n += duplicated_ngram_fraction(docs, n=5).count()
+        n += dedup_paragraphs(docs, chunk_words=10).count()
         return n
 
     queries["curation"], extra["n_curation_rows_out"] = _timed(curation)

@@ -41,6 +41,8 @@ from signal_collect_ray.functions.sketches import (
     bloom_contains,
     bloom_drop_ids,
     heavy_hitters,
+    cm_build,
+    cm_estimate,
 )
 from signal_collect_ray.functions.dedup import (
     dedup_exact,
@@ -99,6 +101,7 @@ __all__ = [
     "LinearTextClassifier", "classify_documents", "synthetic_weights",
     "approx_distinct", "approx_distinct_by_key",
     "bloom_build", "bloom_contains", "bloom_drop_ids", "heavy_hitters",
+    "cm_build", "cm_estimate",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "duplicated_ngram_fraction", "dedup_paragraphs",

@@ -287,3 +287,55 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
             "approx_count": pa.array([t[1] for t in top], pa.int64()),
         }
     )
+
+
+def _cm_rows(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(n,) hashes → (depth, n) bucket indices via independent
+    splitmix64 re-mixes (seed = row index folded into the key)."""
+    idx = np.empty((depth, len(h)), dtype=np.int64)
+    hu = h.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            seed = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+            idx[d] = (mix64(hu ^ seed) % np.uint64(width)).astype(np.int64)
+    return idx
+
+
+def cm_build(ds, col: str, depth: int = 4, width: int = 1 << 12) -> np.ndarray:
+    """Count-Min sketch of a column (Cormode & Muthukrishnan 2005,
+    public literature): a (depth × width) counter matrix where every
+    value increments one counter per row. Mergeable by element-wise
+    SUM — per-block partial sketches reduce driver-side with no data
+    shuffle (the same shape as ``approx_distinct`` / ``bloom_build``).
+    Point estimates (``cm_estimate``) NEVER undercount and overcount
+    by ≤ e·N/width with probability ≥ 1 − e^-depth."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        h = _hash_col(tbl.column(col))
+        sk = np.zeros((depth, width), dtype=np.int64)
+        rows = _cm_rows(h, depth, width)
+        for d in range(depth):
+            np.add.at(sk[d], rows[d], 1)
+        return pa.table({"sk": pa.array([sk.ravel().tobytes()], pa.binary())})
+
+    sk = np.zeros(depth * width, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for buf in b.column("sk").to_pylist():
+            sk += np.frombuffer(buf, dtype=np.int64)
+    return sk.reshape(depth, width)
+
+
+def cm_estimate(sketch: np.ndarray, arr) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for the queried
+    values. ``arr`` is a pyarrow array / numpy int64s / python list."""
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr)
+    h = _hash_col(arr)
+    depth, width = sketch.shape
+    rows = _cm_rows(h, depth, width)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        est = np.minimum(est, sketch[d][rows[d]])
+    return est

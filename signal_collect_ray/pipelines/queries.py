@@ -3918,6 +3918,36 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_event_freq_cm(sf_dir: str):
+    """Count-Min point-frequency estimates for every event type
+    (functions.sketches.cm_build/cm_estimate). Same oracle logic as
+    top_event_types: with few distinct types against a 4×4096 sketch
+    the deterministic hashes don't collide, so the never-undercount
+    estimates are EXACT here; the e·N/width overcount bound in the
+    approximate regime is pinned on Zipf data in tests."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import cm_build, cm_estimate
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+    )
+    sk = cm_build(ev, "event_type", depth=4, width=1 << 12)
+    types = sorted(ev.unique("event_type"))
+    est = cm_estimate(sk, types)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(est, pa.int64()),
+        }
+    )
+
+
+_EVENT_FREQ_CM_SQL = (
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
+)
+
+
 def q_paragraph_dedup(sf_dir: str):
     """CCNet-style corpus-wide keep-first chunk dedup + reassembly
     (functions.dedup.dedup_paragraphs, 10-word chunks)."""
@@ -4107,6 +4137,7 @@ def queries():
         "event_pair_cooccurrence": q_event_pair_cooccurrence,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "paragraph_dedup": q_paragraph_dedup,
+        "event_freq_cm": q_event_freq_cm,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4265,6 +4296,7 @@ def oracle_sql():
         "event_pair_cooccurrence": _EVENT_PAIR_COOCCURRENCE_SQL,
         "dup_ngram_fraction": _DUP_NGRAM_SQL,
         "paragraph_dedup": _PARA_DEDUP_SQL,
+        "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -1423,3 +1423,30 @@ def test_dedup_paragraphs_keep_first():
     assert got[1] == ("x0 x1 x2 x3", 1, 1)   # dup chunk removed, own kept
     assert got[2] == ("", 0, 1)              # fully-duplicated doc emptied
     assert got[3] == ("y0 y1 y2 y3", 1, 0)
+
+
+def test_count_min_bounds_and_merge():
+    from signal_collect_ray.functions.sketches import cm_build, cm_estimate
+
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.4, 30_000)
+    vals = vals[vals < 5000].astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+    sk = cm_build(ds, "v", depth=4, width=1 << 12)
+    assert int(sk[0].sum()) == len(vals)          # each row counts every item
+    u, c = np.unique(vals, return_counts=True)
+    est = cm_estimate(sk, u)
+    assert (est >= c).all()                       # NEVER undercounts
+    # CM guarantee: overcount ≤ e*N/width w.p. ≥ 1-e^-depth; check the
+    # 99th percentile is inside the bound (deterministic given the seed)
+    over = est - c
+    assert np.quantile(over, 0.99) <= np.e * len(vals) / (1 << 12)
+    # merge = sum: sketch of the union equals sum of the halves
+    half = len(vals) // 2
+    sk_a = cm_build(rd.from_arrow(pa.table({"v": vals[:half]})), "v")
+    sk_b = cm_build(rd.from_arrow(pa.table({"v": vals[half:]})), "v")
+    assert (sk_a + sk_b == sk).all()
+    # string keys route through md5 and still never undercount
+    sds = rd.from_arrow(pa.table({"s": pa.array(["x"] * 9 + ["y"] * 4)}))
+    ssk = cm_build(sds, "s", depth=2, width=64)
+    assert (cm_estimate(ssk, ["x", "y"]) >= np.array([9, 4])).all()
