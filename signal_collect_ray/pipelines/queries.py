@@ -3918,6 +3918,26 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_pca_projection(sf_dir: str):
+    """Top-principal-component projection of every embedding
+    (functions.similarity.pca_top_component — distributed power
+    iteration — then pca_project). Deterministic (fixed seed, sign
+    convention) but eigendecomposition has no SQL mirror: rows-only."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import (
+        pca_project,
+        pca_top_component,
+    )
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    v, _lam, _n = pca_top_component(emb, iters=50)
+    return pca_project(emb, v)
+
+
 def q_event_freq_cm(sf_dir: str):
     """Count-Min point-frequency estimates for every event type
     (functions.sketches.cm_build/cm_estimate). Same oracle logic as
@@ -4138,6 +4158,7 @@ def queries():
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "paragraph_dedup": q_paragraph_dedup,
         "event_freq_cm": q_event_freq_cm,
+        "pca_projection": q_pca_projection,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,

@@ -1450,3 +1450,37 @@ def test_count_min_bounds_and_merge():
     sds = rd.from_arrow(pa.table({"s": pa.array(["x"] * 9 + ["y"] * 4)}))
     ssk = cm_build(sds, "s", depth=2, width=64)
     assert (cm_estimate(ssk, ["x", "y"]) >= np.array([9, 4])).all()
+
+
+def test_pca_top_component_matches_eigh():
+    from signal_collect_ray.functions.similarity import (
+        pca_project,
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: dominant direction along a known axis mix
+    base = rng.standard_normal((600, 8))
+    base[:, 0] *= 6.0
+    base[:, 3] *= 2.5
+    rot = np.linalg.qr(rng.standard_normal((8, 8)))[0]
+    x = (base @ rot + rng.standard_normal(8) * 3.0).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(len(x)), pa.int64()),
+                  "embedding": pa.array([r for r in x.tolist()],
+                                        pa.list_(pa.float32()))})
+    ).repartition(4)
+    v, lam, n = pca_top_component(ds, iters=100, seed=1)
+    assert n == len(x)
+    xc = x.astype(np.float64) - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    w, vecs = np.linalg.eigh(cov)
+    assert abs(abs(float(vecs[:, -1] @ v)) - 1.0) < 1e-6   # same direction
+    assert abs(lam - w[-1]) < 1e-6 * max(1.0, w[-1])       # same variance
+    # projection scores match the dense computation (centered)
+    got = {r["vec_id"]: r["pc1"]
+           for r in pca_project(ds, v, mean=x.astype(np.float64).mean(axis=0)
+                                ).take_all()}
+    want = np.round(xc @ v, 6)
+    errs = max(abs(got[i] - want[i]) for i in range(len(x)))
+    assert errs < 2e-6
