@@ -81,6 +81,7 @@ from signal_collect_ray.functions.similarity import (
     vector_mean_by_key,
     pca_top_component,
     pca_project,
+    kmeans_lloyd,
 )
 from signal_collect_ray.functions.multimodal import (
     MEDIA_SCHEMA,
@@ -103,7 +104,7 @@ __all__ = [
     "LinearTextClassifier", "classify_documents", "synthetic_weights",
     "approx_distinct", "approx_distinct_by_key",
     "bloom_build", "bloom_contains", "bloom_drop_ids", "heavy_hitters",
-    "cm_build", "cm_estimate", "pca_top_component", "pca_project",
+    "cm_build", "cm_estimate", "pca_top_component", "pca_project", "kmeans_lloyd",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "duplicated_ngram_fraction", "dedup_paragraphs",

@@ -815,3 +815,103 @@ def pca_project(ds, component: np.ndarray, mean: "np.ndarray | None" = None,
     return ds.select_columns([id_col, emb_col]).map_batches(
         proj, batch_format="pyarrow"
     )
+
+
+def kmeans_lloyd(
+    ds,
+    k: int = 8,
+    iters: int = 20,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 65536,
+    tol: float = 1e-7,
+):
+    """Full-corpus Euclidean k-means (Lloyd 1982, public literature) —
+    unlike ``train_ivf_centroids`` (sample-trained coarse quantizer)
+    every iteration scans ALL rows: one ``map_batches`` pass emits a
+    (k×d sums, k counts, inertia) partial per block (vectorized argmin
+    over a broadcast centroid matrix), the driver folds k×d floats.
+    Init is a seeded draw from a bounded sample. Empty clusters keep
+    their previous centroid. Stops early when the max centroid shift
+    drops below ``tol``.
+
+    Returns ``(centroids, assignments_ds, inertia)`` where
+    ``assignments_ds`` is a Dataset ``(id_col, cluster)`` from one
+    final broadcast pass."""
+    import ray
+
+    ds = ds.select_columns([id_col, emb_col]).materialize()
+    rows = ds.select_columns([emb_col]).limit(sample_size).take_all()
+    m = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(k, len(m))
+    C = m[rng.choice(len(m), k, replace=False)].copy()
+    inertia = float("inf")
+
+    def _partials(cref):
+        def fn(tbl: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _emb_matrix(tbl, emb_col).astype(np.float64)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c))
+            j = float(d2[np.arange(len(x)), a].sum())
+            return pa.table(
+                {
+                    "s": pa.array([sums.ravel().tobytes()], pa.binary()),
+                    "n": pa.array([counts.tobytes()], pa.binary()),
+                    "j": pa.array([j], pa.float64()),
+                }
+            )
+
+        return fn
+
+    for _ in range(iters):
+        cref = ray.put(C)
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for b in ds.map_batches(
+            _partials(cref), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            for sb, nb, jb in zip(
+                b.column("s").to_pylist(),
+                b.column("n").to_pylist(),
+                b.column("j").to_pylist(),
+            ):
+                sums += np.frombuffer(sb, dtype=np.float64).reshape(C.shape)
+                counts += np.frombuffer(nb, dtype=np.int64)
+                inertia += jb
+        newC = np.where(
+            (counts == 0)[:, None], C, sums / np.maximum(counts, 1)[:, None]
+        )
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift <= tol:
+            break
+
+    cref = ray.put(C)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _emb_matrix(tbl, emb_col).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "cluster": pa.array(np.argmin(d2, axis=1), pa.int64()),
+            }
+        )
+
+    return C, ds.map_batches(assign, batch_format="pyarrow"), inertia

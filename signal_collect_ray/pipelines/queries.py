@@ -3918,6 +3918,22 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Full-corpus Euclidean Lloyd k-means cluster assignments
+    (functions.similarity.kmeans_lloyd, k=8, seeded init). Iterative
+    fixed-point with no SQL mirror: rows-only."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import kmeans_lloyd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    _C, assign_ds, _j = kmeans_lloyd(emb, k=8, iters=25)
+    return assign_ds
+
+
 def q_pca_projection(sf_dir: str):
     """Top-principal-component projection of every embedding
     (functions.similarity.pca_top_component — distributed power
@@ -4159,6 +4175,7 @@ def queries():
         "paragraph_dedup": q_paragraph_dedup,
         "event_freq_cm": q_event_freq_cm,
         "pca_projection": q_pca_projection,
+        "kmeans_clusters": q_kmeans_clusters,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,

@@ -1484,3 +1484,32 @@ def test_pca_top_component_matches_eigh():
     want = np.round(xc @ v, 6)
     errs = max(abs(got[i] - want[i]) for i in range(len(x)))
     assert errs < 2e-6
+
+
+def test_kmeans_lloyd_blobs():
+    from signal_collect_ray.functions.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(9)
+    centers = np.array([[10.0, 0, 0, 0], [-10, 10, 0, 0], [0, -10, 10, 0]])
+    x = np.concatenate(
+        [c + 0.5 * rng.standard_normal((80, 4)) for c in centers]
+    ).astype(np.float32)
+    truth = np.repeat(np.arange(3), 80)
+    perm = rng.permutation(len(x))
+    x, truth = x[perm], truth[perm]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(len(x)), pa.int64()),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float32()))})
+    ).repartition(4)
+    C, assign_ds, inertia = kmeans_lloyd(ds, k=3, iters=30, seed=2)
+    got = {r["vec_id"]: r["cluster"] for r in assign_ds.take_all()}
+    labels = np.array([got[i] for i in range(len(x))])
+    # perfect recovery of well-separated blobs: each true blob maps to
+    # exactly one cluster and vice versa
+    for t in range(3):
+        assert len(set(labels[truth == t])) == 1
+    assert len({labels[truth == t][0] for t in range(3)}) == 3
+    # inertia equals the dense computation against returned centroids
+    xd = x.astype(np.float64)
+    d2 = ((xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assert abs(inertia - d2.min(axis=1).sum()) / inertia < 1e-6
