@@ -28,6 +28,7 @@ from signal_collect_ray.functions.text import (
     tfidf_top_terms,
     top_bigrams,
     unigram_logprob,
+    bigram_logprob,
 )
 from signal_collect_ray.functions.models import (
     LinearTextClassifier,
@@ -100,7 +101,7 @@ __all__ = [
     "LanguageId", "QualityScore", "TokenCount", "Fingerprint",
     "RepetitionScore", "ChunkDocuments", "PiiScrub", "EntropyScore",
     "analyze_documents", "curate_corpus", "tfidf_top_terms",
-    "top_bigrams", "unigram_logprob",
+    "top_bigrams", "unigram_logprob", "bigram_logprob",
     "LinearTextClassifier", "classify_documents", "synthetic_weights",
     "approx_distinct", "approx_distinct_by_key",
     "bloom_build", "bloom_contains", "bloom_drop_ids", "heavy_hitters",

@@ -692,3 +692,145 @@ def analyze_documents(docs_ds, concurrency=None):
                 cls, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
             )
     return ds
+
+
+class _BigramExplode:
+    """documents → one row per distinct (doc_id, w1, w2) adjacent word
+    pair with its in-doc count, crc32(w1)-routed so every bigram
+    sharing a first word lands in one partition (c(w1) and c(w1,w2)
+    are then both partition-local group sums)."""
+
+    __name__ = "_BigramExplode"
+
+    def __init__(self, num_partitions: int):
+        self.num_partitions = num_partitions
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from collections import Counter
+        from zlib import crc32
+
+        texts = tbl.column("text").to_pylist()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_w1, out_w2, out_tf, out_part = [], [], [], [], []
+        P = self.num_partitions
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            if len(ws) < 2:
+                continue
+            c = Counter(zip(ws, ws[1:]))
+            did = int(ids[i])
+            for (w1, w2), tf in c.items():
+                out_id.append(did)
+                out_w1.append(w1)
+                out_w2.append(w2)
+                out_tf.append(tf)
+                out_part.append(crc32(w1.encode("utf-8")) % P)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "w1": pa.array(out_w1, pa.string()),
+                "w2": pa.array(out_w2, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "part": pa.array(out_part, pa.int32()),
+            }
+        )
+
+
+class _BigramScore:
+    """One w1-hash partition of bigram postings → per-(block, doc)
+    partial (lp_sum, n) rows. Corpus counts come from partition-local
+    Arrow group_by sums (Σ tf over (w1) / (w1, w2) groups — each w1's
+    postings are wholly co-located), so no count table is ever built
+    or broadcast."""
+
+    __name__ = "_BigramScore"
+
+    def __init__(self, alpha: float, vocab_size: int):
+        self.alpha = alpha
+        self.v = vocab_size
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.drop_columns(["part"]).combine_chunks()
+        uc = tbl.group_by("w1").aggregate([("tf", "sum")])
+        uc = uc.rename_columns(["w1", "c_w1"])
+        bc = tbl.group_by(["w1", "w2"]).aggregate([("tf", "sum")])
+        bc = bc.rename_columns(["w1", "w2", "c_bg"])
+        j = tbl.join(bc, keys=["w1", "w2"]).join(uc, keys="w1")
+        tf = j.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        cbg = j.column("c_bg").to_numpy(zero_copy_only=False).astype(np.float64)
+        cw1 = j.column("c_w1").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = tf * np.log((cbg + self.alpha) / (cw1 + self.alpha * self.v))
+        part = pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "lp": pa.array(lp, pa.float64()),
+                "n": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+        agg = part.group_by("doc_id").aggregate([("lp", "sum"), ("n", "sum")])
+        return agg.rename_columns(["doc_id", "lp", "n"])
+
+
+def bigram_logprob(docs_ds, alpha: float = 0.5, num_partitions: int = 32):
+    """Corpus-bigram language-model quality signal — the next step up
+    from ``unigram_logprob`` toward the CCNet reference-LM perplexity
+    filter (Wenzek et al. 2020, public): per-document mean log
+    additive-smoothed bigram probability
+
+        (1/n_bg) · Σ ln( (c(w1,w2) + α) / (c(w1) + α·V) )
+
+    over adjacent lowercased whitespace word pairs, with V = corpus
+    vocabulary size. Documents with fewer than 2 words have no bigrams
+    and are omitted (the SQL mirror's joins drop them identically).
+
+    Scale shape: vocabulary size V is one small counts aggregate; then
+    a single crc32(w1)-routed exchange scores every posting with
+    partition-local Arrow group-by sums (both corpus counts fall out
+    of the same co-location — no count table, no join across
+    partitions, no broadcast), and a ``groupby(doc_id)`` folds one
+    partial row per (partition, doc). Hot first-words (stopwords) skew
+    one partition's postings only — same note as tfidf.
+
+    Returns a Dataset of (doc_id, n_bigrams, bigram_logprob)."""
+    from ray.data.aggregate import Sum
+
+    def explode_vocab(tbl: pa.Table) -> pa.Table:
+        words = set()
+        for t in tbl.column("text").to_pylist():
+            words.update((t or "").lower().split())
+        return pa.table({"word": pa.array(sorted(words), pa.string())})
+
+    vocab_size = (
+        docs_ds.map_batches(explode_vocab, batch_format="pyarrow",
+                            batch_size=2048)
+        .groupby("word")
+        .count()
+        .count()
+    )
+
+    postings = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _BigramExplode(num_partitions), batch_format="pyarrow", batch_size=2048
+    )
+    partials = postings.groupby("part").map_groups(
+        _BigramScore(alpha, vocab_size), batch_format="pyarrow"
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("lp", alias_name="lp"), Sum("n", alias_name="n_bigrams")
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        lp = tbl.column("lp").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_bigrams").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_bigrams": tbl.column("n_bigrams"),
+                "bigram_logprob": pa.array(
+                    np.round(lp / np.maximum(n, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

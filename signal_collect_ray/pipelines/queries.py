@@ -3918,6 +3918,37 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc mean smoothed corpus-bigram log-probability
+    (functions.text.bigram_logprob — CCNet-style LM filter, α=0.5)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import bigram_logprob
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bigram_logprob(docs, alpha=0.5)
+
+
+_BIGRAM_LP_SQL = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, "
+    "'')), '\\S+') AS ws FROM documents), "
+    "vv AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM "
+    "(SELECT unnest(ws) AS word FROM w)), "
+    "b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM w, "
+    "LATERAL (SELECT unnest(range(1, len(ws))) AS i) t), "
+    "bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM b "
+    "GROUP BY w1, w2), "
+    "uc AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY w1), "
+    "s AS (SELECT b.doc_id, ln((bc.c + 0.5) / (uc.c + 0.5 * vv.v)) AS lp "
+    "FROM b JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2 "
+    "JOIN uc ON uc.w1 = b.w1 CROSS JOIN vv) "
+    "SELECT doc_id, COUNT(*) AS n_bigrams, "
+    "ROUND(AVG(lp), 6) AS bigram_logprob FROM s GROUP BY doc_id"
+)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Full-corpus Euclidean Lloyd k-means cluster assignments
     (functions.similarity.kmeans_lloyd, k=8, seeded init). Iterative
@@ -4176,6 +4207,7 @@ def queries():
         "event_freq_cm": q_event_freq_cm,
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
+        "bigram_logprob": q_bigram_logprob,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4335,6 +4367,7 @@ def oracle_sql():
         "dup_ngram_fraction": _DUP_NGRAM_SQL,
         "paragraph_dedup": _PARA_DEDUP_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
+        "bigram_logprob": _BIGRAM_LP_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -1513,3 +1513,33 @@ def test_kmeans_lloyd_blobs():
     xd = x.astype(np.float64)
     d2 = ((xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     assert abs(inertia - d2.min(axis=1).sum()) / inertia < 1e-6
+
+
+def test_bigram_logprob_semantics():
+    from signal_collect_ray.functions.text import bigram_logprob
+
+    texts = ["a b a b c", "a b", "z", ""]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    got = {r["doc_id"]: (r["n_bigrams"], r["bigram_logprob"])
+           for r in bigram_logprob(docs, alpha=0.5, num_partitions=4).take_all()}
+    # brute-force oracle with the same definitions
+    import math
+    from collections import Counter
+
+    all_ws = [t.lower().split() for t in texts]
+    V = len({w for ws in all_ws for w in ws})
+    bg = Counter((w1, w2) for ws in all_ws for w1, w2 in zip(ws, ws[1:]))
+    ug = Counter(w1 for ws in all_ws for w1 in ws[:-1])
+    for i, ws in enumerate(all_ws):
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert i not in got          # <2-word docs omitted
+            continue
+        lp = sum(math.log((bg[p] + 0.5) / (ug[p[0]] + 0.5 * V))
+                 for p in pairs) / len(pairs)
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - round(lp, 6)) < 1e-9
+    assert set(got) == {0, 1}            # only multi-word docs scored
