@@ -1,4 +1,5 @@
 from signal_collect_ray.functions.aggregations import (
+    profile_columns,
     sum_of_states,
     product_of_states,
     count_vertices,
@@ -106,6 +107,7 @@ __all__ = [
     "approx_distinct", "approx_distinct_by_key",
     "bloom_build", "bloom_contains", "bloom_drop_ids", "heavy_hitters",
     "cm_build", "cm_estimate", "pca_top_component", "pca_project", "kmeans_lloyd",
+    "profile_columns",
     "dedup_exact", "minhash_lsh_candidates", "jaccard_verify",
     "dedup_minhash", "ngram_jaccard_pairs", "simhash_signatures",
     "duplicated_ngram_fraction", "dedup_paragraphs",

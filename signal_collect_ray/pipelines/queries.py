@@ -3918,6 +3918,46 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_events_profile(sf_dir: str):
+    """Data-profiling sweep over the events table (functions.
+    aggregations.profile_columns): per-column rows/nulls/exact
+    distinct/min/max in one pass + one dedup exchange."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import profile_columns
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value", "props"],
+    )
+    return profile_columns(ev, ["user_id", "event_type", "value", "props"])
+
+
+def _profile_sql() -> str:
+    num = (
+        "SELECT '{c}' AS \"column\", COUNT(*) AS n_rows, "
+        "COUNT(*) - COUNT({c}) AS n_nulls, "
+        "COUNT(DISTINCT {c}) AS n_distinct, "
+        "CAST(MIN({c}) AS DOUBLE) AS min_val, "
+        "CAST(MAX({c}) AS DOUBLE) AS max_val FROM events"
+    )
+    txt = (
+        "SELECT '{c}' AS \"column\", COUNT(*) AS n_rows, "
+        "COUNT(*) - COUNT({c}) AS n_nulls, "
+        "COUNT(DISTINCT {c}) AS n_distinct, "
+        "CAST(NULL AS DOUBLE) AS min_val, "
+        "CAST(NULL AS DOUBLE) AS max_val FROM events"
+    )
+    return " UNION ALL ".join(
+        [
+            num.format(c="user_id"),
+            txt.format(c="event_type"),
+            num.format(c="value"),
+            txt.format(c="props"),
+        ]
+    )
+
+
 def q_bigram_logprob(sf_dir: str):
     """Per-doc mean smoothed corpus-bigram log-probability
     (functions.text.bigram_logprob — CCNet-style LM filter, α=0.5)."""
@@ -4208,6 +4248,7 @@ def queries():
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
         "bigram_logprob": q_bigram_logprob,
+        "events_profile": q_events_profile,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4368,6 +4409,7 @@ def oracle_sql():
         "paragraph_dedup": _PARA_DEDUP_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
+        "events_profile": _profile_sql(),
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -1543,3 +1543,28 @@ def test_bigram_logprob_semantics():
         assert got[i][0] == len(pairs)
         assert abs(got[i][1] - round(lp, 6)) < 1e-9
     assert set(got) == {0, 1}            # only multi-word docs scored
+
+
+def test_profile_columns():
+    from signal_collect_ray.functions.aggregations import profile_columns
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "s": pa.array(["x", None, "y", "x", None]),
+            "f": pa.array([0.5, 0.5, -1.0, 2.5, None], pa.float64()),
+        }
+    )
+    got = {
+        r["column"]: r
+        for r in profile_columns(
+            rd.from_arrow(tbl).repartition(3), ["a", "s", "f"]
+        ).to_pylist()
+    }
+    assert got["a"]["n_rows"] == 5 and got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 3
+    assert (got["a"]["min_val"], got["a"]["max_val"]) == (1.0, 5.0)
+    assert got["s"]["n_nulls"] == 2 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_val"] is None and got["s"]["max_val"] is None
+    assert got["f"]["n_distinct"] == 3
+    assert (got["f"]["min_val"], got["f"]["max_val"]) == (-1.0, 2.5)
