@@ -68,6 +68,7 @@ from signal_collect_ray.functions.analytics import (
     cooccurring_event_pairs,
     week_floor_us,
     gini_concentration,
+    time_decayed_sum,
 )
 from signal_collect_ray.functions.joins import (
     asof_join,
@@ -113,7 +114,7 @@ __all__ = [
     "duplicated_ngram_fraction", "dedup_paragraphs",
     "sessionize", "tumbling_window", "sliding_window", "running_totals",
     "inter_event_gaps", "cohort_retention", "cooccurring_event_pairs",
-    "week_floor_us", "gini_concentration",
+    "week_floor_us", "gini_concentration", "time_decayed_sum",
     "asof_join", "broadcast_join", "hash_join", "interval_join",
     "hash_sample", "stratified_sample",
     "knn_brute_force", "lsh_buckets", "embedding_dedup_cosine",

@@ -347,3 +347,65 @@ def gini_concentration(ds, col: str, digits: int = 6):
     mad_half = float(f @ (vi * cum_f - cum_s))               # sum_{k<l} pairs
     gini = 0.0 if n == 0 or s == 0 else 2.0 * mad_half / (2.0 * n * s)
     return pa.table({"gini": pa.array([round(gini, 6)], pa.float64())})
+
+
+def time_decayed_sum(
+    events_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    half_life_s: float = 86400.0,
+    digits: int = 6,
+):
+    """Per-key half-life-decayed value sum — the standard recency-
+    weighted engagement score (exponential time decay, public
+    formula): Σ value·2^(−(t_ref − ts)/half_life) with t_ref = the
+    corpus max timestamp, so every weight is ≤ 1 and the result is
+    reproducible for a fixed snapshot.
+
+    Scale shape: one tiny ``max(ts)`` aggregate broadcast as a plain
+    float, then per-block vectorized partial sums per key and ONE
+    ``groupby(key)`` over block×key partial rows — the same
+    pre-aggregated exchange every other aggregation here uses.
+
+    Returns a Dataset (key_col, decayed_sum) rounded to ``digits``."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    sel = events_ds.select_columns([key_col, ts_col, val_col])
+
+    def block_max(tbl: pa.Table) -> pa.Table:
+        m = pc.max(tbl.column(ts_col).cast(pa.int64())).as_py()
+        return pa.table({"m": pa.array([m if m is not None else 0], pa.int64())})
+
+    t_ref_us = int(sel.map_batches(block_max, batch_format="pyarrow").max("m"))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        w = v * np.exp2(-(t_ref_us - ts) / (half_life_s * 1e6))
+        t = pa.table({key_col: tbl.column(key_col),
+                      "w": pa.array(w, pa.float64())})
+        agg = t.group_by(key_col).aggregate([("w", "sum")])
+        return agg.rename_columns([key_col, "w"])
+
+    agg = sel.map_batches(partial, batch_format="pyarrow").groupby(
+        key_col
+    ).aggregate(Sum("w", alias_name="decayed_sum"))
+
+    def final(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("decayed_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: tbl.column(key_col),
+                "decayed_sum": pa.array(np.round(s, digits), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -3918,6 +3918,28 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_decayed_engagement(sf_dir: str):
+    """Per-user 1-day-half-life decayed value sum (functions.analytics.
+    time_decayed_sum) — recency-weighted engagement scoring."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import time_decayed_sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return time_decayed_sum(ev, half_life_s=86400.0)
+
+
+_DECAYED_SQL = (
+    "WITH t AS (SELECT MAX(ts) AS tr FROM events) "
+    "SELECT user_id, ROUND(SUM(value * POW(2.0, "
+    "-(epoch_us(t.tr) - epoch_us(ts)) / (86400.0 * 1e6))), 6) "
+    "AS decayed_sum FROM events, t GROUP BY user_id"
+)
+
+
 def q_events_profile(sf_dir: str):
     """Data-profiling sweep over the events table (functions.
     aggregations.profile_columns): per-column rows/nulls/exact
@@ -4249,6 +4271,7 @@ def queries():
         "kmeans_clusters": q_kmeans_clusters,
         "bigram_logprob": q_bigram_logprob,
         "events_profile": q_events_profile,
+        "decayed_engagement": q_decayed_engagement,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4410,6 +4433,7 @@ def oracle_sql():
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "events_profile": _profile_sql(),
+        "decayed_engagement": _DECAYED_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -1568,3 +1568,28 @@ def test_profile_columns():
     assert got["s"]["min_val"] is None and got["s"]["max_val"] is None
     assert got["f"]["n_distinct"] == 3
     assert (got["f"]["min_val"], got["f"]["max_val"]) == (-1.0, 2.5)
+
+
+def test_time_decayed_sum():
+    from signal_collect_ray.functions.analytics import time_decayed_sum
+
+    us = 1_000_000
+    hl = 10.0  # seconds
+    rows = [
+        (1, 0, 4.0),          # 20 s before t_ref → weight 2^-2
+        (1, 10 * us, 2.0),    # 10 s before → 2^-1
+        (2, 20 * us, 3.0),    # at t_ref → weight 1
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    got = {r["user_id"]: r["decayed_sum"]
+           for r in time_decayed_sum(
+               rd.from_arrow(tbl).repartition(2), half_life_s=hl
+           ).take_all()}
+    assert abs(got[1] - (4.0 * 0.25 + 2.0 * 0.5)) < 1e-9
+    assert abs(got[2] - 3.0) < 1e-9
