@@ -602,6 +602,35 @@ def q_in_degrees(sf_dir: str):
     )
 
 
+def q_degree_histogram(sf_dir: str):
+    """Log2-binned in-degree distribution of the page graph — the
+    classic power-law web-graph diagnostic. Per-block bincount
+    partials over the in_degrees aggregate; one tiny groupby(bin)."""
+    from ray.data.aggregate import Sum
+
+    def bins(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("in_degree").to_numpy(zero_copy_only=False)
+        b = np.floor(np.log2(np.maximum(d, 1))).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n_vertices": pa.array(c, pa.int64())})
+
+    return (
+        q_in_degrees(sf_dir)
+        .map_batches(bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_vertices", alias_name="n_vertices"))
+    )
+
+
+_DEGREE_HIST_SQL = (
+    f"WITH e AS ({_E_SQL}), "
+    "d AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY dst) "
+    "SELECT CAST(FLOOR(LOG2(GREATEST(ind, 1))) AS BIGINT) AS bin, "
+    "COUNT(*) AS n_vertices FROM d GROUP BY 1"
+)
+
+
 def q_kcore(sf_dir: str):
     """k-core membership at both probe k values after 8 peel rounds
     (algorithms.cellular.KCore over the symmetric graph)."""
@@ -4272,6 +4301,7 @@ def queries():
         "bigram_logprob": q_bigram_logprob,
         "events_profile": q_events_profile,
         "decayed_engagement": q_decayed_engagement,
+        "degree_histogram": q_degree_histogram,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4434,6 +4464,7 @@ def oracle_sql():
         "bigram_logprob": _BIGRAM_LP_SQL,
         "events_profile": _profile_sql(),
         "decayed_engagement": _DECAYED_SQL,
+        "degree_histogram": _DEGREE_HIST_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,
