@@ -21,7 +21,10 @@ from signal_collect_ray.algorithms.walks import random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
 from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
-from signal_collect_ray.algorithms.modularity import partition_modularity
+from signal_collect_ray.algorithms.modularity import (
+    partition_modularity,
+    louvain_one_level,
+)
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
@@ -50,6 +53,7 @@ __all__ = [
     "ktruss",
     "scc_labels",
     "partition_modularity",
+    "louvain_one_level",
     "random_walks",
     "neighborhood_function",
     "betweenness_sampled",

@@ -602,6 +602,20 @@ def q_in_degrees(sf_dir: str):
     )
 
 
+def q_louvain_communities(sf_dir: str):
+    """One-level Louvain modularity-greedy communities on the
+    symmetric page graph (algorithms.modularity.louvain_one_level).
+    Deterministic (alternating hash classes, min-label ties) but an
+    iterative greedy fixed point: rows-only."""
+    from signal_collect_ray.algorithms.modularity import louvain_one_level
+
+    g = _graph(sf_dir, True)
+    return louvain_one_level(
+        g.edges_ds().select_columns(["src", "dst"]), rounds=4,
+        num_partitions=16,
+    )
+
+
 def q_degree_histogram(sf_dir: str):
     """Log2-binned in-degree distribution of the page graph — the
     classic power-law web-graph diagnostic. Per-block bincount
@@ -4302,6 +4316,7 @@ def queries():
         "events_profile": q_events_profile,
         "decayed_engagement": q_decayed_engagement,
         "degree_histogram": q_degree_histogram,
+        "louvain_communities": q_louvain_communities,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,

@@ -1593,3 +1593,54 @@ def test_time_decayed_sum():
            ).take_all()}
     assert abs(got[1] - (4.0 * 0.25 + 2.0 * 0.5)) < 1e-9
     assert abs(got[2] - 3.0) < 1e-9
+
+
+def test_louvain_one_level_planted_partition():
+    from signal_collect_ray.algorithms.modularity import (
+        louvain_one_level,
+        partition_modularity,
+    )
+
+    # planted partition: two 10-cliques plus a single bridge
+    rng = np.random.default_rng(4)
+    und = []
+    for base in (0, 10):
+        for a in range(base, base + 10):
+            for b in range(a + 1, base + 10):
+                und.append((a, b))
+    und.append((0, 10))
+    sym = und + [(b, a) for a, b in und]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array([e[0] for e in sym], pa.int64()),
+                  "dst": pa.array([e[1] for e in sym], pa.int64())})
+    ).repartition(4)
+    labels = louvain_one_level(ds, rounds=6, num_partitions=8)
+    got = {r["vid"]: r["label"] for r in labels.take_all()}
+    assert len(got) == 20
+    blocks = [{got[v] for v in range(0, 10)}, {got[v] for v in range(10, 20)}]
+    # each clique coalesces into ONE community, and the two differ
+    assert len(blocks[0]) == 1 and len(blocks[1]) == 1
+    assert blocks[0] != blocks[1]
+    # modularity of the found partition beats singletons and is near the
+    # planted optimum (2 blocks of a 2-clique graph: Q ≈ 0.5 - eps)
+    lut = np.full(20, -1, dtype=np.int64)
+    for v, l in got.items():
+        lut[v] = l
+    q = partition_modularity(ds, lambda v: lut[v]).column(
+        "modularity"
+    ).to_pylist()[0]
+    assert q > 0.45
+    # determinism
+    got2 = {r["vid"]: r["label"]
+            for r in louvain_one_level(ds, rounds=6, num_partitions=8).take_all()}
+    assert got2 == got
+    # the join-based scale path makes the SAME moves (2 rounds)
+    fast = {r["vid"]: r["label"]
+            for r in louvain_one_level(
+                ds, rounds=2, num_partitions=8, mode="broadcast"
+            ).take_all()}
+    slow = {r["vid"]: r["label"]
+            for r in louvain_one_level(
+                ds, rounds=2, num_partitions=8, mode="join"
+            ).take_all()}
+    assert fast == slow
