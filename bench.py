@@ -254,6 +254,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     # 13. graph-analytics statistics over the extracted page graph:
     # co-citation pairs + reciprocity-style self-join (round-3)
     from signal_collect_ray.algorithms.cocitation import cocitation_top_pairs
+    from signal_collect_ray.algorithms.modularity import louvain_one_level
 
     def graph_stats():
         t = cocitation_top_pairs(
@@ -261,7 +262,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             k=20,
             max_out_degree=256,
         )
-        return t.num_rows
+        n = t.num_rows
+        sym = gs.edges_ds().select_columns(["src", "dst"])
+        n += louvain_one_level(sym, rounds=2, num_partitions=32).count()
+        return n
 
     queries["graph_stats"], extra["n_cocitation_rows"] = _timed(graph_stats)
 
