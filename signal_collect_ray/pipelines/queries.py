@@ -602,6 +602,30 @@ def q_in_degrees(sf_dir: str):
     )
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking candidate pairs (functions.dedup.
+    sorted_neighborhood_pairs, 16-bit md5-prefix key, window 3)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import sorted_neighborhood_pairs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return sorted_neighborhood_pairs(docs, window=3, chunk=64)
+
+
+_SORTED_NEIGHBORHOOD_SQL = (
+    "WITH k AS (SELECT doc_id, CAST(('0x' || substr(md5(trim("
+    "regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))), 1, 4)) "
+    "AS UBIGINT) AS bk FROM documents), "
+    "r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bk, doc_id) - 1 "
+    "AS rn FROM k) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r a JOIN r b "
+    "ON b.rn BETWEEN a.rn + 1 AND a.rn + 3"
+)
+
+
 def q_louvain_communities(sf_dir: str):
     """One-level Louvain modularity-greedy communities on the
     symmetric page graph (algorithms.modularity.louvain_one_level).
@@ -4317,6 +4341,7 @@ def queries():
         "decayed_engagement": q_decayed_engagement,
         "degree_histogram": q_degree_histogram,
         "louvain_communities": q_louvain_communities,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4480,6 +4505,7 @@ def oracle_sql():
         "events_profile": _profile_sql(),
         "decayed_engagement": _DECAYED_SQL,
         "degree_histogram": _DEGREE_HIST_SQL,
+        "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -1644,3 +1644,32 @@ def test_louvain_one_level_planted_partition():
                 ds, rounds=2, num_partitions=8, mode="join"
             ).take_all()}
     assert fast == slow
+
+
+def test_sorted_neighborhood_pairs():
+    import hashlib
+
+    from signal_collect_ray.functions.dedup import sorted_neighborhood_pairs
+
+    texts = [f"doc number {i} text body" for i in range(40)]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(3)
+    w = 3
+    got = {(r["id_a"], r["id_b"])
+           for r in sorted_neighborhood_pairs(
+               docs, window=w, chunk=8, num_partitions=4
+           ).take_all()}
+    # brute-force: sort by (16-bit md5 prefix, doc_id), window pairs
+    keyed = sorted(
+        (int(hashlib.md5(" ".join(t.split()).encode()).hexdigest()[:4], 16), i)
+        for i, t in enumerate(texts)
+    )
+    want = {
+        (keyed[i][1], keyed[j][1])
+        for i in range(len(keyed))
+        for j in range(i + 1, min(i + w + 1, len(keyed)))
+    }
+    assert got == want
+    assert len(got) == 40 * w - w * (w + 1) // 2   # n*w - w(w+1)/2
