@@ -549,3 +549,58 @@ def profile_columns(ds, cols):
             ),
         }
     )
+
+
+def functional_dependency(ds, lhs: str, rhs: str):
+    """Functional-dependency check lhs → rhs (database dependency
+    discovery, public literature): does every lhs value map to exactly
+    one rhs value? The data-quality probe behind key-candidate
+    detection and denormalization audits.
+
+    Scale shape: per-block DISTINCT (lhs, rhs) projection (Arrow hash
+    group-by), ONE dedup ``groupby`` over distinct pairs, then a
+    per-lhs distinct-rhs count folded to three numbers. Nothing
+    driver-side scales with rows.
+
+    Returns a one-row pyarrow Table (n_lhs, n_violating_lhs, holds)."""
+    from ray.data.aggregate import Count
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        # null lhs/rhs rows are excluded (nulls would also defeat the
+        # distributed groupby: Ray does not merge null keys across
+        # partitions — same caveat as profile_columns)
+        d = tbl.select([lhs, rhs]).drop_null().combine_chunks().group_by(
+            [lhs, rhs]
+        ).aggregate([])
+        return d.rename_columns(["l", "r"])
+
+    per_lhs = (
+        ds.select_columns([lhs, rhs])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["l", "r"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("l")
+        .aggregate(Count(alias_name="n_rhs"))
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        n_rhs = tbl.column("n_rhs").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_lhs": pa.array([len(n_rhs)], pa.int64()),
+                "n_violating_lhs": pa.array(
+                    [int((n_rhs > 1).sum())], pa.int64()
+                ),
+            }
+        )
+
+    rows = per_lhs.map_batches(fold, batch_format="pyarrow").take_all()
+    n_lhs = sum(r["n_lhs"] for r in rows)
+    n_bad = sum(r["n_violating_lhs"] for r in rows)
+    return pa.table(
+        {
+            "n_lhs": pa.array([n_lhs], pa.int64()),
+            "n_violating_lhs": pa.array([n_bad], pa.int64()),
+            "holds": pa.array([n_bad == 0], pa.bool_()),
+        }
+    )

@@ -602,6 +602,64 @@ def q_in_degrees(sf_dir: str):
     )
 
 
+def q_fd_checks(sf_dir: str):
+    """Functional-dependency probes (functions.aggregations.
+    functional_dependency): o_orderkey→o_custkey on orders (a true key
+    dependency) and user_id→event_type on events (violated)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import (
+        functional_dependency,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    a = functional_dependency(orders, "o_orderkey", "o_custkey")
+    b = functional_dependency(ev, "user_id", "event_type")
+
+    def row(t):
+        return (
+            int(t.column("n_lhs")[0].as_py()),
+            int(t.column("n_violating_lhs")[0].as_py()),
+            bool(t.column("holds")[0].as_py()),
+        )
+
+    ra, rb = row(a), row(b)
+    return pa.table(
+        {
+            "dependency": pa.array(
+                ["o_orderkey->o_custkey", "user_id->event_type"], pa.string()
+            ),
+            "n_lhs": pa.array([ra[0], rb[0]], pa.int64()),
+            "n_violating_lhs": pa.array([ra[1], rb[1]], pa.int64()),
+            "holds": pa.array([ra[2], rb[2]], pa.bool_()),
+        }
+    )
+
+
+_FD_SQL = (
+    "SELECT 'o_orderkey->o_custkey' AS dependency, "
+    "COUNT(DISTINCT o_orderkey) AS n_lhs, "
+    "CAST(COALESCE(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) "
+    "AS n_violating_lhs, "
+    "COALESCE(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds "
+    "FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nr FROM orders "
+    "GROUP BY o_orderkey) s "
+    "UNION ALL "
+    "SELECT 'user_id->event_type', COUNT(DISTINCT user_id), "
+    "CAST(COALESCE(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0) AS BIGINT), "
+    "COALESCE(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0) = 0 "
+    "FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nr FROM events "
+    "GROUP BY user_id) s2"
+)
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking candidate pairs (functions.dedup.
     sorted_neighborhood_pairs, 16-bit md5-prefix key, window 3)."""
@@ -4342,6 +4400,7 @@ def queries():
         "degree_histogram": q_degree_histogram,
         "louvain_communities": q_louvain_communities,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "fd_checks": q_fd_checks,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4506,6 +4565,7 @@ def oracle_sql():
         "decayed_engagement": _DECAYED_SQL,
         "degree_histogram": _DEGREE_HIST_SQL,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
+        "fd_checks": _FD_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -1673,3 +1673,24 @@ def test_sorted_neighborhood_pairs():
     }
     assert got == want
     assert len(got) == 40 * w - w * (w + 1) // 2   # n*w - w(w+1)/2
+
+
+def test_functional_dependency():
+    from signal_collect_ray.functions.aggregations import (
+        functional_dependency,
+    )
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3, None], pa.int64()),
+            "b": pa.array(["x", "x", "y", "z", "w", "q"]),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = functional_dependency(ds, "a", "b").to_pylist()[0]
+    # a=1 → {x}, a=2 → {y,z} VIOLATES, a=3 → {w}; null row excluded
+    assert got == {"n_lhs": 3, "n_violating_lhs": 1, "holds": False}
+    ok = functional_dependency(
+        rd.from_arrow(pa.table({"a": [1, 1, 2], "b": [5, 5, 6]})), "a", "b"
+    ).to_pylist()[0]
+    assert ok == {"n_lhs": 2, "n_violating_lhs": 0, "holds": True}
