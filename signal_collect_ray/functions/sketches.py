@@ -339,3 +339,68 @@ def cm_estimate(sketch: np.ndarray, arr) -> np.ndarray:
     for d in range(depth):
         est = np.minimum(est, sketch[d][rows[d]])
     return est
+
+
+def approx_quantiles_binned(ds, col: str, qs, bins: int = 4096):
+    """Mergeable approximate quantiles via a fixed-width histogram
+    (the classic two-pass binned sketch; public technique): pass 1
+    folds per-block (min, max); pass 2 folds per-block ``bins``-cell
+    counts (merge = element-wise SUM, like the Count-Min rows). The
+    reported quantile is the LOWER EDGE of the first bin whose
+    cumulative count reaches ⌈q·n⌉ — a deterministic definition with
+    error ≤ (max−min)/bins that an SQL mirror reproduces exactly,
+    unlike rank-interpolating sketches. For exact quantiles over
+    discrete keys use ``aggregations.exact_quantiles_int``.
+
+    Returns a pyarrow Table (q, approx_value) rounded to 6."""
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([v.min()], pa.float64()),
+                         "mx": pa.array([v.max()], pa.float64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    sel = ds.select_columns([col]).materialize()
+    mn, mx, n = np.inf, -np.inf, 0
+    for b in sel.map_batches(minmax, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for r in b.to_pylist():
+            mn, mx, n = min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"]
+    if n == 0:
+        raise ValueError("approx_quantiles_binned: no non-null values")
+    width = (mx - mn) / bins if mx > mn else 1.0
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.minimum(
+            ((v - mn) / width).astype(np.int64), bins - 1
+        )
+        h = np.bincount(idx, minlength=bins)
+        return pa.table({"h": pa.array([h.tobytes()], pa.binary())})
+
+    h = np.zeros(bins, dtype=np.int64)
+    for b in sel.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for buf in b.column("h").to_pylist():
+            h += np.frombuffer(buf, dtype=np.int64)
+    cum = np.cumsum(h)
+    out_q, out_v = [], []
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        bin_i = int(np.searchsorted(cum, target))
+        out_q.append(float(q))
+        out_v.append(round(mn + bin_i * width if mx > mn else mn, 6))
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "approx_value": pa.array(out_v, pa.float64()),
+        }
+    )

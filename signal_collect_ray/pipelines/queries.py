@@ -602,6 +602,42 @@ def q_in_degrees(sf_dir: str):
     )
 
 
+_AQ_QS = (0.25, 0.5, 0.9, 0.99)
+_AQ_BINS = 4096
+
+
+def q_value_quantiles_approx(sf_dir: str):
+    """Mergeable binned approximate quantiles of the events value
+    column (functions.sketches.approx_quantiles_binned) — the
+    histogram-sketch definition is deterministic, so the SQL mirror
+    reproduces it bit-for-bit."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import approx_quantiles_binned
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return approx_quantiles_binned(ev, "value", _AQ_QS, bins=_AQ_BINS)
+
+
+def _aq_sql() -> str:
+    qs = ", ".join(str(q) for q in _AQ_QS)
+    B = _AQ_BINS
+    return (
+        "WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL), "
+        "s AS (SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM v), "
+        f"b AS (SELECT LEAST(CAST(FLOOR((x - s.mn) / ((s.mx - s.mn) / {B}.0)) "
+        f"AS BIGINT), {B} - 1) AS bin FROM v, s), "
+        "h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin), "
+        "c AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h), "
+        f"qq AS (SELECT unnest([{qs}]) AS q) "
+        "SELECT q, ROUND(s.mn + (SELECT MIN(bin) FROM c "
+        "WHERE cum >= CEIL(q * s.n)) "
+        f"* ((s.mx - s.mn) / {B}.0), 6) AS approx_value FROM qq, s"
+    )
+
+
 def q_fd_checks(sf_dir: str):
     """Functional-dependency probes (functions.aggregations.
     functional_dependency): o_orderkey→o_custkey on orders (a true key
@@ -4401,6 +4437,7 @@ def queries():
         "louvain_communities": q_louvain_communities,
         "sorted_neighborhood": q_sorted_neighborhood,
         "fd_checks": q_fd_checks,
+        "value_quantiles_approx": q_value_quantiles_approx,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4566,6 +4603,7 @@ def oracle_sql():
         "degree_histogram": _DEGREE_HIST_SQL,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "fd_checks": _FD_SQL,
+        "value_quantiles_approx": _aq_sql(),
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

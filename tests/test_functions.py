@@ -1694,3 +1694,22 @@ def test_functional_dependency():
         rd.from_arrow(pa.table({"a": [1, 1, 2], "b": [5, 5, 6]})), "a", "b"
     ).to_pylist()[0]
     assert ok == {"n_lhs": 2, "n_violating_lhs": 0, "holds": True}
+
+
+def test_approx_quantiles_binned_error_bound():
+    from signal_collect_ray.functions.sketches import approx_quantiles_binned
+
+    rng = np.random.default_rng(13)
+    x = rng.lognormal(1.0, 0.8, 20_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(x, pa.float64())})).repartition(6)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles_binned(ds, "v", qs, bins=2048)
+    width = (x.max() - x.min()) / 2048
+    for q, av in zip(got.column("q").to_pylist(),
+                     got.column("approx_value").to_pylist()):
+        exact = np.quantile(x, q, method="inverted_cdf")
+        assert abs(av - exact) <= width + 1e-9, (q, av, exact, width)
+    # degenerate: constant column → every quantile equals the constant
+    const = rd.from_arrow(pa.table({"v": pa.array([7.25] * 50, pa.float64())}))
+    g2 = approx_quantiles_binned(const, "v", [0.5, 0.99], bins=64)
+    assert g2.column("approx_value").to_pylist() == [7.25, 7.25]
