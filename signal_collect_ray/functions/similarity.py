@@ -915,3 +915,69 @@ def kmeans_lloyd(
         )
 
     return C, ds.map_batches(assign, batch_format="pyarrow"), inertia
+
+
+def intra_cluster_stats(
+    ds, key_col: str = "label", emb_col: str = "embedding",
+    id_col: str = "vec_id", digits: int = 6,
+):
+    """Per-cluster dispersion: mean squared distance of each vector to
+    its own cluster centroid — the embedding-space quality diagnostic
+    behind elbow plots and cluster drift monitors. Centroids come from
+    ``vector_mean_by_key`` (rounded to ``digits`` so the SQL mirror can
+    reproduce them exactly); the label×dim centroid matrix is the SMALL
+    side (broadcast once), and one vectorized pass folds per-block
+    per-label (Σd², n) partials into a tiny groupby.
+
+    Returns a pyarrow-backed Dataset (label, n_vectors, avg_sq_dist)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rows = vector_mean_by_key(ds, key_col, emb_col).take_all()
+    labels = sorted({r[key_col] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    lab_arr = np.array(labels, dtype=np.int64)
+    C = np.zeros((len(labels), dim))
+    lut = {l: i for i, l in enumerate(labels)}
+    for r in rows:
+        C[lut[r[key_col]], r["pos"]] = round(r["mean_val"], digits)
+    ref = ray.put((lab_arr, C))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        la, c = ray.get(ref)
+        x = _emb_matrix(tbl, emb_col).astype(np.float64)
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        li = np.searchsorted(la, keys)
+        d2 = ((x - c[li]) ** 2).sum(axis=1)
+        u, inv = np.unique(keys, return_inverse=True)
+        s = np.bincount(inv, weights=d2)
+        n = np.bincount(inv)
+        return pa.table(
+            {
+                key_col: pa.array(u, pa.int64()),
+                "s": pa.array(s, pa.float64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([id_col, key_col, emb_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n_vectors"))
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("s").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_vectors").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: tbl.column(key_col),
+                "n_vectors": tbl.column("n_vectors"),
+                "avg_sq_dist": pa.array(np.round(s / n, digits), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -602,6 +602,34 @@ def q_in_degrees(sf_dir: str):
     )
 
 
+def q_intra_cluster_stats(sf_dir: str):
+    """Per-label mean squared distance to the label centroid
+    (functions.similarity.intra_cluster_stats)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import intra_cluster_stats
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+    return intra_cluster_stats(emb)
+
+
+_INTRA_CLUSTER_SQL = (
+    "WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label, r.pos, "
+    "CAST(embedding[r.pos] AS DOUBLE) AS v "
+    "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(pos)), "
+    "c AS (SELECT label, pos, ROUND(SUM(v) / COUNT(*), 6) AS mv "
+    "FROM x GROUP BY label, pos), "
+    "d AS (SELECT x.vec_id, x.label, SUM(POW(x.v - c.mv, 2)) AS d2 "
+    "FROM x JOIN c ON c.label = x.label AND c.pos = x.pos "
+    "GROUP BY x.vec_id, x.label) "
+    "SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(d2), 6) AS avg_sq_dist "
+    "FROM d GROUP BY label"
+)
+
+
 _AQ_QS = (0.25, 0.5, 0.9, 0.99)
 _AQ_BINS = 4096
 
@@ -4438,6 +4466,7 @@ def queries():
         "sorted_neighborhood": q_sorted_neighborhood,
         "fd_checks": q_fd_checks,
         "value_quantiles_approx": q_value_quantiles_approx,
+        "intra_cluster_stats": q_intra_cluster_stats,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4604,6 +4633,7 @@ def oracle_sql():
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "fd_checks": _FD_SQL,
         "value_quantiles_approx": _aq_sql(),
+        "intra_cluster_stats": _INTRA_CLUSTER_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
         "quality_scores": _QUALITY_SQL,

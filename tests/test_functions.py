@@ -1713,3 +1713,29 @@ def test_approx_quantiles_binned_error_bound():
     const = rd.from_arrow(pa.table({"v": pa.array([7.25] * 50, pa.float64())}))
     g2 = approx_quantiles_binned(const, "v", [0.5, 0.99], bins=64)
     assert g2.column("approx_value").to_pylist() == [7.25, 7.25]
+
+
+def test_intra_cluster_stats():
+    from signal_collect_ray.functions.similarity import intra_cluster_stats
+
+    rng = np.random.default_rng(21)
+    xs, labels = [], []
+    for lab, (center, spread) in enumerate([(0.0, 0.1), (5.0, 1.0)]):
+        pts = center + spread * rng.standard_normal((50, 4))
+        xs.append(pts)
+        labels += [lab] * 50
+    x = np.concatenate(xs).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                  "label": pa.array(labels, pa.int64()),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float32()))})
+    ).repartition(4)
+    got = {r["label"]: r for r in intra_cluster_stats(ds).take_all()}
+    for lab in (0, 1):
+        pts = x[np.array(labels) == lab].astype(np.float64)
+        cent = np.round(pts.mean(axis=0), 6)
+        want = round(((pts - cent) ** 2).sum(axis=1).mean(), 6)
+        assert got[lab]["n_vectors"] == 50
+        assert abs(got[lab]["avg_sq_dist"] - want) < 1e-6
+    # tight cluster reports much smaller dispersion
+    assert got[0]["avg_sq_dist"] < got[1]["avg_sq_dist"] / 10
