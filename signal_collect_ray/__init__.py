@@ -26,8 +26,11 @@ from signal_collect_ray.engine_resident import ResidentEngine
 from signal_collect_ray.engine_async import AsyncEngine
 from signal_collect_ray.modes import ExecutionMode, execute
 from signal_collect_ray.algorithm import Algorithm, GlobalTermination, SumStatesTermination
+from signal_collect_ray.sinks import write_partitioned, read_partitioned
 
 __all__ = [
+    "write_partitioned",
+    "read_partitioned",
     "EngineConfig",
     "Graph",
     "SuperstepEngine",

@@ -1739,3 +1739,36 @@ def test_intra_cluster_stats():
         assert abs(got[lab]["avg_sq_dist"] - want) < 1e-6
     # tight cluster reports much smaller dispersion
     assert got[0]["avg_sq_dist"] < got[1]["avg_sq_dist"] / 10
+
+
+def test_write_partitioned_resume(tmp_path):
+    import os
+
+    from signal_collect_ray.sinks import read_partitioned, write_partitioned
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(range(200), pa.int64()),
+                  "v": pa.array([i * 2 for i in range(200)], pa.int64())})
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    st1 = write_partitioned(ds, out, key="k", num_partitions=8)
+    assert st1.num_rows == 8
+    assert not any(st1.column("skipped").to_pylist())
+    assert sum(st1.column("n_rows").to_pylist()) == 200
+    # full resume: every partition skipped, counts preserved
+    st2 = write_partitioned(ds, out, key="k", num_partitions=8)
+    assert all(st2.column("skipped").to_pylist())
+    assert st2.column("n_rows").to_pylist() == st1.column("n_rows").to_pylist()
+    # crash simulation: delete one partition's marker → only it rewrites
+    victim = os.path.join(out, "part=00003", "_SUCCESS")
+    os.remove(victim)
+    st3 = write_partitioned(ds, out, key="k", num_partitions=8)
+    skipped = dict(zip(st3.column("part").to_pylist(),
+                       st3.column("skipped").to_pylist()))
+    assert skipped[3] is False and sum(not s for s in skipped.values()) == 1
+    # read-back sees every committed row exactly once
+    back = read_partitioned(out)
+    assert sorted(r["k"] for r in back.take_all()) == list(range(200))
+    # half-written partitions (no marker) are invisible to readers
+    os.remove(victim)
+    assert read_partitioned(out).count() < 200
