@@ -1374,3 +1374,82 @@ def sorted_neighborhood_pairs(
         .groupby("ck")
         .map_groups(_SnWindowPairs(window), batch_format="pyarrow")
     )
+
+
+def boilerplate_chunks(
+    docs_ds, chunk_words: int = 10, min_docs: int = 2, num_partitions: int = 32
+):
+    """Boilerplate mining — the dual view of ``dedup_paragraphs``: the
+    ``chunk_words``-word chunks that appear in at least ``min_docs``
+    DISTINCT documents, with their document frequencies. The report a
+    curation team reads before deciding what the keep-first dedup will
+    strip (navigation bars, license footers, template headers).
+
+    Same two-stage shape as every postings operator here: per-block
+    distinct (doc, chunk) rows crc32-routed so each chunk's postings
+    co-locate, then one Arrow group-by per PARTITION counts distinct
+    docs; only chunks passing ``min_docs`` leave the kernel."""
+    import pyarrow.compute as pc
+
+    class _DistinctChunks:
+        __name__ = "_DistinctChunks"
+
+        def __init__(self, w: int, P: int):
+            self.w = w
+            self.P = P
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            from zlib import crc32
+
+            texts = tbl.column("text").to_pylist()
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            out_id, out_ch, out_part = [], [], []
+            for i, t in enumerate(texts):
+                ws = (t or "").lower().split()
+                chunks = {
+                    " ".join(ws[ci * self.w : (ci + 1) * self.w])
+                    for ci in range(0, (len(ws) + self.w - 1) // self.w)
+                }
+                out_id.extend([int(ids[i])] * len(chunks))
+                out_ch.extend(chunks)
+                out_part.extend(
+                    crc32(c.encode("utf-8")) % self.P for c in chunks
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "chunk": pa.array(out_ch, pa.string()),
+                    "part": pa.array(out_part, pa.int32()),
+                }
+            )
+
+    class _FreqFilter:
+        __name__ = "_FreqFilter"
+
+        def __init__(self, min_docs: int):
+            self.min_docs = min_docs
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            t = tbl.drop_columns(["part"]).combine_chunks()
+            counts = t.group_by("chunk").aggregate([("doc_id", "count_distinct")])
+            keep = pc.greater_equal(
+                counts.column("doc_id_count_distinct"), self.min_docs
+            )
+            f = counts.filter(keep)
+            return pa.table(
+                {
+                    "chunk": f.column("chunk"),
+                    "n_docs": f.column("doc_id_count_distinct").cast(pa.int64()),
+                }
+            )
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            _DistinctChunks(chunk_words, num_partitions),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .groupby("part")
+        .map_groups(_FreqFilter(min_docs), batch_format="pyarrow")
+    )

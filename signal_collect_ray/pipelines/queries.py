@@ -4298,6 +4298,31 @@ _PARA_DEDUP_SQL = (
 )
 
 
+def q_boilerplate_chunks(sf_dir: str):
+    """Chunks shared by ≥2 documents with document frequencies
+    (functions.dedup.boilerplate_chunks, 10-word chunks)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import boilerplate_chunks
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return boilerplate_chunks(docs, chunk_words=10, min_docs=2)
+
+
+_BOILERPLATE_SQL = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, "
+    "'')), '\\S+') AS ws FROM documents), "
+    "c AS (SELECT DISTINCT doc_id, "
+    "array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS chunk "
+    "FROM w, LATERAL (SELECT unnest(range(1, "
+    "CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)) AS i) t) "
+    "SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM c "
+    "GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2"
+)
+
+
 def q_host_modularity(sf_dir: str):
     """Directed Newman modularity of the host partition (vid %
     _HOST_MOD — the same coarsening as q_host_pagerank_k4) on the page
@@ -4455,6 +4480,7 @@ def queries():
         "event_pair_cooccurrence": q_event_pair_cooccurrence,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_chunks": q_boilerplate_chunks,
         "event_freq_cm": q_event_freq_cm,
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
@@ -4625,6 +4651,7 @@ def oracle_sql():
         "event_pair_cooccurrence": _EVENT_PAIR_COOCCURRENCE_SQL,
         "dup_ngram_fraction": _DUP_NGRAM_SQL,
         "paragraph_dedup": _PARA_DEDUP_SQL,
+        "boilerplate_chunks": _BOILERPLATE_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "events_profile": _profile_sql(),
