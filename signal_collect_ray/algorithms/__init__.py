@@ -1,4 +1,8 @@
-from signal_collect_ray.algorithms.pagerank import PageRank, PersonalizedPageRank
+from signal_collect_ray.algorithms.pagerank import (
+    PageRank,
+    PersonalizedPageRank,
+    TeleportWeightedPageRank,
+)
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
@@ -34,6 +38,7 @@ from signal_collect_ray.algorithms.triangles import (
 __all__ = [
     "PageRank",
     "PersonalizedPageRank",
+    "TeleportWeightedPageRank",
     "CrawlingPageRank",
     "Hits",
     "ConnectedComponents",

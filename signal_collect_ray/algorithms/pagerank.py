@@ -112,3 +112,30 @@ class PersonalizedPageRank(PageRank):
             "active": base > 0.0,
             "residual": base.copy(),
         }
+
+
+class TeleportWeightedPageRank(PageRank):
+    """PageRank with a biased teleport distribution (TrustRank /
+    topic-sensitive family, Gyöngyi et al. 2004 — public literature):
+    per-vertex baseline ``b_v = (1−d)·w_v`` where ``w_v`` comes from a
+    vectorized vid→weight function (a trust score, a quality prior, a
+    topic indicator). PersonalizedPageRank is the special case
+    ``w_v = [v ∈ S]``. Only ``init`` differs from PageRank — the delta
+    engine is inherited unchanged; zero-weight vertices start inactive
+    exactly like PPR's non-sources."""
+
+    name = "twpr"
+
+    def __init__(self, weight_fn, damping: float = 0.85):
+        super().__init__(damping)
+        self.weight_fn = weight_fn
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        w = np.asarray(self.weight_fn(vid), dtype=np.float64)
+        base = self.baseline * w
+        return {
+            "state": base.copy(),
+            "last": np.zeros(len(vid)),
+            "active": base > 0.0,
+            "residual": base.copy(),
+        }

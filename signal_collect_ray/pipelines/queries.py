@@ -309,6 +309,39 @@ def _ppr_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
 
+def q_trustrank_k4(sf_dir: str):
+    """4-step teleport-weighted PageRank (algorithms.pagerank.
+    TeleportWeightedPageRank): teleport mass ∝ (vid % 7 + 1)/4 — a
+    deterministic stand-in for a per-page trust/quality prior."""
+    from signal_collect_ray.algorithms.pagerank import (
+        TeleportWeightedPageRank,
+    )
+
+    alg = TeleportWeightedPageRank(lambda v: (v % 7 + 1) / 4.0)
+    t = _state(sf_dir, alg, False, 4, eps=0.0, tag="_k4")
+    return _round_state(t, "rank", 6)
+
+
+def _twpr_sql(k: int) -> str:
+    base = "0.15 * ((vid % 7) + 1) / 4.0"
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
+        f"r0 AS (SELECT vid, CAST({base} AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, "
+            f"{base.replace('vid', 'v.vid')} "
+            f"+ 0.85 * COALESCE(SUM(r{i-1}.r / od.outd), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+
+
 _KCORE_KS, _KCORE_ROUNDS = (12, 180), 8
 
 
@@ -4482,6 +4515,7 @@ def queries():
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_chunks": q_boilerplate_chunks,
         "event_freq_cm": q_event_freq_cm,
+        "trustrank_k4": q_trustrank_k4,
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
         "bigram_logprob": q_bigram_logprob,
@@ -4652,6 +4686,7 @@ def oracle_sql():
         "dup_ngram_fraction": _DUP_NGRAM_SQL,
         "paragraph_dedup": _PARA_DEDUP_SQL,
         "boilerplate_chunks": _BOILERPLATE_SQL,
+        "trustrank_k4": _twpr_sql(4),
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "events_profile": _profile_sql(),
