@@ -404,3 +404,36 @@ def approx_quantiles_binned(ds, col: str, qs, bins: int = 4096):
             "approx_value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def quantile_bucket(
+    ds, id_col: str, col: str, n_buckets: int = 4, bins: int = 4096
+):
+    """Equi-depth bucketing: assign every row the quantile bucket of
+    its ``col`` value, with bucket edges from the deterministic binned
+    sketch (``approx_quantiles_binned`` at q = i/n_buckets) — the
+    discretization step before stratified balancing or per-decile
+    analyses. One extra broadcast-edges pass over the data; the edges
+    themselves cost the two fixed-size sketch passes. Bucket b means
+    ``edge_b <= value < edge_{b+1}`` (values below edge_1 get 0, at or
+    above edge_{n-1} get n_buckets-1) — exactly reproducible in SQL
+    from the same sketch definition.
+
+    Returns a Dataset (id_col, bucket)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_tbl = approx_quantiles_binned(ds, col, qs, bins=bins)
+    edges = np.array(edges_tbl.column("approx_value").to_pylist())
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(edges, v, side="right")
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -699,6 +699,40 @@ def _aq_sql() -> str:
     )
 
 
+def q_value_buckets(sf_dir: str):
+    """Equi-depth quartile bucket per event (functions.sketches.
+    quantile_bucket over the same binned sketch as
+    value_quantiles_approx)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import quantile_bucket
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return quantile_bucket(ev, "event_id", "value", n_buckets=4,
+                           bins=_AQ_BINS)
+
+
+def _value_buckets_sql() -> str:
+    B = _AQ_BINS
+    return (
+        "WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL), "
+        "s AS (SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM v), "
+        f"b AS (SELECT LEAST(CAST(FLOOR((x - s.mn) / ((s.mx - s.mn) / {B}.0)) "
+        f"AS BIGINT), {B} - 1) AS bin FROM v, s), "
+        "h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin), "
+        "c AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h), "
+        "qq AS (SELECT unnest([0.25, 0.5, 0.75]) AS q), "
+        "ed AS (SELECT ROUND(s.mn + (SELECT MIN(bin) FROM c "
+        "WHERE cum >= CEIL(q * s.n)) "
+        f"* ((s.mx - s.mn) / {B}.0), 6) AS e FROM qq, s) "
+        "SELECT ev.event_id, CAST(SUM(CASE WHEN ed.e <= ev.value THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM events ev CROSS JOIN ed GROUP BY ev.event_id"
+    )
+
+
 def q_fd_checks(sf_dir: str):
     """Functional-dependency probes (functions.aggregations.
     functional_dependency): o_orderkey→o_custkey on orders (a true key
@@ -4526,6 +4560,7 @@ def queries():
         "sorted_neighborhood": q_sorted_neighborhood,
         "fd_checks": q_fd_checks,
         "value_quantiles_approx": q_value_quantiles_approx,
+        "value_buckets": q_value_buckets,
         "intra_cluster_stats": q_intra_cluster_stats,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
@@ -4695,6 +4730,7 @@ def oracle_sql():
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "fd_checks": _FD_SQL,
         "value_quantiles_approx": _aq_sql(),
+        "value_buckets": _value_buckets_sql(),
         "intra_cluster_stats": _INTRA_CLUSTER_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),

@@ -1772,3 +1772,25 @@ def test_write_partitioned_resume(tmp_path):
     # half-written partitions (no marker) are invisible to readers
     os.remove(victim)
     assert read_partitioned(out).count() < 200
+
+
+def test_quantile_bucket_balance():
+    from signal_collect_ray.functions.sketches import quantile_bucket
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal(8000)
+    ds = rd.from_arrow(
+        pa.table({"rid": pa.array(range(len(x)), pa.int64()),
+                  "v": pa.array(x, pa.float64())})
+    ).repartition(5)
+    got = quantile_bucket(ds, "rid", "v", n_buckets=4, bins=4096).take_all()
+    counts = np.bincount([r["bucket"] for r in got], minlength=4)
+    assert counts.sum() == len(x) and len(counts) == 4
+    # equi-depth within the bin-width tolerance: every bucket within 5%
+    assert (np.abs(counts - len(x) / 4) < 0.05 * len(x)).all(), counts
+    # ordering: every value in bucket b is <= every value in bucket b+2
+    by_bucket = {}
+    for r, v in zip(got, x[[r["rid"] for r in got]]):
+        by_bucket.setdefault(r["bucket"], []).append(v)
+    assert max(by_bucket[0]) <= min(by_bucket[2])
+    assert max(by_bucket[1]) <= min(by_bucket[3])
