@@ -138,6 +138,7 @@ def louvain_one_level(
     num_partitions: int = 32,
     mode: str = "auto",
     max_broadcast_bytes: int = 256 << 20,
+    weight_col: str = None,
 ):
     """One level of Louvain community detection (Blondel et al. 2008,
     public literature): greedy modularity-maximizing label moves on the
@@ -167,34 +168,45 @@ def louvain_one_level(
       id — nothing anywhere scales with |V|, at ~6 exchanges per
       round.
 
+    ``weight_col`` names an optional edge-weight column (e.g. the
+    summed multi-edge weights of a contracted host graph); unweighted
+    edges count 1 — an integer-weighted graph moves identically to the
+    equivalent duplicated-edge multigraph (pinned in tests).
+
     Returns a Dataset (vid, label)."""
     import ray.data as rd
 
-    edges = edges_sym_ds.select_columns(["src", "dst"]).materialize()
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    edges = edges_sym_ds.select_columns(cols).materialize()
+    if weight_col and weight_col != "w":
+        edges = edges.rename_columns({weight_col: "w"})
+    has_w = bool(weight_col)
     if mode == "auto":
         n_upper = edges.count()  # vertex count ≤ 2·edges; cheap estimate
         mode = "broadcast" if n_upper * 24 <= max_broadcast_bytes else "join"
     if mode == "broadcast":
-        return _louvain_broadcast(edges, rounds, num_partitions)
-    return _louvain_join(edges, rounds, num_partitions)
+        return _louvain_broadcast(edges, rounds, num_partitions, has_w)
+    return _louvain_join(edges, rounds, num_partitions, has_w)
 
 
-def _louvain_broadcast(edges, rounds: int, num_partitions: int):
+def _louvain_broadcast(edges, rounds: int, num_partitions: int,
+                       has_w: bool = False):
     """One exchange per round; vertex arrays broadcast via ray.put."""
     import ray
     import ray.data as rd
 
     from signal_collect_ray.util import part_of
 
-    # vertex set + degrees from per-block partial bincounts (tiny rows)
+    # vertex set + weighted degrees from per-block partials (tiny rows)
     parts: dict = {}
     def deg_partial(tbl: pa.Table) -> pa.Table:
-        u, c = np.unique(
-            tbl.column("src").to_numpy(zero_copy_only=False),
-            return_counts=True,
-        )
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        w = (tbl.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+             if has_w else np.ones(len(src)))
+        u, inv = np.unique(src, return_inverse=True)
+        c = np.bincount(inv, weights=w)
         return pa.table({"v": pa.array(u, pa.int64()),
-                         "c": pa.array(c, pa.int64())})
+                         "c": pa.array(c, pa.float64())})
 
     for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow", batch_size=None
@@ -216,17 +228,20 @@ def _louvain_broadcast(edges, rounds: int, num_partitions: int):
             v_, lab_, _d, _vol = ray.get(ref)
             s = tbl.column("src").to_numpy(zero_copy_only=False)
             d = tbl.column("dst").to_numpy(zero_copy_only=False)
+            w = (tbl.column("w").to_numpy(zero_copy_only=False).astype(
+                np.float64) if has_w else np.ones(len(s)))
             si = np.searchsorted(v_, s)
             dl = lab_[np.searchsorted(v_, d)]
             key = si * (len(v_) + 1) + np.searchsorted(v_, dl)
-            uk, c = np.unique(key, return_counts=True)
+            uk, inv = np.unique(key, return_inverse=True)
+            c = np.bincount(inv, weights=w)
             usi = uk // (len(v_) + 1)
             udl = v_[uk % (len(v_) + 1)]
             return pa.table(
                 {
                     "si": pa.array(usi, pa.int64()),
                     "dl": pa.array(udl, pa.int64()),
-                    "k": pa.array(c, pa.int64()),
+                    "k": pa.array(c, pa.float64()),
                     "part": pa.array(
                         part_of(usi, num_partitions), pa.int32()
                     ),
@@ -304,17 +319,26 @@ class _BroadcastArgmax:
         )
 
 
-def _louvain_join(edges, rounds: int, num_partitions: int):
+def _louvain_join(edges, rounds: int, num_partitions: int,
+                  has_w: bool = False):
     """~6 hash-partitioned exchanges per round; nothing driver-side
     scales with |V|. Same moves as the broadcast path (pinned)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from signal_collect_ray.functions.joins import hash_join
-    m2 = float(edges.count())
+
+    if not has_w:
+        def ones(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "w", pa.array(np.ones(len(tbl)), pa.float64())
+            )
+
+        edges = edges.map_batches(ones, batch_format="pyarrow").materialize()
+    m2 = float(edges.sum("w"))
     deg = (
         edges.groupby("src")
-        .aggregate(Count(alias_name="deg"))
+        .aggregate(Sum("w", alias_name="deg"))
         .rename_columns({"src": "vid"})
         .materialize()
     )
@@ -330,9 +354,9 @@ def _louvain_join(edges, rounds: int, num_partitions: int):
         j = hash_join(edges, lab_dst, on="dst",
                       num_partitions=num_partitions)
         kic = (
-            j.select_columns(["src", "dst_label"])
+            j.select_columns(["src", "dst_label", "w"])
             .groupby(["src", "dst_label"])
-            .aggregate(Count(alias_name="k"))
+            .aggregate(Sum("w", alias_name="k"))
         )
         # explicit stay candidates (k=0) so a vertex with no neighbor in
         # its own community still scores staying correctly
@@ -341,7 +365,7 @@ def _louvain_join(edges, rounds: int, num_partitions: int):
                 {
                     "src": tbl.column("vid"),
                     "dst_label": tbl.column("label"),
-                    "k": pa.array(np.zeros(len(tbl), np.int64), pa.int64()),
+                    "k": pa.array(np.zeros(len(tbl)), pa.float64()),
                 }
             )
 

@@ -1794,3 +1794,31 @@ def test_quantile_bucket_balance():
         by_bucket.setdefault(r["bucket"], []).append(v)
     assert max(by_bucket[0]) <= min(by_bucket[2])
     assert max(by_bucket[1]) <= min(by_bucket[3])
+
+
+def test_louvain_weighted_equivalence():
+    from signal_collect_ray.algorithms.modularity import louvain_one_level
+
+    und = [(a, b) for c in (0, 5) for a in range(c, c + 5)
+           for b in range(a + 1, c + 5)] + [(0, 5)]
+    sym = und + [(b, a) for a, b in und]
+    t = pa.table({"src": pa.array([e[0] for e in sym], pa.int64()),
+                  "dst": pa.array([e[1] for e in sym], pa.int64())})
+    t2 = t.append_column("wt", pa.array([2.0] * len(sym), pa.float64()))
+    dup = pa.concat_tables([t, t])
+    lw = {r["vid"]: r["label"]
+          for r in louvain_one_level(rd.from_arrow(t2).repartition(3),
+                                     rounds=2, mode="broadcast",
+                                     weight_col="wt", num_partitions=4
+                                     ).take_all()}
+    ld = {r["vid"]: r["label"]
+          for r in louvain_one_level(rd.from_arrow(dup).repartition(3),
+                                     rounds=2, mode="broadcast",
+                                     num_partitions=4).take_all()}
+    lwj = {r["vid"]: r["label"]
+           for r in louvain_one_level(rd.from_arrow(t2).repartition(3),
+                                      rounds=2, mode="join",
+                                      weight_col="wt", num_partitions=4
+                                      ).take_all()}
+    # integer-weighted == duplicated-edge multigraph; join == broadcast
+    assert lw == ld == lwj
