@@ -829,6 +829,27 @@ def q_louvain_communities(sf_dir: str):
     )
 
 
+def q_host_communities(sf_dir: str):
+    """Weighted one-level Louvain over the CONTRACTED host graph
+    (Graph.contracted sums parallel-edge weights; the weighted
+    candidate masses then see multi-link host affinity). Rows-only —
+    the host coarsening + greedy fixed point has no SQL mirror."""
+    from signal_collect_ray.algorithms.modularity import louvain_one_level
+
+    key = (sf_dir, "host_sym")
+    gc = _GRAPH_CACHE.get(key)
+    if gc is None:
+        gc = _graph(sf_dir, True).contracted(
+            lambda v: v % _HOST_MOD, _work_dir(sf_dir, "graph_host_sym"),
+            num_partitions=4,
+        )
+        _GRAPH_CACHE[key] = gc
+    return louvain_one_level(
+        gc.edges_ds().select_columns(["src", "dst", "weight"]),
+        rounds=4, weight_col="weight", num_partitions=8,
+    )
+
+
 def q_degree_histogram(sf_dir: str):
     """Log2-binned in-degree distribution of the page graph — the
     classic power-law web-graph diagnostic. Per-block bincount
@@ -4557,6 +4578,7 @@ def queries():
         "decayed_engagement": q_decayed_engagement,
         "degree_histogram": q_degree_histogram,
         "louvain_communities": q_louvain_communities,
+        "host_communities": q_host_communities,
         "sorted_neighborhood": q_sorted_neighborhood,
         "fd_checks": q_fd_checks,
         "value_quantiles_approx": q_value_quantiles_approx,
