@@ -829,6 +829,71 @@ def q_louvain_communities(sf_dir: str):
     )
 
 
+def q_avg_neighbor_degree(sf_dir: str):
+    """Per-vertex mean out-degree of out-neighbors (the local
+    assortativity profile; Barrat et al. 2004, public). Degrees
+    broadcast once (same byte-capped idiom as degree_assortativity);
+    one vectorized pass emits per-block (src, sum, n) partials and a
+    tiny groupby folds them."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    g = _graph(sf_dir)
+    vt = g.vertices_ds().select_columns(["vid", "out_degree"]).take_all()
+    vids = np.array([r["vid"] for r in vt], dtype=np.int64)
+    degs = np.array([r["out_degree"] for r in vt], dtype=np.float64)
+    order = np.argsort(vids)
+    ref = ray.put((vids[order], degs[order]))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        dv, dd = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        nd = dd[np.searchsorted(dv, d)]
+        u, inv = np.unique(s, return_inverse=True)
+        return pa.table(
+            {
+                "vid": pa.array(u, pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=nd), pa.float64()),
+                "n": pa.array(np.bincount(inv), pa.int64()),
+            }
+        )
+
+    agg = (
+        derived_edges_ds(sf_dir)
+        .select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("s").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        # integer-degree averages land EXACTLY on .5 ulp boundaries
+        # (dyadic rationals), where numpy rounds half-to-even but
+        # DuckDB ROUND goes half-away — match DuckDB (values positive)
+        v = np.floor((s / n) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "vid": tbl.column("vid"),
+                "avg_nbr_deg": pa.array(v, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+_AVG_NBR_DEG_SQL = (
+    f"WITH e AS ({_E_SQL}), "
+    "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src) "
+    "SELECT e.src AS vid, "
+    "ROUND(AVG(COALESCE(od.outd, 0)), 6) AS avg_nbr_deg "
+    "FROM e LEFT JOIN od ON od.src = e.dst GROUP BY e.src"
+)
+
+
 def q_host_communities(sf_dir: str):
     """Weighted one-level Louvain over the CONTRACTED host graph
     (Graph.contracted sums parallel-edge weights; the weighted
@@ -4579,6 +4644,7 @@ def queries():
         "degree_histogram": q_degree_histogram,
         "louvain_communities": q_louvain_communities,
         "host_communities": q_host_communities,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
         "sorted_neighborhood": q_sorted_neighborhood,
         "fd_checks": q_fd_checks,
         "value_quantiles_approx": q_value_quantiles_approx,
@@ -4749,6 +4815,7 @@ def oracle_sql():
         "events_profile": _profile_sql(),
         "decayed_engagement": _DECAYED_SQL,
         "degree_histogram": _DEGREE_HIST_SQL,
+        "avg_neighbor_degree": _AVG_NBR_DEG_SQL,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "fd_checks": _FD_SQL,
         "value_quantiles_approx": _aq_sql(),
