@@ -426,6 +426,124 @@ def rollup_aggregate(ds, keys, value_col):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def grouping_sets_aggregate(ds, keys, value_col, sets):
+    """``GROUP BY GROUPING SETS(...)`` with COUNT(*) + SUM(value),
+    lattice-derived: the raw data is aggregated ONCE at the full key
+    level (per-block pandas partial pre-agg bounds the shuffle to
+    distinct key combinations per block); every requested grouping set
+    then re-aggregates its smallest ALREADY-COMPUTED superset, so
+    coarse cells are aggregates of aggregates and never touch raw rows
+    again — the CUBE over a 10^12-row table costs one data pass plus
+    tiny exchanges over per-level results. Keys absent from a grouping
+    set come back NULL (the SQL convention — use non-null data keys).
+    Returns keys + (n, sum_val); sums round to 6 (float-mirror
+    convention)."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    # normalize each set to the canonical key order, dedupe, keep order
+    norm = []
+    for s in sets:
+        t = tuple(k for k in keys if k in set(s))
+        if t not in norm:
+            norm.append(t)
+    schema = ds.schema()
+    key_types = {
+        n: schema.types[i] for i, n in enumerate(schema.names) if n in keys
+    }
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(keys + [value_col]).to_pandas()
+        g = (
+            df.groupby(keys, sort=False, dropna=False)[value_col]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                **{k: pa.array(g[k]).cast(key_types[k]) for k in keys},
+                "cnt": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "sv": pa.array(g["sum"].to_numpy(np.float64), pa.float64()),
+            }
+        )
+
+    def agg_level(src, level_keys):
+        """aggregate an already-partial table down to one grouping set"""
+        if level_keys:
+            agg = src.groupby(list(level_keys)).aggregate(
+                Sum("cnt", alias_name="cnt2"), Sum("sv", alias_name="sv2")
+            )
+        else:
+
+            def tag(tbl: pa.Table) -> pa.Table:
+                return tbl.append_column(
+                    "g", pa.array(np.zeros(tbl.num_rows, np.int64))
+                )
+
+            agg = (
+                src.map_batches(tag, batch_format="pyarrow")
+                .groupby("g")
+                .aggregate(
+                    Sum("cnt", alias_name="cnt2"), Sum("sv", alias_name="sv2")
+                )
+            )
+
+        def shape(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = tbl.column(k)
+                else:
+                    cols[k] = pa.nulls(n, key_types[k])
+            cols["cnt"] = tbl.column("cnt2")
+            cols["sv"] = tbl.column("sv2")
+            return pa.table(cols)
+
+        return agg.map_batches(shape, batch_format="pyarrow")
+
+    finest = tuple(keys)
+    finest_partials = ds.map_batches(partial, batch_format="pyarrow")
+    computed = {finest: agg_level(finest_partials, finest).materialize()}
+    for s in sorted(set(norm) - {finest}, key=lambda t: (-len(t), t)):
+        parent = min(
+            (p for p in computed if set(s) <= set(p)),
+            key=lambda p: (len(p), p),
+        )
+        computed[s] = agg_level(computed[parent], s).materialize()
+
+    out = None
+    for s in norm:
+        out = computed[s] if out is None else out.union(computed[s])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        sv = np.round(tbl.column("sv").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                **{k: tbl.column(k) for k in keys},
+                "n": tbl.column("cnt"),
+                "sum_val": pa.array(sv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def cube_aggregate(ds, keys, value_col):
+    """``GROUP BY CUBE(keys...)`` — all 2^k grouping sets, derived from
+    the single finest aggregation via :func:`grouping_sets_aggregate`'s
+    lattice (each level re-aggregates its smallest computed superset)."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [
+        combo
+        for r in range(len(keys), -1, -1)
+        for combo in combinations(keys, r)
+    ]
+    return grouping_sets_aggregate(ds, keys, value_col, sets)
+
+
 def profile_columns(ds, cols):
     """Data-profiling sweep over a table — per column: row count, null
     count, exact distinct count, and (numeric columns) min/max. The

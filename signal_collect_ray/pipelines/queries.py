@@ -2971,6 +2971,74 @@ FROM events GROUP BY ROLLUP(event_type, cohort)
 """
 
 
+def q_event_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, cohort) over events — count + value
+    sum at all four grouping sets, derived lattice-style from ONE
+    finest-level aggregation (functions.aggregations.cube_aggregate):
+    coarser cells re-aggregate the previous level's tiny result, never
+    the raw rows."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import cube_aggregate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"],
+    )
+
+    def cohort(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "cohort": pa.array(u % 4, pa.int64()),
+                "value": tbl.column("value"),
+            }
+        )
+
+    return cube_aggregate(
+        ds.map_batches(cohort, batch_format="pyarrow"),
+        ["event_type", "cohort"],
+        "value",
+    )
+
+
+_EVENT_CUBE_SQL = """
+SELECT event_type, user_id % 4 AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_val
+FROM events GROUP BY CUBE(event_type, cohort)
+"""
+
+
+def q_user_first_purchase(sf_dir: str):
+    """First purchase per user — the ROW_NUMBER() = 1 window computed
+    WITHOUT a global sort (functions.analytics.first_event_per_key):
+    a per-block vectorized lexsort argmin keeps one candidate per user
+    per block, then one hash exchange merges candidates with the same
+    kernel per partition."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import first_event_per_key
+
+    return first_event_per_key(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value", "event_type"],
+        ),
+        event_type="purchase",
+    )
+
+
+_FIRST_PURCHASE_SQL = """
+SELECT user_id, epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
+       ROUND(value, 6) AS first_value
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase')
+WHERE rn = 1
+"""
+
+
 def q_classifier_scores(sf_dir: str):
     """fastText-style hashed-linear-classifier inference over documents
     (functions.models.classify_documents) — actor-pool model scoring
@@ -4613,6 +4681,8 @@ def queries():
         "event_outliers": q_event_outliers,
         "event_type_pivot": q_event_type_pivot,
         "event_rollup": q_event_rollup,
+        "event_cube": q_event_cube,
+        "user_first_purchase": q_user_first_purchase,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -4788,6 +4858,8 @@ def oracle_sql():
         "event_outliers": _OUTLIERS_SQL,
         "event_type_pivot": _PIVOT_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
+        "event_cube": _EVENT_CUBE_SQL,
+        "user_first_purchase": _FIRST_PURCHASE_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

@@ -1822,3 +1822,132 @@ def test_louvain_weighted_equivalence():
                                       ).take_all()}
     # integer-weighted == duplicated-edge multigraph; join == broadcast
     assert lw == ld == lwj
+
+
+def test_cube_aggregate_vs_duckdb_random():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import cube_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table(
+        {
+            "a": pa.array(
+                [f"k{i}" for i in rng.integers(0, 5, n)], pa.string()
+            ),
+            "b": pa.array(rng.integers(0, 3, n), pa.int64()),
+            "v": pa.array(np.round(rng.normal(0, 10, n), 3), pa.float64()),
+        }
+    )
+    rows = cube_aggregate(
+        rd.from_arrow(t).repartition(4), ["a", "b"], "v"
+    ).take_all()
+    got = sorted(
+        ("" if r["a"] is None else r["a"], -1 if r["b"] is None else r["b"],
+         r["n"], round(r["sum_val"], 5))
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        ("" if a is None else a, -1 if b is None else b, int(c), round(s, 5))
+        for a, b, c, s in con.execute(
+            "SELECT a, b, COUNT(*), ROUND(SUM(v), 6) "
+            "FROM t GROUP BY CUBE(a, b)"
+        ).fetchall()
+    )
+    assert got == want
+    # 5*3 finest + 5 + 3 + 1 = 24 grouping cells
+    assert len(got) == 24
+
+
+def test_grouping_sets_subset_selection():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import (
+        grouping_sets_aggregate,
+    )
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y"],
+            "b": pa.array([1, 2, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    # only the (a) and () sets — finest computed internally, not emitted
+    rows = grouping_sets_aggregate(
+        rd.from_arrow(t), ["a", "b"], "v", [("a",), ()]
+    ).take_all()
+    got = {(r["a"], r["b"]): (r["n"], r["sum_val"]) for r in rows}
+    assert got == {
+        ("x", None): (2, 3.0),
+        ("y", None): (1, 4.0),
+        (None, None): (3, 7.0),
+    }
+
+
+def test_first_event_per_key_vs_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import first_event_per_key
+
+    rng = np.random.default_rng(23)
+    n = 500
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 50, n) * 1_000_000, pa.timestamp("us")
+            ),  # coarse ts forces (ts, event_id) tie-breaks
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "value": pa.array(np.round(rng.uniform(0, 9, n), 3), pa.float64()),
+            "event_type": pa.array(
+                rng.choice(["buy", "view"], n), pa.string()
+            ),
+        }
+    )
+    rows = first_event_per_key(
+        rd.from_arrow(t).repartition(5), event_type="buy"
+    ).take_all()
+    got = sorted(
+        (r["user_id"], r["first_ts_us"], r["first_event_id"],
+         round(r["first_value"], 5))
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        (u, ts, e, round(v, 5))
+        for u, ts, e, v in con.execute(
+            "SELECT user_id, epoch_us(ts), event_id, ROUND(value, 6) "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "      ORDER BY ts, event_id) rn FROM t "
+            "      WHERE event_type = 'buy') WHERE rn = 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_first_event_per_key_empty_result_keeps_schema():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import first_event_per_key
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "event_id": pa.array([1], pa.int64()),
+            "value": pa.array([1.0], pa.float64()),
+            "event_type": pa.array(["view"], pa.string()),
+        }
+    )
+    ds = first_event_per_key(rd.from_arrow(t), event_type="buy")
+    assert ds.count() == 0
+    assert sorted(ds.schema().names) == [
+        "first_event_id", "first_ts_us", "first_value", "user_id",
+    ]
