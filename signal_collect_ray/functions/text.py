@@ -834,3 +834,173 @@ def bigram_logprob(docs_ds, alpha: float = 0.5, num_partitions: int = 32):
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def bm25_top_docs(docs_ds, query_terms, k=10, k1=1.2, b=0.75,
+                  n_docs: int | None = None):
+    """BM25 ranking of the corpus against a fixed query — the retrieval
+    scoring pass behind search-index evaluation and query-based corpus
+    audits. ZERO word-level exchange: the query terms ride the task
+    closure (broadcast), each block computes per-doc tf of JUST the
+    query terms plus the doc length, one tiny per-block-partial
+    aggregate derives N / avgdl / per-term df on the driver, and a
+    second streaming pass scores docs vectorized with a per-block
+    partial top-k bounding the final selection to k rows per block —
+    at 10^12 docs nothing wider than (docs × q) per-doc counters moves.
+
+    idf is the Lucene/Robertson form ln(1 + (N-df+0.5)/(df+0.5)).
+    Scores round to 6 digits; only docs with score > 0 are candidates;
+    ties break by doc_id ascending. Returns (doc_id, bm25) top-k."""
+    from collections import Counter
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    terms = list(query_terms)
+    q = len(terms)
+
+    def tf_pass(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(texts)
+        dl = np.zeros(n, np.int64)
+        tf = np.zeros((n, q), np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            dl[i] = len(ws)
+            if ws:
+                c = Counter(ws)
+                for j, term in enumerate(terms):
+                    tf[i, j] = c.get(term, 0)
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for j in range(q):
+            cols[f"tf{j}"] = pa.array(tf[:, j], pa.int64())
+        return pa.table(cols)
+
+    tfd = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        tf_pass, batch_format="pyarrow", batch_size=2048
+    ).materialize()
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        row = {
+            "n": pa.array([tbl.num_rows], pa.int64()),
+            "sdl": pa.array(
+                [int(tbl.column("dl").to_numpy(zero_copy_only=False).sum())],
+                pa.int64(),
+            ),
+        }
+        for j in range(q):
+            v = tbl.column(f"tf{j}").to_numpy(zero_copy_only=False)
+            row[f"df{j}"] = pa.array([int((v > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    parts = tfd.map_batches(stats, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    if n_docs is not None:
+        n_total = n_docs
+    avgdl = (sum(r["sdl"] for r in parts) / n_total) if n_total else 1.0
+    df = [sum(r[f"df{j}"] for r in parts) for j in range(q)]
+    idf = [
+        float(np.log(1.0 + (n_total - d + 0.5) / (d + 0.5))) for d in df
+    ]
+
+    def score(tbl: pa.Table) -> pa.Table:
+        dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(dl), np.float64)
+        for j in range(q):
+            tfv = tbl.column(f"tf{j}").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            s += idf[j] * tfv * (k1 + 1.0) / (tfv + denom_base)
+        s = np.round(s, 6)
+        keep = s > 0
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").filter(pa.array(keep)),
+                "bm25": pa.array(s[keep], pa.float64()),
+                "g": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    scored = tfd.map_batches(score, batch_format="pyarrow")
+    top = grouped_top_k(scored, "g", "bm25", "doc_id", k, descending=True)
+    return top.drop_columns(["g"])
+
+
+def benchmark_grams_from_docs(docs_ds, mod: int = 97, n: int = 5,
+                              skip: int = 10):
+    """Deterministic stand-in for a benchmark/test-set shingle list:
+    from every doc with doc_id % mod == 0, the n words starting at
+    offset ``skip`` (docs shorter than skip+n contribute nothing).
+    Returns a sorted list of space-joined n-grams — small by
+    construction, suitable for broadcast."""
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = tbl.column("text").to_pylist()
+        out = []
+        for i, t in enumerate(texts):
+            if int(ids[i]) % mod != 0:
+                continue
+            ws = (t or "").lower().split()
+            if len(ws) >= skip + n:
+                out.append(" ".join(ws[skip:skip + n]))
+        return pa.table({"gram": pa.array(out, pa.string())})
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        pick, batch_format="pyarrow"
+    ).take_all()
+    return sorted({r["gram"] for r in rows})
+
+
+def benchmark_contamination(docs_ds, bench_grams, n: int = 5):
+    """Benchmark-contamination check (the decontamination pass every
+    training-corpus build runs before release): flag documents whose
+    text contains any of the benchmark's word n-grams as a consecutive
+    word window. The benchmark set is broadcast (``ray.put`` once, read
+    per task — it is small by definition); each block tokenizes its
+    docs ONCE and intersects the doc's n-gram window set with the
+    benchmark set — O(words) per doc, independent of benchmark size,
+    no Python loop over grams. Returns (doc_id, n_hits) for
+    contaminated docs only; n_hits counts DISTINCT benchmark grams
+    present."""
+    import ray
+
+    from signal_collect_ray.util import pin_schema
+
+    bench_ref = ray.put(frozenset(bench_grams))
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = tbl.column("text").to_pylist()
+        out_id, out_hits = [], []
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            if len(ws) < n:
+                continue
+            windows = {
+                " ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)
+            }
+            hits = len(windows & bench)
+            if hits:
+                out_id.append(int(ids[i]))
+                out_hits.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    out = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", batch_size=2048
+    )
+    return pin_schema(
+        out, pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+    )

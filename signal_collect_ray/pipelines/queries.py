@@ -3039,6 +3039,98 @@ WHERE rn = 1
 """
 
 
+def q_bm25_top_docs(sf_dir: str):
+    """BM25 retrieval: top-10 documents for the fixed query
+    ('merge', 'window', 'hash') — functions.text.bm25_top_docs, zero
+    word-level exchange (query broadcast in the closure; tiny N / avgdl
+    / df stats aggregate; per-block partial top-k)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import bm25_top_docs
+
+    return bm25_top_docs(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        ["merge", "window", "hash"],
+        k=10,
+    )
+
+
+_BM25_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM d WHERE w[1] <> ''),
+dl AS (
+  SELECT d.doc_id, COALESCE(c.cnt, 0) AS dl
+  FROM d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS cnt FROM words GROUP BY doc_id) c
+  USING (doc_id)),
+stats AS (SELECT COUNT(*) AS n, AVG(dl * 1.0) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE word IN ('merge', 'window', 'hash') GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
+WHERE ROUND(s, 6) > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_benchmark_contamination(sf_dir: str):
+    """Benchmark-decontamination scan: documents containing any
+    'benchmark' 5-gram (deterministically drawn from doc_id % 97 == 0
+    docs, words 10..15) as a consecutive word window —
+    functions.text.benchmark_contamination; the bench set is broadcast
+    once and each block intersects its docs' window sets (O(words) per
+    doc, independent of benchmark size)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import (
+        benchmark_contamination,
+        benchmark_grams_from_docs,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    bench = benchmark_grams_from_docs(docs, mod=97, n=5, skip=10)
+    return benchmark_contamination(docs, bench, n=5)
+
+
+_CONTAMINATION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+bench AS (
+  SELECT DISTINCT array_to_string(w[11:15], ' ') AS gram
+  FROM d WHERE doc_id % 97 = 0 AND len(w) >= 15 AND w[1] <> ''),
+wins AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE w[1] <> '' AND len(w) >= 5)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM wins JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 def q_classifier_scores(sf_dir: str):
     """fastText-style hashed-linear-classifier inference over documents
     (functions.models.classify_documents) — actor-pool model scoring
@@ -4683,6 +4775,8 @@ def queries():
         "event_rollup": q_event_rollup,
         "event_cube": q_event_cube,
         "user_first_purchase": q_user_first_purchase,
+        "bm25_top_docs": q_bm25_top_docs,
+        "benchmark_contamination": q_benchmark_contamination,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -4860,6 +4954,8 @@ def oracle_sql():
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_cube": _EVENT_CUBE_SQL,
         "user_first_purchase": _FIRST_PURCHASE_SQL,
+        "bm25_top_docs": _BM25_SQL,
+        "benchmark_contamination": _CONTAMINATION_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

@@ -1951,3 +1951,79 @@ def test_first_event_per_key_empty_result_keeps_schema():
     assert sorted(ds.schema().names) == [
         "first_event_id", "first_ts_us", "first_value", "user_id",
     ]
+
+
+def test_bm25_vs_reference_formula():
+    import math
+
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import bm25_top_docs
+
+    docs = {
+        0: "apple banana apple cherry",
+        1: "banana banana banana",
+        2: "cherry apple",
+        3: "durian fig grape",
+        4: "",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    rows = bm25_top_docs(
+        rd.from_arrow(t).repartition(3), ["apple", "banana"], k=3
+    ).take_all()
+    got = {r["doc_id"]: r["bm25"] for r in rows}
+
+    # independent reference computation
+    k1, b = 1.2, 0.75
+    toks = {i: s.split() for i, s in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    want = {}
+    for i, ws in toks.items():
+        s = 0.0
+        for term in ("apple", "banana"):
+            tf = ws.count(term)
+            df = sum(term in w for w in toks.values())
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if round(s, 6) > 0:
+            want[i] = round(s, 6)
+    top3 = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert got == top3
+
+
+def test_benchmark_contamination_hand():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import (
+        benchmark_contamination,
+        benchmark_grams_from_docs,
+    )
+
+    # doc 0 (id % 97 == 0) donates words[10:15] as the benchmark gram
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 A B C D E tail"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    base,                    # source of the bench gram
+                    "x a b c d e y",         # contains a b c d e (lowered)
+                    "a b c d x e",           # broken window — clean
+                    "pre A B C D E post",    # contains it verbatim
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    bench = benchmark_grams_from_docs(ds, mod=97, n=5, skip=10)
+    assert bench == ["a b c d e"]
+    rows = benchmark_contamination(ds, bench, n=5).take_all()
+    got = sorted((r["doc_id"], r["n_hits"]) for r in rows)
+    assert got == [(0, 1), (1, 1), (3, 1)]
