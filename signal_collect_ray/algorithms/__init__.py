@@ -25,6 +25,7 @@ from signal_collect_ray.algorithms.walks import random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
 from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
+from signal_collect_ray.algorithms.mst import minimum_spanning_forest
 from signal_collect_ray.algorithms.modularity import (
     partition_modularity,
     louvain_one_level,
@@ -57,6 +58,7 @@ __all__ = [
     "edge_support",
     "ktruss",
     "scc_labels",
+    "minimum_spanning_forest",
     "partition_modularity",
     "louvain_one_level",
     "random_walks",

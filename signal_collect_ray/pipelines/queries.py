@@ -3039,6 +3039,35 @@ WHERE rn = 1
 """
 
 
+def q_mst_forest(sf_dir: str):
+    """Boruvka minimum spanning forest of the derived graph under
+    deterministic weights w = (u·7 + v·13) % 97 + 1
+    (algorithms/mst.py: per-component argmin exchange → engine-CC
+    contraction → broadcast/hash-join relabel, ≤ log2(V) rounds).
+    Rows-only driver check — MST is not SQL-expressible; exact equality
+    to a union-find Kruskal oracle under the same (w, u, v) edge total
+    order is pinned in tests/test_mst.py."""
+    from signal_collect_ray.algorithms.mst import minimum_spanning_forest
+
+    def weigh(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w = ((s * 7 + d * 13) % 97 + 1).astype(np.float64)
+        return pa.table(
+            {
+                "src": tbl.column("src"),
+                "dst": tbl.column("dst"),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    return minimum_spanning_forest(
+        derived_edges_ds(sf_dir).map_batches(weigh, batch_format="pyarrow"),
+        _work_dir(sf_dir, "mst"),
+        num_partitions=_P,
+    )
+
+
 def q_bm25_top_docs(sf_dir: str):
     """BM25 retrieval: top-10 documents for the fixed query
     ('merge', 'window', 'hash') — functions.text.bm25_top_docs, zero
@@ -4777,6 +4806,7 @@ def queries():
         "user_first_purchase": q_user_first_purchase,
         "bm25_top_docs": q_bm25_top_docs,
         "benchmark_contamination": q_benchmark_contamination,
+        "mst_forest": q_mst_forest,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
