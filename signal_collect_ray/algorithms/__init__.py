@@ -21,7 +21,7 @@ from signal_collect_ray.algorithms.cocitation import (
 )
 from signal_collect_ray.algorithms.salsa import Salsa
 from signal_collect_ray.algorithms.ktruss import edge_support, ktruss
-from signal_collect_ray.algorithms.walks import random_walks
+from signal_collect_ray.algorithms.walks import node2vec_walks, random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
 from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
@@ -62,6 +62,7 @@ __all__ = [
     "partition_modularity",
     "louvain_one_level",
     "random_walks",
+    "node2vec_walks",
     "neighborhood_function",
     "betweenness_sampled",
     "best_paths",

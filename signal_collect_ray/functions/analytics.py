@@ -497,3 +497,55 @@ def first_event_per_key(
             ]
         ),
     )
+
+
+def _skyline_kernel(tbl: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Rows NOT strictly dominated on (x, y), both maximized — one
+    vectorized pass: sort (x desc, y desc), a row survives iff its y is
+    its x-run's max AND strictly above the best y of any greater-x run."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    x = tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    y = tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    run_start = np.ones(n, dtype=bool)
+    run_start[1:] = xs[1:] != xs[:-1]
+    starts = np.flatnonzero(run_start)
+    run_ids = np.cumsum(run_start) - 1
+    run_max = ys[starts][run_ids]  # y desc within run → first = max
+    pm = np.maximum.accumulate(ys)
+    m_run = np.concatenate([[-np.inf], pm[starts[1:] - 1]])
+    m = m_run[run_ids]  # best y among rows with STRICTLY greater x
+    kept = (ys == run_max) & (ys > m)
+    return tbl.take(pa.array(order[kept], pa.int64()))
+
+
+def pareto_frontier(ds, x_col: str, y_col: str):
+    """Skyline / Pareto frontier on two maximized columns — the
+    multi-objective selection pass (e.g. "longest AND highest-quality
+    documents") a curation pipeline uses to pick exemplars. Distributed
+    shape: every block prunes to its local frontier with one vectorized
+    kernel (dominated rows never leave the block — at 10^12 rows the
+    exchange carries only per-block frontiers), then ONE final task
+    merges candidates with the same kernel. Worst case (all points
+    mutually non-dominated, e.g. a perfect diagonal) degenerates to the
+    full input in the final task — real score distributions prune
+    orders of magnitude. Strict-dominance semantics: ties/duplicate
+    points are kept (exactly SQL's NOT EXISTS strict dominator)."""
+
+    def block(tbl: pa.Table) -> pa.Table:
+        win = _skyline_kernel(tbl, x_col, y_col)
+        return win.append_column(
+            "g", pa.array(np.zeros(win.num_rows, np.int64), pa.int64())
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        return _skyline_kernel(tbl, x_col, y_col).drop_columns(["g"])
+
+    return (
+        ds.map_batches(block, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )

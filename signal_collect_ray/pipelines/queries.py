@@ -3039,6 +3039,50 @@ WHERE rn = 1
 """
 
 
+def q_node2vec_walks(sf_dir: str):
+    """Second-order node2vec biased walks (p=0.5, q=2) from every 16th
+    vertex of the derived graph — algorithms.walks.node2vec_walks,
+    KnightKing-style chunked rejection sampling (one adjacency probe
+    per proposal on prev's partition, never the candidate list).
+    Rows-only driver check: the rejection chain is not reasonably
+    SQL-expressible; bit-equality to a sequential simulator is pinned
+    in tests/test_walks_n2v.py."""
+    from signal_collect_ray.algorithms.walks import node2vec_walks
+
+    return node2vec_walks(
+        _graph(sf_dir), walk_len=6, p=0.5, q=2.0, seed=11, start_mod=16
+    )
+
+
+def q_doc_pareto(sf_dir: str):
+    """Skyline selection: documents on the Pareto frontier of
+    (n_chars, quality), both maximized — no other doc is ≥ on both and
+    > on one (functions.analytics.pareto_frontier: per-block frontier
+    prune, one final merge; dominated rows never leave their block)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import pareto_frontier
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(QualityScore(), batch_format="pyarrow", batch_size=2048)
+
+    def shape(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_chars": tbl.column("n_chars_q"),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    return pareto_frontier(
+        ds.map_batches(shape, batch_format="pyarrow"), "n_chars", "quality"
+    )
+
+
 def q_mst_forest(sf_dir: str):
     """Boruvka minimum spanning forest of the derived graph under
     deterministic weights w = (u·7 + v·13) % 97 + 1
@@ -3928,6 +3972,19 @@ _QUALITY_SQL = (
     "AS quality FROM g"
 )
 
+# same features, n_chars kept in the output — the skyline query's base
+_QUALITY_SQL_INNER = _QUALITY_SQL.replace(
+    "SELECT doc_id, ROUND(", "SELECT doc_id, n_chars, ROUND("
+)
+
+_DOC_PARETO_SQL = (
+    f"WITH q AS ({_QUALITY_SQL_INNER}) "
+    "SELECT doc_id, n_chars, quality FROM q t "
+    "WHERE NOT EXISTS (SELECT 1 FROM q o "
+    "WHERE o.n_chars >= t.n_chars AND o.quality >= t.quality "
+    "AND (o.n_chars > t.n_chars OR o.quality > t.quality))"
+)
+
 # Exact SQL mirror of functions.text.Fingerprint: md5 of the
 # whitespace-normalized text (Python " ".join(t.split())).
 _FINGERPRINT_SQL = (
@@ -4807,6 +4864,8 @@ def queries():
         "bm25_top_docs": q_bm25_top_docs,
         "benchmark_contamination": q_benchmark_contamination,
         "mst_forest": q_mst_forest,
+        "doc_pareto": q_doc_pareto,
+        "node2vec_walks": q_node2vec_walks,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -4986,6 +5045,7 @@ def oracle_sql():
         "user_first_purchase": _FIRST_PURCHASE_SQL,
         "bm25_top_docs": _BM25_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
+        "doc_pareto": _DOC_PARETO_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

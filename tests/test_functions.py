@@ -2027,3 +2027,36 @@ def test_benchmark_contamination_hand():
     rows = benchmark_contamination(ds, bench, n=5).take_all()
     got = sorted((r["doc_id"], r["n_hits"]) for r in rows)
     assert got == [(0, 1), (1, 1), (3, 1)]
+
+
+def test_pareto_frontier_vs_duckdb_random():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import pareto_frontier
+
+    rng = np.random.default_rng(31)
+    n = 600
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            # small integer grid → plenty of ties and duplicate points
+            "x": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "y": pa.array(rng.integers(0, 20, n).astype(float), pa.float64()),
+        }
+    )
+    rows = pareto_frontier(
+        rd.from_arrow(t).repartition(5), "x", "y"
+    ).take_all()
+    got = sorted((r["id"], r["x"], r["y"]) for r in rows)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        con.execute(
+            "SELECT id, x, y FROM t a WHERE NOT EXISTS ("
+            "SELECT 1 FROM t b WHERE b.x >= a.x AND b.y >= a.y "
+            "AND (b.x > a.x OR b.y > a.y))"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
