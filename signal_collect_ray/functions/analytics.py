@@ -549,3 +549,165 @@ def pareto_frontier(ds, x_col: str, y_col: str):
         .groupby("g")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_mode(ds, key: str, val: str, num_partitions: int = 16):
+    """Per-key MODE (most frequent value; ties break by value
+    ascending) — the categorical summarizer (top event type per user,
+    dominant language per host). Per-block (key, value) count partials
+    bound the exchange to distinct pairs per block; one hash exchange
+    on the key merges counts and resolves the argmax per key with a
+    single vectorized kernel per partition. Returns (key, mode_val,
+    mode_count)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select([key, val])
+        agg = t.group_by([key, val]).aggregate([([], "count_all")])
+        k = agg.column(key).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: agg.column(key),
+                val: agg.column(val),
+                "cnt": agg.column("count_all"),
+                "part": pa.array(part_of(k, num_partitions), pa.int32()),
+            }
+        )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.select([key, val, "cnt"])
+            .group_by([key, val])
+            .aggregate([("cnt", "sum")])
+        )
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        c = t.column("cnt_sum").to_numpy(zero_copy_only=False)
+        v = t.column(val)
+        # argmax per key: count desc, then value asc — lexsort + first
+        if pa.types.is_string(v.type):
+            v_np = np.asarray(v.to_pylist(), dtype=object)
+            v_rank = np.unique(v_np, return_inverse=True)[1]
+        else:
+            v_np = v.to_numpy(zero_copy_only=False)
+            v_rank = v_np
+        order = np.lexsort((v_rank, -c, k))
+        k_s = k[order]
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        rows = order[first]
+        return pa.table(
+            {
+                key: t.column(key).take(pa.array(rows, pa.int64())),
+                "mode_val": t.column(val).take(pa.array(rows, pa.int64())),
+                "mode_count": pa.array(c[rows], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key, val])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def winsorized_stats(ds, col: str, lo_q: float = 0.01, hi_q: float = 0.99,
+                     scale: int = 100):
+    """Winsorized summary of a numeric column — the outlier-robust
+    cleaning pass (clip at exact order-statistic quantiles, then mean):
+    values are fixed-point scaled to int64, EXACT lo/hi quantiles come
+    from the mergeable counting-histogram (one tiny exchange — never a
+    global sort), and a second streaming pass clips + aggregates.
+    Quantile rank convention: ceil(q·n), 1-based (same as
+    exact_quantiles_int). Returns a one-row table
+    (lo_cut, hi_cut, n, mean_winsorized) rounded to 6."""
+    from signal_collect_ray.functions.aggregations import exact_quantiles_int
+
+    def fixed(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"vi": pa.array(np.round(v * scale).astype(np.int64), pa.int64())}
+        )
+
+    fx = ds.select_columns([col]).map_batches(
+        fixed, batch_format="pyarrow"
+    ).materialize()
+    qs = exact_quantiles_int(fx, "vi", [lo_q, hi_q])
+    lo_cut, hi_cut = qs[0][1], qs[1][1]
+    if lo_cut is None:
+        return pa.table(
+            {
+                "lo_cut": pa.array([None], pa.float64()),
+                "hi_cut": pa.array([None], pa.float64()),
+                "n": pa.array([0], pa.int64()),
+                "mean_winsorized": pa.array([None], pa.float64()),
+            }
+        )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vi").to_numpy(zero_copy_only=False)
+        clipped = np.clip(v, lo_cut, hi_cut) / scale
+        return pa.table(
+            {
+                "s": pa.array([float(clipped.sum())], pa.float64()),
+                "n": pa.array([len(clipped)], pa.int64()),
+            }
+        )
+
+    parts = fx.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts)
+    return pa.table(
+        {
+            "lo_cut": pa.array([lo_cut / scale], pa.float64()),
+            "hi_cut": pa.array([hi_cut / scale], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+            "mean_winsorized": pa.array(
+                [round(s / n, 6) if n else None], pa.float64()
+            ),
+        }
+    )
+
+
+def pearson_corr(ds, x_col: str, y_col: str, digits: int = 6):
+    """Pearson correlation of two numeric columns in ONE streaming
+    pass: each block reduces to the five sufficient moments
+    (n, Σx, Σy, Σxy, Σx², Σy²), the driver folds a handful of floats —
+    no shuffle at any scale. Returns a one-row table
+    (n, corr) with corr rounded to ``digits`` (None when degenerate)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = tbl.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        y = tbl.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+            }
+        )
+
+    parts = ds.select_columns([x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(r["sx"] for r in parts)
+    sy = sum(r["sy"] for r in parts)
+    sxy = sum(r["sxy"] for r in parts)
+    sxx = sum(r["sxx"] for r in parts)
+    syy = sum(r["syy"] for r in parts)
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = round(num / np.sqrt(den2), digits) if n > 1 and den2 > 0 else None
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "corr": pa.array([corr], pa.float64()),
+        }
+    )

@@ -339,6 +339,84 @@ def lsh_buckets(
     )
 
 
+def _bucket_verifier(threshold, max_partners, verify_chunk, all_pairs_cap):
+    """Exact in-bucket cosine verification kernel shared by the LSH
+    dedup path (embedding_dedup_cosine) and semdedup (k-means
+    buckets): chunked upper-triangle matmul bounds transient memory;
+    buckets above ``all_pairs_cap`` distinct members min-link to the
+    bucket minimum in O(n) (closure connectivity preserved)."""
+
+    class _VerifyBucket:
+        __name__ = "_VerifyBucket"
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            uniq, first_idx = np.unique(ids, return_index=True)
+            if len(uniq) < 2:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            # uniq is ascending → row i's partners j>i have larger ids;
+            # chunked upper-triangle matmul bounds transient memory to
+            # verify_chunk × n regardless of bucket size
+            m = _normalize(
+                _emb_matrix(tbl.take(pa.array(first_idx, pa.int64())), "emb")
+            )
+            n = len(uniq)
+            if n > all_pairs_cap:
+                # degenerate bucket: O(n) min-link verify (see docstring)
+                sims = m[1:] @ m[0]
+                keep = np.flatnonzero(sims >= threshold)
+                return pa.table(
+                    {
+                        "id_a": pa.array(
+                            np.full(len(keep), uniq[0], dtype=np.int64), pa.int64()
+                        ),
+                        "id_b": pa.array(uniq[1:][keep], pa.int64()),
+                        "cosine": pa.array(sims[keep], pa.float64()),
+                    }
+                )
+            out_a, out_b, out_c = [], [], []
+            for c0 in range(0, n, verify_chunk):
+                c1 = min(c0 + verify_chunk, n)
+                sims = m[c0:c1] @ m.T  # (chunk, n)
+                # upper triangle only: global col > global row
+                cols = np.arange(n)[None, :]
+                rows = np.arange(c0, c1)[:, None]
+                mask = (cols > rows) & (sims >= threshold)
+                if max_partners is not None and mask.any():
+                    # keep the first max_partners True cols per row
+                    # (ascending id — preserves chain connectivity)
+                    csum = np.cumsum(mask, axis=1)
+                    mask &= csum <= max_partners
+                ri, ci = np.nonzero(mask)
+                if len(ri):
+                    out_a.append(uniq[c0 + ri])
+                    out_b.append(uniq[ci])
+                    out_c.append(sims[ri, ci])
+            if not out_a:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                    "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+                }
+            )
+
+    return _VerifyBucket()
+
+
 def embedding_dedup_cosine(
     embeddings_ds,
     threshold: float = 0.95,
@@ -412,79 +490,15 @@ def embedding_dedup_cosine(
                 )
             return pa.concat_tables(pieces)
 
-    class _VerifyBucket:
-        __name__ = "_VerifyBucket"
-
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            ids = tbl.column("id").to_numpy(zero_copy_only=False)
-            uniq, first_idx = np.unique(ids, return_index=True)
-            if len(uniq) < 2:
-                return pa.table(
-                    {
-                        "id_a": pa.array([], pa.int64()),
-                        "id_b": pa.array([], pa.int64()),
-                        "cosine": pa.array([], pa.float64()),
-                    }
-                )
-            # uniq is ascending → row i's partners j>i have larger ids;
-            # chunked upper-triangle matmul bounds transient memory to
-            # verify_chunk × n regardless of bucket size
-            m = _normalize(
-                _emb_matrix(tbl.take(pa.array(first_idx, pa.int64())), "emb")
-            )
-            n = len(uniq)
-            if n > all_pairs_cap:
-                # degenerate bucket: O(n) min-link verify (see docstring)
-                sims = m[1:] @ m[0]
-                keep = np.flatnonzero(sims >= threshold)
-                return pa.table(
-                    {
-                        "id_a": pa.array(
-                            np.full(len(keep), uniq[0], dtype=np.int64), pa.int64()
-                        ),
-                        "id_b": pa.array(uniq[1:][keep], pa.int64()),
-                        "cosine": pa.array(sims[keep], pa.float64()),
-                    }
-                )
-            out_a, out_b, out_c = [], [], []
-            for c0 in range(0, n, verify_chunk):
-                c1 = min(c0 + verify_chunk, n)
-                sims = m[c0:c1] @ m.T  # (chunk, n)
-                # upper triangle only: global col > global row
-                cols = np.arange(n)[None, :]
-                rows = np.arange(c0, c1)[:, None]
-                mask = (cols > rows) & (sims >= threshold)
-                if max_partners is not None and mask.any():
-                    # keep the first max_partners True cols per row
-                    # (ascending id — preserves chain connectivity)
-                    csum = np.cumsum(mask, axis=1)
-                    mask &= csum <= max_partners
-                ri, ci = np.nonzero(mask)
-                if len(ri):
-                    out_a.append(uniq[c0 + ri])
-                    out_b.append(uniq[ci])
-                    out_c.append(sims[ri, ci])
-            if not out_a:
-                return pa.table(
-                    {
-                        "id_a": pa.array([], pa.int64()),
-                        "id_b": pa.array([], pa.int64()),
-                        "cosine": pa.array([], pa.float64()),
-                    }
-                )
-            return pa.table(
-                {
-                    "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                    "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-                    "cosine": pa.array(np.concatenate(out_c), pa.float64()),
-                }
-            )
+    _verify = _bucket_verifier(
+        threshold, max_partners, verify_chunk, all_pairs_cap
+    )
 
     buckets = embeddings_ds.select_columns([id_col, emb_col]).map_batches(
         _BucketWithVec(), batch_format="pyarrow", batch_size=4096
     )
     pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
-        _VerifyBucket(), batch_format="pyarrow"
+        _verify, batch_format="pyarrow"
     )
 
     # dedup pairs found in multiple tables
@@ -981,3 +995,86 @@ def intra_cluster_stats(
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def semdedup(
+    embeddings_ds,
+    workdir: str,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 25,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_partners: int | None = 64,
+    verify_chunk: int = 1024,
+    all_pairs_cap: int = 4096,
+):
+    """SemDeDup (Abbas et al. 2023, public literature): semantic
+    dedup by clustering THEN exact in-cluster cosine — the
+    embedding-space sibling of MinHash dedup for training corpora.
+
+    Scale shape: (1) k-means centroids from ``kmeans_lloyd`` (per-block
+    partials, driver folds k×d floats); (2) ONE streaming pass assigns
+    every row to its centroid — the centroid matrix rides the closure,
+    so there is NO assignment join; (3) one hash exchange on the
+    cluster id co-locates each cluster for the shared
+    ``_bucket_verifier`` kernel (chunked matmul, degenerate clusters
+    min-link above ``all_pairs_cap``); (4) transitive closure + min-id
+    representative via the engine's own CC over the pair graph
+    (``dedup.duplicate_ids_from_pairs``).
+
+    Returns ``(pairs_ds, drop_ids_ds)``: near-dup pairs
+    (id_a, id_b, cosine) and the non-representative ids to drop."""
+    import ray
+
+    from signal_collect_ray.functions.dedup import duplicate_ids_from_pairs
+
+    C, _assign, _j = kmeans_lloyd(
+        embeddings_ds,
+        k=k,
+        iters=iters,
+        seed=seed,
+        emb_col=emb_col,
+        id_col=id_col,
+    )
+    cref = ray.put(C)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _emb_matrix(tbl, emb_col).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "id": tbl.column(id_col),
+                "emb": tbl.column(emb_col).combine_chunks(),
+            }
+        )
+
+    verifier = _bucket_verifier(
+        threshold, max_partners, verify_chunk, all_pairs_cap
+    )
+    pairs = (
+        embeddings_ds.select_columns([id_col, emb_col])
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster")
+        .map_groups(verifier, batch_format="pyarrow")
+    )
+    pairs = pin_schema(
+        pairs,
+        pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        ),
+    ).materialize()
+    drops = duplicate_ids_from_pairs(pairs, workdir)
+    return pairs, drops

@@ -3039,6 +3039,240 @@ WHERE rn = 1
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped shipping priority: top-10 BUILDING-segment
+    orders by open revenue (ordered before / shipped after the cutoff).
+    Composition: segment customers broadcast-semi-join orders (small
+    dimension), date-filtered orders hash_join the lineitem FACT stream
+    (big-big tagged-union co-partition), partial-per-block revenue
+    groupby, grouped_top_k global selection."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+    from signal_collect_ray.functions.joins import broadcast_join, hash_join
+
+    cutoff_us = int(
+        (np.datetime64("1998-01-01") - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def cust_keys(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.equal(tbl.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"o_custkey": t.column("c_custkey")})
+
+    def order_filter(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = d < cutoff_us
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("o_orderkey").filter(pa.array(keep)),
+                "order_date_us": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    # semi-join shape: orders filtered to BUILDING customers first
+    seg_orders = broadcast_join(
+        orders,
+        cust.map_batches(cust_keys, batch_format="pyarrow"),
+        on="o_custkey",
+        how="inner",
+    ).map_batches(order_filter, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_filter(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = d > cutoff_us
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").filter(pa.array(keep)),
+                "rev": pa.array((p * (1.0 - disc))[keep], pa.float64()),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(li_filter, batch_format="pyarrow"),
+        seg_orders,
+        on="l_orderkey",
+        how="inner",
+        num_partitions=32,
+    )
+    agg = j.groupby(["l_orderkey", "order_date_us"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        r = np.round(tbl.column("revenue").to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "order_date_us": tbl.column("order_date_us"),
+                "revenue": pa.array(r, pa.float64()),
+                "g": pa.array(np.zeros(tbl.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    top = grouped_top_k(
+        agg.map_batches(rnd, batch_format="pyarrow"),
+        "g",
+        "revenue",
+        "l_orderkey",
+        10,
+        descending=True,
+    )
+    return top.drop_columns(["g"])
+
+
+_SHIPPING_PRIORITY_SQL = """
+WITH r AS (
+  SELECT l_orderkey, epoch_us(o_orderdate) AS order_date_us,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate)
+SELECT l_orderkey, order_date_us, revenue FROM r
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Pearson correlation of lineitem quantity vs extended price —
+    one streaming pass of sufficient moments, no shuffle
+    (functions.analytics.pearson_corr)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import pearson_corr
+
+    return pearson_corr(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_extendedprice"],
+        ),
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+_LINEITEM_CORR_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem
+"""
+
+
+def q_semdedup_drops(sf_dir: str):
+    """SemDeDup (cluster-then-exact-cosine semantic dedup) over the
+    embeddings table: k-means buckets, shared chunked in-cluster
+    verifier, engine-CC closure, min-id representative
+    (functions.similarity.semdedup). Rows-only driver check (k-means is
+    an iterative float fixpoint, no SQL mirror); the planted-duplicate
+    recall and exact-path subset guarantees are pinned in
+    tests/test_functions.py."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import semdedup
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    _pairs, drops = semdedup(
+        emb, _work_dir(sf_dir, "semdedup"), k=8, threshold=0.5
+    )
+    return drops
+
+
+def q_user_top_event(sf_dir: str):
+    """Per-user MODE of event_type (ties by type ascending) —
+    functions.analytics.grouped_mode: per-block (user, type) count
+    partials + one hash exchange resolving the argmax vectorized per
+    partition."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import grouped_mode
+
+    return grouped_mode(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        ),
+        key="user_id",
+        val="event_type",
+    )
+
+
+_USER_TOP_EVENT_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type AS mode_val,
+         CAST(cnt AS BIGINT) AS mode_count,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, mode_val, mode_count FROM r WHERE rn = 1
+"""
+
+
+def q_event_value_winsorized(sf_dir: str):
+    """Winsorized mean of event value: clip at the EXACT p01/p99 order
+    statistics (fixed-point cents → mergeable counting histogram, no
+    global sort), then one streaming clip+mean pass
+    (functions.analytics.winsorized_stats)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import winsorized_stats
+
+    return winsorized_stats(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        ),
+        "value",
+        lo_q=0.01,
+        hi_q=0.99,
+        scale=100,
+    )
+
+
+_WINSORIZED_SQL = """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vi FROM events),
+n AS (SELECT COUNT(*) AS c FROM v),
+o AS (SELECT vi, ROW_NUMBER() OVER (ORDER BY vi) AS rn FROM v),
+lo AS (SELECT vi AS lv FROM o, n
+       WHERE rn = GREATEST(CAST(ceil(0.01 * c) AS BIGINT), 1)),
+hi AS (SELECT vi AS hv FROM o, n
+       WHERE rn = GREATEST(CAST(ceil(0.99 * c) AS BIGINT), 1))
+SELECT lv / 100.0 AS lo_cut, hv / 100.0 AS hi_cut, n.c AS n,
+       ROUND(SUM(LEAST(GREATEST(v.vi, lv), hv) / 100.0) / n.c, 6)
+         AS mean_winsorized
+FROM v, lo, hi, n GROUP BY lv, hv, n.c
+"""
+
+
 def q_node2vec_walks(sf_dir: str):
     """Second-order node2vec biased walks (p=0.5, q=2) from every 16th
     vertex of the derived graph — algorithms.walks.node2vec_walks,
@@ -4866,6 +5100,11 @@ def queries():
         "mst_forest": q_mst_forest,
         "doc_pareto": q_doc_pareto,
         "node2vec_walks": q_node2vec_walks,
+        "user_top_event": q_user_top_event,
+        "event_value_winsorized": q_event_value_winsorized,
+        "semdedup_drops": q_semdedup_drops,
+        "shipping_priority": q_shipping_priority,
+        "lineitem_corr": q_lineitem_corr,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5046,6 +5285,10 @@ def oracle_sql():
         "bm25_top_docs": _BM25_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
         "doc_pareto": _DOC_PARETO_SQL,
+        "user_top_event": _USER_TOP_EVENT_SQL,
+        "event_value_winsorized": _WINSORIZED_SQL,
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "lineitem_corr": _LINEITEM_CORR_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

@@ -2060,3 +2060,135 @@ def test_pareto_frontier_vs_duckdb_random():
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_grouped_mode_vs_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import grouped_mode
+
+    rng = np.random.default_rng(41)
+    n = 800
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "v": pa.array(
+                rng.choice(["a", "b", "c", "d"], n), pa.string()
+            ),
+        }
+    )
+    rows = grouped_mode(
+        rd.from_arrow(t).repartition(4), "k", "v"
+    ).take_all()
+    got = sorted((r["k"], r["mode_val"], r["mode_count"]) for r in rows)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        con.execute(
+            "SELECT k, v, CAST(cnt AS BIGINT) FROM ("
+            "SELECT k, v, COUNT(*) cnt, ROW_NUMBER() OVER ("
+            "PARTITION BY k ORDER BY COUNT(*) DESC, v ASC) rn "
+            "FROM t GROUP BY k, v) WHERE rn = 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_winsorized_stats_vs_reference():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import winsorized_stats
+
+    rng = np.random.default_rng(43)
+    v = np.round(rng.normal(50, 30, 1000), 2)
+    t = pa.table({"value": pa.array(v, pa.float64())})
+    out = winsorized_stats(
+        rd.from_arrow(t).repartition(4), "value", 0.05, 0.95, scale=100
+    )
+    row = {c: out.column(c)[0].as_py() for c in out.schema.names}
+
+    vi = np.round(v * 100).astype(np.int64)
+    s = np.sort(vi)
+    n = len(s)
+    lo = s[max(int(np.ceil(0.05 * n)), 1) - 1]
+    hi = s[max(int(np.ceil(0.95 * n)), 1) - 1]
+    mean = round(float(np.clip(vi, lo, hi).sum() / 100.0 / n), 6)
+    assert row["lo_cut"] == lo / 100.0
+    assert row["hi_cut"] == hi / 100.0
+    assert row["n"] == n
+    assert abs(row["mean_winsorized"] - mean) < 1e-9
+
+
+def test_semdedup_planted_duplicates(tmp_path):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import semdedup
+
+    rng = np.random.default_rng(53)
+    d = 16
+    # two well-separated cluster centers; plant exact-duplicate groups
+    base_a = rng.normal(0, 1, d) + 10
+    base_b = rng.normal(0, 1, d) - 10
+    vecs, ids = [], []
+    # dup group 1: ids 0,1,2 identical near center A
+    for i in (0, 1, 2):
+        vecs.append(base_a)
+        ids.append(i)
+    # dup group 2: ids 10, 11 identical near center B
+    for i in (10, 11):
+        vecs.append(base_b)
+        ids.append(i)
+    # 30 distinct noise points: centered gaussians are near-orthogonal
+    # in cosine (a shared offset would make them all near-parallel)
+    for i in range(100, 130):
+        vecs.append(rng.normal(0, 1, d))
+        ids.append(i)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pairs, drops = semdedup(
+        rd.from_arrow(t).repartition(3),
+        str(tmp_path),
+        k=2,
+        threshold=0.999,
+        iters=10,
+    )
+    drop_ids = sorted(r["id"] for r in drops.take_all())
+    # representatives (min id per dup group) survive: 0 and 10 kept
+    assert drop_ids == [1, 2, 11]
+    got_pairs = {
+        (r["id_a"], r["id_b"]) for r in pairs.take_all()
+    }
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= got_pairs
+
+
+def test_pearson_corr_vs_numpy():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import pearson_corr
+
+    rng = np.random.default_rng(61)
+    x = rng.normal(10, 3, 2000)
+    y = 2.5 * x + rng.normal(0, 4, 2000)
+    t = pa.table(
+        {"x": pa.array(x, pa.float64()), "y": pa.array(y, pa.float64())}
+    )
+    out = pearson_corr(rd.from_arrow(t).repartition(7), "x", "y")
+    got = out.column("corr")[0].as_py()
+    want = round(float(np.corrcoef(x, y)[0, 1]), 6)
+    assert abs(got - want) < 1e-9
+    assert out.column("n")[0].as_py() == 2000
+
+    # degenerate: constant column → None
+    t2 = pa.table(
+        {"x": pa.array([1.0, 1.0]), "y": pa.array([2.0, 3.0])}
+    )
+    out2 = pearson_corr(rd.from_arrow(t2), "x", "y")
+    assert out2.column("corr")[0].as_py() is None
