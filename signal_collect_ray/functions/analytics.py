@@ -711,3 +711,62 @@ def pearson_corr(ds, x_col: str, y_col: str, digits: int = 6):
             "corr": pa.array([corr], pa.float64()),
         }
     )
+
+
+def weekly_type_trend(events_ds):
+    """Week-over-week trend per event type: counts per (week,
+    event_type) plus the LAG delta to the type's previous ACTIVE week —
+    the window-function-on-aggregate shape (dashboard trend lines).
+    Per-block (week, type) count partials bound the exchange; the
+    post-aggregate LAG runs per type on a tiny table (weeks × types
+    rows). First week per type gets a NULL delta (SQL LAG)."""
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        wk = week_floor_us(_ts_us(tbl))
+        t = pa.table(
+            {"week_us": pa.array(wk, pa.int64()),
+             "event_type": tbl.column("event_type")}
+        )
+        agg = t.group_by(["week_us", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "week_us": agg.column("week_us"),
+                "event_type": agg.column("event_type"),
+                "cnt": agg.column("count_all"),
+            }
+        )
+
+    counts = (
+        events_ds.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["week_us", "event_type"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def lag(tbl: pa.Table) -> pa.Table:
+        wk = tbl.column("week_us").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(wk, kind="stable")
+        wk_s, n_s = wk[order], n[order]
+        delta = np.zeros(len(n_s), np.int64)
+        delta[1:] = n_s[1:] - n_s[:-1]
+        first = np.zeros(len(n_s), dtype=bool)
+        if len(first):
+            first[0] = True
+        return pa.table(
+            {
+                "week_us": pa.array(wk_s, pa.int64()),
+                "event_type": tbl.column("event_type").take(
+                    pa.array(order, pa.int64())
+                ),
+                "n": pa.array(n_s, pa.int64()),
+                "delta": pa.array(delta, pa.int64(), mask=first),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        lag, batch_format="pyarrow"
+    )

@@ -1004,3 +1004,130 @@ def benchmark_contamination(docs_ds, bench_grams, n: int = 5):
     return pin_schema(
         out, pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
     )
+
+
+def top_pmi_bigrams(docs_ds, k: int = 20, min_count: int = 5):
+    """Top-k collocations by pointwise mutual information —
+    PMI(x,y) = ln( (c_xy/W) / ((c_x/U)(c_y/U)) ) with W = total bigram
+    occurrences, U = total word occurrences; the classic collocation
+    score that, unlike raw counts (``top_bigrams``), surfaces pairs
+    that co-occur far above chance.
+
+    Scale shape: per-block Counter partials for unigrams AND bigrams
+    (one pass), two groupby sums; the bigram table then resolves both
+    word marginals through ``hash_join`` (big-big co-partition — the
+    unigram vocabulary at web scale is 10^7-10^8 rows, no broadcast);
+    scoring is vectorized and the global top-k rides grouped_top_k's
+    per-block prune. ``min_count`` floors c_xy (PMI of hapax pairs is
+    noise). Ties break by bigram ascending; scores round to 6."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+    from signal_collect_ray.functions.joins import hash_join
+
+    def explode_bi(tbl: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            words = (t or "").lower().split()
+            c.update(zip(words, words[1:]))
+        return pa.table(
+            {
+                "w1": pa.array([a for a, _ in c.keys()], pa.string()),
+                "w2": pa.array([b for _, b in c.keys()], pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def explode_uni(tbl: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            c.update((t or "").lower().split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    bi = (
+        docs_ds.map_batches(explode_bi, batch_format="pyarrow",
+                            batch_size=2048)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="c_xy"))
+        .materialize()
+    )
+    uni = (
+        docs_ds.map_batches(explode_uni, batch_format="pyarrow",
+                            batch_size=2048)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="c_w"))
+        .materialize()
+    )
+    w_total = bi.sum("c_xy") or 0
+    u_total = uni.sum("c_w") or 0
+    if not w_total:
+        return bi  # empty
+
+    def floor_cnt(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("c_xy").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(c >= min_count))
+
+    bi_f = bi.map_batches(floor_cnt, batch_format="pyarrow")
+    j1 = hash_join(
+        bi_f,
+        uni.map_batches(
+            lambda t: pa.table({"w1": t.column("word"),
+                                "c_x": t.column("c_w")}),
+            batch_format="pyarrow",
+        ),
+        on="w1",
+        how="inner",
+    )
+    j2 = hash_join(
+        j1,
+        uni.map_batches(
+            lambda t: pa.table({"w2": t.column("word"),
+                                "c_y": t.column("c_w")}),
+            batch_format="pyarrow",
+        ),
+        on="w2",
+        how="inner",
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        cxy = tbl.column("c_xy").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cx = tbl.column("c_x").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cy = tbl.column("c_y").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pmi = np.round(
+            np.log((cxy / w_total) / ((cx / u_total) * (cy / u_total))), 6
+        )
+        w1 = tbl.column("w1").to_pylist()
+        w2 = tbl.column("w2").to_pylist()
+        return pa.table(
+            {
+                "bg": pa.array(
+                    [f"{a} {b}" for a, b in zip(w1, w2)], pa.string()
+                ),
+                "n": tbl.column("c_xy"),
+                "pmi": pa.array(pmi, pa.float64()),
+                "g": pa.array(np.zeros(tbl.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    top = grouped_top_k(
+        j2.map_batches(score, batch_format="pyarrow"),
+        "g",
+        "pmi",
+        "bg",
+        k,
+        descending=True,
+    )
+    return top.drop_columns(["g"])

@@ -3039,6 +3039,79 @@ WHERE rn = 1
 """
 
 
+def q_top_pmi_bigrams(sf_dir: str):
+    """Top-20 collocations by pointwise mutual information (min bigram
+    count 5) — functions.text.top_pmi_bigrams: one counting pass for
+    both marginals, hash-join marginal resolution (no vocabulary
+    broadcast), vectorized scoring, per-block-pruned global top-k."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import top_pmi_bigrams
+
+    return top_pmi_bigrams(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        k=20,
+        min_count=5,
+    )
+
+
+_TOP_PMI_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, i, w[i] AS word
+  FROM d, UNNEST(generate_series(1, len(w))) AS t(i) WHERE w[1] <> ''),
+bg AS (
+  SELECT a.word AS w1, b.word AS w2 FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+cu AS (SELECT word, COUNT(*) AS c_w FROM words GROUP BY word),
+tw AS (SELECT SUM(c_xy) * 1.0 AS wt FROM cb),
+tu AS (SELECT SUM(c_w) * 1.0 AS ut FROM cu)
+SELECT w1 || ' ' || w2 AS bg, CAST(c_xy AS BIGINT) AS n,
+       ROUND(ln((c_xy / wt) / ((cx.c_w / ut) * (cy.c_w / ut))), 6) AS pmi
+FROM cb
+JOIN cu cx ON cx.word = cb.w1
+JOIN cu cy ON cy.word = cb.w2
+CROSS JOIN tw CROSS JOIN tu
+WHERE c_xy >= 5
+ORDER BY pmi DESC, bg ASC LIMIT 20
+"""
+
+
+def q_weekly_trend(sf_dir: str):
+    """Week-over-week event-count trend per type (LAG delta over the
+    type's active weeks) — functions.analytics.weekly_type_trend, the
+    window-function-on-aggregate shape."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import weekly_type_trend
+
+    return weekly_type_trend(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type"],
+        )
+    )
+
+
+_WEEKLY_TREND_SQL = """
+WITH wk AS (
+  SELECT epoch_us(date_trunc('week', ts)) AS week_us, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT week_us, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY week_us)
+            AS BIGINT) AS delta
+FROM wk
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H-Q3-shaped shipping priority: top-10 BUILDING-segment
     orders by open revenue (ordered before / shipped after the cutoff).
@@ -5105,6 +5178,8 @@ def queries():
         "semdedup_drops": q_semdedup_drops,
         "shipping_priority": q_shipping_priority,
         "lineitem_corr": q_lineitem_corr,
+        "top_pmi_bigrams": q_top_pmi_bigrams,
+        "weekly_trend": q_weekly_trend,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5289,6 +5364,8 @@ def oracle_sql():
         "event_value_winsorized": _WINSORIZED_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "lineitem_corr": _LINEITEM_CORR_SQL,
+        "top_pmi_bigrams": _TOP_PMI_SQL,
+        "weekly_trend": _WEEKLY_TREND_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

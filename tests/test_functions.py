@@ -2192,3 +2192,57 @@ def test_pearson_corr_vs_numpy():
     )
     out2 = pearson_corr(rd.from_arrow(t2), "x", "y")
     assert out2.column("corr")[0].as_py() is None
+
+
+def test_weekly_trend_hand():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import WEEK_US, weekly_type_trend
+
+    # two types; type 'a' active weeks 0,1,3 (gap at 2 — LAG skips it)
+    ts = [0, 1, WEEK_US, 3 * WEEK_US, 3 * WEEK_US + 5, 0]
+    types = ["a", "a", "a", "a", "a", "b"]
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    rows = weekly_type_trend(rd.from_arrow(t).repartition(3)).take_all()
+    got = sorted(
+        (r["event_type"], r["week_us"], r["n"], r["delta"]) for r in rows
+    )
+    # week floor of epoch 0 (Thursday) is the preceding Monday (negative)
+    mon0 = -(3 * 86_400 * 1_000_000)
+    assert got == [
+        ("a", mon0, 2, None),
+        ("a", mon0 + WEEK_US, 1, -1),
+        ("a", mon0 + 3 * WEEK_US, 2, 1),
+        ("b", mon0, 1, None),
+    ]
+
+
+def test_top_pmi_bigrams_hand():
+    import math
+
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import top_pmi_bigrams
+
+    # "x y" always together (high PMI); "c c" frequent but independent
+    docs = ["x y c c", "x y c c", "x y c c", "c x y c", "c c c c"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    rows = top_pmi_bigrams(
+        rd.from_arrow(t).repartition(2), k=3, min_count=2
+    ).take_all()
+    got = {r["bg"]: (r["n"], r["pmi"]) for r in rows}
+    # marginals: total words U=20, bigrams W=15; c_x=4 ('x'), c_y=4 ('y')
+    # "x y" count 4 → pmi = ln((4/15)/((4/20)*(4/20)))
+    want_xy = round(math.log((4 / 15) / ((4 / 20) * (4 / 20))), 6)
+    assert got["x y"] == (4, want_xy)
+    assert list(got)[0] == "x y" or max(v[1] for v in got.values()) == want_xy
