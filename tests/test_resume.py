@@ -67,3 +67,39 @@ def test_restart_ignores_incomplete_tmp_step(tmp_path):
         g, PageRank(), run_dir=str(tmp_path / "r"), resume=True, max_supersteps=6
     )
     assert info.supersteps == 6
+
+
+def test_resume_with_resized_worker_pool(tmp_path):
+    """Elastic resume: checkpoints are per-PARTITION, so a run
+    interrupted under one worker-pool size resumes bit-identically
+    under another (the cluster-resize-between-runs story — partitions,
+    not workers, are the durable unit)."""
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    src, dst = fx.torus(4, 4)
+    g = Graph.from_edge_arrays(
+        src, dst, str(tmp_path / "g"), num_partitions=4
+    )
+    cfg = EngineConfig(num_partitions=4, eps=1e-8, max_supersteps=14)
+
+    full = ResidentEngine(cfg, num_workers=2).run(
+        g, PageRank(), run_dir=str(tmp_path / "full"), resume=False,
+        checkpoint_interval=1,
+    )
+    part = ResidentEngine(cfg, num_workers=2).run(
+        g, PageRank(), run_dir=str(tmp_path / "resumed"), resume=False,
+        max_supersteps=5, checkpoint_interval=1,
+    )
+    assert part.termination_reason == "StepsLimitReached"
+    # resume the same run_dir with TWICE the workers
+    resumed = ResidentEngine(cfg, num_workers=4).run(
+        g, PageRank(), run_dir=str(tmp_path / "resumed"), resume=True,
+        checkpoint_interval=1,
+    )
+    assert resumed.supersteps == full.supersteps == 14
+    a = full.state_table()
+    b = resumed.state_table()
+    assert a.column("vid").to_pylist() == b.column("vid").to_pylist()
+    assert np.allclose(
+        a.column("state").to_numpy(), b.column("state").to_numpy(), atol=0
+    )
