@@ -431,22 +431,48 @@ def first_event_per_key(
     event_type: str | None = None,
     key: str = "user_id",
     num_partitions: int = 16,
+    latest: bool = False,
 ):
-    """First event per key in (ts, event_id) order — the ROW_NUMBER()=1
-    window without a global sort: a per-block vectorized argmin keeps
-    one candidate row per key per block, then ONE hash exchange on the
-    key merges candidates with the same kernel per partition (P Python
-    calls total, never a per-key ``map_groups``). At 10^12 events the
-    exchange carries ≤ distinct-keys-per-block rows, not events.
+    """First (or, with ``latest=True``, last) event per key in
+    (ts, event_id) order — the ROW_NUMBER()=1 window without a global
+    sort: a per-block vectorized argmin keeps one candidate row per key
+    per block, then ONE hash exchange on the key merges candidates with
+    the same kernel per partition (P Python calls total, never a
+    per-key ``map_groups``). At 10^12 events the exchange carries ≤
+    distinct-keys-per-block rows, not events.
 
-    Returns (key, first_ts_us, first_event_id, first_value); value is
-    rounded to 6 digits (float-mirror convention)."""
+    Returns (key, {first,last}_ts_us, {first,last}_event_id,
+    {first,last}_value); value rounds to 6 (float-mirror convention)."""
     import pyarrow.compute as pc
 
+    pre = "last" if latest else "first"
+    c_ts, c_id, c_val = f"{pre}_ts_us", f"{pre}_event_id", f"{pre}_value"
     cols = [key, "ts", "event_id", "value"]
     sel = events_ds.select_columns(
         cols + (["event_type"] if event_type is not None else [])
     )
+
+    def extreme(t: pa.Table) -> pa.Table:
+        if not latest:
+            return _lex_first_rows(t, key, (c_ts, c_id))
+        neg = pa.table(
+            {
+                "_nts": pa.array(
+                    -t.column(c_ts).to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "_nid": pa.array(
+                    -t.column(c_id).to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+            }
+        )
+        t2 = t
+        for name in neg.schema.names:
+            t2 = t2.append_column(name, neg.column(name))
+        return _lex_first_rows(t2, key, ("_nts", "_nid")).drop_columns(
+            ["_nts", "_nid"]
+        )
 
     def block_first(tbl: pa.Table) -> pa.Table:
         if event_type is not None:
@@ -454,28 +480,26 @@ def first_event_per_key(
         t = pa.table(
             {
                 key: tbl.column(key),
-                "first_ts_us": tbl.column("ts").cast(pa.int64()),
-                "first_event_id": tbl.column("event_id"),
-                "first_value": tbl.column("value"),
+                c_ts: tbl.column("ts").cast(pa.int64()),
+                c_id: tbl.column("event_id"),
+                c_val: tbl.column("value"),
             }
         )
-        win = _lex_first_rows(t, key, ("first_ts_us", "first_event_id"))
+        win = extreme(t)
         kv = win.column(key).to_numpy(zero_copy_only=False)
         return win.append_column(
             "part", pa.array(part_of(kv, num_partitions), pa.int32())
         )
 
     def merge(tbl: pa.Table) -> pa.Table:
-        win = _lex_first_rows(tbl, key, ("first_ts_us", "first_event_id"))
-        v = np.round(
-            win.column("first_value").to_numpy(zero_copy_only=False), 6
-        )
+        win = extreme(tbl)
+        v = np.round(win.column(c_val).to_numpy(zero_copy_only=False), 6)
         return pa.table(
             {
                 key: win.column(key),
-                "first_ts_us": win.column("first_ts_us"),
-                "first_event_id": win.column("first_event_id"),
-                "first_value": pa.array(v, pa.float64()),
+                c_ts: win.column(c_ts),
+                c_id: win.column(c_id),
+                c_val: pa.array(v, pa.float64()),
             }
         )
 
@@ -491,11 +515,29 @@ def first_event_per_key(
         pa.schema(
             [
                 (key, pa.int64()),
-                ("first_ts_us", pa.int64()),
-                ("first_event_id", pa.int64()),
-                ("first_value", pa.float64()),
+                (c_ts, pa.int64()),
+                (c_id, pa.int64()),
+                (c_val, pa.float64()),
             ]
         ),
+    )
+
+
+def last_event_per_key(
+    events_ds,
+    event_type: str | None = None,
+    key: str = "user_id",
+    num_partitions: int = 16,
+):
+    """Latest event per key (ts desc, event_id desc) — the CDC/SCD
+    "current state" snapshot (dedup-by-latest upsert compaction); same
+    two-phase argmin shape as :func:`first_event_per_key`."""
+    return first_event_per_key(
+        events_ds,
+        event_type=event_type,
+        key=key,
+        num_partitions=num_partitions,
+        latest=True,
     )
 
 

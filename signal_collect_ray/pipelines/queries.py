@@ -3039,6 +3039,33 @@ WHERE rn = 1
 """
 
 
+def q_user_last_state(sf_dir: str):
+    """Latest event per user — the CDC/SCD current-state snapshot
+    (dedup-by-latest upsert compaction),
+    functions.analytics.last_event_per_key: per-block vectorized
+    arg-latest candidates + one hash exchange."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import last_event_per_key
+
+    return last_event_per_key(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+    )
+
+
+_USER_LAST_STATE_SQL = """
+SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+       ROUND(value, 6) AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def q_top_pmi_bigrams(sf_dir: str):
     """Top-20 collocations by pointwise mutual information (min bigram
     count 5) — functions.text.top_pmi_bigrams: one counting pass for
@@ -5180,6 +5207,7 @@ def queries():
         "lineitem_corr": q_lineitem_corr,
         "top_pmi_bigrams": q_top_pmi_bigrams,
         "weekly_trend": q_weekly_trend,
+        "user_last_state": q_user_last_state,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5366,6 +5394,7 @@ def oracle_sql():
         "lineitem_corr": _LINEITEM_CORR_SQL,
         "top_pmi_bigrams": _TOP_PMI_SQL,
         "weekly_trend": _WEEKLY_TREND_SQL,
+        "user_last_state": _USER_LAST_STATE_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

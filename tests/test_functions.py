@@ -2246,3 +2246,40 @@ def test_top_pmi_bigrams_hand():
     want_xy = round(math.log((4 / 15) / ((4 / 20) * (4 / 20))), 6)
     assert got["x y"] == (4, want_xy)
     assert list(got)[0] == "x y" or max(v[1] for v in got.values()) == want_xy
+
+
+def test_last_event_per_key_vs_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import last_event_per_key
+
+    rng = np.random.default_rng(67)
+    n = 400
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 40, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "value": pa.array(np.round(rng.uniform(0, 9, n), 3), pa.float64()),
+        }
+    )
+    rows = last_event_per_key(rd.from_arrow(t).repartition(5)).take_all()
+    got = sorted(
+        (r["user_id"], r["last_ts_us"], r["last_event_id"],
+         round(r["last_value"], 5))
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        (u, ts, e, round(v, 5))
+        for u, ts, e, v in con.execute(
+            "SELECT user_id, epoch_us(ts), event_id, ROUND(value, 6) "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "      ORDER BY ts DESC, event_id DESC) rn FROM t) WHERE rn = 1"
+        ).fetchall()
+    )
+    assert got == want
