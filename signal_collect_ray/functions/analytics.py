@@ -812,3 +812,60 @@ def weekly_type_trend(events_ds):
     return counts.groupby("event_type").map_groups(
         lag, batch_format="pyarrow"
     )
+
+
+def rank_in_group(
+    events_ds,
+    key: str = "user_id",
+    num_partitions: int = 16,
+):
+    """Full per-key ROW_NUMBER() (ordered by ts, event_id) — the
+    sequence-number window every sessionization/funnel feature set
+    needs. Unlike the rn=1 argmin (``first_event_per_key``) every row
+    gets its rank, so all of a key's rows must co-reside: ONE hash
+    exchange on the key, then a single lexsort + segmented-iota kernel
+    per partition (all keys of the partition in one vectorized pass —
+    never a per-key ``map_groups``). Skew bound: the hottest single
+    key's rows, the same bound any per-key window has.
+
+    Returns (key, ts_us, event_id, seq) with seq starting at 1."""
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: tbl.column(key),
+                "ts_us": tbl.column("ts").cast(pa.int64()),
+                "event_id": tbl.column("event_id"),
+                "part": pa.array(part_of(k, num_partitions), pa.int32()),
+            }
+        )
+
+    def number(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        e = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, k))
+        k_s = k[order]
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(first)
+        # segmented iota: global index minus the segment start's index
+        seq = np.arange(len(k_s), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(k_s)))
+        ) + 1
+        return pa.table(
+            {
+                key: pa.array(k_s, pa.int64()),
+                "ts_us": pa.array(ts[order], pa.int64()),
+                "event_id": pa.array(e[order], pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns([key, "ts", "event_id"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(number, batch_format="pyarrow")
+    )

@@ -3039,6 +3039,30 @@ WHERE rn = 1
 """
 
 
+def q_event_seq_num(sf_dir: str):
+    """Full per-user ROW_NUMBER() sequence numbers (ordered by ts,
+    event_id) — functions.analytics.rank_in_group: one user exchange,
+    one lexsort + segmented-iota kernel per partition."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import rank_in_group
+
+    return rank_in_group(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id"],
+        )
+    )
+
+
+_EVENT_SEQ_SQL = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
 def q_user_last_state(sf_dir: str):
     """Latest event per user — the CDC/SCD current-state snapshot
     (dedup-by-latest upsert compaction),
@@ -5208,6 +5232,7 @@ def queries():
         "top_pmi_bigrams": q_top_pmi_bigrams,
         "weekly_trend": q_weekly_trend,
         "user_last_state": q_user_last_state,
+        "event_seq_num": q_event_seq_num,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5395,6 +5420,7 @@ def oracle_sql():
         "top_pmi_bigrams": _TOP_PMI_SQL,
         "weekly_trend": _WEEKLY_TREND_SQL,
         "user_last_state": _USER_LAST_STATE_SQL,
+        "event_seq_num": _EVENT_SEQ_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

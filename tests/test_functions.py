@@ -2283,3 +2283,35 @@ def test_last_event_per_key_vs_duckdb():
         ).fetchall()
     )
     assert got == want
+
+
+def test_rank_in_group_vs_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import rank_in_group
+
+    rng = np.random.default_rng(71)
+    n = 500
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 60, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+        }
+    )
+    rows = rank_in_group(rd.from_arrow(t).repartition(4)).take_all()
+    got = sorted(
+        (r["user_id"], r["ts_us"], r["event_id"], r["seq"]) for r in rows
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        con.execute(
+            "SELECT user_id, epoch_us(ts), event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) FROM t"
+        ).fetchall()
+    )
+    assert got == want
