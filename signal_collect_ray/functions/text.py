@@ -1131,3 +1131,58 @@ def top_pmi_bigrams(docs_ds, k: int = 20, min_count: int = 5):
         descending=True,
     )
     return top.drop_columns(["g"])
+
+
+def vocab_stats(docs_ds):
+    """Corpus vocabulary statistics — total token occurrences, distinct
+    vocabulary size, hapax legomena count (words seen exactly once) and
+    type-token ratio: the Heaps/Zipf health check a corpus build runs
+    to spot tokenizer breakage or boilerplate floods. Per-block Counter
+    partials → one groupby(word) sum → a single tiny aggregate pass
+    over the count table. Returns one row
+    (n_tokens, n_distinct, n_hapax, ttr)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            c.update((t or "").lower().split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni = (
+        docs_ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="c"))
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tok": pa.array([int(c.sum())], pa.int64()),
+                "dis": pa.array([len(c)], pa.int64()),
+                "hap": pa.array([int((c == 1).sum())], pa.int64()),
+            }
+        )
+
+    parts = uni.map_batches(partial, batch_format="pyarrow").take_all()
+    tok = sum(r["tok"] for r in parts)
+    dis = sum(r["dis"] for r in parts)
+    hap = sum(r["hap"] for r in parts)
+    return pa.table(
+        {
+            "n_tokens": pa.array([tok], pa.int64()),
+            "n_distinct": pa.array([dis], pa.int64()),
+            "n_hapax": pa.array([hap], pa.int64()),
+            "ttr": pa.array(
+                [round(dis * 1.0 / tok, 6) if tok else None], pa.float64()
+            ),
+        }
+    )

@@ -3039,6 +3039,36 @@ WHERE rn = 1
 """
 
 
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary health check: token total, distinct vocab,
+    hapax legomena, type-token ratio (functions.text.vocab_stats —
+    Counter partials, one word exchange, tiny aggregate)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import vocab_stats
+
+    return vocab_stats(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    )
+
+
+_VOCAB_STATS_SQL = """
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+words AS (SELECT unnest(w) AS word FROM d WHERE w[1] <> ''),
+cu AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr
+FROM cu
+"""
+
+
 def q_event_seq_num(sf_dir: str):
     """Full per-user ROW_NUMBER() sequence numbers (ordered by ts,
     event_id) — functions.analytics.rank_in_group: one user exchange,
@@ -5233,6 +5263,7 @@ def queries():
         "weekly_trend": q_weekly_trend,
         "user_last_state": q_user_last_state,
         "event_seq_num": q_event_seq_num,
+        "vocab_stats": q_vocab_stats,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5421,6 +5452,7 @@ def oracle_sql():
         "weekly_trend": _WEEKLY_TREND_SQL,
         "user_last_state": _USER_LAST_STATE_SQL,
         "event_seq_num": _EVENT_SEQ_SQL,
+        "vocab_stats": _VOCAB_STATS_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
