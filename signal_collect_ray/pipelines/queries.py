@@ -400,9 +400,9 @@ def _prw_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
 
-def _cc_sql(k: int) -> str:
+def _cc_sql(k: int, edges_sql: Optional[str] = None) -> str:
     ctes = [
-        f"e0 AS MATERIALIZED ({_E_SQL})",
+        f"e0 AS MATERIALIZED ({edges_sql or _E_SQL})",
         "e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
         "v AS MATERIALIZED (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
         "l0 AS (SELECT vid, vid AS lab FROM v)",
@@ -1211,6 +1211,45 @@ def q_pagerank_updated_k4(sf_dir: str):
         resume=False, checkpoint_interval=50,
     )
     return _round_state(info.state_table(), "rank", 6)
+
+
+def q_cc_updated(sf_dir: str):
+    """Connected components over the event-MUTATED graph — drives
+    Graph.update through the exact-label oracle (a wrong merge/remove
+    changes component labels), complementing ``pagerank_updated_k4``'s
+    score-level check. Same pinned round count as
+    ``connected_components``."""
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import ConnectedComponents
+
+    key = (sf_dir, "cc_updated")
+    out = _RESULT_CACHE.get(key)
+    if out is None:
+        gkey = (sf_dir, "updated_sym")
+        gsym = _GRAPH_CACHE.get(gkey)
+        if gsym is None:
+            g2 = _updated_graph(sf_dir)
+            gsym = Graph.build(
+                sym_edges(g2.edges_ds().select_columns(["src", "dst"])),
+                _work_dir(sf_dir, "graph_upd_sym"),
+                num_partitions=_P,
+                dedup=True,
+            )
+            _GRAPH_CACHE[gkey] = gsym
+        eng = _engine(_CC_K)
+        info = eng.run(
+            gsym,
+            ConnectedComponents(),
+            run_dir=_work_dir(sf_dir, "run_cc_upd"),
+            resume=False,
+            checkpoint_interval=50,
+        )
+        t = info.state_table()
+        out = pa.table(
+            {"vid": t.column("vid"), "label": t.column("state")}
+        )
+        _RESULT_CACHE[key] = out
+    return out
 
 
 def q_doc_token_counts(sf_dir: str):
@@ -5264,6 +5303,7 @@ def queries():
         "user_last_state": q_user_last_state,
         "event_seq_num": q_event_seq_num,
         "vocab_stats": q_vocab_stats,
+        "cc_updated": q_cc_updated,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5453,6 +5493,7 @@ def oracle_sql():
         "user_last_state": _USER_LAST_STATE_SQL,
         "event_seq_num": _EVENT_SEQ_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
+        "cc_updated": _cc_sql(_CC_K, _E_UPD_SQL),
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
