@@ -722,3 +722,47 @@ def functional_dependency(ds, lhs: str, rhs: str):
             "holds": pa.array([n_bad == 0], pa.bool_()),
         }
     )
+
+
+def exact_quantiles_cont(ds, col: str, qs, scale: int = 100):
+    """EXACT linearly-interpolated quantiles (SQL ``quantile_cont`` /
+    numpy 'linear') of a fixed-point-scalable numeric column, without a
+    global sort: values scale to int64 (``scale`` = 100 for 2-decimal
+    money columns), per-block counting histograms merge on the driver
+    (the same mergeable shape as ``exact_quantiles_int``), and each
+    quantile interpolates between the order statistics at
+    floor/ceil of rank = q·(n−1) (0-based — the quantile_cont
+    convention). Returns [(q, value)] with values unscaled and rounded
+    to 6."""
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vi = np.round(v * scale).astype(np.int64)
+        u, c = np.unique(vi, return_counts=True)
+        return pa.table(
+            {"value": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        hist, batch_format="pyarrow"
+    ).take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[r["value"]] = agg.get(r["value"], 0) + r["cnt"]
+    values = np.array(sorted(agg), dtype=np.int64)
+    counts = np.array([agg[v] for v in values], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append((q, None))
+            continue
+        rank = q * (n - 1)  # 0-based fractional rank
+        lo_i = int(np.floor(rank))
+        hi_i = min(lo_i + 1, n - 1)
+        frac = rank - lo_i
+        v_lo = values[np.searchsorted(cum, lo_i + 1)] / scale
+        v_hi = values[np.searchsorted(cum, hi_i + 1)] / scale
+        out.append((q, round(v_lo + frac * (v_hi - v_lo), 6)))
+    return out

@@ -3078,6 +3078,38 @@ WHERE rn = 1
 """
 
 
+def q_value_quantiles_cont(sf_dir: str):
+    """EXACT interpolated quantiles (SQL quantile_cont convention) of
+    event value — mergeable fixed-point counting histogram, no global
+    sort (functions.aggregations.exact_quantiles_cont)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import (
+        exact_quantiles_cont,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    res = exact_quantiles_cont(ds, "value", qs, scale=100)
+    return pa.table(
+        {
+            f"q{int(q * 100)}": pa.array([v], pa.float64())
+            for q, v in res
+        }
+    )
+
+
+_VALUE_QUANTILES_CONT_SQL = """
+SELECT ROUND(quantile_cont(value, 0.25), 6) AS q25,
+       ROUND(quantile_cont(value, 0.5), 6) AS q50,
+       ROUND(quantile_cont(value, 0.75), 6) AS q75,
+       ROUND(quantile_cont(value, 0.9), 6) AS q90
+FROM events
+"""
+
+
 def q_vocab_stats(sf_dir: str):
     """Corpus vocabulary health check: token total, distinct vocab,
     hapax legomena, type-token ratio (functions.text.vocab_stats —
@@ -5304,6 +5336,7 @@ def queries():
         "event_seq_num": q_event_seq_num,
         "vocab_stats": q_vocab_stats,
         "cc_updated": q_cc_updated,
+        "value_quantiles_cont": q_value_quantiles_cont,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5494,6 +5527,7 @@ def oracle_sql():
         "event_seq_num": _EVENT_SEQ_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
         "cc_updated": _cc_sql(_CC_K, _E_UPD_SQL),
+        "value_quantiles_cont": _VALUE_QUANTILES_CONT_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

@@ -2315,3 +2315,24 @@ def test_rank_in_group_vs_duckdb():
         ).fetchall()
     )
     assert got == want
+
+
+def test_exact_quantiles_cont_vs_numpy():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.aggregations import (
+        exact_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(73)
+    v = np.round(rng.uniform(0, 200, 999), 2)
+    t = pa.table({"value": pa.array(v, pa.float64())})
+    got = exact_quantiles_cont(
+        rd.from_arrow(t).repartition(5), "value", [0.0, 0.33, 0.5, 1.0]
+    )
+    # numpy 'linear' is the same q·(n−1) interpolated convention, on the
+    # cents-exact values
+    cents = np.round(v * 100) / 100
+    for (q, val) in got:
+        want = round(float(np.quantile(cents, q, method="linear")), 6)
+        assert abs(val - want) < 1e-9, (q, val, want)
