@@ -564,31 +564,60 @@ def _skyline_kernel(tbl: pa.Table, x_col: str, y_col: str) -> pa.Table:
     return tbl.take(pa.array(order[kept], pa.int64()))
 
 
-def pareto_frontier(ds, x_col: str, y_col: str):
+def pareto_frontier(ds, x_col: str, y_col: str, group_col: str | None = None):
     """Skyline / Pareto frontier on two maximized columns — the
     multi-objective selection pass (e.g. "longest AND highest-quality
-    documents") a curation pipeline uses to pick exemplars. Distributed
-    shape: every block prunes to its local frontier with one vectorized
-    kernel (dominated rows never leave the block — at 10^12 rows the
-    exchange carries only per-block frontiers), then ONE final task
-    merges candidates with the same kernel. Worst case (all points
-    mutually non-dominated, e.g. a perfect diagonal) degenerates to the
-    full input in the final task — real score distributions prune
-    orders of magnitude. Strict-dominance semantics: ties/duplicate
-    points are kept (exactly SQL's NOT EXISTS strict dominator)."""
+    documents") a curation pipeline uses to pick exemplars; with
+    ``group_col``, one independent frontier per group (per-language
+    exemplars). Distributed shape: every block prunes to its local
+    (per-group) frontier with one vectorized kernel (dominated rows
+    never leave the block — at 10^12 rows the exchange carries only
+    per-block frontiers), then ONE groupby finalizer merges candidates
+    with the same kernel. Worst case (all points mutually
+    non-dominated, e.g. a perfect diagonal) degenerates to the full
+    input in the final task — real score distributions prune orders of
+    magnitude. Strict-dominance semantics: ties/duplicate points are
+    kept (exactly SQL's NOT EXISTS strict dominator)."""
+
+    def kern(tbl: pa.Table) -> pa.Table:
+        if group_col is None:
+            return _skyline_kernel(tbl, x_col, y_col)
+        # per-group: sort rows by group, apply the kernel per segment
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        if g.dtype == object:
+            _, codes = np.unique(g.astype(str), return_inverse=True)
+        else:
+            codes = g
+        order = np.argsort(codes, kind="stable")
+        t = tbl.take(pa.array(order, pa.int64()))
+        codes = codes[order]
+        starts = np.flatnonzero(
+            np.r_[True, codes[1:] != codes[:-1]]
+        ).tolist() + [len(codes)]
+        parts = [
+            _skyline_kernel(t.slice(starts[i], starts[i + 1] - starts[i]),
+                            x_col, y_col)
+            for i in range(len(starts) - 1)
+        ]
+        return pa.concat_tables(parts) if parts else tbl.slice(0, 0)
 
     def block(tbl: pa.Table) -> pa.Table:
-        win = _skyline_kernel(tbl, x_col, y_col)
-        return win.append_column(
-            "g", pa.array(np.zeros(win.num_rows, np.int64), pa.int64())
-        )
+        win = kern(tbl)
+        if group_col is None:
+            return win.append_column(
+                "g", pa.array(np.zeros(win.num_rows, np.int64), pa.int64())
+            )
+        return win
+
+    key = "g" if group_col is None else group_col
 
     def final(tbl: pa.Table) -> pa.Table:
-        return _skyline_kernel(tbl, x_col, y_col).drop_columns(["g"])
+        win = kern(tbl)
+        return win.drop_columns(["g"]) if group_col is None else win
 
     return (
         ds.map_batches(block, batch_format="pyarrow")
-        .groupby("g")
+        .groupby(key)
         .map_groups(final, batch_format="pyarrow")
     )
 

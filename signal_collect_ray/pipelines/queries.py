@@ -3498,6 +3498,39 @@ FROM v, lo, hi, n GROUP BY lv, hv, n.c
 """
 
 
+def q_lang_pareto(sf_dir: str):
+    """Per-language Pareto frontier of (n_chars, quality) — the grouped
+    skyline (one independent frontier per lang), same per-block prune +
+    one groupby finalizer."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import pareto_frontier
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).map_batches(QualityScore(), batch_format="pyarrow", batch_size=2048)
+
+    def shape(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang": tbl.column("lang"),
+                "n_chars": tbl.column("n_chars_q"),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    return pareto_frontier(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        "n_chars",
+        "quality",
+        group_col="lang",
+    )
+
+
 def q_node2vec_walks(sf_dir: str):
     """Second-order node2vec biased walks (p=0.5, q=2) from every 16th
     vertex of the derived graph — algorithms.walks.node2vec_walks,
@@ -4444,6 +4477,15 @@ _DOC_PARETO_SQL = (
     "AND (o.n_chars > t.n_chars OR o.quality > t.quality))"
 )
 
+_LANG_PARETO_SQL = (
+    "WITH q AS (SELECT d.lang, i.* FROM documents d "
+    f"JOIN ({_QUALITY_SQL_INNER}) i USING (doc_id)) "
+    "SELECT doc_id, lang, n_chars, quality FROM q t "
+    "WHERE NOT EXISTS (SELECT 1 FROM q o WHERE o.lang = t.lang "
+    "AND o.n_chars >= t.n_chars AND o.quality >= t.quality "
+    "AND (o.n_chars > t.n_chars OR o.quality > t.quality))"
+)
+
 # Exact SQL mirror of functions.text.Fingerprint: md5 of the
 # whitespace-normalized text (Python " ".join(t.split())).
 _FINGERPRINT_SQL = (
@@ -5324,6 +5366,7 @@ def queries():
         "benchmark_contamination": q_benchmark_contamination,
         "mst_forest": q_mst_forest,
         "doc_pareto": q_doc_pareto,
+        "lang_pareto": q_lang_pareto,
         "node2vec_walks": q_node2vec_walks,
         "user_top_event": q_user_top_event,
         "event_value_winsorized": q_event_value_winsorized,
@@ -5517,6 +5560,7 @@ def oracle_sql():
         "bm25_top_docs": _BM25_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
         "doc_pareto": _DOC_PARETO_SQL,
+        "lang_pareto": _LANG_PARETO_SQL,
         "user_top_event": _USER_TOP_EVENT_SQL,
         "event_value_winsorized": _WINSORIZED_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,

@@ -2336,3 +2336,35 @@ def test_exact_quantiles_cont_vs_numpy():
     for (q, val) in got:
         want = round(float(np.quantile(cents, q, method="linear")), 6)
         assert abs(val - want) < 1e-9, (q, val, want)
+
+
+def test_grouped_pareto_frontier_vs_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import pareto_frontier
+
+    rng = np.random.default_rng(79)
+    n = 500
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "grp": pa.array(rng.choice(["a", "b", "c"], n), pa.string()),
+            "x": pa.array(rng.integers(0, 15, n), pa.int64()),
+            "y": pa.array(rng.integers(0, 15, n).astype(float), pa.float64()),
+        }
+    )
+    rows = pareto_frontier(
+        rd.from_arrow(t).repartition(4), "x", "y", group_col="grp"
+    ).take_all()
+    got = sorted((r["id"], r["grp"], r["x"], r["y"]) for r in rows)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(
+        con.execute(
+            "SELECT id, grp, x, y FROM t a WHERE NOT EXISTS ("
+            "SELECT 1 FROM t b WHERE b.grp = a.grp AND b.x >= a.x "
+            "AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))"
+        ).fetchall()
+    )
+    assert got == want
