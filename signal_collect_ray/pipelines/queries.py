@@ -19,6 +19,7 @@ import pyarrow as pa
 
 V_GRAPH = 500  # vertex-id space of the derived lineitem graph
 _P = 8  # engine partitions for query-sized graphs
+_HOST_MOD = 50  # vid -> "host" coarsening used by the host-graph queries
 
 _E_SQL = (
     f"SELECT DISTINCT l_orderkey % {V_GRAPH} AS src, "
@@ -3078,6 +3079,47 @@ WHERE rn = 1
 """
 
 
+def q_partition_edge_cut(sf_dir: str):
+    """Partitioner quality diagnostic: fraction of edges whose
+    endpoints land on different partitions under (a) the default Knuth
+    hash mapper (`util.part_of`, P=8) and (b) a host-affinity mapper
+    ((vid % _HOST_MOD) % 8 — the MapperSpec locality story: pages of a
+    host co-locate, so intra-host links never cross the exchange). One
+    streaming pass of per-block counts; the hash arithmetic is exactly
+    SQL-mirrorable (Knuth multiplicative mod 2^32 — vids < 2^32 here,
+    so the high-bit fold is zero)."""
+    from signal_collect_ray.util import part_of
+
+    edges = derived_edges_ds(sf_dir)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        cut_h = int((part_of(s, _P) != part_of(d, _P)).sum())
+        cut_a = int(((s % _HOST_MOD) % _P != (d % _HOST_MOD) % _P).sum())
+        return pa.table(
+            {
+                "n": pa.array([len(s)], pa.int64()),
+                "ch": pa.array([cut_h], pa.int64()),
+                "ca": pa.array([cut_a], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    ch = sum(r["ch"] for r in parts)
+    ca = sum(r["ca"] for r in parts)
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "cut_hash": pa.array([ch], pa.int64()),
+            "cut_host": pa.array([ca], pa.int64()),
+            "frac_hash": pa.array([round(ch / n, 6)], pa.float64()),
+            "frac_host": pa.array([round(ca / n, 6)], pa.float64()),
+        }
+    )
+
+
 def q_value_quantiles_cont(sf_dir: str):
     """EXACT interpolated quantiles (SQL quantile_cont convention) of
     event value — mergeable fixed-point counting histogram, no global
@@ -3099,6 +3141,26 @@ def q_value_quantiles_cont(sf_dir: str):
             for q, v in res
         }
     )
+
+
+_EDGE_CUT_SQL = f"""
+WITH e AS ({_E_SQL}),
+c AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (
+           ((CAST(src AS UBIGINT) * 2654435761) % 4294967296) % {_P}
+           <> ((CAST(dst AS UBIGINT) * 2654435761) % 4294967296) % {_P}
+         ) AS ch,
+         COUNT(*) FILTER (
+           (src % {_HOST_MOD}) % {_P} <> (dst % {_HOST_MOD}) % {_P}
+         ) AS ca
+  FROM e)
+SELECT CAST(n AS BIGINT) AS n_edges, CAST(ch AS BIGINT) AS cut_hash,
+       CAST(ca AS BIGINT) AS cut_host,
+       ROUND(ch * 1.0 / n, 6) AS frac_hash,
+       ROUND(ca * 1.0 / n, 6) AS frac_host
+FROM c
+"""
 
 
 _VALUE_QUANTILES_CONT_SQL = """
@@ -4785,7 +4847,6 @@ def _pq_sql() -> str:
 # weighted PageRank over the contracted graph.
 # ---------------------------------------------------------------------------
 
-_HOST_MOD = 50  # vid → "host" coarsening used by the driver query
 
 
 def q_host_pagerank_k4(sf_dir: str):
@@ -5380,6 +5441,7 @@ def queries():
         "vocab_stats": q_vocab_stats,
         "cc_updated": q_cc_updated,
         "value_quantiles_cont": q_value_quantiles_cont,
+        "partition_edge_cut": q_partition_edge_cut,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5572,6 +5634,7 @@ def oracle_sql():
         "vocab_stats": _VOCAB_STATS_SQL,
         "cc_updated": _cc_sql(_CC_K, _E_UPD_SQL),
         "value_quantiles_cont": _VALUE_QUANTILES_CONT_SQL,
+        "partition_edge_cut": _EDGE_CUT_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
