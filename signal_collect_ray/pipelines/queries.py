@@ -3079,6 +3079,78 @@ WHERE rn = 1
 """
 
 
+def _bfs_ctes(k: int, prefix: str, source_expr: str) -> list:
+    """Unrolled BFS CTE chain with a dynamic source expression (shares
+    `e`/`v` CTEs defined by the caller)."""
+    ctes = [
+        f"{prefix}d0 AS (SELECT vid, CASE WHEN vid = ({source_expr}) "
+        "THEN CAST(0 AS DOUBLE) ELSE CAST(1e18 AS DOUBLE) END AS d FROM v)"
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"{prefix}d{i} AS MATERIALIZED (SELECT v.vid, "
+            f"LEAST(own.d, COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
+            f"FROM v JOIN {prefix}d{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN {prefix}d{i-1} nb ON nb.vid = e.src "
+            "GROUP BY v.vid, own.d)"
+        )
+    return ctes
+
+
+def _diameter_sql(k: int) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+    ]
+    ctes += _bfs_ctes(k, "a_", "0")
+    ctes.append(
+        f"far AS (SELECT vid, d FROM a_d{k} WHERE d < 1e17 "
+        "ORDER BY d DESC, vid ASC LIMIT 1)"
+    )
+    ctes += _bfs_ctes(k, "b_", "SELECT vid FROM far")
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT far.vid AS far_vid, far.d AS ecc0, "
+        f"(SELECT MAX(d) FROM b_d{k} WHERE d < 1e17) AS far_ecc, "
+        f"GREATEST(far.d, (SELECT MAX(d) FROM b_d{k} WHERE d < 1e17)) "
+        "AS diameter_lb FROM far"
+    )
+
+
+def q_diameter_bound(sf_dir: str):
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib, public
+    literature): BFS from vertex 0, then BFS from the farthest reached
+    vertex; the larger eccentricity lower-bounds the directed diameter.
+    Two engine SSSP runs — the argmax between sweeps is a tiny
+    aggregate over the distance table (computed driver-side here; at
+    web scale it is one top-1 reduce). Exact unrolled two-BFS SQL
+    oracle."""
+    from signal_collect_ray.algorithms import SSSP
+
+    t1 = _state(sf_dir, SSSP(0), False, _BFS_K, tag="_dia0")
+    d1 = t1.column("state").to_numpy(zero_copy_only=False)
+    vid1 = t1.column("vid").to_numpy(zero_copy_only=False)
+    fin = np.isfinite(d1)
+    # farthest vertex from 0; ties by min vid (mirrors ORDER BY d DESC,
+    # vid ASC LIMIT 1)
+    order = np.lexsort((vid1[fin], -d1[fin]))
+    far_vid = int(vid1[fin][order[0]])
+    ecc0 = float(d1[fin][order[0]])
+
+    t2 = _state(sf_dir, SSSP(far_vid), False, _BFS_K, tag="_diaF")
+    d2 = t2.column("state").to_numpy(zero_copy_only=False)
+    far_ecc = float(d2[np.isfinite(d2)].max())
+    return pa.table(
+        {
+            "far_vid": pa.array([far_vid], pa.int64()),
+            "ecc0": pa.array([ecc0], pa.float64()),
+            "far_ecc": pa.array([far_ecc], pa.float64()),
+            "diameter_lb": pa.array([max(ecc0, far_ecc)], pa.float64()),
+        }
+    )
+
+
 def q_partition_edge_cut(sf_dir: str):
     """Partitioner quality diagnostic: fraction of edges whose
     endpoints land on different partitions under (a) the default Knuth
@@ -5442,6 +5514,7 @@ def queries():
         "cc_updated": q_cc_updated,
         "value_quantiles_cont": q_value_quantiles_cont,
         "partition_edge_cut": q_partition_edge_cut,
+        "diameter_bound": q_diameter_bound,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5635,6 +5708,7 @@ def oracle_sql():
         "cc_updated": _cc_sql(_CC_K, _E_UPD_SQL),
         "value_quantiles_cont": _VALUE_QUANTILES_CONT_SQL,
         "partition_edge_cut": _EDGE_CUT_SQL,
+        "diameter_bound": _diameter_sql(_BFS_K),
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
