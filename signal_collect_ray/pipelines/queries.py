@@ -3079,6 +3079,87 @@ WHERE rn = 1
 """
 
 
+def q_mixture_weights(sf_dir: str):
+    """Training-data mixture weights per source: each source's sampling
+    weight ∝ n_docs × mean quality, normalized to sum 1 — the data-
+    mixing knob a corpus build feeds its sampler (quality-weighted
+    source proportions). One quality-scoring pass, one tiny
+    groupby(source) aggregate, driver-side normalization over the
+    handful of sources."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    ).map_batches(QualityScore(), batch_format="pyarrow", batch_size=2048)
+
+    def shape(tbl: pa.Table) -> pa.Table:
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "source": tbl.column("source"),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(shape, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("quality", alias_name="qsum")
+        )
+    )
+    rows = agg.take_all()
+    mass = {
+        r["source"]: r["n_docs"] * (r["qsum"] / r["n_docs"]) for r in rows
+    }
+    total = sum(mass.values())
+    srcs = sorted(mass)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array(
+                [next(r["n_docs"] for r in rows if r["source"] == s)
+                 for s in srcs],
+                pa.int64(),
+            ),
+            "mean_quality": pa.array(
+                [
+                    round(
+                        next(
+                            r["qsum"] / r["n_docs"]
+                            for r in rows
+                            if r["source"] == s
+                        ),
+                        6,
+                    )
+                    for s in srcs
+                ],
+                pa.float64(),
+            ),
+            "weight": pa.array(
+                [round(mass[s] / total, 6) for s in srcs], pa.float64()
+            ),
+        }
+    )
+
+
+_MIXTURE_SQL = (
+    f"WITH q AS ({{inner}}), "
+    "j AS (SELECT d.source, q.quality FROM documents d JOIN q USING (doc_id)), "
+    "a AS (SELECT source, COUNT(*) AS n_docs, SUM(quality) AS qsum "
+    "FROM j GROUP BY source), "
+    "t AS (SELECT SUM(n_docs * (qsum / n_docs)) AS tot FROM a) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "ROUND(qsum / n_docs, 6) AS mean_quality, "
+    "ROUND(n_docs * (qsum / n_docs) / t.tot, 6) AS weight "
+    "FROM a CROSS JOIN t AS t"
+)
+
+
 def _bfs_ctes(k: int, prefix: str, source_expr: str) -> list:
     """Unrolled BFS CTE chain with a dynamic source expression (shares
     `e`/`v` CTEs defined by the caller)."""
@@ -5515,6 +5596,7 @@ def queries():
         "value_quantiles_cont": q_value_quantiles_cont,
         "partition_edge_cut": q_partition_edge_cut,
         "diameter_bound": q_diameter_bound,
+        "mixture_weights": q_mixture_weights,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5709,6 +5791,7 @@ def oracle_sql():
         "value_quantiles_cont": _VALUE_QUANTILES_CONT_SQL,
         "partition_edge_cut": _EDGE_CUT_SQL,
         "diameter_bound": _diameter_sql(_BFS_K),
+        "mixture_weights": _MIXTURE_SQL.format(inner=_QUALITY_SQL_INNER),
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
