@@ -3079,6 +3079,56 @@ WHERE rn = 1
 """
 
 
+def q_degree_corr(sf_dir: str):
+    """Pearson correlation of per-vertex in-degree vs out-degree (do
+    hubs also link out a lot?) — per-block degree partials, one
+    groupby(vid) sum, then the one-pass moment fold
+    (functions.analytics.pearson_corr)."""
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.analytics import pearson_corr
+
+    edges = derived_edges_ds(sf_dir)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        su, sc = np.unique(s, return_counts=True)
+        du, dc = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate([su, du]), pa.int64()),
+                "o": pa.array(
+                    np.concatenate([sc, np.zeros(len(du), np.int64)]),
+                    pa.int64(),
+                ),
+                "i": pa.array(
+                    np.concatenate([np.zeros(len(su), np.int64), dc]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    deg = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("o", alias_name="o"), Sum("i", alias_name="i"))
+    )
+    return pearson_corr(deg, "o", "i")
+
+
+_DEGREE_CORR_SQL = (
+    f"WITH e AS ({_E_SQL}), "
+    "od AS (SELECT src AS vid, COUNT(*) AS o FROM e GROUP BY src), "
+    "idg AS (SELECT dst AS vid, COUNT(*) AS i FROM e GROUP BY dst), "
+    "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e), "
+    "d AS (SELECT v.vid, COALESCE(od.o, 0) AS o, COALESCE(idg.i, 0) AS i "
+    "FROM v LEFT JOIN od USING (vid) LEFT JOIN idg USING (vid)) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(corr(o, i), 6) AS corr "
+    "FROM d"
+)
+
+
 def q_mixture_weights(sf_dir: str):
     """Training-data mixture weights per source: each source's sampling
     weight ∝ n_docs × mean quality, normalized to sum 1 — the data-
@@ -5597,6 +5647,7 @@ def queries():
         "partition_edge_cut": q_partition_edge_cut,
         "diameter_bound": q_diameter_bound,
         "mixture_weights": q_mixture_weights,
+        "degree_corr": q_degree_corr,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5792,6 +5843,7 @@ def oracle_sql():
         "partition_edge_cut": _EDGE_CUT_SQL,
         "diameter_bound": _diameter_sql(_BFS_K),
         "mixture_weights": _MIXTURE_SQL.format(inner=_QUALITY_SQL_INNER),
+        "degree_corr": _DEGREE_CORR_SQL,
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
