@@ -1186,3 +1186,81 @@ def vocab_stats(docs_ds):
             ),
         }
     )
+
+
+def greedy_vocab_cover(docs_ds, k: int = 4):
+    """Greedy maximum-coverage document selection (the classic
+    submodular corpus-selection primitive — pick the k documents that
+    together cover the most vocabulary, Nemhauser-Wolsey-Fisher greedy
+    with its (1-1/e) guarantee; public literature). Each round: the
+    covered-word set rides ``ray.put`` (bounded by the corpus
+    vocabulary), every block reduces to ONE candidate (its best doc by
+    marginal new-word count, ties by doc_id), the driver folds
+    per-block candidates and extends the covered set with the winner's
+    words — k streaming passes, no shuffle at all. Stops early when no
+    document adds new vocabulary.
+
+    Returns one row per pick: (round, doc_id, new_words)."""
+    import ray
+
+    mat = docs_ds.select_columns(["doc_id", "text"]).materialize()
+    covered: frozenset = frozenset()
+    picked_ids: set = set()
+    out_round, out_id, out_new = [], [], []
+
+    for rnd in range(1, k + 1):
+        cref = ray.put(covered)
+        exclude = frozenset(picked_ids)
+
+        def cand(tbl: pa.Table) -> pa.Table:
+            cov = ray.get(cref)
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = tbl.column("text").to_pylist()
+            best = None  # (neg_cnt, doc_id, words)
+            for i, t in enumerate(texts):
+                did = int(ids[i])
+                if did in exclude:
+                    continue
+                ws = set((t or "").lower().split())
+                new = len(ws - cov)
+                if new == 0:
+                    continue
+                key = (-new, did)
+                if best is None or key < (best[0], best[1]):
+                    best = (-new, did, ws)
+            if best is None:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "words": pa.array([], pa.list_(pa.string())),
+                    }
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array([best[1]], pa.int64()),
+                    "cnt": pa.array([-best[0]], pa.int64()),
+                    "words": pa.array([sorted(best[2])],
+                                      pa.list_(pa.string())),
+                }
+            )
+
+        parts = mat.map_batches(cand, batch_format="pyarrow").take_all()
+        if not parts:
+            break
+        win = min(parts, key=lambda r: (-r["cnt"], r["doc_id"]))
+        if win["cnt"] == 0:
+            break
+        covered = covered | set(win["words"])
+        picked_ids.add(win["doc_id"])
+        out_round.append(rnd)
+        out_id.append(win["doc_id"])
+        out_new.append(int(win["cnt"]))
+
+    return pa.table(
+        {
+            "round": pa.array(out_round, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "new_words": pa.array(out_new, pa.int64()),
+        }
+    )

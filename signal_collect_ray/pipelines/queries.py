@@ -3079,6 +3079,61 @@ WHERE rn = 1
 """
 
 
+def q_vocab_cover(sf_dir: str):
+    """Greedy max-coverage corpus selection: the 4 documents that
+    together cover the most vocabulary (submodular greedy,
+    functions.text.greedy_vocab_cover — k shuffle-free passes with a
+    broadcast covered set and per-block single-candidate reduction)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import greedy_vocab_cover
+
+    return greedy_vocab_cover(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        k=4,
+    )
+
+
+def _greedy_cover_sql(k: int) -> str:
+    ctes = [
+        "d AS (SELECT doc_id, regexp_split_to_array(trim(lower("
+        "COALESCE(text, ''))), '\\s+') AS w FROM documents)",
+        "words AS (SELECT DISTINCT doc_id, unnest(w) AS word FROM d "
+        "WHERE w[1] <> '')",
+        "g1 AS (SELECT doc_id, COUNT(*) AS cnt FROM words GROUP BY doc_id)",
+        "p1 AS (SELECT doc_id, cnt FROM g1 ORDER BY cnt DESC, doc_id "
+        "LIMIT 1)",
+        "c1 AS (SELECT DISTINCT word FROM words JOIN p1 USING (doc_id))",
+    ]
+    for i in range(2, k + 1):
+        excl = " AND ".join(
+            f"w.doc_id NOT IN (SELECT doc_id FROM p{j})"
+            for j in range(1, i)
+        )
+        ctes.append(
+            f"g{i} AS (SELECT w.doc_id, COUNT(*) AS cnt FROM words w "
+            f"WHERE w.word NOT IN (SELECT word FROM c{i-1}) AND {excl} "
+            "GROUP BY w.doc_id)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT doc_id, cnt FROM g{i} "
+            "ORDER BY cnt DESC, doc_id LIMIT 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT word FROM c{i-1} UNION "
+            f"SELECT word FROM words JOIN p{i} USING (doc_id))"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS round, doc_id, CAST(cnt AS BIGINT) AS new_words "
+        f"FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
 def q_degree_corr(sf_dir: str):
     """Pearson correlation of per-vertex in-degree vs out-degree (do
     hubs also link out a lot?) — per-block degree partials, one
@@ -5648,6 +5703,7 @@ def queries():
         "diameter_bound": q_diameter_bound,
         "mixture_weights": q_mixture_weights,
         "degree_corr": q_degree_corr,
+        "vocab_cover": q_vocab_cover,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5844,6 +5900,7 @@ def oracle_sql():
         "diameter_bound": _diameter_sql(_BFS_K),
         "mixture_weights": _MIXTURE_SQL.format(inner=_QUALITY_SQL_INNER),
         "degree_corr": _DEGREE_CORR_SQL,
+        "vocab_cover": _greedy_cover_sql(4),
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

@@ -2368,3 +2368,34 @@ def test_grouped_pareto_frontier_vs_duckdb():
         ).fetchall()
     )
     assert got == want
+
+
+def test_greedy_vocab_cover_multi_round():
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import greedy_vocab_cover
+
+    docs = {
+        0: "a b c d e",        # 5 words — picked first
+        1: "a b c",            # subset of 0 — never picked
+        2: "f g h x",          # 4 new after 0 — picked second
+        3: "f g i",            # 1 new (i) after 0,2
+        4: "x y",              # 1 new (y); ties with 3 → doc_id 3 wins
+        5: "a b",              # nothing new ever
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    rows = greedy_vocab_cover(rd.from_arrow(t).repartition(3), k=5)
+    got = list(
+        zip(
+            rows.column("round").to_pylist(),
+            rows.column("doc_id").to_pylist(),
+            rows.column("new_words").to_pylist(),
+        )
+    )
+    # round 4 picks doc 4 (y new); round 5 stops — nothing new remains
+    assert got == [(1, 0, 5), (2, 2, 4), (3, 3, 1), (4, 4, 1)]
