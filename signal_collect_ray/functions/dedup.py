@@ -1453,3 +1453,149 @@ def boilerplate_chunks(
         .groupby("part")
         .map_groups(_FreqFilter(min_docs), batch_format="pyarrow")
     )
+
+
+def levenshtein_distance(a: str, b: str) -> int:
+    """Levenshtein edit distance with the vectorized-row DP: each row
+    is O(1) numpy kernels (the sequential insertion chain folds into a
+    ``minimum.accumulate`` over cand[k]−k — a standard trick), so cost
+    is O(len(a)) vector ops instead of O(len(a)·len(b)) Python steps."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    bv = np.array(list(b))
+    idx = np.arange(lb + 1)
+    prev = idx.copy()
+    for i, ca in enumerate(a):
+        sub = prev[:-1] + (bv != ca)
+        cand = np.minimum(prev[1:] + 1, sub)
+        row = np.concatenate(([i + 1], cand))
+        prev = np.minimum.accumulate(row - idx) + idx
+    return int(prev[-1])
+
+
+def entity_resolve(
+    docs_ds,
+    workdir: str,
+    prefix_len: int = 12,
+    tau: float = 0.05,
+    all_pairs_cap: int = 256,
+):
+    """End-to-end entity resolution over documents: standard PREFIX
+    blocking (equal first-``prefix_len`` chars of the whitespace-
+    normalized text — near-identical records share prefixes; a hash
+    key like sorted_neighborhood's cannot co-locate near-dups), exact
+    normalized-Levenshtein verification INSIDE the block (texts are
+    already co-located by the groupby — no broadcast, no second
+    exchange), transitive closure via the engine's own CC over the
+    match graph, and a canonical ``entity_id`` = each cluster's min
+    doc_id (docs with no match keep their own id).
+
+    Match rule: levenshtein(a, b) ≤ tau · max(len(a), len(b), 1).
+    Blocks above ``all_pairs_cap`` distinct members min-link to the
+    block minimum (the same degenerate-block guard as every other
+    bucket verifier here). Returns a Dataset (doc_id, entity_id)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+    from signal_collect_ray.util import pin_schema
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        norm = [" ".join((t or "").split()) for t in texts]
+        return pa.table(
+            {
+                "bk": pa.array([s[:prefix_len] for s in norm], pa.string()),
+                "doc_id": tbl.column("doc_id"),
+                "nt": pa.array(norm, pa.string()),
+            }
+        )
+
+    def verify_block(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        nts = tbl.column("nt").to_pylist()
+        order = np.argsort(ids)
+        ids = ids[order]
+        nts = [nts[i] for i in order]
+        n = len(ids)
+        out_a, out_b = [], []
+        if n > all_pairs_cap:
+            pairs = ((0, j) for j in range(1, n))
+        else:
+            pairs = (
+                (i, j) for i in range(n - 1) for j in range(i + 1, n)
+            )
+        for i, j in pairs:
+            la, lb_ = len(nts[i]), len(nts[j])
+            lim = tau * max(la, lb_, 1)
+            if abs(la - lb_) > lim:  # cheap length prefilter
+                continue
+            if levenshtein_distance(nts[i], nts[j]) <= lim:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow", batch_size=2048)
+        .groupby("bk")
+        .map_groups(verify_block, batch_format="pyarrow")
+    )
+    pairs = pin_schema(
+        pairs, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    ).materialize()
+
+    # closure + canonical label via the engine's CC over the match graph
+    from signal_collect_ray.algorithms.mst import _cc_mapping
+
+    if pairs.count() == 0:
+        def identity(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "entity_id": tbl.column("doc_id"),
+                }
+            )
+
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            identity, batch_format="pyarrow"
+        )
+
+    mapping = _cc_mapping(
+        pairs.map_batches(
+            lambda t: pa.table({"a": t.column("id_a"), "b": t.column("id_b")}),
+            batch_format="pyarrow",
+        ).materialize(),
+        workdir,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("comp"), "_ent": t.column("new_label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = broadcast_join(
+        docs_ds.select_columns(["doc_id"]), mapping, on="doc_id", how="left"
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ent = tbl.column("_ent").to_numpy(zero_copy_only=False)
+        e = np.where(
+            np.isnan(ent.astype(np.float64)), did, ent
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "entity_id": pa.array(e, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

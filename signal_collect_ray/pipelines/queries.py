@@ -3079,6 +3079,56 @@ WHERE rn = 1
 """
 
 
+def q_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution: prefix blocking → in-block
+    normalized-Levenshtein verify (no broadcast — texts co-located by
+    the block groupby) → engine-CC closure → canonical entity_id
+    (functions.dedup.entity_resolve). Oracle: SQL levenshtein + unrolled
+    min-label CC over the match graph."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import entity_resolve
+
+    return entity_resolve(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        _work_dir(sf_dir, "entity"),
+        prefix_len=12,
+        tau=0.05,
+    )
+
+
+def _entity_sql(k: int = 8) -> str:
+    ctes = [
+        "t AS (SELECT doc_id, trim(regexp_replace(COALESCE(text, ''), "
+        "'\\s+', ' ', 'g')) AS nt FROM documents)",
+        "tk AS (SELECT doc_id, nt, substr(nt, 1, 12) AS bk FROM t)",
+        "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM tk a "
+        "JOIN tk b ON a.bk = b.bk AND a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.nt, b.nt) "
+        "<= 0.05 * GREATEST(length(a.nt), length(b.nt), 1))",
+        "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM m "
+        "UNION SELECT id_b, id_a FROM m)",
+        "v AS (SELECT doc_id AS vid FROM documents)",
+        "l0 AS (SELECT vid, vid AS lab FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.vid, "
+            "LEAST(own.lab, COALESCE(MIN(nb.lab), own.lab)) AS lab "
+            f"FROM v JOIN l{i-1} own ON own.vid = v.vid "
+            "LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN l{i-1} nb ON nb.vid = e.src "
+            "GROUP BY v.vid, own.lab)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid AS doc_id, CAST(lab AS BIGINT) AS entity_id FROM l{k}"
+    )
+
+
 def q_vocab_cover(sf_dir: str):
     """Greedy max-coverage corpus selection: the 4 documents that
     together cover the most vocabulary (submodular greedy,
@@ -5704,6 +5754,7 @@ def queries():
         "mixture_weights": q_mixture_weights,
         "degree_corr": q_degree_corr,
         "vocab_cover": q_vocab_cover,
+        "entity_resolution": q_entity_resolution,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5901,6 +5952,7 @@ def oracle_sql():
         "mixture_weights": _MIXTURE_SQL.format(inner=_QUALITY_SQL_INNER),
         "degree_corr": _DEGREE_CORR_SQL,
         "vocab_cover": _greedy_cover_sql(4),
+        "entity_resolution": _entity_sql(8),
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,

@@ -2399,3 +2399,47 @@ def test_greedy_vocab_cover_multi_round():
     )
     # round 4 picks doc 4 (y new); round 5 stops — nothing new remains
     assert got == [(1, 0, 5), (2, 2, 4), (3, 3, 1), (4, 4, 1)]
+
+
+def test_levenshtein_vs_duckdb_random():
+    import duckdb
+
+    from signal_collect_ray.functions.dedup import levenshtein_distance
+
+    rng = np.random.default_rng(83)
+    con = duckdb.connect()
+    alpha = list("abcdef ")
+    for _ in range(60):
+        a = "".join(rng.choice(alpha, rng.integers(0, 25)))
+        b = "".join(rng.choice(alpha, rng.integers(0, 25)))
+        want = con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert levenshtein_distance(a, b) == want, (a, b)
+
+
+def test_entity_resolve_hand(tmp_path):
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import entity_resolve
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dogs",   # 1 edit
+        2: "the quick brown cat sits under a tall tree now",  # same prefix, far
+        3: "completely different text about other things",
+        7: "the quick brown fox jumps over the hazy dog",    # 1 sub of 0
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    rows = entity_resolve(
+        rd.from_arrow(t).repartition(2), str(tmp_path), prefix_len=12,
+        tau=0.05,
+    ).take_all()
+    got = {r["doc_id"]: r["entity_id"] for r in rows}
+    # 0, 1, 7 merge (transitively via 0); 2 and 3 stay singletons
+    assert got == {0: 0, 1: 0, 7: 0, 2: 2, 3: 3}
