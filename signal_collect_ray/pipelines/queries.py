@@ -3079,6 +3079,89 @@ WHERE rn = 1
 """
 
 
+def q_hub_robustness(sf_dir: str):
+    """Targeted-attack robustness (Albert-Jeong-Barabási, public
+    literature): remove the top-10 in-degree hubs, rerun connected
+    components on the symmetrized remainder, report surviving vertex
+    count, component count, and largest-component size. Composition:
+    one degree aggregate → broadcast hub set → edge filter → engine CC.
+    Oracle: the same unrolled min-label CC over the SQL-filtered edge
+    set."""
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import ConnectedComponents
+
+    key = (sf_dir, "hub_robustness")
+    out = _RESULT_CACHE.get(key)
+    if out is not None:
+        return out
+
+    edges = derived_edges_ds(sf_dir)
+    indeg = edges.groupby("dst").aggregate(Count(alias_name="d"))
+    rows = indeg.take_all()
+    # top-10 by (in-degree desc, vid asc) — deterministic
+    hubs = {
+        r["dst"]
+        for r in sorted(rows, key=lambda r: (-r["d"], r["dst"]))[:10]
+    }
+
+    def drop_hubs(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(s, list(hubs)) | np.isin(d, list(hubs)))
+        return tbl.filter(pa.array(keep))
+
+    filtered = edges.map_batches(drop_hubs, batch_format="pyarrow")
+    g = Graph.build(
+        sym_edges(filtered),
+        _work_dir(sf_dir, "graph_robust"),
+        num_partitions=_P,
+        dedup=True,
+    )
+    eng = _engine(_CC_K)
+    info = eng.run(
+        g,
+        ConnectedComponents(),
+        run_dir=_work_dir(sf_dir, "run_cc_robust"),
+        resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    lab = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    _u, counts = np.unique(lab, return_counts=True)
+    out = pa.table(
+        {
+            "n_vertices": pa.array([len(lab)], pa.int64()),
+            "n_components": pa.array([len(counts)], pa.int64()),
+            "largest_component": pa.array(
+                [int(counts.max()) if len(counts) else 0], pa.int64()
+            ),
+        }
+    )
+    _RESULT_CACHE[key] = out
+    return out
+
+
+def _hub_robust_sql(k: int) -> str:
+    filtered = (
+        f"WITH base AS ({_E_SQL}), "
+        "deg AS (SELECT dst, COUNT(*) AS d FROM base GROUP BY dst), "
+        "hubs AS (SELECT dst FROM deg ORDER BY d DESC, dst ASC LIMIT 10) "
+        "SELECT src, dst FROM base "
+        "WHERE src NOT IN (SELECT dst FROM hubs) "
+        "AND dst NOT IN (SELECT dst FROM hubs)"
+    )
+    return (
+        f"WITH cc AS ({_cc_sql(k, filtered)}) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components, "
+        "CAST(MAX(csize) AS BIGINT) AS largest_component "
+        "FROM (SELECT label, COUNT(*) OVER (PARTITION BY label) AS csize "
+        "FROM cc)"
+    )
+
+
 def q_entity_resolution(sf_dir: str):
     """End-to-end entity resolution: prefix blocking → in-block
     normalized-Levenshtein verify (no broadcast — texts co-located by
@@ -5755,6 +5838,7 @@ def queries():
         "degree_corr": q_degree_corr,
         "vocab_cover": q_vocab_cover,
         "entity_resolution": q_entity_resolution,
+        "hub_robustness": q_hub_robustness,
         "top_event_types": q_top_event_types,
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
@@ -5953,6 +6037,7 @@ def oracle_sql():
         "degree_corr": _DEGREE_CORR_SQL,
         "vocab_cover": _greedy_cover_sql(4),
         "entity_resolution": _entity_sql(8),
+        "hub_robustness": _hub_robust_sql(_CC_K),
         "top_event_types": _TOP_EVENT_TYPES_SQL,
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
