@@ -1,10 +1,11 @@
 from signal_collect_ray.algorithms.pagerank import (
+    KatzCentrality,
     PageRank,
     PersonalizedPageRank,
     TeleportWeightedPageRank,
 )
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
-from signal_collect_ray.algorithms.hits import Hits
+from signal_collect_ray.algorithms.hits import EigenvectorCentrality, Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP
 from signal_collect_ray.algorithms.mis import MaximalIndependentSet
@@ -42,6 +43,8 @@ __all__ = [
     "TeleportWeightedPageRank",
     "CrawlingPageRank",
     "Hits",
+    "KatzCentrality",
+    "EigenvectorCentrality",
     "ConnectedComponents",
     "SSSP",
     "MaximalIndependentSet",

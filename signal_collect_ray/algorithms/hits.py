@@ -91,3 +91,60 @@ class Hits(Algorithm):
             "active": np.ones(n, dtype=bool),
             "residual": residual,
         }
+
+
+class EigenvectorCentrality(Algorithm):
+    """Eigenvector centrality by power iteration (Bonacich 1972; public
+    literature): ``x_i(v) = Σ_{u→v} x_{i-1}(u)``, started from the
+    all-ones vector — the principal left eigenvector of the adjacency
+    matrix, i.e. HITS restricted to its forward (authority) half over
+    the plain directed graph (no signed bidirected build needed: signals
+    already flow src→dst over the CSR).
+
+    Same simultaneous-update / ``always_signal`` structure as
+    :class:`Hits` (full recomputation from current in-neighbor values
+    each round — the most-recent-signal argument of
+    ``DataGraphVertex.scala:66-77``); scores stay UN-normalized during
+    iteration (power iteration is scale-invariant, fixed-k bounds the
+    growth) and callers L1-normalize the final vector, exactly like the
+    HITS query does."""
+
+    name = "eigenvector"
+    state_pa_type = pa.float64()
+    signal_fields = [("val", pa.float64())]
+    always_signal = True
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        return {
+            "state": np.ones(n),
+            "last": np.zeros(n),
+            "active": np.ones(n, dtype=bool),
+            "residual": np.ones(n),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        return {"x": sub["state"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        return {"val": expanded["x"]}
+
+    def combine(self, dst, values):
+        d, v = segment_sum(dst, values["val"])
+        return d, {"val": v}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        n = len(prev["vid"])
+        # full recomputation: a vertex with no in-links has score 0
+        state = np.zeros(n)
+        if len(dst):
+            idx = self._align(prev["vid"], dst)
+            ok = idx >= 0
+            state[idx[ok]] = sig["val"][ok]
+        residual = np.abs(state - prev["state"])
+        return {
+            "state": state,
+            "last": prev["state"],
+            "active": np.ones(n, dtype=bool),
+            "residual": residual,
+        }

@@ -139,3 +139,33 @@ class TeleportWeightedPageRank(PageRank):
             "active": base > 0.0,
             "residual": base.copy(),
         }
+
+
+class KatzCentrality(PageRank):
+    """Katz centrality (Katz 1953; public literature): the walk-counting
+    sibling of PageRank for link graphs —
+
+        ``x_v = beta + alpha * Σ_{u→v} x_u``
+
+    i.e. the PageRank recurrence over RAW adjacency (no out-degree
+    normalization; a hub's full score flows down every out-link). Same
+    vertex-centric spec as the reference's PageRank vertex
+    (``examples/PageRank.scala:31-70``), and the delta formulation is
+    inherited from :class:`PageRank` unchanged: an active source sends
+    ``state - last`` (NOT divided by ``sum_out_weight``) and the target
+    accumulates ``state += alpha * Σ deltas`` — deltas stay additive, so
+    the combiner pre-aggregation and the dense bincount fast path both
+    apply as-is. ``alpha`` must be < 1/λ_max(A) for the open-ended run
+    to converge; fixed-k runs reproduce the k-step recurrence exactly
+    regardless of spectral radius (the oracle unrolls the same k steps).
+    """
+
+    name = "katz"
+
+    def __init__(self, alpha: float = 0.05, beta: float = 0.15):
+        super().__init__(damping=alpha)
+        self.baseline = beta  # teleport constant beta, not 1 - alpha
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        # attenuated adjacency: no division by sum_out_weight
+        return {"rate": sub["state"] - sub["last"]}

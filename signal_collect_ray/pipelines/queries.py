@@ -343,6 +343,88 @@ def _twpr_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
 
+# Dyadic Katz constants (1/16, 1/8): every engine/oracle float op is
+# then EXACT (values stay low-precision dyadic rationals, well under
+# float64's 53 bits), so both sides compute bit-identical scores and no
+# score can land exactly on a decimal .5 rounding boundary (dyadic
+# rationals are never odd multiples of 5e-7). With α=0.05 the exact
+# scores are terminating decimals that frequently sit ON the 6-digit
+# half boundary, where ±1e-13 associativity noise flips ROUND.
+_KATZ_A, _KATZ_B = 0.0625, 0.125
+
+
+def q_katz_k4(sf_dir: str):
+    """4-step Katz centrality (algorithms.pagerank.KatzCentrality):
+    x = beta + alpha * A^T x over raw adjacency — delta-formulated,
+    combiner pre-aggregated, dense fast path, exactly like PageRank."""
+    from signal_collect_ray.algorithms import KatzCentrality
+
+    t = _state(
+        sf_dir, KatzCentrality(_KATZ_A, _KATZ_B), False, 4, eps=0.0, tag="_k4"
+    )
+    return _round_state(t, "score", 6)
+
+
+def _katz_sql(k: int) -> str:
+    """Unrolled Katz oracle: r_i = beta + alpha * Σ_{u→v} r_{i-1}(u)
+    (no out-degree normalization — the only difference from _pr_sql)."""
+    a, b = _KATZ_A, _KATZ_B
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"r0 AS (SELECT vid, CAST({b} AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, {b} + {a} * "
+            f"COALESCE(SUM(r{i-1}.r), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS score FROM r{k}"
+
+
+def q_eigenvector_k4(sf_dir: str):
+    """4 power-iteration steps of eigenvector centrality
+    (algorithms.hits.EigenvectorCentrality), L1-normalized at the end —
+    the authority half of HITS over the plain directed graph."""
+    from signal_collect_ray.algorithms import EigenvectorCentrality
+
+    t = _state(sf_dir, EigenvectorCentrality(), False, 4, eps=0.0, tag="_k4")
+    s = t.column("state").to_numpy(zero_copy_only=False)
+    tot = s.sum()
+    return pa.table(
+        {
+            "vid": t.column("vid"),
+            "score": pa.array(
+                np.round(s / tot if tot else s, 6), pa.float64()
+            ),
+        }
+    )
+
+
+def _eig_sql(k: int) -> str:
+    """Unrolled power-iteration oracle: x_i(v) = Σ_{u→v} x_{i-1}(u),
+    x_0 = 1, final L1 normalization (mirrors q_eigenvector_k4)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "x0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT v.vid, "
+            f"COALESCE(SUM(x{i-1}.x), 0) AS x "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN x{i-1} ON x{i-1}.vid = e.src GROUP BY v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, ROUND(x / NULLIF((SELECT SUM(x) FROM x{k}), 0), 6) "
+        f"AS score FROM x{k}"
+    )
+
+
 _KCORE_KS, _KCORE_ROUNDS = (12, 180), 8
 
 
@@ -5862,6 +5944,8 @@ def queries():
         "boilerplate_chunks": q_boilerplate_chunks,
         "event_freq_cm": q_event_freq_cm,
         "trustrank_k4": q_trustrank_k4,
+        "katz_k4": q_katz_k4,
+        "eigenvector_k4": q_eigenvector_k4,
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
         "bigram_logprob": q_bigram_logprob,
@@ -6060,6 +6144,8 @@ def oracle_sql():
         "paragraph_dedup": _PARA_DEDUP_SQL,
         "boilerplate_chunks": _BOILERPLATE_SQL,
         "trustrank_k4": _twpr_sql(4),
+        "katz_k4": _katz_sql(4),
+        "eigenvector_k4": _eig_sql(4),
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "events_profile": _profile_sql(),
