@@ -5831,6 +5831,246 @@ _DUP_NGRAM_SQL = (
 )
 
 
+_RICH_KS = (5, 10, 20)
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for degree
+    thresholds k ∈ {5,10,20} (Zhou & Mondragón 2004, public): do the
+    highest-degree hubs of the link graph link to EACH OTHER more than
+    chance — the web-graph core-densification diagnostic. One exchange
+    for canonical undirected edges, one tiny groupby for degrees;
+    degrees broadcast once (byte-capped idiom of avg_neighbor_degree /
+    degree_assortativity — the co-partitioned join fallback applies at
+    billion-vertex scale), then one vectorized counting pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import part_of
+
+    edges = derived_edges_ds(sf_dir).select_columns(["src", "dst"])
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        pairs = np.unique(
+            np.stack([np.minimum(s, d), np.maximum(s, d)], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(pairs[:, 0], 32), pa.int32()),
+                "a": pa.array(pairs[:, 0], pa.int64()),
+                "b": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def dedup(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "a": pa.array(pairs[:, 0], pa.int64()),
+                "b": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        ab = np.concatenate(
+            [
+                tbl.column("a").to_numpy(zero_copy_only=False),
+                tbl.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, cnt = np.unique(ab, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(u, pa.int64()), "d": pa.array(cnt, pa.int64())}
+        )
+
+    deg_rows = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()
+    )
+    dv = np.array([r["vid"] for r in deg_rows], dtype=np.int64)
+    dd = np.array([r["d"] for r in deg_rows], dtype=np.int64)
+    order = np.argsort(dv)
+    ref = ray.put((dv[order], dd[order]))
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        vids, degs = ray.get(ref)
+        da = degs[np.searchsorted(vids, tbl.column("a").to_numpy(zero_copy_only=False))]
+        db = degs[np.searchsorted(vids, tbl.column("b").to_numpy(zero_copy_only=False))]
+        ek = [int(((da > k) & (db > k)).sum()) for k in _RICH_KS]
+        return pa.table(
+            {f"e{k}": pa.array([e], pa.int64()) for k, e in zip(_RICH_KS, ek)}
+        )
+
+    parts = und.map_batches(count_partial, batch_format="pyarrow").take_all()
+    out_k, out_n, out_e, out_phi = [], [], [], []
+    for k in _RICH_KS:
+        nk = int((dd > k).sum())
+        e_k = sum(r[f"e{k}"] for r in parts)
+        phi = 2.0 * e_k / (nk * (nk - 1.0)) if nk > 1 else 0.0
+        out_k.append(k)
+        out_n.append(nk)
+        out_e.append(e_k)
+        # DuckDB ROUND half-away (values positive)
+        out_phi.append(np.floor(phi * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int64()),
+            "n_nodes": pa.array(out_n, pa.int64()),
+            "n_edges": pa.array(out_e, pa.int64()),
+            "phi": pa.array(out_phi, pa.float64()),
+        }
+    )
+
+
+_RICH_CLUB_SQL = f"""
+WITH e0 AS ({_E_SQL}),
+u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 GROUP BY 1, 2),
+deg AS (SELECT v AS vid, COUNT(*) AS deg FROM
+        (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in _RICH_KS)}]) AS k),
+nk AS (SELECT ks.k, COUNT(*) AS n_nodes FROM ks JOIN deg ON deg.deg > ks.k
+       GROUP BY ks.k),
+ek AS (SELECT ks.k, COUNT(*) AS n_edges FROM ks
+       JOIN u ON TRUE JOIN deg da ON da.vid = u.a JOIN deg db ON db.vid = u.b
+       WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY ks.k)
+SELECT ks.k, CAST(COALESCE(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       ROUND(CASE WHEN COALESCE(nk.n_nodes, 0) > 1
+             THEN 2.0 * COALESCE(ek.n_edges, 0)
+                  / (nk.n_nodes * (nk.n_nodes - 1.0))
+             ELSE 0.0 END, 6) AS phi
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+"""
+
+
+_N_SHARDS = 16
+
+
+def q_training_shards(sf_dir: str):
+    """Deterministic hash-shuffle shard assignment for training-data
+    export: doc → shard = knuth_hash(doc_id) % 16 (util.part_of — the
+    same mapper the engine partitions vertices with), reporting per-
+    shard document count and total characters. This is the shard-layout
+    contract of the resumable Parquet sink (sinks.py): balanced,
+    reproducible, join-free — one streaming pass of per-block partials
+    and a 16-row groupby. The hash arithmetic is exactly SQL-mirrorable
+    (Knuth multiplicative mod 2^32; doc ids < 2^32 so the high-bit fold
+    is zero)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ch = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        shard = part_of(ids, _N_SHARDS)
+        n = np.bincount(shard, minlength=_N_SHARDS)
+        c = np.bincount(shard, weights=ch, minlength=_N_SHARDS)
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(_N_SHARDS), pa.int64()),
+                "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+                "n_chars": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+
+_TRAINING_SHARDS_SQL = f"""
+WITH s AS (SELECT ((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296)
+           % {_N_SHARDS} AS shard, n_chars FROM documents),
+agg AS (SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM s GROUP BY shard)
+SELECT CAST(sh AS BIGINT) AS shard,
+       CAST(COALESCE(agg.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(agg.n_chars, 0) AS BIGINT) AS n_chars
+FROM (SELECT UNNEST(range({_N_SHARDS})) AS sh) LEFT JOIN agg ON agg.shard = sh
+"""
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Exact-duplicate cluster-size histogram: group documents by
+    normalized-text fingerprint (same normalization as doc_dedup_exact),
+    then histogram the cluster sizes — the boilerplate-multiplicity
+    profile a dedup pass is sized against. Two exchanges, the second
+    over the tiny (size → count) domain; fingerprint hashing is md5 via
+    one C call per doc (the doc_fingerprints kernel)."""
+    import hashlib
+    import re
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    ws = re.compile(r"\s+")
+
+    def fp(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        out = [
+            hashlib.md5(ws.sub(" ", t.lower()).strip().encode()).hexdigest()
+            for t in texts
+        ]
+        return pa.table({"fp": pa.array(out, pa.string())})
+
+    sizes = (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Count(alias_name="sz"))
+        .select_columns(["sz"])
+    )
+    out = (
+        sizes.groupby("sz")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": tbl.column("sz").cast(pa.int64()),
+                "n_clusters": tbl.column("n_clusters").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+_DUP_CLUSTER_SQL = (
+    "WITH c AS (SELECT COUNT(*) AS sz FROM documents "
+    "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) "
+    "SELECT CAST(sz AS BIGINT) AS cluster_size, "
+    "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM c GROUP BY sz"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5946,6 +6186,9 @@ def queries():
         "trustrank_k4": q_trustrank_k4,
         "katz_k4": q_katz_k4,
         "eigenvector_k4": q_eigenvector_k4,
+        "rich_club": q_rich_club,
+        "training_shards": q_training_shards,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
         "bigram_logprob": q_bigram_logprob,
@@ -6146,6 +6389,9 @@ def oracle_sql():
         "trustrank_k4": _twpr_sql(4),
         "katz_k4": _katz_sql(4),
         "eigenvector_k4": _eig_sql(4),
+        "rich_club": _RICH_CLUB_SQL,
+        "training_shards": _TRAINING_SHARDS_SQL,
+        "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
         "events_profile": _profile_sql(),

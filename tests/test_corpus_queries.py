@@ -1,0 +1,73 @@
+"""sf0.001 oracle parity for the round-3 additions (katz, eigenvector,
+rich_club, training_shards, dup_cluster_sizes) — the same row/schema/
+value comparison the driver's CORRECTNESS gate runs, in-suite."""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+_SF = "/root/testdata/sf0.001"
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_chk = _load(
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "check_oracles.py"),
+    "_check_oracles",
+)
+
+NEW_QUERIES = [
+    "katz_k4",
+    "eigenvector_k4",
+    "rich_club",
+    "training_shards",
+    "dup_cluster_sizes",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in _chk.TABLES:
+        p = os.path.join(_SF, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity_sf0001(name, con):
+    from signal_collect_ray.pipelines import queries as Q
+
+    got = _chk.to_pandas(Q.queries()[name](_SF))
+    want = con.execute(Q.oracle_sql()[name]).df()
+    problems = _chk.compare(name, got, want)
+    assert not problems, problems
+    assert len(got) > 0
+
+
+def test_rich_club_monotone_thresholds(con):
+    """Sanity on semantics: N_k and E_k are non-increasing in k."""
+    from signal_collect_ray.pipelines import queries as Q
+
+    df = _chk.to_pandas(Q.queries()["rich_club"](_SF)).sort_values("k")
+    assert list(df["n_nodes"]) == sorted(df["n_nodes"], reverse=True)
+    assert list(df["n_edges"]) == sorted(df["n_edges"], reverse=True)
+
+
+def test_training_shards_complete_and_balanced(con):
+    from signal_collect_ray.pipelines import queries as Q
+
+    df = _chk.to_pandas(Q.queries()["training_shards"](_SF))
+    assert sorted(df["shard"]) == list(range(16))
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert df["n_docs"].sum() == n_docs
+    # Knuth hash should spread docs: no empty shard, no shard > 4x mean
+    assert df["n_docs"].min() > 0
+    assert df["n_docs"].max() < 4 * df["n_docs"].mean()
