@@ -7,7 +7,7 @@ from signal_collect_ray.algorithms.pagerank import (
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import EigenvectorCentrality, Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
-from signal_collect_ray.algorithms.sssp import SSSP
+from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS
 from signal_collect_ray.algorithms.mis import MaximalIndependentSet
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers
 from signal_collect_ray.algorithms.coloring import VertexColoring
@@ -47,6 +47,7 @@ __all__ = [
     "EigenvectorCentrality",
     "ConnectedComponents",
     "SSSP",
+    "MultiSourceBFS",
     "MaximalIndependentSet",
     "ChineseWhispers",
     "VertexColoring",

@@ -72,3 +72,31 @@ class SSSP(Algorithm):
             "active": changed,
             "residual": changed.astype(np.float64),
         }
+
+
+class MultiSourceBFS(SSSP):
+    """Unweighted BFS from a SOURCE SET: dist(v) = min hops from any
+    source (finite ⇔ reachable). The reachability primitive of the
+    Broder et al. (2000) bow-tie decomposition — run once forward from
+    the core SCC and once on the reversed graph. Identical monotone
+    min-fold to SSSP (dense min fast path, frontier-only signaling);
+    only ``init`` seeds a set instead of a single vid."""
+
+    name = "msbfs"
+
+    def __init__(self, sources):
+        self.sources = np.asarray(
+            sorted(set(int(s) for s in sources)), np.int64
+        )
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        state = np.full(n, np.inf)
+        is_src = np.isin(vid, self.sources)
+        state[is_src] = 0.0
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": is_src.copy(),
+            "residual": is_src.astype(np.float64),
+        }

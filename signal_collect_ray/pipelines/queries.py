@@ -5831,6 +5831,137 @@ _DUP_NGRAM_SQL = (
 )
 
 
+def _graph_rev(sf_dir: str):
+    """Reversed directed graph (dst→src), built once per process —
+    the backward-reachability side of the bow-tie decomposition."""
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, "rev")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+
+        def rev(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": tbl.column("dst"),
+                    "dst": tbl.column("src"),
+                    "weight": tbl.column("weight"),
+                }
+            )
+
+        edges = derived_edges_ds(sf_dir).map_batches(rev, batch_format="pyarrow")
+        g = Graph.build(
+            edges, _work_dir(sf_dir, "graph_rev"), num_partitions=_P
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+_BOWTIE_CATS = ("core", "in", "out", "tendril")
+
+
+def q_bowtie_structure(sf_dir: str):
+    """Broder et al. (2000) bow-tie decomposition of the directed link
+    graph: CORE = largest SCC (most vertices, ties to the smallest
+    label); IN = vertices that reach the core (finite distance from the
+    core over REVERSED edges); OUT = vertices the core reaches;
+    TENDRIL = the rest (tendrils, tubes and disconnected pieces).
+    Composition of three engine primitives: the forward-backward SCC
+    coloring (algorithms/scc.py), then two MultiSourceBFS reachability
+    runs seeded at the core — one on the forward graph, one on the
+    reversed build. (IN and OUT are mutually exclusive with CORE by
+    construction: forward∧backward reachable ⇒ mutually reachable ⇒
+    in the core SCC.) Returns the 4-category vertex census."""
+    from signal_collect_ray.algorithms import MultiSourceBFS
+    from signal_collect_ray.algorithms.scc import scc_labels
+
+    key = (sf_dir, "bowtie")
+    cached = _RESULT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    labs = scc_labels(
+        derived_edges_ds(sf_dir).select_columns(["src", "dst"]),
+        _work_dir(sf_dir, "bowtie_scc"),
+    )
+    vid = labs.column("vid").to_numpy(zero_copy_only=False)
+    scc = labs.column("scc").to_numpy(zero_copy_only=False)
+    u, cnt = np.unique(scc, return_counts=True)
+    best = u[cnt == cnt.max()].min()  # most members, ties → min label
+    core = vid[scc == best]
+
+    def reach(graph_sym: bool, reverse: bool, tag: str) -> np.ndarray:
+        g = _graph_rev(sf_dir) if reverse else _graph(sf_dir)
+        eng = _engine(50)
+        info = eng.run(
+            g,
+            MultiSourceBFS(core),
+            run_dir=_work_dir(sf_dir, f"run_bowtie_{tag}"),
+            resume=False,
+            checkpoint_interval=50,
+        )
+        t = info.state_table()
+        rv = t.column("vid").to_numpy(zero_copy_only=False)
+        rd = t.column("state").to_numpy(zero_copy_only=False)
+        return rv[np.isfinite(rd)]
+
+    fwd = reach(False, False, "fwd")  # core reaches these (→ OUT)
+    bwd = reach(False, True, "bwd")  # these reach the core (→ IN)
+
+    in_core = np.isin(vid, core)
+    in_out = np.isin(vid, fwd) & ~in_core
+    in_in = np.isin(vid, bwd) & ~in_core
+    counts = {
+        "core": int(in_core.sum()),
+        "in": int(in_in.sum()),
+        "out": int(in_out.sum()),
+        "tendril": int((~(in_core | in_in | in_out)).sum()),
+    }
+    res = pa.table(
+        {
+            "category": pa.array(list(_BOWTIE_CATS), pa.string()),
+            "n_vertices": pa.array(
+                [counts[c] for c in _BOWTIE_CATS], pa.int64()
+            ),
+        }
+    )
+    _RESULT_CACHE[key] = res
+    return res
+
+
+_BOWTIE_SQL = (
+    f"WITH RECURSIVE e AS ({_E_SQL}), "
+    # NB: under WITH RECURSIVE, DuckDB 1.0 does NOT dedup UNION in
+    # non-recursive CTEs — make the vertex set explicitly DISTINCT
+    "v AS (SELECT DISTINCT vid FROM "
+    "(SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)), "
+    "reach(s, t) AS (SELECT src, dst FROM e UNION "
+    "SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t), "
+    "mut AS (SELECT DISTINCT a.s AS x, a.t AS y FROM reach a "
+    "JOIN reach b ON b.s = a.t AND b.t = a.s), "
+    "scc AS (SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.y), v.vid)) AS scc "
+    "FROM v LEFT JOIN mut m ON m.x = v.vid GROUP BY v.vid), "
+    "core_lab AS (SELECT scc FROM scc GROUP BY scc "
+    "ORDER BY COUNT(*) DESC, scc ASC LIMIT 1), "
+    "cv AS (SELECT vid FROM scc WHERE scc = (SELECT scc FROM core_lab)), "
+    # forward / backward closures from the core via the SAME transitive
+    # closure (no second recursion): core reaches t / s reaches core
+    "fwd AS (SELECT DISTINCT r.t AS vid FROM reach r "
+    "JOIN cv ON cv.vid = r.s), "
+    "bwd AS (SELECT DISTINCT r.s AS vid FROM reach r "
+    "JOIN cv ON cv.vid = r.t), "
+    "cat AS (SELECT v.vid, CASE "
+    "WHEN v.vid IN (SELECT vid FROM cv) THEN 'core' "
+    "WHEN v.vid IN (SELECT vid FROM bwd) THEN 'in' "
+    "WHEN v.vid IN (SELECT vid FROM fwd) THEN 'out' "
+    "ELSE 'tendril' END AS category FROM v), "
+    "cats AS (SELECT UNNEST(['core', 'in', 'out', 'tendril']) AS category) "
+    "SELECT cats.category, CAST(COALESCE(n, 0) AS BIGINT) AS n_vertices "
+    "FROM cats LEFT JOIN (SELECT category, COUNT(*) AS n FROM cat "
+    "GROUP BY category) c ON c.category = cats.category"
+)
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -6187,6 +6318,7 @@ def queries():
         "katz_k4": q_katz_k4,
         "eigenvector_k4": q_eigenvector_k4,
         "rich_club": q_rich_club,
+        "bowtie_structure": q_bowtie_structure,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -6390,6 +6522,7 @@ def oracle_sql():
         "katz_k4": _katz_sql(4),
         "eigenvector_k4": _eig_sql(4),
         "rich_club": _RICH_CLUB_SQL,
+        "bowtie_structure": _BOWTIE_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -83,3 +83,35 @@ def test_sssp_oracle_random_graph(tmp_path):
     assert np.array_equal(got, odist) or np.allclose(
         got, odist, equal_nan=True
     )
+
+
+def test_multisource_bfs_two_seeds(tmp_path):
+    # chain 0->1->2->3->4->5 with sources {0, 4}: dist = hops to the
+    # NEAREST seed along forward edges
+    from signal_collect_ray.algorithms import MultiSourceBFS
+
+    src = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=3)
+    info = _eng(3).run(
+        g, MultiSourceBFS([0, 4]), run_dir=str(tmp_path / "r"), resume=False
+    )
+    t = info.state_table()
+    got = dict(zip(t.column("vid").to_pylist(), t.column("state").to_pylist()))
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 0.0, 5: 1.0}
+
+
+def test_multisource_bfs_unreachable_inf(tmp_path):
+    from signal_collect_ray.algorithms import MultiSourceBFS
+
+    # 0->1, isolated pair 2->3: seeds {0} leave 2,3 at inf
+    src = np.array([0, 2], dtype=np.int64)
+    dst = np.array([1, 3], dtype=np.int64)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g2"), num_partitions=2)
+    info = _eng(2).run(
+        g, MultiSourceBFS([0]), run_dir=str(tmp_path / "r2"), resume=False
+    )
+    t = info.state_table()
+    got = dict(zip(t.column("vid").to_pylist(), t.column("state").to_pylist()))
+    assert got[0] == 0.0 and got[1] == 1.0
+    assert not np.isfinite(got[2]) and not np.isfinite(got[3])

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "rich_club",
     "training_shards",
     "dup_cluster_sizes",
+    "bowtie_structure",
 ]
 
 
