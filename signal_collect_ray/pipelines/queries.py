@@ -5962,6 +5962,201 @@ _BOWTIE_SQL = (
 )
 
 
+def q_community_conductance(sf_dir: str):
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    over the deterministic 1-round Chinese-Whispers communities (the
+    cluster-quality diagnostic of Shi & Malik / Kannan-Vempala-Vetta,
+    public literature). One pass over the symmetric edge set with the
+    label vector broadcast once (byte-capped idiom; co-partitioned join
+    fallback at billion-vertex scale), per-block (label, vol, cut)
+    partials, tiny groupby fold."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.algorithms import ChineseWhispers
+
+    t = _state(sf_dir, ChineseWhispers(), True, 1, eps=0.0, tag="_k1")
+    lv = t.column("vid").to_numpy(zero_copy_only=False)
+    ll = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lv)
+    ref = ray.put((lv[order], ll[order]))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        vids, labs = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        ls = labs[np.searchsorted(vids, s)]
+        ld = labs[np.searchsorted(vids, d)]
+        u, inv = np.unique(ls, return_inverse=True)
+        vol = np.bincount(inv)
+        cut = np.bincount(inv, weights=(ls != ld).astype(np.float64))
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "vol": pa.array(vol.astype(np.int64), pa.int64()),
+                "cut": pa.array(cut.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # symmetric dedup'd edges — the same e ∪ reverse(e) set _CW1_SQL uses
+    agg_rows = (
+        _sym_dedup(derived_edges_ds(sf_dir))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("vol", alias_name="vol"), Sum("cut", alias_name="cut"))
+        .take_all()
+    )
+    labels = np.array([r["label"] for r in agg_rows], dtype=np.int64)
+    vol = np.array([r["vol"] for r in agg_rows], dtype=np.int64)
+    cut = np.array([r["cut"] for r in agg_rows], dtype=np.int64)
+    tot = int(vol.sum())
+    denom = np.minimum(vol, tot - vol)
+    phi = np.where(denom > 0, cut / np.maximum(denom, 1), 0.0)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "vol": pa.array(vol, pa.int64()),
+            "cut": pa.array(cut, pa.int64()),
+            # DuckDB ROUND half-away (values non-negative)
+            "conductance": pa.array(
+                np.floor(phi * 1e6 + 0.5) / 1e6, pa.float64()
+            ),
+        }
+    )
+
+
+_CONDUCTANCE_SQL = f"""
+WITH cw AS ({_CW1_SQL}),
+e0 AS ({_E_SQL}),
+es AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+le AS (SELECT a.label AS ls, b.label AS ld FROM es
+       JOIN cw a ON a.vid = es.src JOIN cw b ON b.vid = es.dst),
+agg AS (SELECT ls AS label, COUNT(*) AS vol,
+        COUNT(*) FILTER (ls <> ld) AS cut FROM le GROUP BY ls),
+tot AS (SELECT SUM(vol) AS t FROM agg)
+SELECT CAST(label AS BIGINT) AS label, CAST(vol AS BIGINT) AS vol,
+       CAST(cut AS BIGINT) AS cut,
+       ROUND(CASE WHEN LEAST(vol, tot.t - vol) > 0
+             THEN cut * 1.0 / LEAST(vol, tot.t - vol) ELSE 0.0 END,
+             6) AS conductance
+FROM agg, tot
+"""
+
+
+def q_bipartite_components(sf_dir: str):
+    """Per-component bipartiteness test of the undirected link graph: a
+    connected component is bipartite iff the BFS-layer 2-coloring from
+    its root (parity of shortest-hop distance) leaves no edge inside one
+    parity class. Composition: the engine's min-label CC (roots = the
+    min-vid labels) then ONE MultiSourceBFS over the symmetric graph
+    seeded at every root simultaneously (components are disjoint, so
+    each BFS stays inside its component); one broadcast-annotated edge
+    pass counts same-parity edges per component. Reports the symmetric
+    directed edge count — each offending undirected edge counts twice."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.algorithms import ConnectedComponents, MultiSourceBFS
+
+    t = _state(sf_dir, ConnectedComponents(), True, 50, tag="_bip")
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    lab = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    roots = np.unique(lab)
+
+    g = _graph(sf_dir, True)
+    info = _engine(50).run(
+        g,
+        MultiSourceBFS(roots),
+        run_dir=_work_dir(sf_dir, "run_bip_bfs"),
+        resume=False,
+        checkpoint_interval=50,
+    )
+    bt = info.state_table()
+    bv = bt.column("vid").to_numpy(zero_copy_only=False)
+    bd = bt.column("state").to_numpy(zero_copy_only=False)
+    order = np.argsort(bv)
+    bv, bd = bv[order], bd[order]
+    parity = (bd.astype(np.int64) % 2).astype(np.int64)
+    lorder = np.argsort(vid)
+    ref = ray.put((bv, parity, vid[lorder], lab[lorder]))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pv, pp, cv, cl = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        same = pp[np.searchsorted(pv, s)] == pp[np.searchsorted(pv, d)]
+        ls = cl[np.searchsorted(cv, s)]
+        u, inv = np.unique(ls, return_inverse=True)
+        odd = np.bincount(inv, weights=same.astype(np.float64))
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "odd": pa.array(odd.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        _sym_dedup(derived_edges_ds(sf_dir))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("odd", alias_name="odd"))
+        .take_all()
+    )
+    odd_by_label = {r["label"]: r["odd"] for r in rows}
+    labels = np.unique(lab)
+    n_v = np.array([(lab == c).sum() for c in labels], dtype=np.int64)
+    odd = np.array([odd_by_label.get(int(c), 0) for c in labels], dtype=np.int64)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "n_vertices": pa.array(n_v, pa.int64()),
+            "odd_edges": pa.array(odd, pa.int64()),
+            "bipartite": pa.array(odd == 0, pa.bool_()),
+        }
+    )
+
+
+def _bipartite_sql() -> str:
+    """CC labels (k-round min-label unroll) + k-round min-plus BFS from
+    each component root over the symmetric edges, then the same-parity
+    edge count per component. Monotone folds — rounds past the fixpoint
+    are no-ops, matching the engine's run-to-convergence."""
+    k = _BFS_K
+    ctes = [
+        f"cc AS MATERIALIZED ({_cc_sql(_CC_K)})",
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "es AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0)",
+        "d0 AS (SELECT vid, CASE WHEN vid = label THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(1e18 AS DOUBLE) END AS d FROM cc)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT cc.vid, "
+            f"LEAST(own.d, COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
+            f"FROM cc JOIN d{i-1} own ON own.vid = cc.vid "
+            f"LEFT JOIN es ON es.dst = cc.vid "
+            f"LEFT JOIN d{i-1} nb ON nb.vid = es.src "
+            f"GROUP BY cc.vid, own.d)"
+        )
+    ctes.append(
+        f"par AS (SELECT vid, CAST(d AS BIGINT) % 2 AS p FROM d{k})"
+    )
+    ctes.append(
+        "odd AS (SELECT cc.label, COUNT(*) AS n FROM es "
+        "JOIN par a ON a.vid = es.src JOIN par b ON b.vid = es.dst "
+        "JOIN cc ON cc.vid = es.src WHERE a.p = b.p GROUP BY cc.label)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT cc.label, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST(COALESCE(odd.n, 0) AS BIGINT) AS odd_edges, "
+        "COALESCE(odd.n, 0) = 0 AS bipartite "
+        "FROM cc LEFT JOIN odd ON odd.label = cc.label "
+        "GROUP BY cc.label, odd.n"
+    )
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -6319,6 +6514,8 @@ def queries():
         "eigenvector_k4": q_eigenvector_k4,
         "rich_club": q_rich_club,
         "bowtie_structure": q_bowtie_structure,
+        "community_conductance": q_community_conductance,
+        "bipartite_components": q_bipartite_components,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -6523,6 +6720,8 @@ def oracle_sql():
         "eigenvector_k4": _eig_sql(4),
         "rich_club": _RICH_CLUB_SQL,
         "bowtie_structure": _BOWTIE_SQL,
+        "community_conductance": _CONDUCTANCE_SQL,
+        "bipartite_components": _bipartite_sql(),
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

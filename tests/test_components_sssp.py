@@ -115,3 +115,72 @@ def test_multisource_bfs_unreachable_inf(tmp_path):
     got = dict(zip(t.column("vid").to_pylist(), t.column("state").to_pylist()))
     assert got[0] == 0.0 and got[1] == 1.0
     assert not np.isfinite(got[2]) and not np.isfinite(got[3])
+
+
+def _bipartite_oracle(src, dst, n_ids):
+    """Brute-force 2-coloring per component (BFS over adjacency sets)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src, dst):
+        adj[s].add(d)
+        adj[d].add(s)
+    color, out = {}, {}
+    for start in sorted(adj):
+        if start in color:
+            continue
+        comp, ok = [start], True
+        color[start] = 0
+        q = collections.deque([start])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in color:
+                    color[w] = color[u] ^ 1
+                    comp.append(w)
+                    q.append(w)
+                elif color[w] == color[u]:
+                    ok = False
+        out[min(comp)] = ok
+    return out
+
+
+def test_bipartite_classification_mixed_components(tmp_path):
+    """Even cycle (bipartite) + odd cycle (not) + path (bipartite):
+    the CC-roots + parity-BFS composition behind bipartite_components."""
+    from signal_collect_ray.algorithms import ConnectedComponents, MultiSourceBFS
+
+    # component A: 6-cycle on 0..5; B: 5-cycle on 10..14; C: path 20-21-22
+    src = np.array(
+        [0, 1, 2, 3, 4, 5, 10, 11, 12, 13, 14, 20, 21], dtype=np.int64
+    )
+    dst = np.array(
+        [1, 2, 3, 4, 5, 0, 11, 12, 13, 14, 10, 21, 22], dtype=np.int64
+    )
+    ss = np.concatenate([src, dst])
+    dd = np.concatenate([dst, src])
+    g = Graph.from_edge_arrays(ss, dd, str(tmp_path / "g"), num_partitions=4)
+    eng = _eng()
+    info = eng.run(g, ConnectedComponents(), run_dir=str(tmp_path / "rc"), resume=False)
+    t = info.state_table()
+    vid = np.array(t.column("vid").to_pylist(), dtype=np.int64)
+    lab = np.array(t.column("state").to_pylist(), dtype=np.int64)
+    roots = np.unique(lab)
+    info2 = eng.run(
+        g, MultiSourceBFS(roots), run_dir=str(tmp_path / "rb"), resume=False
+    )
+    bt = info2.state_table()
+    bv = np.array(bt.column("vid").to_pylist(), dtype=np.int64)
+    bd = np.array(bt.column("state").to_pylist())
+    order = np.argsort(bv)
+    parity = (bd[order].astype(np.int64) % 2)
+    pv = bv[order]
+    same = parity[np.searchsorted(pv, ss)] == parity[np.searchsorted(pv, dd)]
+    lorder = np.argsort(vid)
+    ls = lab[lorder][np.searchsorted(vid[lorder], ss)]
+    got = {}
+    for c in roots:
+        got[int(c)] = int(same[ls == c].sum()) == 0
+    want = _bipartite_oracle(src, dst, 23)
+    assert got == want
+    assert got[0] is True and got[10] is False and got[20] is True

@@ -30,6 +30,8 @@ NEW_QUERIES = [
     "training_shards",
     "dup_cluster_sizes",
     "bowtie_structure",
+    "community_conductance",
+    "bipartite_components",
 ]
 
 
