@@ -6157,6 +6157,188 @@ def _bipartite_sql() -> str:
     )
 
 
+def _round_half_away(x: np.ndarray, digits: int = 6) -> np.ndarray:
+    """DuckDB ROUND semantics (half away from zero) — numpy's np.round
+    is half-to-even, which disagrees exactly on boundary values."""
+    s = 10.0 ** digits
+    return np.where(
+        x >= 0, np.floor(x * s + 0.5), -np.floor(-x * s + 0.5)
+    ) / s
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix of per-user event-type
+    sequences: n(from→to) and the conditional probability
+    p = n / Σ_to n — the session-model / behavioral-signature operator.
+    Same one-exchange shape as inter_event_gaps: hash-partition by
+    user, one lexsort per partition (ties broken by event_id so the
+    pair multiset is deterministic), vectorized pair extraction,
+    per-partition partial counts, tiny final fold on the (type × type)
+    domain."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(part_of(uid, 16), pa.int32()),
+                "user_id": tbl.column("user_id"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+            }
+        )
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], et[order]
+        nxt_same = u[1:] == u[:-1]
+        frm = t[:-1][nxt_same]
+        to = t[1:][nxt_same]
+        # integer pair-coding (numpy unicode arrays silently drop NUL
+        # separators, so string-concat keys are NOT safe)
+        ut, if_ = np.unique(np.concatenate([frm, to]), return_inverse=True)
+        fi, ti = if_[: len(frm)], if_[len(frm):]
+        code = fi * len(ut) + ti
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(ut[uc // len(ut)], pa.string()),
+                "to_type": pa.array(ut[uc % len(ut)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    frm = np.array([r["from_type"] for r in rows])
+    to = np.array([r["to_type"] for r in rows])
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    tot = {f: n[frm == f].sum() for f in np.unique(frm)}
+    p = np.array([x * 1.0 / tot[f] for f, x in zip(frm, n)])
+    return pa.table(
+        {
+            "from_type": pa.array(frm, pa.string()),
+            "to_type": pa.array(to, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "p": pa.array(_round_half_away(p), pa.float64()),
+        }
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH s AS (SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND(c.n * 1.0 / t.tot, 6) AS p
+FROM c JOIN t USING (from_type)
+"""
+
+
+def q_lang_source_matrix(sf_dir: str):
+    """Corpus-composition contingency grid: observed count, expected
+    count under independence (row·col/N) and the standardized Pearson
+    residual (n−e)/√e for every (lang, source) cell — the drift /
+    imbalance diagnostic run before fixing mixture weights. Per-block
+    partial counts, one tiny (lang,source) groupby, driver-side grid
+    algebra (the cell domain is langs × sources, O(100))."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = np.asarray(tbl.column("lang").to_pylist())
+        srcc = np.asarray(tbl.column("source").to_pylist())
+        ul, il = np.unique(lang, return_inverse=True)
+        us, isrc = np.unique(srcc, return_inverse=True)
+        code = il * len(us) + isrc
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(ul[uc // len(us)], pa.string()),
+                "source": pa.array(us[uc % len(us)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    obs = {(r["lang"], r["source"]): r["n"] for r in rows}
+    langs = sorted({k[0] for k in obs})
+    srcs = sorted({k[1] for k in obs})
+    ln = {l: sum(v for k, v in obs.items() if k[0] == l) for l in langs}
+    sn = {s: sum(v for k, v in obs.items() if k[1] == s) for s in srcs}
+    N = sum(obs.values())
+    out_l, out_s, out_n, out_e, out_r = [], [], [], [], []
+    for l in langs:
+        for s in srcs:
+            n = obs.get((l, s), 0)
+            e = (ln[l] * sn[s]) * 1.0 / N
+            out_l.append(l)
+            out_s.append(s)
+            out_n.append(n)
+            out_e.append(e)
+            out_r.append((n - e) / np.sqrt(e))
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "expected": pa.array(
+                _round_half_away(np.array(out_e)), pa.float64()
+            ),
+            "resid": pa.array(
+                _round_half_away(np.array(out_r)), pa.float64()
+            ),
+        }
+    )
+
+
+_LANG_SOURCE_SQL = """
+WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+l AS (SELECT lang, SUM(n) AS ln FROM c GROUP BY lang),
+s AS (SELECT source, SUM(n) AS sn FROM c GROUP BY source),
+g AS (SELECT SUM(n) AS N FROM c)
+SELECT l.lang, s.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       ROUND((l.ln * s.sn) * 1.0 / g.N, 6) AS expected,
+       ROUND((COALESCE(c.n, 0) - (l.ln * s.sn) * 1.0 / g.N)
+             / sqrt((l.ln * s.sn) * 1.0 / g.N), 6) AS resid
+FROM l CROSS JOIN s
+LEFT JOIN c ON c.lang = l.lang AND c.source = s.source, g
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -6516,6 +6698,8 @@ def queries():
         "bowtie_structure": q_bowtie_structure,
         "community_conductance": q_community_conductance,
         "bipartite_components": q_bipartite_components,
+        "event_transitions": q_event_transitions,
+        "lang_source_matrix": q_lang_source_matrix,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -6722,6 +6906,8 @@ def oracle_sql():
         "bowtie_structure": _BOWTIE_SQL,
         "community_conductance": _CONDUCTANCE_SQL,
         "bipartite_components": _bipartite_sql(),
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "lang_source_matrix": _LANG_SOURCE_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

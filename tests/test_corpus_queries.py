@@ -32,6 +32,8 @@ NEW_QUERIES = [
     "bowtie_structure",
     "community_conductance",
     "bipartite_components",
+    "event_transitions",
+    "lang_source_matrix",
 ]
 
 
