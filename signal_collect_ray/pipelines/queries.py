@@ -6339,6 +6339,99 @@ LEFT JOIN c ON c.lang = l.lang AND c.source = s.source, g
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Labeled-vs-detected language confusion matrix: the n-gram-marker
+    LanguageId (functions/text.py — 36 Arrow count_substring kernels per
+    batch) against the corpus's own lang column. The calibration check
+    run before trusting detector-driven filtering; off-diagonal mass is
+    the mislabel/mixed-language rate. One streaming pass + one tiny
+    (lang × lang_pred) groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray.functions.text import LanguageId
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = ds.map_batches(LanguageId(), batch_format="pyarrow")
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["lang", "lang_pred"])
+
+    return (
+        out.map_batches(proj, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return (
+        f"WITH pred AS ({_lang_pred_sql()}) "
+        "SELECT d.lang, pred.lang_pred, COUNT(*) AS n "
+        "FROM documents d JOIN pred ON pred.doc_id = d.doc_id "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_centroid_distances(sf_dir: str):
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the cluster-separation diagnostic behind SemDeDup-style pruning
+    decisions (are two label populations near-duplicates in embedding
+    space?). Centroids come from the distributed vector_mean_by_key
+    fold; the pairwise step runs on the driver over the tiny
+    (labels × dim) result."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import vector_mean_by_key
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    rows = vector_mean_by_key(emb, "label").take_all()
+    labels = sorted({r["label"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    cent = {l: np.zeros(dim) for l in labels}
+    for r in rows:
+        cent[r["label"]][r["pos"]] = r["mean_val"]
+    la, lb, cos = [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            va, vb = cent[a], cent[b]
+            num = np.dot(va, vb)
+            c = num / (np.sqrt(np.dot(va, va)) * np.sqrt(np.dot(vb, vb)))
+            la.append(int(a))
+            lb.append(int(b))
+            cos.append(c)
+    return pa.table(
+        {
+            "label_a": pa.array(la, pa.int64()),
+            "label_b": pa.array(lb, pa.int64()),
+            "cos": pa.array(
+                _round_half_away(np.array(cos)), pa.float64()
+            ),
+        }
+    )
+
+
+_CENTROID_DIST_SQL = """
+WITH c AS (SELECT label, r.pos AS pos,
+           SUM(CAST(embedding[r.pos] AS DOUBLE)) / COUNT(*) AS v
+           FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS r(pos)
+           GROUP BY label, r.pos),
+p AS (SELECT a.label AS la, b.label AS lb, SUM(a.v * b.v) AS num,
+      sqrt(SUM(a.v * a.v)) AS na, sqrt(SUM(b.v * b.v)) AS nb
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+       ROUND(num / (na * nb), 6) AS cos FROM p
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -6700,6 +6793,8 @@ def queries():
         "bipartite_components": q_bipartite_components,
         "event_transitions": q_event_transitions,
         "lang_source_matrix": q_lang_source_matrix,
+        "lang_confusion": q_lang_confusion,
+        "centroid_distances": q_centroid_distances,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -6908,6 +7003,8 @@ def oracle_sql():
         "bipartite_components": _bipartite_sql(),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "lang_source_matrix": _LANG_SOURCE_SQL,
+        "lang_confusion": _lang_confusion_sql(),
+        "centroid_distances": _CENTROID_DIST_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

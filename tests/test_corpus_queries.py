@@ -34,6 +34,8 @@ NEW_QUERIES = [
     "bipartite_components",
     "event_transitions",
     "lang_source_matrix",
+    "lang_confusion",
+    "centroid_distances",
 ]
 
 
