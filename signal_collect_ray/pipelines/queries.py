@@ -6432,6 +6432,249 @@ SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
 """
 
 
+def q_source_dup_rates(sf_dir: str):
+    """Per-source exact-duplicate rate: n_docs, distinct normalized
+    fingerprints, dup_rate = 1 − distinct/n — which feeds are
+    boilerplate-heavy and need aggressive dedup. Distinct-per-group via
+    (source, fp) pre-dedup inside the fingerprint groupby (combiner
+    shape: the second exchange only carries one row per distinct pair)."""
+    import hashlib
+    import re
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    ws = re.compile(r"\s+")
+
+    def fp(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        out = [
+            hashlib.md5(ws.sub(" ", t.lower()).strip().encode()).hexdigest()
+            for t in texts
+        ]
+        return pa.table(
+            {"source": tbl.column("source"), "fp": pa.array(out, pa.string())}
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        # one row per distinct (source, fp) + the group's doc count
+        srcs = np.asarray(tbl.column("source").to_pylist())
+        us, inv = np.unique(srcs, return_inverse=True)
+        cnt = np.bincount(inv)
+        return pa.table(
+            {
+                "source": pa.array(us, pa.string()),
+                "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_fp = (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+    rows = (
+        per_fp.groupby("source")
+        .aggregate(
+            Count(alias_name="n_distinct"), Sum("n_docs", alias_name="n_docs")
+        )
+        .take_all()
+    )
+    src = [r["source"] for r in rows]
+    nd = np.array([r["n_distinct"] for r in rows], dtype=np.int64)
+    n = np.array([r["n_docs"] for r in rows], dtype=np.int64)
+    rate = 1.0 - nd * 1.0 / n
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "dup_rate": pa.array(_round_half_away(rate), pa.float64()),
+        }
+    )
+
+
+_SOURCE_DUP_SQL = (
+    "WITH f AS (SELECT source, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents), "
+    "a AS (SELECT source, COUNT(*) AS n_docs, "
+    "COUNT(DISTINCT fp) AS n_distinct FROM f GROUP BY source) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(n_distinct AS BIGINT) AS n_distinct, "
+    "ROUND(1.0 - n_distinct * 1.0 / n_docs, 6) AS dup_rate FROM a"
+)
+
+
+def q_random_robustness(sf_dir: str):
+    """Random-failure robustness (the Albert-Jeong-Barabási control to
+    hub_robustness's targeted attack): remove ~20% of vertices chosen
+    by the deterministic Knuth hash (hash(vid) mod 100 < 20 — exactly
+    SQL-mirrorable), rerun CC on the symmetrized remainder. Scale-free
+    graphs survive random failure but shatter under hub removal; the
+    pair of queries exhibits exactly that asymmetry."""
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import ConnectedComponents
+
+    key = (sf_dir, "random_robustness")
+    out = _RESULT_CACHE.get(key)
+    if out is not None:
+        return out
+
+    def drop_random(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+
+        def dead(v: np.ndarray) -> np.ndarray:
+            h = (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+                1 << 32
+            )
+            return (h % np.uint64(100)) < 20
+
+        keep = ~(dead(s) | dead(d))
+        return tbl.filter(pa.array(keep))
+
+    filtered = derived_edges_ds(sf_dir).map_batches(
+        drop_random, batch_format="pyarrow"
+    )
+    g = Graph.build(
+        sym_edges(filtered),
+        _work_dir(sf_dir, "graph_rand_robust"),
+        num_partitions=_P,
+        dedup=True,
+    )
+    info = _engine(_CC_K).run(
+        g,
+        ConnectedComponents(),
+        run_dir=_work_dir(sf_dir, "run_cc_rand_robust"),
+        resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    lab = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    _u, counts = np.unique(lab, return_counts=True)
+    out = pa.table(
+        {
+            "n_vertices": pa.array([len(lab)], pa.int64()),
+            "n_components": pa.array([len(counts)], pa.int64()),
+            "largest_component": pa.array(
+                [int(counts.max()) if len(counts) else 0], pa.int64()
+            ),
+        }
+    )
+    _RESULT_CACHE[key] = out
+    return out
+
+
+def _random_robust_sql(k: int) -> str:
+    dead = (
+        "(((CAST({v} AS UBIGINT) * 2654435761) % 4294967296) % 100) < 20"
+    )
+    filtered = (
+        f"WITH base AS ({_E_SQL}) SELECT src, dst FROM base "
+        f"WHERE NOT ({dead.format(v='src')}) AND NOT ({dead.format(v='dst')})"
+    )
+    return (
+        f"WITH cc AS ({_cc_sql(k, filtered)}) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components, "
+        "CAST(MAX(csize) AS BIGINT) AS largest_component "
+        "FROM (SELECT label, COUNT(*) OVER (PARTITION BY label) AS csize "
+        "FROM cc)"
+    )
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-flavored star join: revenue Σ extprice·(1−discount) per
+    (region, order-year). The canonical mixed-join shape — the big-big
+    lineitem⨝orders equi-join goes through the co-partitioned hash_join
+    (no broadcast), the customer→nation→region dimension chain is
+    broadcast once; one small final groupby."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join, hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "rev": pa.array(p * (1.0 - d), pa.float64()),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+
+    def ord_proj(tbl: pa.Table) -> pa.Table:
+        yr = pc.year(tbl.column("o_orderdate"))
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("o_orderkey"),
+                "o_custkey": tbl.column("o_custkey"),
+                "yr": yr.cast(pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_proj, batch_format="pyarrow")
+
+    j = hash_join(li, orders, on="l_orderkey")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).rename_columns({"c_custkey": "o_custkey"})
+    j = broadcast_join(j, cust, on="o_custkey")
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    ).rename_columns({"n_nationkey": "c_nationkey"})
+    j = broadcast_join(j, nation, on="c_nationkey")
+    region = rd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).rename_columns({"r_regionkey": "n_regionkey"})
+    j = broadcast_join(j, region, on="n_regionkey")
+    agg = j.groupby(["r_name", "yr"]).aggregate(Sum("rev", alias_name="revenue"))
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        r = np.round(tbl.column("revenue").to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {
+                "r_name": tbl.column("r_name"),
+                "yr": tbl.column("yr"),
+                "revenue": pa.array(r, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_REGIONAL_REVENUE_SQL = (
+    "SELECT r.r_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr, "
+    "ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+    "JOIN region r ON r.r_regionkey = n.n_regionkey "
+    "GROUP BY 1, 2"
+)
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -6795,6 +7038,9 @@ def queries():
         "lang_source_matrix": q_lang_source_matrix,
         "lang_confusion": q_lang_confusion,
         "centroid_distances": q_centroid_distances,
+        "source_dup_rates": q_source_dup_rates,
+        "random_robustness": q_random_robustness,
+        "regional_revenue": q_regional_revenue,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -7005,6 +7251,9 @@ def oracle_sql():
         "lang_source_matrix": _LANG_SOURCE_SQL,
         "lang_confusion": _lang_confusion_sql(),
         "centroid_distances": _CENTROID_DIST_SQL,
+        "source_dup_rates": _SOURCE_DUP_SQL,
+        "random_robustness": _random_robust_sql(_CC_K),
+        "regional_revenue": _REGIONAL_REVENUE_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -36,6 +36,9 @@ NEW_QUERIES = [
     "lang_source_matrix",
     "lang_confusion",
     "centroid_distances",
+    "source_dup_rates",
+    "random_robustness",
+    "regional_revenue",
 ]
 
 
