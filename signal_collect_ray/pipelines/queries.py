@@ -6675,6 +6675,256 @@ _REGIONAL_REVENUE_SQL = (
 )
 
 
+def q_trending_event_types(sf_dir: str):
+    """Top-3 event types per hour window by count (windowed grouped
+    top-k, the trending-now operator): one (window, type) count
+    exchange, then a per-window vectorized rank inside map_groups —
+    the per-group sort touches only the tiny (window × type) domain."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    HOUR_US = 3_600_000_000
+
+    def win(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_us": pa.array(ts - ts % HOUR_US, pa.int64()),
+                "event_type": tbl.column("event_type"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        order = np.lexsort((et, -n))[:3]
+        return pa.table(
+            {
+                "window_us": tbl.column("window_us").take(
+                    pa.array(order, pa.int64())
+                ),
+                "event_type": pa.array(et[order], pa.string()),
+                "n": pa.array(n[order].astype(np.int64), pa.int64()),
+                "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return counts.groupby("window_us").map_groups(topk, batch_format="pyarrow")
+
+
+_TRENDING_SQL = """
+WITH c AS (SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_us,
+           event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_us
+      ORDER BY n DESC, event_type) AS rnk FROM c)
+SELECT window_us, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+_FRONTIER_V = 400  # vids >= this never crawl: dst-only frontier pages
+
+
+def q_dangling_mass(sf_dir: str):
+    """Dangling-vertex analysis at PageRank k=4 over the crawl-frontier
+    graph (only pages with vid < 400 have been crawled, so their
+    out-links exist; vids ≥ 400 are discovered-but-uncrawled dst-only
+    pages — exactly what dangling mass means in a live crawl): count of
+    zero-out-degree vertices and their share of total rank mass. Sizes
+    the dangling-redistribution question the reference's PageRank (like
+    ours, faithfully) does NOT handle (PageRank.scala:31-70 has no
+    dangling term). One filtered build + engine PR run, two scalar
+    folds."""
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import PageRank
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(s < _FRONTIER_V))
+
+    edges = derived_edges_ds(sf_dir).map_batches(flt, batch_format="pyarrow")
+    g = Graph.build(
+        edges, _work_dir(sf_dir, "graph_frontier"), num_partitions=_P
+    )
+    info = _engine(4, eps=0.0).run(
+        g,
+        PageRank(),
+        run_dir=_work_dir(sf_dir, "run_pr_frontier"),
+        resume=False,
+        checkpoint_interval=50,
+    )
+    t = info.state_table()
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    rank = t.column("state").to_numpy(zero_copy_only=False)
+    vt = g.vertices_ds().select_columns(["vid", "out_degree"]).take_all()
+    od = {r["vid"]: r["out_degree"] for r in vt}
+    dang = np.array([od.get(int(v), 0) == 0 for v in vid])
+    mass = rank[dang].sum()
+    total = rank.sum()
+    return pa.table(
+        {
+            "n_dangling": pa.array([int(dang.sum())], pa.int64()),
+            "mass": pa.array(
+                [float(_round_half_away(np.array([mass]), 4)[0])], pa.float64()
+            ),
+            "share": pa.array(
+                [float(_round_half_away(np.array([mass / total]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _dangling_sql() -> str:
+    e2 = f"SELECT src, dst FROM ({_E_SQL}) WHERE src < {_FRONTIER_V}"
+    raw = _pr_sql(4, edges_sql=e2).replace(
+        "SELECT vid, ROUND(r, 6) AS rank FROM r4", "SELECT vid, r FROM r4"
+    )
+    return (
+        f"WITH pr AS ({raw}), "
+        "dang AS (SELECT pr.vid, pr.r FROM pr WHERE pr.vid NOT IN "
+        f"(SELECT src FROM ({e2}))) "
+        "SELECT CAST((SELECT COUNT(*) FROM dang) AS BIGINT) AS n_dangling, "
+        "ROUND(COALESCE((SELECT SUM(r) FROM dang), 0), 4) AS mass, "
+        "ROUND(COALESCE((SELECT SUM(r) FROM dang), 0) "
+        "/ (SELECT SUM(r) FROM pr), 6) AS share"
+    )
+
+
+def q_lang_token_rates(sf_dir: str):
+    """Per-language tokenizer-rate profile: documents, characters,
+    whitespace tokens and tokens-per-kilochar — the fertility statistic
+    that sizes token budgets per language split. Per-block vectorized
+    partials, one tiny groupby."""
+    import re
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text", "n_chars"],
+    )
+    tok = re.compile(r"\S+")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = np.asarray(tbl.column("lang").to_pylist())
+        texts = tbl.column("text").to_pylist()
+        nch = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        ntok = np.array([len(tok.findall(t)) for t in texts], dtype=np.int64)
+        ul, inv = np.unique(lang, return_inverse=True)
+        return pa.table(
+            {
+                "lang": pa.array(ul, pa.string()),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_chars": pa.array(
+                    np.bincount(inv, weights=nch).astype(np.int64), pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    np.bincount(inv, weights=ntok).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .take_all()
+    )
+    lang = [r["lang"] for r in rows]
+    nd = np.array([r["n_docs"] for r in rows], dtype=np.int64)
+    nc = np.array([r["n_chars"] for r in rows], dtype=np.int64)
+    nt = np.array([r["n_tokens"] for r in rows], dtype=np.int64)
+    rate = nt * 1000.0 / nc
+    return pa.table(
+        {
+            "lang": pa.array(lang, pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "tokens_per_kchar": pa.array(
+                _round_half_away(rate), pa.float64()
+            ),
+        }
+    )
+
+
+_LANG_TOKEN_RATES_SQL = """
+WITH f AS (SELECT lang, n_chars,
+           length(regexp_extract_all(text, '\\S+')) AS n_tokens
+           FROM documents),
+a AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+      SUM(n_tokens) AS n_tokens FROM f GROUP BY lang)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_tokens * 1000.0 / n_chars, 6) AS tokens_per_kchar
+FROM a
+"""
+
+
+def q_session_length_histogram(sf_dir: str):
+    """Histogram of session sizes (sessions per n_events bucket) from
+    the 4-hour-gap sessionizer (functions/windows.py) — the engagement-
+    depth distribution. The sessionizer's one exchange plus a tiny
+    (n_events → count) fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray.functions.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    sess = sessionize(ds)
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return pa.table({"n_events": tbl.column("n_events")})
+
+    out = (
+        sess.map_batches(proj, batch_format="pyarrow")
+        .groupby("n_events")
+        .aggregate(Count(alias_name="n_sessions"))
+    )
+
+    def fin(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_events": tbl.column("n_events").cast(pa.int64()),
+                "n_sessions": tbl.column("n_sessions").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_SESSION_HIST_SQL = """
+WITH o AS (SELECT user_id, ts, CASE WHEN
+           epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           > 14400 THEN 1 ELSE 0 END AS brk FROM events),
+s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS session FROM o),
+c AS (SELECT user_id, session, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions FROM c GROUP BY n_events
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -7041,6 +7291,10 @@ def queries():
         "source_dup_rates": q_source_dup_rates,
         "random_robustness": q_random_robustness,
         "regional_revenue": q_regional_revenue,
+        "trending_event_types": q_trending_event_types,
+        "dangling_mass": q_dangling_mass,
+        "lang_token_rates": q_lang_token_rates,
+        "session_length_histogram": q_session_length_histogram,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -7254,6 +7508,10 @@ def oracle_sql():
         "source_dup_rates": _SOURCE_DUP_SQL,
         "random_robustness": _random_robust_sql(_CC_K),
         "regional_revenue": _REGIONAL_REVENUE_SQL,
+        "trending_event_types": _TRENDING_SQL,
+        "dangling_mass": _dangling_sql(),
+        "lang_token_rates": _LANG_TOKEN_RATES_SQL,
+        "session_length_histogram": _SESSION_HIST_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -39,6 +39,10 @@ NEW_QUERIES = [
     "source_dup_rates",
     "random_robustness",
     "regional_revenue",
+    "trending_event_types",
+    "dangling_mass",
+    "lang_token_rates",
+    "session_length_histogram",
 ]
 
 
