@@ -6925,6 +6925,129 @@ SELECT CAST(n_events AS BIGINT) AS n_events,
 """
 
 
+_WL_K = 3
+
+
+def q_wl_refinement(sf_dir: str):
+    """1-dimensional Weisfeiler-Lehman color refinement (k=3 rounds)
+    over in-neighborhoods: color_{i+1}(v) = class of (color_i(v),
+    multiset of in-neighbor colors), classes canonically labeled by
+    their minimum member vid — the graph-fingerprint / GNN-
+    expressiveness primitive (Weisfeiler & Lehman 1968; public). Per
+    round: one co-partitioned (dst-grouped) exchange computes each
+    vertex's signature from the broadcast color vector (byte-capped
+    idiom — co-partitioned join fallback at billion-vertex scale), one
+    tiny unique-fold maps signatures to min-vid class labels."""
+    import hashlib
+
+    import ray
+
+    from signal_collect_ray.util import part_of
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(d, 32), pa.int32()),
+                "src": tbl.column("src"),
+                "dst": tbl.column("dst"),
+            }
+        )
+
+    edges = (
+        derived_edges_ds(sf_dir)
+        .select_columns(["src", "dst"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .materialize()  # reused every round — pin the co-partitioned set
+    )
+    vrows = _graph(sf_dir).vertices_ds().select_columns(["vid"]).take_all()
+    vids = np.sort(np.array([r["vid"] for r in vrows], dtype=np.int64))
+    color = np.zeros(len(vids), dtype=np.int64)
+
+    def _sig64(payload: str) -> int:
+        return int.from_bytes(hashlib.md5(payload.encode()).digest()[:8], "big")
+
+    for _ in range(_WL_K):
+        ref = ray.put((vids, color))
+
+        def sig_group(tbl: pa.Table) -> pa.Table:
+            # all in-edges of each dst are co-partitioned here: sort by
+            # (dst, src color), hash each contiguous multiset slice
+            gv, gc = ray.get(ref)
+            s = tbl.column("src").to_numpy(zero_copy_only=False)
+            d = tbl.column("dst").to_numpy(zero_copy_only=False)
+            cs = gc[np.searchsorted(gv, s)]
+            cd = gc[np.searchsorted(gv, d)]
+            order = np.lexsort((cs, d))
+            d_s, c_s, own = d[order], cs[order], cd[order]
+            bounds = np.flatnonzero(
+                np.concatenate([[True], d_s[1:] != d_s[:-1]])
+            )
+            ends = np.append(bounds[1:], len(d_s))
+            out_v = d_s[bounds]
+            out_sig = np.empty(len(bounds), dtype=np.uint64)
+            for j, (b, e) in enumerate(zip(bounds, ends)):
+                payload = f"{own[b]}|" + ",".join(map(str, c_s[b:e]))
+                out_sig[j] = np.uint64(_sig64(payload))
+            return pa.table(
+                {
+                    "vid": pa.array(out_v, pa.int64()),
+                    "sig": pa.array(out_sig, pa.uint64()),
+                }
+            )
+
+        srows = (
+            edges.groupby("gpart")
+            .map_groups(sig_group, batch_format="pyarrow")
+            .take_all()
+        )
+        # vertices with no in-edges keep signature (own color, empty)
+        sigs = np.array(
+            [np.uint64(_sig64(f"{c}|")) for c in color], dtype=np.uint64
+        )
+        sv = np.array([r["vid"] for r in srows], dtype=np.int64)
+        sg = np.array([r["sig"] for r in srows], dtype=np.uint64)
+        sigs[np.searchsorted(vids, sv)] = sg
+        # min-vid per signature class (vids ascending ⇒ first index wins)
+        _u, first = np.unique(sigs, return_index=True)
+        remap = {int(s): int(vids[i]) for s, i in zip(_u, first)}
+        color = np.array([remap[int(s)] for s in sigs], dtype=np.int64)
+
+    return pa.table(
+        {
+            "vid": pa.array(vids, pa.int64()),
+            "color": pa.array(color, pa.int64()),
+        }
+    )
+
+
+def _wl_sql(k: int) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "c0 AS (SELECT vid, CAST(0 AS BIGINT) AS c FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT v.vid, "
+            f"CAST(own.c AS VARCHAR) || '|' || "
+            f"COALESCE(string_agg(CAST(nc.c AS VARCHAR), ',' "
+            f"ORDER BY nc.c), '') AS sig "
+            f"FROM v JOIN c{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN c{i-1} nc ON nc.vid = e.src "
+            f"GROUP BY v.vid, own.c)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT vid, "
+            f"MIN(vid) OVER (PARTITION BY sig) AS c FROM s{i})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, c AS color FROM c{k}"
+    )
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -7295,6 +7418,7 @@ def queries():
         "dangling_mass": q_dangling_mass,
         "lang_token_rates": q_lang_token_rates,
         "session_length_histogram": q_session_length_histogram,
+        "wl_refinement": q_wl_refinement,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -7512,6 +7636,7 @@ def oracle_sql():
         "dangling_mass": _dangling_sql(),
         "lang_token_rates": _LANG_TOKEN_RATES_SQL,
         "session_length_histogram": _SESSION_HIST_SQL,
+        "wl_refinement": _wl_sql(_WL_K),
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -43,6 +43,7 @@ NEW_QUERIES = [
     "dangling_mass",
     "lang_token_rates",
     "session_length_histogram",
+    "wl_refinement",
 ]
 
 
@@ -85,3 +86,15 @@ def test_training_shards_complete_and_balanced(con):
     # Knuth hash should spread docs: no empty shard, no shard > 4x mean
     assert df["n_docs"].min() > 0
     assert df["n_docs"].max() < 4 * df["n_docs"].mean()
+
+
+def test_wl_colors_are_min_vid_representatives(con):
+    """Every WL color class is labeled by its minimum member vid, and
+    the representative belongs to its own class."""
+    from signal_collect_ray.pipelines import queries as Q
+
+    df = _chk.to_pandas(Q.queries()["wl_refinement"](_SF))
+    by_color = df.groupby("color")["vid"].min()
+    assert (by_color.index == by_color.values).all()
+    # refinement is non-trivial on the derived graph: >1 class
+    assert df["color"].nunique() > 1
