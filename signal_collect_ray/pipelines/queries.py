@@ -7048,6 +7048,211 @@ def _wl_sql(k: int) -> str:
     )
 
 
+def q_daily_moving_avg(sf_dir: str):
+    """Events per day with the 7-day trailing moving average — the
+    volume-trend smoother. Distributed daily partial counts; the
+    window pass runs on the driver over the tiny day domain (one row
+    per calendar day)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+    DAY_US = 86_400_000_000
+
+    def per_day(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts - ts % DAY_US
+        u, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day_us": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    day = np.array([r["day_us"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(day)
+    day, n = day[order], n[order]
+    # trailing window of up to 7 PRESENT rows — matches SQL ROWS 6
+    # PRECEDING over the day-ordered aggregate
+    ma = np.array(
+        [n[max(0, i - 6): i + 1].mean() for i in range(len(n))]
+    )
+    return pa.table(
+        {
+            "day_us": pa.array(day, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "ma7": pa.array(_round_half_away(ma), pa.float64()),
+        }
+    )
+
+
+_DAILY_MA_SQL = """
+WITH d AS (SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS day_us,
+           COUNT(*) AS n FROM events GROUP BY 1)
+SELECT day_us, CAST(n AS BIGINT) AS n,
+       ROUND(AVG(n * 1.0) OVER (ORDER BY day_us
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM d
+"""
+
+
+def q_pagerank_movers(sf_dir: str):
+    """Top-20 rank movers after the event-driven graph mutation: join
+    PageRank k=4 on the base graph with PageRank k=4 on the
+    Graph.update-mutated graph, rank by |Δ| — the impact report a
+    crawl-refresh pipeline publishes. Reuses both engine runs (and
+    both unrolled oracles) verbatim."""
+    base = q_pagerank_k4(sf_dir)
+    upd = q_pagerank_updated_k4(sf_dir)
+    bv = base.column("vid").to_numpy(zero_copy_only=False)
+    br = base.column("rank").to_numpy(zero_copy_only=False)
+    uv = upd.column("vid").to_numpy(zero_copy_only=False)
+    ur = upd.column("rank").to_numpy(zero_copy_only=False)
+    bo, uo = np.argsort(bv), np.argsort(uv)
+    # mutation only adds/removes edges among existing vids here, but be
+    # honest about vid-set drift: inner join on sorted vids
+    common, bi, ui = np.intersect1d(
+        bv[bo], uv[uo], assume_unique=True, return_indices=True
+    )
+    rb, ru = br[bo][bi], ur[uo][ui]
+    delta = ru - rb
+    top = np.lexsort((common, -np.abs(delta)))[:20]
+    return pa.table(
+        {
+            "vid": pa.array(common[top], pa.int64()),
+            "rank_before": pa.array(rb[top], pa.float64()),
+            "rank_after": pa.array(ru[top], pa.float64()),
+            "delta": pa.array(
+                _round_half_away(delta[top]), pa.float64()
+            ),
+        }
+    )
+
+
+def _pr_movers_sql() -> str:
+    base = _pr_sql(4)
+    upd = _pr_sql(4, edges_sql=_E_UPD_SQL)
+    return (
+        f"WITH b AS ({base}), u AS ({upd}) "
+        "SELECT b.vid, b.rank AS rank_before, u.rank AS rank_after, "
+        "ROUND(u.rank - b.rank, 6) AS delta "
+        "FROM b JOIN u ON u.vid = b.vid "
+        "ORDER BY abs(u.rank - b.rank) DESC, b.vid ASC LIMIT 20"
+    )
+
+
+def q_embedding_quantization(sf_dir: str):
+    """Symmetric int8 quantization audit: global per-corpus max-abs
+    scale, q = round_half_away(x/s*127) clamped to [−127,127], report
+    per-label mean absolute reconstruction error and max error — the
+    storage-precision tradeoff check before shipping embeddings at
+    scale. Two streaming passes (max-abs fold, then error partials) +
+    one tiny per-label fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def maxabs(tbl: pa.Table) -> pa.Table:
+        m = 0.0
+        for chunk in tbl.column("embedding").chunks if tbl.column(
+            "embedding"
+        ).num_chunks else [tbl.column("embedding")]:
+            flat = np.abs(
+                chunk.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+            )
+            if len(flat):
+                m = max(m, float(flat.max()))
+        return pa.table({"m": pa.array([m], pa.float64())})
+
+    parts = emb.map_batches(maxabs, batch_format="pyarrow").take_all()
+    scale = max(r["m"] for r in parts)
+
+    def err_partial(tbl: pa.Table) -> pa.Table:
+        lab = tbl.column("label").to_numpy(zero_copy_only=False)
+        col = tbl.column("embedding")
+        arrs = col.combine_chunks()
+        x = arrs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(x) // max(len(lab), 1)
+        v = x / scale * 127.0
+        q = np.clip(
+            np.where(v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5)),
+            -127,
+            127,
+        )
+        err = np.abs(x - q * scale / 127.0).reshape(len(lab), dim)
+        u, inv = np.unique(lab, return_inverse=True)
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "sum_err": pa.array(
+                    np.bincount(inv, weights=err.sum(axis=1)), pa.float64()
+                ),
+                "n_vals": pa.array(
+                    (np.bincount(inv) * dim).astype(np.int64), pa.int64()
+                ),
+                "max_err": pa.array(
+                    [float(err[inv == i].max()) for i in range(len(u))],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    rows = (
+        emb.map_batches(err_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("sum_err", alias_name="sum_err"),
+            Sum("n_vals", alias_name="n_vals"),
+            Max("max_err", alias_name="max_err"),
+        )
+        .take_all()
+    )
+    lab = np.array([r["label"] for r in rows], dtype=np.int64)
+    se = np.array([r["sum_err"] for r in rows])
+    nv = np.array([r["n_vals"] for r in rows], dtype=np.int64)
+    me = np.array([r["max_err"] for r in rows])
+    return pa.table(
+        {
+            "label": pa.array(lab, pa.int64()),
+            "mean_abs_err": pa.array(
+                _round_half_away(se / nv, 8), pa.float64()
+            ),
+            "max_abs_err": pa.array(_round_half_away(me, 8), pa.float64()),
+        }
+    )
+
+
+_EMB_QUANT_SQL = """
+WITH flat AS (SELECT label, CAST(u.x AS DOUBLE) AS x
+              FROM embeddings, unnest(embedding) AS u(x)),
+s AS (SELECT MAX(abs(x)) AS scale FROM flat),
+q AS (SELECT label,
+      abs(x - LEAST(GREATEST(ROUND(x / s.scale * 127.0, 0), -127), 127)
+              * s.scale / 127.0) AS err
+      FROM flat, s)
+SELECT CAST(label AS BIGINT) AS label,
+       ROUND(SUM(err) / COUNT(*), 8) AS mean_abs_err,
+       ROUND(MAX(err), 8) AS max_abs_err
+FROM q GROUP BY label
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -7419,6 +7624,9 @@ def queries():
         "lang_token_rates": q_lang_token_rates,
         "session_length_histogram": q_session_length_histogram,
         "wl_refinement": q_wl_refinement,
+        "daily_moving_avg": q_daily_moving_avg,
+        "pagerank_movers": q_pagerank_movers,
+        "embedding_quantization": q_embedding_quantization,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -7637,6 +7845,9 @@ def oracle_sql():
         "lang_token_rates": _LANG_TOKEN_RATES_SQL,
         "session_length_histogram": _SESSION_HIST_SQL,
         "wl_refinement": _wl_sql(_WL_K),
+        "daily_moving_avg": _DAILY_MA_SQL,
+        "pagerank_movers": _pr_movers_sql(),
+        "embedding_quantization": _EMB_QUANT_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -44,6 +44,9 @@ NEW_QUERIES = [
     "lang_token_rates",
     "session_length_histogram",
     "wl_refinement",
+    "daily_moving_avg",
+    "pagerank_movers",
+    "embedding_quantization",
 ]
 
 
