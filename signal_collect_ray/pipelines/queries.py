@@ -7253,6 +7253,123 @@ FROM q GROUP BY label
 """
 
 
+def q_clicks_near_errors(sf_dir: str):
+    """Range/interval join (functions.joins.interval_join): attribute
+    each click to the most recent error by the same user within the
+    past hour — error windows [ts, ts+1h) clipped at the user's next
+    error so intervals are non-overlapping per key (the join's
+    partitioning contract; clipping ≡ 'most recent wins'). One
+    exchange builds the clipped windows, one co-partitioned exchange
+    joins; all kernels vectorized."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import interval_join
+    from signal_collect_ray.util import part_of
+
+    HOUR_US = 3_600_000_000
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def errs_keyed(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        t = tbl.filter(pa.array(et == "error"))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(part_of(uid, 16), pa.int32()),
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    t.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": t.column("event_id"),
+            }
+        )
+
+    def windows(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t, e = uid[order], ts[order], eid[order]
+        nxt = np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)
+        same = u[:-1] == u[1:]
+        nxt[:-1][same] = t[1:][same] - 1
+        end = np.minimum(t + HOUR_US - 1, nxt)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "s": pa.array(t, pa.int64()),
+                "e": pa.array(end, pa.int64()),
+                "err_id": pa.array(e, pa.int64()),
+            }
+        )
+
+    intervals = (
+        ds.map_batches(errs_keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+    def clicks(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        t = tbl.filter(pa.array(et == "click"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    t.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "click_id": t.column("event_id"),
+            }
+        )
+
+    clk = ds.map_batches(clicks, batch_format="pyarrow")
+    j = interval_join(
+        clk,
+        intervals,
+        by="user_id",
+        time_col="ts_us",
+        start_col="s",
+        end_col="e",
+        value_cols=["err_id"],
+        how="inner",
+    )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "click_id": tbl.column("click_id"),
+                "err_id": tbl.column("err_id"),
+            }
+        )
+
+    return j.map_batches(proj, batch_format="pyarrow")
+
+
+_CLICKS_NEAR_ERRORS_SQL = """
+WITH err AS (SELECT user_id, epoch_us(ts) AS s, event_id AS err_id,
+             LEAST(epoch_us(ts) + 3600000000 - 1,
+                   COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1,
+                            9223372036854775807)) AS e
+             FROM events WHERE event_type = 'error'),
+clk AS (SELECT user_id, epoch_us(ts) AS t, event_id AS click_id
+        FROM events WHERE event_type = 'click')
+SELECT c.user_id, c.click_id, err.err_id
+FROM clk c JOIN err ON err.user_id = c.user_id
+WHERE c.t BETWEEN err.s AND err.e
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -7627,6 +7744,7 @@ def queries():
         "daily_moving_avg": q_daily_moving_avg,
         "pagerank_movers": q_pagerank_movers,
         "embedding_quantization": q_embedding_quantization,
+        "clicks_near_errors": q_clicks_near_errors,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -7848,6 +7966,7 @@ def oracle_sql():
         "daily_moving_avg": _DAILY_MA_SQL,
         "pagerank_movers": _pr_movers_sql(),
         "embedding_quantization": _EMB_QUANT_SQL,
+        "clicks_near_errors": _CLICKS_NEAR_ERRORS_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -47,6 +47,7 @@ NEW_QUERIES = [
     "daily_moving_avg",
     "pagerank_movers",
     "embedding_quantization",
+    "clicks_near_errors",
 ]
 
 
