@@ -7370,6 +7370,189 @@ WHERE c.t BETWEEN err.s AND err.e
 """
 
 
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured payload extraction: parse the JSON ``props``
+    column, aggregate the ``k`` field per event type (n, mean, min,
+    max). One vectorized streaming pass (stdlib json — C-accelerated —
+    per row, the LanguageId per-doc-C-call pattern) + a tiny fold;
+    integer sums keep float64 exact so mean is bit-identical to SQL's
+    AVG."""
+    import json
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        ks = np.array(
+            [json.loads(p)["k"] for p in tbl.column("props").to_pylist()],
+            dtype=np.int64,
+        )
+        u, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(u, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sum_k": pa.array(
+                    np.bincount(inv, weights=ks).astype(np.int64), pa.int64()
+                ),
+                "min_k": pa.array(
+                    np.array(
+                        [ks[inv == i].min() for i in range(len(u))], np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "max_k": pa.array(
+                    np.array(
+                        [ks[inv == i].max() for i in range(len(u))], np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .take_all()
+    )
+    et = [r["event_type"] for r in rows]
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    sk = np.array([r["sum_k"] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "mean_k": pa.array(
+                _round_half_away(sk * 1.0 / n), pa.float64()
+            ),
+            "min_k": pa.array(
+                np.array([r["min_k"] for r in rows], np.int64), pa.int64()
+            ),
+            "max_k": pa.array(
+                np.array([r["max_k"] for r in rows], np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+_PROPS_K_SQL = """
+WITH x AS (SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(k) * 1.0 / COUNT(*), 6) AS mean_k,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
+_PERC_PS = (10, 20, 40)
+
+
+def q_percolation_sweep(sf_dir: str):
+    """Random-failure percolation curve: for removal fractions p ∈
+    {10,20,40}% (deterministic Knuth-hash site percolation, the
+    random_robustness mechanism swept), rerun CC and report surviving
+    vertices, components and giant-component fraction — where does the
+    giant component break down. Three filtered builds + engine CC runs;
+    each is the hub_robustness composition."""
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import ConnectedComponents
+
+    key = (sf_dir, "percolation_sweep")
+    out = _RESULT_CACHE.get(key)
+    if out is not None:
+        return out
+
+    rows = []
+    for p in _PERC_PS:
+
+        def drop(tbl: pa.Table, thr=p) -> pa.Table:
+            s = tbl.column("src").to_numpy(zero_copy_only=False)
+            d = tbl.column("dst").to_numpy(zero_copy_only=False)
+
+            def dead(v: np.ndarray) -> np.ndarray:
+                h = (v.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+                    1 << 32
+                )
+                return (h % np.uint64(100)) < thr
+
+            return tbl.filter(pa.array(~(dead(s) | dead(d))))
+
+        filtered = derived_edges_ds(sf_dir).map_batches(
+            drop, batch_format="pyarrow"
+        )
+        g = Graph.build(
+            sym_edges(filtered),
+            _work_dir(sf_dir, f"graph_perc_{p}"),
+            num_partitions=_P,
+            dedup=True,
+        )
+        info = _engine(_CC_K).run(
+            g,
+            ConnectedComponents(),
+            run_dir=_work_dir(sf_dir, f"run_cc_perc_{p}"),
+            resume=False,
+            checkpoint_interval=50,
+        )
+        lab = (
+            info.state_table()
+            .column("state")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        _u, counts = np.unique(lab, return_counts=True)
+        big = int(counts.max()) if len(counts) else 0
+        rows.append(
+            (p, len(lab), len(counts), big,
+             float(_round_half_away(np.array([big * 1.0 / len(lab)]))[0])
+             if len(lab) else 0.0)
+        )
+    out = pa.table(
+        {
+            "p": pa.array([r[0] for r in rows], pa.int64()),
+            "n_vertices": pa.array([r[1] for r in rows], pa.int64()),
+            "n_components": pa.array([r[2] for r in rows], pa.int64()),
+            "largest_component": pa.array([r[3] for r in rows], pa.int64()),
+            "frac_largest": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    _RESULT_CACHE[key] = out
+    return out
+
+
+def _percolation_sql(k: int) -> str:
+    dead = "(((CAST({v} AS UBIGINT) * 2654435761) % 4294967296) % 100) < {p}"
+    parts = []
+    for p in _PERC_PS:
+        filtered = (
+            f"SELECT src, dst FROM ({_E_SQL}) base "
+            f"WHERE NOT ({dead.format(v='src', p=p)}) "
+            f"AND NOT ({dead.format(v='dst', p=p)})"
+        )
+        parts.append(
+            f"SELECT {p} AS p, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+            "CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components, "
+            "CAST(MAX(csize) AS BIGINT) AS largest_component, "
+            "ROUND(MAX(csize) * 1.0 / COUNT(*), 6) AS frac_largest "
+            "FROM (SELECT label, COUNT(*) OVER (PARTITION BY label) AS csize "
+            f"FROM ({_cc_sql(k, filtered)}))"
+        )
+    return " UNION ALL ".join(parts)
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -7745,6 +7928,8 @@ def queries():
         "pagerank_movers": q_pagerank_movers,
         "embedding_quantization": q_embedding_quantization,
         "clicks_near_errors": q_clicks_near_errors,
+        "props_k_stats": q_props_k_stats,
+        "percolation_sweep": q_percolation_sweep,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -7967,6 +8152,8 @@ def oracle_sql():
         "pagerank_movers": _pr_movers_sql(),
         "embedding_quantization": _EMB_QUANT_SQL,
         "clicks_near_errors": _CLICKS_NEAR_ERRORS_SQL,
+        "props_k_stats": _PROPS_K_SQL,
+        "percolation_sweep": _percolation_sql(_CC_K),
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -48,6 +48,8 @@ NEW_QUERIES = [
     "pagerank_movers",
     "embedding_quantization",
     "clicks_near_errors",
+    "props_k_stats",
+    "percolation_sweep",
 ]
 
 
