@@ -7553,6 +7553,145 @@ def _percolation_sql(k: int) -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_cross_label_nn(sf_dir: str):
+    """Bipartite nearest neighbor between two embedding populations:
+    for every label-0 vector, its most-cosine-similar label-1 vector —
+    the cross-corpus contamination / nearest-donor probe. The label-1
+    side is broadcast once as a normalized matrix (byte-capped idiom;
+    IVF bucketing is the documented scale path), each batch does one
+    matmul + argmax; ties break to the smallest candidate vec_id via
+    candidate sort order."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+
+    def side(lab: int):
+        def f(tbl: pa.Table, want=lab) -> pa.Table:
+            l = tbl.column("label").to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(l == want))
+
+        return f
+
+    ones = emb.map_batches(side(1), batch_format="pyarrow").take_all()
+    c_ids = np.array([r["vec_id"] for r in ones], dtype=np.int64)
+    order = np.argsort(c_ids)
+    c_ids = c_ids[order]
+    cmat = np.stack(
+        [np.asarray(ones[i]["embedding"], dtype=np.float64) for i in order]
+    )
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    ref = ray.put((c_ids, cmat))
+
+    def nn(tbl: pa.Table) -> pa.Table:
+        ids, mat = ray.get(ref)
+        l = tbl.column("label").to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array(l == 0))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nn_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        q = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in t.column("embedding").to_pylist()
+            ]
+        )
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ mat.T
+        best = np.argmax(sims, axis=1)  # first max = smallest vec_id
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "nn_id": pa.array(ids[best], pa.int64()),
+                "score": pa.array(
+                    _round_half_away(sims[np.arange(len(best)), best], 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return emb.map_batches(nn, batch_format="pyarrow")
+
+
+_CROSS_NN_SQL = """
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+s AS (SELECT a.vec_id, b.vec_id AS nn_id,
+      CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS sim,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+      b.vec_id) AS rn
+      FROM a CROSS JOIN b)
+SELECT vec_id, nn_id, ROUND(sim, 4) AS score FROM s WHERE rn = 1
+"""
+
+
+def q_third_highest_value_per_type(sf_dir: str):
+    """Grouped order statistic: the 3rd-highest event value per type
+    (duplicates count separately — ROW_NUMBER semantics). Per-block
+    top-3 partials (np.partition — the combiner shape: only 3 rows per
+    (block, type) cross the exchange), per-type merge of partials."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(et, return_inverse=True)
+        out_t, out_v = [], []
+        for i, t in enumerate(u):
+            vals = v[inv == i]
+            top = np.sort(vals)[-3:]  # up to 3 largest
+            out_t.extend([t] * len(top))
+            out_v.extend(top.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        v = np.sort(tbl.column("value").to_numpy(zero_copy_only=False))
+        third = (
+            float(_round_half_away(np.array([v[-3]]))[0])
+            if len(v) >= 3
+            else None
+        )
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type").slice(0, 1),
+                "third_value": pa.array([third], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+_THIRD_VALUE_SQL = """
+WITH r AS (SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value DESC) AS rn FROM events)
+SELECT event_type, ROUND(value, 6) AS third_value FROM r WHERE rn = 3
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -7930,6 +8069,8 @@ def queries():
         "clicks_near_errors": q_clicks_near_errors,
         "props_k_stats": q_props_k_stats,
         "percolation_sweep": q_percolation_sweep,
+        "cross_label_nn": q_cross_label_nn,
+        "third_highest_value_per_type": q_third_highest_value_per_type,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -8154,6 +8295,8 @@ def oracle_sql():
         "clicks_near_errors": _CLICKS_NEAR_ERRORS_SQL,
         "props_k_stats": _PROPS_K_SQL,
         "percolation_sweep": _percolation_sql(_CC_K),
+        "cross_label_nn": _CROSS_NN_SQL,
+        "third_highest_value_per_type": _THIRD_VALUE_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

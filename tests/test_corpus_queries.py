@@ -50,6 +50,8 @@ NEW_QUERIES = [
     "clicks_near_errors",
     "props_k_stats",
     "percolation_sweep",
+    "cross_label_nn",
+    "third_highest_value_per_type",
 ]
 
 
