@@ -7692,6 +7692,118 @@ SELECT event_type, ROUND(value, 6) AS third_value FROM r WHERE rn = 3
 """
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Distinct users per 6-hour sliding window (1-hour slide) — the
+    overlapping-window cardinality operator (re-emission per window;
+    the HLL sketch in functions/sketches.py is the documented
+    approximate path at scale). Vectorized 6-way explode, per-batch
+    (window, user) pre-dedup bounds the exchange, per-window distinct
+    count in one map_groups."""
+    import ray.data as rd
+
+    HOUR_US = 3_600_000_000
+    K = 6  # 6h width / 1h slide
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        newest = (ts // HOUR_US) * HOUR_US
+        offs = np.arange(K, dtype=np.int64) * HOUR_US
+        win = np.repeat(newest, K) - np.tile(offs, n)
+        u = np.repeat(uid, K)
+        pairs = np.unique(np.stack([win, u], axis=1), axis=0)
+        return pa.table(
+            {
+                "window_us": pa.array(pairs[:, 0], pa.int64()),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def count_distinct(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_us": tbl.column("window_us").slice(0, 1),
+                "n_users": pa.array([len(np.unique(u))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_us")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH x AS (SELECT DISTINCT
+           ((epoch_us(ts) // 3600000000) * 3600000000)
+           - j.j * 3600000000 AS window_us, user_id
+           FROM events CROSS JOIN (SELECT UNNEST(range(6)) AS j) j)
+SELECT window_us, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM x GROUP BY window_us
+"""
+
+
+def q_quality_percent_rank(sf_dir: str):
+    """Global PERCENT_RANK of every document's quality score —
+    rank-normalize quality to [0,1] before threshold-free curation
+    (keep top-X%). rank = count(strictly lower) via one searchsorted
+    against the broadcast sorted score vector (byte-capped idiom —
+    the scale path is the classic two-pass range-partitioned rank:
+    sample → range-partition by score → per-partition offset + local
+    rank). Scores are bit-identical to the SQL mirror per the
+    _QUALITY_SQL contract, so tie groups match exactly."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    scored = ds.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["doc_id", "quality"])
+
+    scored = scored.map_batches(proj, batch_format="pyarrow").materialize()
+    qrows = scored.select_columns(["quality"]).take_all()
+    allq = np.sort(np.array([r["quality"] for r in qrows]))
+    N = len(allq)
+    ref = ray.put(allq)
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        sorted_q = ray.get(ref)
+        q = tbl.column("quality").to_numpy(zero_copy_only=False)
+        less = np.searchsorted(sorted_q, q, side="left")
+        pct = less * 1.0 / (N - 1) if N > 1 else np.zeros(len(q))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "pct_rank": pa.array(_round_half_away(pct), pa.float64()),
+            }
+        )
+
+    return scored.map_batches(rank, batch_format="pyarrow")
+
+
+def _quality_pct_rank_sql() -> str:
+    raw = _QUALITY_SQL.replace(
+        "SELECT doc_id, ROUND(", "SELECT doc_id, ("
+    ).replace("* 0.2, 6) ", "* 0.2) ")
+    return (
+        f"WITH q AS ({raw}) "
+        "SELECT doc_id, ROUND(PERCENT_RANK() OVER (ORDER BY quality), 6) "
+        "AS pct_rank FROM q"
+    )
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -8071,6 +8183,8 @@ def queries():
         "percolation_sweep": q_percolation_sweep,
         "cross_label_nn": q_cross_label_nn,
         "third_highest_value_per_type": q_third_highest_value_per_type,
+        "sliding_distinct_users": q_sliding_distinct_users,
+        "quality_percent_rank": q_quality_percent_rank,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -8297,6 +8411,8 @@ def oracle_sql():
         "percolation_sweep": _percolation_sql(_CC_K),
         "cross_label_nn": _CROSS_NN_SQL,
         "third_highest_value_per_type": _THIRD_VALUE_SQL,
+        "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
+        "quality_percent_rank": _quality_pct_rank_sql(),
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -52,6 +52,8 @@ NEW_QUERIES = [
     "percolation_sweep",
     "cross_label_nn",
     "third_highest_value_per_type",
+    "sliding_distinct_users",
+    "quality_percent_rank",
 ]
 
 
@@ -106,3 +108,42 @@ def test_wl_colors_are_min_vid_representatives(con):
     assert (by_color.index == by_color.values).all()
     # refinement is non-trivial on the derived graph: >1 class
     assert df["color"].nunique() > 1
+
+
+def test_round_half_away_matches_duckdb():
+    """_round_half_away mirrors DuckDB ROUND (half away from zero)
+    including exact .5 boundaries and negatives — np.round would
+    disagree on every odd boundary."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from signal_collect_ray.pipelines.queries import _round_half_away
+
+    con = duckdb.connect()
+
+    # deterministic boundary cases first
+    xs = np.array(
+        [0.0000005, -0.0000005, 1.0000015, -1.0000015, 2.5e-6, -2.5e-6]
+    )
+    want = np.array(
+        [
+            con.execute("SELECT ROUND(?, 6)", [float(x)]).fetchone()[0]
+            for x in xs
+        ]
+    )
+    np.testing.assert_array_equal(_round_half_away(xs), want)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        )
+    )
+    def inner(x):
+        got = float(_round_half_away(np.array([x]))[0])
+        want = con.execute("SELECT ROUND(?, 6)", [x]).fetchone()[0]
+        assert got == want, (x, got, want)
+
+    inner()
