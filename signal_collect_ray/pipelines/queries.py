@@ -2422,6 +2422,21 @@ def q_orders_by_nation(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_totalprice"],
     )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        # exact integer cents: order-independent distributed sum (see
+        # regional_revenue — float SUM flakes on cent boundaries)
+        tp = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": tbl.column("o_custkey"),
+                "cents": pa.array(
+                    np.round(tp * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
     cust = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
@@ -2434,11 +2449,12 @@ def q_orders_by_nation(sf_dir: str):
     j = broadcast_join(j, nation, on="c_nationkey")
     agg = j.groupby("n_name").aggregate(
         Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="revenue"),
+        Sum("cents", alias_name="revenue"),
     )
 
     def rnd(tbl: pa.Table) -> pa.Table:
-        r = np.round(tbl.column("revenue").to_numpy(zero_copy_only=False), 2)
+        units = tbl.column("revenue").to_numpy(zero_copy_only=False)
+        r = _round_half_away(units / 100.0, 2)
         return pa.table(
             {
                 "n_name": tbl.column("n_name"),
@@ -2452,7 +2468,8 @@ def q_orders_by_nation(sf_dir: str):
 
 _ORDERS_BY_NATION_SQL = (
     "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
-    "ROUND(SUM(o.o_totalprice), 2) AS revenue "
+    "ROUND(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) "
+    "AS revenue "
     "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
     "JOIN nation n ON n.n_nationkey = c.c_nationkey "
     "GROUP BY n.n_name"
@@ -2475,28 +2492,50 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def disc(tbl: pa.Table) -> pa.Table:
+        # exact integer units (cents for base price, 10^-4 dollars for
+        # the discounted price) — order-independent distributed sums;
+        # quantities are integer-valued doubles, already exact
         ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
         d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        ep_c = np.round(ep * 100.0).astype(np.int64)
+        dm = np.round((1.0 - d) * 100.0).astype(np.int64)
         return tbl.append_column(
-            "disc_price", pa.array(ep * (1.0 - d), pa.float64())
-        )
+            "base_cents", pa.array(ep_c, pa.int64())
+        ).append_column("disc_units", pa.array(ep_c * dm, pa.int64()))
 
     agg = li.map_batches(disc, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
     ).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_units", alias_name="disc_units"),
         Count(alias_name="count_order"),
     )
 
     def rnd(tbl: pa.Table) -> pa.Table:
         cols = {c: tbl.column(c) for c in ("l_returnflag", "l_linestatus")}
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            cols[c] = pa.array(
-                np.round(tbl.column(c).to_numpy(zero_copy_only=False), 2),
-                pa.float64(),
-            )
+        cols["sum_qty"] = pa.array(
+            _round_half_away(
+                tbl.column("sum_qty").to_numpy(zero_copy_only=False), 2
+            ),
+            pa.float64(),
+        )
+        cols["sum_base_price"] = pa.array(
+            _round_half_away(
+                tbl.column("base_cents").to_numpy(zero_copy_only=False)
+                / 100.0,
+                2,
+            ),
+            pa.float64(),
+        )
+        cols["sum_disc_price"] = pa.array(
+            _round_half_away(
+                tbl.column("disc_units").to_numpy(zero_copy_only=False)
+                / 10000.0,
+                2,
+            ),
+            pa.float64(),
+        )
         cols["count_order"] = tbl.column("count_order")
         return pa.table(cols)
 
@@ -2506,8 +2545,11 @@ def q_pricing_summary(sf_dir: str):
 _PRICING_SQL = (
     "SELECT l_returnflag, l_linestatus, "
     "ROUND(SUM(l_quantity), 2) AS sum_qty, "
-    "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) "
+    "AS sum_base_price, "
+    "ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) "
+    "* CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) "
+    "AS sum_disc_price, "
     "CAST(COUNT(*) AS BIGINT) AS count_order "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus"
 )
@@ -6609,10 +6651,17 @@ def q_regional_revenue(sf_dir: str):
     def rev(tbl: pa.Table) -> pa.Table:
         p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
         d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        # exact integer 10^-4-dollar units: prices/discounts are exact
+        # 2-decimal values, so the distributed sum is order-independent
+        # and can't straddle a cent-rounding boundary (the flake a
+        # naive float SUM produces about 1 run in 50)
+        units = np.round(p * 100.0).astype(np.int64) * np.round(
+            (1.0 - d) * 100.0
+        ).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": tbl.column("l_orderkey"),
-                "rev": pa.array(p * (1.0 - d), pa.float64()),
+                "rev": pa.array(units, pa.int64()),
             }
         )
 
@@ -6652,7 +6701,8 @@ def q_regional_revenue(sf_dir: str):
     agg = j.groupby(["r_name", "yr"]).aggregate(Sum("rev", alias_name="revenue"))
 
     def rnd(tbl: pa.Table) -> pa.Table:
-        r = np.round(tbl.column("revenue").to_numpy(zero_copy_only=False), 2)
+        units = tbl.column("revenue").to_numpy(zero_copy_only=False)
+        r = _round_half_away(units / 10000.0, 2)
         return pa.table(
             {
                 "r_name": tbl.column("r_name"),
@@ -6666,7 +6716,9 @@ def q_regional_revenue(sf_dir: str):
 
 _REGIONAL_REVENUE_SQL = (
     "SELECT r.r_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr, "
-    "ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue "
+    "ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) "
+    "* CAST(ROUND((1.0 - l.l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) "
+    "AS revenue "
     "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
     "JOIN customer c ON c.c_custkey = o.o_custkey "
     "JOIN nation n ON n.n_nationkey = c.c_nationkey "
