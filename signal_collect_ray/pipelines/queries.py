@@ -7856,6 +7856,186 @@ def _quality_pct_rank_sql() -> str:
     )
 
 
+def q_triangle_estimate_sampled(sf_dir: str):
+    """DOULION-style sampled triangle estimate (Tsourakakis et al.
+    2009, public): keep each UNDIRECTED edge iff knuth_hash(canonical
+    pair key) mod 100 < 50 (deterministic p=0.5 site-free edge
+    sampling, exactly SQL-mirrorable), count triangles on the sample
+    with the engine's oriented-wedge counter, scale by 1/p³ = 8.
+    Returns (exact, sampled, estimate) so the estimator's error is the
+    visible result."""
+    from signal_collect_ray.algorithms import total_triangles
+
+    edges = derived_edges_ds(sf_dir).select_columns(["src", "dst"])
+
+    def samp(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        key = (a * V_GRAPH + b).astype(np.uint64)
+        h = (key * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return tbl.filter(pa.array((h % np.uint64(100)) < 50))
+
+    exact = total_triangles(edges, num_partitions=32)
+    sampled = total_triangles(
+        edges.map_batches(samp, batch_format="pyarrow"), num_partitions=32
+    )
+    return pa.table(
+        {
+            "n_true": pa.array([exact], pa.int64()),
+            "n_sampled": pa.array([sampled], pa.int64()),
+            "estimate": pa.array([sampled * 8], pa.int64()),
+        }
+    )
+
+
+_TRI_SAMPLED_SQL = f"""
+WITH e0 AS ({_E_SQL}),
+u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+      GROUP BY 1, 2),
+us AS (SELECT a, b FROM u WHERE
+       ((CAST(a * {V_GRAPH} + b AS UBIGINT) * 2654435761) % 4294967296)
+       % 100 < 50),
+tri AS (SELECT COUNT(*) AS n FROM u x JOIN u y ON y.a = x.b
+        JOIN u z ON z.a = x.a AND z.b = y.b),
+tris AS (SELECT COUNT(*) AS n FROM us x JOIN us y ON y.a = x.b
+         JOIN us z ON z.a = x.a AND z.b = y.b)
+SELECT CAST(tri.n AS BIGINT) AS n_true,
+       CAST(tris.n AS BIGINT) AS n_sampled,
+       CAST(tris.n * 8 AS BIGINT) AS estimate
+FROM tri, tris
+"""
+
+
+_KHOP_SOURCES = (0, 16, 32, 48)
+
+
+def q_khop_counts(sf_dir: str):
+    """Exact k-hop neighborhood sizes (|{v : dist(s,v) ≤ k}|, source
+    included) for the four harmonic-closeness probe sources, k=1..3 —
+    the exact companion to the HyperBall-approximate
+    `neighborhood_function`. Four frontier-gated engine BFS runs; the
+    count fold is a scalar per (source, k)."""
+    from signal_collect_ray.algorithms import SSSP
+
+    out_s, out_k, out_n = [], [], []
+    for s in _KHOP_SOURCES:
+        t = _state(sf_dir, SSSP(s), False, 50, tag=f"_khop{s}")
+        d = t.column("state").to_numpy(zero_copy_only=False)
+        for k in (1, 2, 3):
+            out_s.append(s)
+            out_k.append(k)
+            out_n.append(int((d <= k).sum()))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.int64()),
+            "k": pa.array(out_k, pa.int64()),
+            "n_reach": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _khop_sql() -> str:
+    parts = []
+    for s in _KHOP_SOURCES:
+        parts.append(
+            f"SELECT {s} AS source, ks.k, "
+            "CAST(COUNT(*) FILTER (d.dist <= ks.k) AS BIGINT) AS n_reach "
+            f"FROM ({_sssp_sql(_BFS_K, s)}) d "
+            "CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k) ks "
+            "GROUP BY ks.k"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_ab_split_conversion(sf_dir: str):
+    """Deterministic A/B experiment readout: users hash-split into two
+    arms (knuth_hash(user_id) mod 2 — the training_shards mapper), per
+    arm the view→purchase conversion rate (purchase strictly after the
+    first view). One per-user fold (partial min-ts per type inside each
+    block, then a tiny per-user combine), scalar per-arm counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    BIG = np.int64(2**62)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        u, inv = np.unique(uid, return_inverse=True)
+        tv = np.full(len(u), BIG)
+        tp = np.full(len(u), BIG)
+        isv, isp = et == "view", et == "purchase"
+        np.minimum.at(tv, inv[isv], ts[isv])
+        np.minimum.at(tp, inv[isp], ts[isp])
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "tv": pa.array(tv, pa.int64()),
+                "tp": pa.array(tp, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("tv", alias_name="tv"), Min("tp", alias_name="tp"))
+        .take_all()
+    )
+    uid = np.array([r["user_id"] for r in rows], dtype=np.int64)
+    tv = np.array([r["tv"] for r in rows], dtype=np.int64)
+    tp = np.array([r["tp"] for r in rows], dtype=np.int64)
+    arm = part_of(uid, 2)
+    viewed = tv < BIG
+    conv = viewed & (tp < BIG) & (tp > tv)
+    out_a, out_u, out_c, out_r = [], [], [], []
+    for a in (0, 1):
+        m = arm == a
+        nu = int((viewed & m).sum())
+        nc = int((conv & m).sum())
+        out_a.append(a)
+        out_u.append(nu)
+        out_c.append(nc)
+        out_r.append(
+            float(_round_half_away(np.array([nc * 1.0 / nu]))[0])
+            if nu
+            else 0.0
+        )
+    return pa.table(
+        {
+            "arm": pa.array(out_a, pa.int64()),
+            "n_users": pa.array(out_u, pa.int64()),
+            "n_converted": pa.array(out_c, pa.int64()),
+            "conversion": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
+_AB_SPLIT_SQL = """
+WITH f AS (SELECT user_id,
+           ((CAST(user_id AS UBIGINT) * 2654435761) % 4294967296) % 2 AS arm,
+           MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS tv,
+           MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS tp
+           FROM events GROUP BY user_id),
+a AS (SELECT arm, COUNT(*) FILTER (tv IS NOT NULL) AS n_users,
+      COUNT(*) FILTER (tv IS NOT NULL AND tp IS NOT NULL AND tp > tv)
+      AS n_converted
+      FROM f GROUP BY arm)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       ROUND(CASE WHEN n_users > 0
+             THEN n_converted * 1.0 / n_users ELSE 0.0 END, 6) AS conversion
+FROM a
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -8237,6 +8417,9 @@ def queries():
         "third_highest_value_per_type": q_third_highest_value_per_type,
         "sliding_distinct_users": q_sliding_distinct_users,
         "quality_percent_rank": q_quality_percent_rank,
+        "triangle_estimate_sampled": q_triangle_estimate_sampled,
+        "khop_counts": q_khop_counts,
+        "ab_split_conversion": q_ab_split_conversion,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -8465,6 +8648,9 @@ def oracle_sql():
         "third_highest_value_per_type": _THIRD_VALUE_SQL,
         "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
         "quality_percent_rank": _quality_pct_rank_sql(),
+        "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
+        "khop_counts": _khop_sql(),
+        "ab_split_conversion": _AB_SPLIT_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

@@ -54,6 +54,9 @@ NEW_QUERIES = [
     "third_highest_value_per_type",
     "sliding_distinct_users",
     "quality_percent_rank",
+    "triangle_estimate_sampled",
+    "khop_counts",
+    "ab_split_conversion",
 ]
 
 
