@@ -8036,6 +8036,149 @@ FROM a
 """
 
 
+def q_community_rank_mass(sf_dir: str):
+    """Authority distribution across communities: Σ PageRank(k=4) per
+    1-round Chinese-Whispers community — which clusters hold the rank
+    mass. Composition of two engine runs + one keyed fold (both runs
+    reuse their cached graphs)."""
+    from signal_collect_ray.algorithms import ChineseWhispers, PageRank
+
+    pr = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
+    cw = _state(sf_dir, ChineseWhispers(), True, 1, eps=0.0, tag="_k1")
+    pv = pr.column("vid").to_numpy(zero_copy_only=False)
+    rank = pr.column("state").to_numpy(zero_copy_only=False)
+    cv = cw.column("vid").to_numpy(zero_copy_only=False)
+    lab = cw.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cv)
+    lab_of = lab[order][np.searchsorted(cv[order], pv)]
+    u, inv = np.unique(lab_of, return_inverse=True)
+    mass = np.bincount(inv, weights=rank)
+    n = np.bincount(inv)
+    return pa.table(
+        {
+            "label": pa.array(u, pa.int64()),
+            "n_vertices": pa.array(n.astype(np.int64), pa.int64()),
+            "rank_mass": pa.array(_round_half_away(mass, 4), pa.float64()),
+        }
+    )
+
+
+def _community_rank_sql() -> str:
+    raw_pr = _pr_sql(4).replace(
+        "SELECT vid, ROUND(r, 6) AS rank FROM r4", "SELECT vid, r FROM r4"
+    )
+    return (
+        f"WITH pr AS ({raw_pr}), cw AS ({_CW1_SQL}) "
+        "SELECT cw.label, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "ROUND(SUM(pr.r), 4) AS rank_mass "
+        "FROM pr JOIN cw ON cw.vid = pr.vid GROUP BY cw.label"
+    )
+
+
+def q_mutual_nn_pairs(sf_dir: str):
+    """Reciprocal nearest neighbors across the label-0 / label-1
+    populations: pairs where each side is the other's top-1 cosine
+    match — the high-precision alignment seed set (mutual-NN matching,
+    public). Both directions run the cross_label_nn distributed shape
+    (query side streams in batches against the broadcast candidate
+    matrix); only the two per-item NN tables are intersected on the
+    driver."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+
+    def nn_table(query_label: int, cand_label: int):
+        cand = emb.map_batches(
+            lambda t, w=cand_label: t.filter(
+                pa.array(
+                    t.column("label").to_numpy(zero_copy_only=False) == w
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+        order = np.argsort(ids)
+        mat = np.stack(
+            [np.asarray(cand[i]["embedding"], dtype=np.float64) for i in order]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ref = ray.put((ids[order], mat))
+
+        def nn(tbl: pa.Table, w=query_label) -> pa.Table:
+            cids, cmat = ray.get(ref)
+            l = tbl.column("label").to_numpy(zero_copy_only=False)
+            t = tbl.filter(pa.array(l == w))
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "nn_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            q = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()
+                ]
+            )
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cmat.T
+            best = np.argmax(sims, axis=1)  # first max = smallest vec_id
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "nn_id": pa.array(cids[best], pa.int64()),
+                    "score": pa.array(
+                        sims[np.arange(len(best)), best], pa.float64()
+                    ),
+                }
+            )
+
+        return emb.map_batches(nn, batch_format="pyarrow").take_all()
+
+    fwd = nn_table(0, 1)  # each label-0 -> best label-1
+    bwd = nn_table(1, 0)  # each label-1 -> best label-0
+    back = {r["vec_id"]: r["nn_id"] for r in bwd}
+    va, vb, sc = [], [], []
+    for r in fwd:
+        if back.get(r["nn_id"]) == r["vec_id"]:
+            va.append(r["vec_id"])
+            vb.append(r["nn_id"])
+            sc.append(r["score"])
+    order = np.argsort(np.array(va, dtype=np.int64))
+    return pa.table(
+        {
+            "vec_a": pa.array(np.array(va, dtype=np.int64)[order], pa.int64()),
+            "vec_b": pa.array(np.array(vb, dtype=np.int64)[order], pa.int64()),
+            "score": pa.array(
+                _round_half_away(np.array(sc)[order], 4), pa.float64()
+            ),
+        }
+    )
+
+
+_MUTUAL_NN_SQL = """
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+s AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS sim
+      FROM a CROSS JOIN b),
+fa AS (SELECT va, vb, sim FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY va
+        ORDER BY sim DESC, vb) AS rn FROM s) WHERE rn = 1),
+fb AS (SELECT va, vb FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY vb
+        ORDER BY sim DESC, va) AS rn FROM s) WHERE rn = 1)
+SELECT fa.va AS vec_a, fa.vb AS vec_b, ROUND(fa.sim, 4) AS score
+FROM fa JOIN fb ON fb.va = fa.va AND fb.vb = fa.vb
+"""
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -8420,6 +8563,8 @@ def queries():
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "khop_counts": q_khop_counts,
         "ab_split_conversion": q_ab_split_conversion,
+        "community_rank_mass": q_community_rank_mass,
+        "mutual_nn_pairs": q_mutual_nn_pairs,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -8651,6 +8796,8 @@ def oracle_sql():
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
         "khop_counts": _khop_sql(),
         "ab_split_conversion": _AB_SPLIT_SQL,
+        "community_rank_mass": _community_rank_sql(),
+        "mutual_nn_pairs": _MUTUAL_NN_SQL,
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

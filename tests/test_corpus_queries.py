@@ -57,6 +57,8 @@ NEW_QUERIES = [
     "triangle_estimate_sampled",
     "khop_counts",
     "ab_split_conversion",
+    "community_rank_mass",
+    "mutual_nn_pairs",
 ]
 
 
