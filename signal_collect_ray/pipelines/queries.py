@@ -4972,7 +4972,9 @@ def _media_sql() -> str:
 # SQL generators for the document / embedding oracles
 # ---------------------------------------------------------------------------
 
-def _lang_pred_sql() -> str:
+def _lang_pred_sql(
+    src: str = "documents", text_col: str = "text", key: str = "doc_id"
+) -> str:
     """Exact SQL mirror of functions.text.LanguageId: per-language marker
     substring counts per 1000 chars (non-overlapping counts via the
     replace-length trick, identical to ``str.count``), argmax with
@@ -5000,10 +5002,10 @@ def _lang_pred_sql() -> str:
             )
             cases.append(f"WHEN {geq} THEN '{lang}'")
     return (
-        "WITH s AS (SELECT doc_id, lower(COALESCE(text, '')) AS t, "
-        "GREATEST(length(COALESCE(text, '')), 1) AS n FROM documents), "
-        "sc AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM s) "
-        "SELECT doc_id, CASE " + " ".join(cases) + " END AS lang_pred "
+        f"WITH s AS (SELECT {key}, lower(COALESCE({text_col}, '')) AS t, "
+        f"GREATEST(length(COALESCE({text_col}, '')), 1) AS n FROM {src}), "
+        f"sc AS (SELECT {key}, " + ", ".join(score_cols) + " FROM s) "
+        f"SELECT {key}, CASE " + " ".join(cases) + " END AS lang_pred "
         "FROM sc"
     )
 
@@ -8179,6 +8181,73 @@ FROM fa JOIN fb ON fb.va = fa.va AND fb.vb = fa.vb
 """
 
 
+def q_doc_lang_mix(sf_dir: str):
+    """Paragraph-granularity language mixing: chunk every document with
+    the sliding word window (ChunkDocuments — the doc_chunks contract),
+    run the n-gram LanguageId per CHUNK, report chunks, distinct
+    detected languages and a mixed flag per document — the
+    code-switching / concatenated-crawl detector that doc-level lang-ID
+    misses. Chunk + detect stream; one doc-keyed fold."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import ChunkDocuments, LanguageId
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ch = ds.map_batches(
+        ChunkDocuments(_CHUNK_SIZE, _CHUNK_STRIDE),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "text": tbl.column("chunk_text"),
+            }
+        )
+
+    pred = ch.map_batches(prep, batch_format="pyarrow").map_batches(
+        LanguageId(), batch_format="pyarrow"
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        langs = np.asarray(tbl.column("lang_pred").to_pylist())
+        nl = len(np.unique(langs))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").slice(0, 1),
+                "n_chunks": pa.array([len(langs)], pa.int64()),
+                "n_langs": pa.array([nl], pa.int64()),
+                "mixed": pa.array([nl > 1], pa.bool_()),
+            }
+        )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["doc_id", "lang_pred"])
+
+    return (
+        pred.map_batches(proj, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def _doc_lang_mix_sql() -> str:
+    pred = _lang_pred_sql(
+        src=f"({_CHUNKS_SQL})", text_col="chunk_text", key="doc_id"
+    )
+    return (
+        f"WITH pred AS ({pred}) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(COUNT(DISTINCT lang_pred) AS BIGINT) AS n_langs, "
+        "COUNT(DISTINCT lang_pred) > 1 AS mixed "
+        "FROM pred GROUP BY doc_id"
+    )
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -8565,6 +8634,7 @@ def queries():
         "ab_split_conversion": q_ab_split_conversion,
         "community_rank_mass": q_community_rank_mass,
         "mutual_nn_pairs": q_mutual_nn_pairs,
+        "doc_lang_mix": q_doc_lang_mix,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -8798,6 +8868,7 @@ def oracle_sql():
         "ab_split_conversion": _AB_SPLIT_SQL,
         "community_rank_mass": _community_rank_sql(),
         "mutual_nn_pairs": _MUTUAL_NN_SQL,
+        "doc_lang_mix": _doc_lang_mix_sql(),
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

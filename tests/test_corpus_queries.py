@@ -59,6 +59,7 @@ NEW_QUERIES = [
     "ab_split_conversion",
     "community_rank_mass",
     "mutual_nn_pairs",
+    "doc_lang_mix",
 ]
 
 
