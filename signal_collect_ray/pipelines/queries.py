@@ -8248,6 +8248,123 @@ def _doc_lang_mix_sql() -> str:
     )
 
 
+_VOCAB_KS = (100, 1000, 10000)
+
+
+def q_vocab_coverage_curve(sf_dir: str):
+    """Vocabulary coverage curve: fraction of all corpus token
+    occurrences covered by the top-k most frequent words, k ∈
+    {100, 1k, 10k} — the tokenizer-vocabulary sizing curve. Word
+    counts from per-block partials + one groupby; the sorted-cumsum
+    tail runs on the driver over the counts table (heavy_hitters is
+    the documented sketch path when the vocabulary itself is too big
+    to collect). Ties at the k boundary break by (count desc, word
+    asc) on both sides."""
+    import re
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    tok = re.compile(r"[a-z]+")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        words: dict = {}
+        for t in tbl.column("text").to_pylist():
+            for w in tok.findall((t or "").lower()):
+                words[w] = words.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(words), pa.string()),
+                "n": pa.array(list(words.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    words = np.asarray([r["word"] for r in rows])
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.lexsort((words, -n))
+    csum = np.cumsum(n[order])
+    total = int(n.sum())
+    out_k, out_cov = [], []
+    for k in _VOCAB_KS:
+        covered = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        out_k.append(k)
+        out_cov.append(
+            float(_round_half_away(np.array([covered * 1.0 / total]))[0])
+            if total
+            else 0.0
+        )
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int64()),
+            "coverage": pa.array(out_cov, pa.float64()),
+        }
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    ks = ", ".join(str(k) for k in _VOCAB_KS)
+    return (
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(COALESCE(text, "
+        "'')), '[a-z]+')) AS word FROM documents), "
+        "c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word), "
+        "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) "
+        "AS rk FROM c), "
+        "t AS (SELECT SUM(n) AS total FROM c), "
+        f"ks AS (SELECT UNNEST([{ks}]) AS k) "
+        "SELECT ks.k, ROUND(COALESCE((SELECT SUM(n) FROM r WHERE "
+        "r.rk <= ks.k), 0) * 1.0 / t.total, 6) AS coverage "
+        "FROM ks, t"
+    )
+
+
+def q_pagerank_topk_stability(sf_dir: str):
+    """Rank-stability probe: Jaccard overlap of the top-20 PageRank
+    vertex sets at k=4 vs k=20 iterations — how early does the head of
+    the ranking stabilize (the iteration-budget question for
+    incremental recrawl scoring). Reuses both cached engine runs."""
+    a = q_pagerank_k4(sf_dir)
+    b = q_pagerank_k20(sf_dir)
+
+    def topset(t: pa.Table) -> np.ndarray:
+        vid = t.column("vid").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return vid[np.lexsort((vid, -r))[:20]]
+
+    sa, sb = topset(a), topset(b)
+    inter = len(np.intersect1d(sa, sb))
+    union = len(np.union1d(sa, sb))
+    return pa.table(
+        {
+            "n_common": pa.array([inter], pa.int64()),
+            "jaccard": pa.array(
+                [float(_round_half_away(np.array([inter * 1.0 / union]))[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _pr_topk_stability_sql() -> str:
+    return (
+        f"WITH a AS ({_pr_sql(4)}), b AS ({_pr_sql(20)}), "
+        "ta AS (SELECT vid FROM a ORDER BY rank DESC, vid LIMIT 20), "
+        "tb AS (SELECT vid FROM b ORDER BY rank DESC, vid LIMIT 20), "
+        "i AS (SELECT COUNT(*) AS n FROM ta WHERE vid IN "
+        "(SELECT vid FROM tb)) "
+        "SELECT CAST(i.n AS BIGINT) AS n_common, "
+        "ROUND(i.n * 1.0 / (40 - i.n), 6) AS jaccard FROM i"
+    )
+
+
 _RICH_KS = (5, 10, 20)
 
 
@@ -8635,6 +8752,8 @@ def queries():
         "community_rank_mass": q_community_rank_mass,
         "mutual_nn_pairs": q_mutual_nn_pairs,
         "doc_lang_mix": q_doc_lang_mix,
+        "vocab_coverage_curve": q_vocab_coverage_curve,
+        "pagerank_topk_stability": q_pagerank_topk_stability,
         "training_shards": q_training_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
@@ -8869,6 +8988,8 @@ def oracle_sql():
         "community_rank_mass": _community_rank_sql(),
         "mutual_nn_pairs": _MUTUAL_NN_SQL,
         "doc_lang_mix": _doc_lang_mix_sql(),
+        "vocab_coverage_curve": _vocab_coverage_sql(),
+        "pagerank_topk_stability": _pr_topk_stability_sql(),
         "training_shards": _TRAINING_SHARDS_SQL,
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,

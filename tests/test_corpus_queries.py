@@ -60,6 +60,8 @@ NEW_QUERIES = [
     "community_rank_mass",
     "mutual_nn_pairs",
     "doc_lang_mix",
+    "vocab_coverage_curve",
+    "pagerank_topk_stability",
 ]
 
 
