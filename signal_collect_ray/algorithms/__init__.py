@@ -26,6 +26,8 @@ from signal_collect_ray.algorithms.walks import node2vec_walks, random_walks
 from signal_collect_ray.algorithms.hyperball import neighborhood_function
 from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
+from signal_collect_ray.algorithms.rectangles import rectangle_count
+from signal_collect_ray.algorithms.dag import DagLongestPath, layers_from_state
 from signal_collect_ray.algorithms.mst import minimum_spanning_forest
 from signal_collect_ray.algorithms.modularity import (
     partition_modularity,
@@ -62,6 +64,8 @@ __all__ = [
     "edge_support",
     "ktruss",
     "scc_labels",
+    "rectangle_count",
+    "DagLongestPath", "layers_from_state",
     "minimum_spanning_forest",
     "partition_modularity",
     "louvain_one_level",

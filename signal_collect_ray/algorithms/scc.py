@@ -96,30 +96,33 @@ def scc_labels(edges_ds, workdir: str, num_partitions: int = 4,
     Returns a pyarrow Table (vid, scc) sorted by vid."""
     import ray
 
-    # materialize the directed edge array once (driver loop filters it;
-    # per-round subgraphs rebuild through Graph.build's own shuffles)
+    # materialize the directed edge array once (driver loop filters it
+    # with sorted-array numpy kernels — no per-edge Python; per-round
+    # subgraphs rebuild through Graph.build's own shuffles)
     rows = edges_ds.select_columns(["src", "dst"]).take_all()
     src = np.array([r["src"] for r in rows], dtype=np.int64)
     dst = np.array([r["dst"] for r in rows], dtype=np.int64)
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    all_vids = np.unique(np.concatenate([src, dst]))
-    label = {}
-    remaining = set(all_vids.tolist())
+    remaining = np.unique(np.concatenate([src, dst]))  # sorted
+    lab_vids: list = []  # finished vertices, per round
+    lab_sccs: list = []  # their canonical labels (min member vid)
 
     for rnd in range(max_outer):
-        if not remaining:
+        if not len(remaining):
             break
-        mask = np.array(
-            [s in remaining and d in remaining for s, d in zip(src, dst)]
-        )
+        hs, _ = isin_sorted(remaining, src)
+        hd, _ = isin_sorted(remaining, dst)
+        mask = hs & hd
         es, ed = src[mask], dst[mask]
-        in_edges = set(np.concatenate([es, ed]).tolist())
+        in_edges = np.unique(np.concatenate([es, ed]))  # sorted
         # vertices with no surviving edges are singleton SCCs
-        for v in remaining - in_edges:
-            label[v] = v
-        remaining &= in_edges
-        if not remaining:
+        has_e, _ = isin_sorted(in_edges, remaining)
+        singles = remaining[~has_e]
+        lab_vids.append(singles)
+        lab_sccs.append(singles)
+        remaining = remaining[has_e]
+        if not len(remaining):
             break
         g = Graph.from_edge_arrays(
             es, ed, os.path.join(workdir, f"g_fwd_{rnd}"),
@@ -129,14 +132,15 @@ def scc_labels(edges_ds, workdir: str, num_partitions: int = 4,
             g, _MaxColor(), os.path.join(workdir, f"run_fwd_{rnd}"),
             num_partitions,
         )
-        color = dict(zip(vid_c.tolist(), (-neg).tolist()))
-        pivots = np.array(
-            sorted(v for v, c in color.items() if v == c), dtype=np.int64
-        )
-        # reversed, color-filtered subgraph
-        cmask = np.array([color[s] == color[d] for s, d in zip(es, ed)])
+        order = np.argsort(vid_c, kind="stable")
+        vid_c, col = vid_c[order], -neg[order]  # sorted by vid
+        pivots = vid_c[vid_c == col]  # sorted
+        # reversed, color-filtered subgraph (colors via searchsorted —
+        # every surviving endpoint appears in vid_c by construction)
+        cs = col[np.searchsorted(vid_c, es)]
+        cd = col[np.searchsorted(vid_c, ed)]
+        cmask = cs == cd
         rs, rd = ed[cmask], es[cmask]
-        marked = set(pivots.tolist())
         if len(rs):
             g2 = Graph.from_edge_arrays(
                 rs, rd, os.path.join(workdir, f"g_bwd_{rnd}"),
@@ -146,30 +150,33 @@ def scc_labels(edges_ds, workdir: str, num_partitions: int = 4,
                 g2, _BackMark(pivots),
                 os.path.join(workdir, f"run_bwd_{rnd}"), num_partitions,
             )
-            marked |= {int(v) for v, s in zip(vid_m, st) if s == 0}
-        marked &= remaining
-        for v in marked:
-            label[v] = color[v]
-        remaining -= marked
-    if remaining:
+            marked = np.unique(np.concatenate([pivots, vid_m[st == 0]]))
+        else:
+            marked = pivots
+        hit, _ = isin_sorted(marked, remaining)
+        done = remaining[hit]  # sorted vids finishing this round
+        if not len(done):
+            raise RuntimeError("scc made no progress (pivot not marked)")
+        # their SCC label: min member vid per color (colors are max-ids,
+        # unique per SCC within a round and never reused across rounds)
+        dcol = col[np.searchsorted(vid_c, done)]
+        corder = np.argsort(dcol, kind="stable")
+        dv, dc = done[corder], dcol[corder]
+        starts = np.flatnonzero(np.r_[True, dc[1:] != dc[:-1]])
+        mins = np.minimum.reduceat(dv, starts)
+        grp = np.cumsum(np.r_[False, dc[1:] != dc[:-1]])
+        lab_vids.append(dv)
+        lab_sccs.append(mins[grp])
+        remaining = remaining[~hit]
+    if len(remaining):
         raise RuntimeError(f"scc did not converge in {max_outer} rounds")
 
-    # canonical label = MIN member vid per SCC (colors are max-ids)
-    groups: dict = {}
-    for v, c in label.items():
-        groups.setdefault(c, []).append(v)
-    out = {}
-    for c, members in groups.items():
-        # members sharing a color label in the SAME round are one SCC
-        m = min(members)
-        for v in members:
-            out[v] = m
-    vids = np.array(sorted(out), dtype=np.int64)
+    vids = np.concatenate(lab_vids) if lab_vids else np.empty(0, np.int64)
+    sccs = np.concatenate(lab_sccs) if lab_sccs else np.empty(0, np.int64)
+    order = np.argsort(vids, kind="stable")
     return pa.table(
         {
-            "vid": pa.array(vids, pa.int64()),
-            "scc": pa.array(
-                np.array([out[int(v)] for v in vids], np.int64), pa.int64()
-            ),
+            "vid": pa.array(vids[order].astype(np.int64), pa.int64()),
+            "scc": pa.array(sccs[order].astype(np.int64), pa.int64()),
         }
     )

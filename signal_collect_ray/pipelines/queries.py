@@ -8605,6 +8605,90 @@ _DUP_CLUSTER_SQL = (
 )
 
 
+def q_rectangle_count(sf_dir: str):
+    """Exact 4-cycle (rectangle) count of the undirected derived graph:
+    #C4 = ½ Σ_{u<w} C(codeg(u,w), 2) — the motif one up from triangles
+    (algorithms/rectangles.py, butterfly-counting identity). Oracle:
+    the same identity over a SQL common-neighbour self-join."""
+    from signal_collect_ray.algorithms import rectangle_count
+
+    n = rectangle_count(derived_edges_ds(sf_dir), num_partitions=32)
+    return pa.table({"n_rectangles": pa.array([n], pa.int64())})
+
+
+_RECT_SQL = f"""
+WITH e0 AS ({_E_SQL}),
+u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 GROUP BY 1, 2),
+sym AS (SELECT a AS v, b AS n FROM u UNION ALL SELECT b, a FROM u),
+codeg AS (SELECT s1.n AS x, s2.n AS y, COUNT(*) AS c
+          FROM sym s1 JOIN sym s2 ON s2.v = s1.v AND s1.n < s2.n
+          GROUP BY 1, 2)
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT)
+       AS n_rectangles FROM codeg
+"""
+
+
+def _graph_dag(sf_dir: str):
+    """Acyclic subgraph: derived edges filtered to src < dst (a DAG by
+    construction — edges always point id-upward)."""
+    from signal_collect_ray import Graph
+
+    key = (sf_dir, "dag")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+
+        def flt(tbl: pa.Table) -> pa.Table:
+            s = tbl.column("src").to_numpy(zero_copy_only=False)
+            d = tbl.column("dst").to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(s < d))
+
+        g = Graph.build(
+            derived_edges_ds(sf_dir).map_batches(flt, batch_format="pyarrow"),
+            _work_dir(sf_dir, "graph_dag"),
+            num_partitions=_P,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def q_dag_layers(sf_dir: str):
+    """Longest-path layering of the src<dst DAG, exactly 8 Jacobi
+    rounds on BOTH sides (algorithms/dag.py DagLongestPath — the
+    engine's dense min fold over negated layers; monotone, so an early
+    fixpoint equals the round-8 value)."""
+    from signal_collect_ray.algorithms import DagLongestPath, layers_from_state
+
+    g = _graph_dag(sf_dir)
+    eng = _engine(8, eps=0.0)
+    info = eng.run(
+        g, DagLongestPath(), run_dir=_work_dir(sf_dir, "run_dag"),
+        resume=False, checkpoint_interval=50,
+    )
+    return layers_from_state(info.state_table())
+
+
+def _dag_sql(k: int) -> str:
+    """k-step unrolled Jacobi max-fold over the src<dst DAG."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "e AS (SELECT src, dst FROM e0 WHERE src < dst)",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT vid, 0 AS l FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.vid, "
+            f"GREATEST(own.l, COALESCE(MAX(nb.l + 1), 0)) AS l "
+            f"FROM v JOIN l{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN l{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.l)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, CAST(l AS BIGINT) AS layer FROM l{k}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8630,6 +8714,8 @@ def queries():
         "sssp_weighted_from0": q_sssp_weighted_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "triangle_total": q_triangle_total,
+        "rectangle_count": q_rectangle_count,
+        "dag_layers": q_dag_layers,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -8843,6 +8929,8 @@ def oracle_sql():
         "chinese_whispers_k1": _CW1_SQL,
         "triangle_total": _TRI_SQL_BASE
         + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
+        "rectangle_count": _RECT_SQL,
+        "dag_layers": _dag_sql(8),
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
