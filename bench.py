@@ -40,6 +40,18 @@ SCALE_CPUS_LO = int(os.environ.get("GRAFT_SCALE_CPUS_LO", "8"))
 SCALE_CPUS_HI = int(os.environ.get("GRAFT_SCALE_CPUS_HI", "32"))
 
 
+# Pin the Ray Data logging config (see the YAML's header: drops the
+# per-block-merge 'Failed to hash the schemas' noise at its source, in
+# every worker — workers re-run dictConfig per dataset, so this is the
+# only place the level sticks). Must be set BEFORE ray.init so the
+# raylet's workers inherit it.
+_LOGGING_YAML = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "signal_collect_ray", "ray_data_logging.yaml",
+)
+os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", _LOGGING_YAML)
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -50,6 +62,9 @@ def _init_ray(num_cpus: int):
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env={
+                "env_vars": {"RAY_DATA_LOGGING_CONFIG": _LOGGING_YAML}
+            },
         )
     logging.getLogger("ray.data").setLevel(logging.CRITICAL)
     from ray.data import DataContext

@@ -8689,6 +8689,58 @@ def _dag_sql(k: int) -> str:
     )
 
 
+_PACK_L = 256
+_PACK_SHARDS = 8
+
+
+def q_sequence_packing(sf_dir: str):
+    """GPT-style concat-and-split training-sequence packing
+    (functions/text.py pack_sequences): whitespace token counts →
+    knuth-hash shard → in-shard doc_id-order concatenation split into
+    fixed 256-token blocks, straddling docs contributing one span per
+    crossed block. Oracle: window cumsum + lateral UNNEST(range())."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import pack_sequences
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def count(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        n = np.array([len((t or "").split()) for t in texts], np.int64)
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "n": pa.array(n, pa.int64())}
+        )
+
+    counts = ds.map_batches(count, batch_format="pyarrow")
+    return pack_sequences(
+        counts, seq_len=_PACK_L, num_shards=_PACK_SHARDS
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n,
+           CAST(((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296)
+                % {_PACK_SHARDS} AS BIGINT) AS shard
+           FROM documents),
+s AS (SELECT * FROM t WHERE n > 0),
+o AS (SELECT doc_id, n, shard,
+      CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS off
+      FROM s)
+SELECT shard, CAST(u.block AS BIGINT) AS block, doc_id,
+       CAST(GREATEST(u.block * {_PACK_L}, off) - off AS BIGINT) AS doc_off,
+       CAST(LEAST((u.block + 1) * {_PACK_L}, off + n)
+            - GREATEST(u.block * {_PACK_L}, off) AS BIGINT) AS n_tok
+FROM o, UNNEST(range(o.off // {_PACK_L},
+                     (o.off + o.n - 1) // {_PACK_L} + 1)) AS u(block)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8716,6 +8768,7 @@ def queries():
         "triangle_total": q_triangle_total,
         "rectangle_count": q_rectangle_count,
         "dag_layers": q_dag_layers,
+        "sequence_packing": q_sequence_packing,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -8931,6 +8984,7 @@ def oracle_sql():
         + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
         "rectangle_count": _RECT_SQL,
         "dag_layers": _dag_sql(8),
+        "sequence_packing": _PACK_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "

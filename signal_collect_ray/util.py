@@ -194,4 +194,12 @@ def silence_empty_block_schema_noise():
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_F())
+    # And the per-unify 'Failed to hash the schemas' WARNING: the
+    # driver-generated testdata parquet carries pandas schema metadata
+    # whose dict payload is unhashable under this pyarrow's
+    # Schema.__hash__; Ray then falls back to full schema unification
+    # (correct), so the warning is pure noise on every block merge.
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     _NOISE_FILTER_INSTALLED = True
