@@ -27,6 +27,7 @@ from signal_collect_ray.algorithms.hyperball import neighborhood_function
 from signal_collect_ray.algorithms.betweenness import betweenness_sampled
 from signal_collect_ray.algorithms.scc import scc_labels
 from signal_collect_ray.algorithms.rectangles import rectangle_count
+from signal_collect_ray.algorithms.sssp import shortest_path_tree
 from signal_collect_ray.algorithms.dag import DagLongestPath, layers_from_state
 from signal_collect_ray.algorithms.mst import minimum_spanning_forest
 from signal_collect_ray.algorithms.modularity import (
@@ -65,6 +66,7 @@ __all__ = [
     "ktruss",
     "scc_labels",
     "rectangle_count",
+    "shortest_path_tree",
     "DagLongestPath", "layers_from_state",
     "minimum_spanning_forest",
     "partition_modularity",

@@ -100,3 +100,120 @@ class MultiSourceBFS(SSSP):
             "active": is_src.copy(),
             "residual": is_src.astype(np.float64),
         }
+
+
+# Above this many vertices the distance map is attached by two
+# co-partitioned joins instead of broadcast (same rationale as
+# triangles.BROADCAST_DEGREE_LIMIT).
+BROADCAST_DIST_LIMIT = 20_000_000
+
+
+def shortest_path_tree(edges_ds, state_table, num_partitions: int = 32):
+    """Shortest-path-tree parents from a converged unweighted SSSP
+    state: ``parent(v) = min { u : (u,v) ∈ E, dist(u) + 1 = dist(v) }``
+    — the deterministic predecessor extraction (reference's Path edges
+    carry the route implicitly; this materializes it). One streaming
+    pass over the edges with the (vid, dist) arrays broadcast
+    (``ray.put`` once, two searchsorted lookups per batch) below
+    ``BROADCAST_DIST_LIMIT`` vertices, else two co-partitioned hash
+    joins (``triangles._attach``); per-batch segment-min pre-combine,
+    one hash exchange, exact min per vertex. Source and unreachable
+    vertices emit no row. Returns a Dataset (vid, parent)."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms.triangles import _attach, _np
+    from signal_collect_ray.util import part_of, segment_min
+
+    vids = state_table.column("vid").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    dist = state_table.column("state").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    order = np.argsort(vids, kind="stable")
+    vs, dv = vids[order], dist[order]
+
+    def emit(s, d, ds_, dd):
+        ok = np.isfinite(ds_) & np.isfinite(dd) & (dd == ds_ + 1.0)
+        v, p = d[ok], s[ok]
+        v, p = segment_min(v, p)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(v, num_partitions), pa.int32()),
+                "vid": pa.array(v, pa.int64()),
+                "parent": pa.array(p.astype(np.int64), pa.int64()),
+            }
+        )
+
+    if len(vs) <= BROADCAST_DIST_LIMIT:
+        ref = ray.put((vs, dv))
+
+        class _Cand:
+            __name__ = "_Cand"
+
+            def __init__(self, ref):
+                self.ref = ref
+                self._m = None
+
+            def _lookup(self, ids):
+                if self._m is None:
+                    import ray as _r
+
+                    self._m = _r.get(self.ref)
+                mv, md = self._m
+                pos = np.searchsorted(mv, ids)
+                pos_c = np.minimum(pos, len(mv) - 1)
+                hit = (pos < len(mv)) & (mv[pos_c] == ids)
+                out = np.full(len(ids), np.inf)
+                out[hit] = md[pos_c[hit]]
+                return out
+
+            def __call__(self, tbl: pa.Table) -> pa.Table:
+                s, d = _np(tbl, "src"), _np(tbl, "dst")
+                return emit(s, d, self._lookup(s), self._lookup(d))
+
+        cand = edges_ds.select_columns(["src", "dst"]).map_batches(
+            _Cand(ref), batch_format="pyarrow"
+        )
+    else:
+        dist_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(vs, pa.int64()),
+                    "d": pa.array(dv, pa.float64()),
+                }
+            )
+        )
+        with_s = _attach(
+            edges_ds.select_columns(["src", "dst"]),
+            "src",
+            dist_ds.rename_columns(["vid", "d_src"]),
+            "vid",
+            ["d_src"],
+            num_partitions,
+        )
+        with_d = _attach(
+            with_s, "dst", dist_ds.rename_columns(["vid", "d_dst"]), "vid",
+            ["d_dst"], num_partitions,
+        )
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            return emit(
+                _np(tbl, "src"), _np(tbl, "dst"),
+                tbl.column("d_src").to_numpy(zero_copy_only=False),
+                tbl.column("d_dst").to_numpy(zero_copy_only=False),
+            )
+
+        cand = with_d.map_batches(kernel, batch_format="pyarrow")
+
+    def final(tbl: pa.Table) -> pa.Table:
+        v, p = segment_min(_np(tbl, "vid"), _np(tbl, "parent"))
+        return pa.table(
+            {
+                "vid": pa.array(v, pa.int64()),
+                "parent": pa.array(p.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cand.groupby("gpart").map_groups(final, batch_format="pyarrow")

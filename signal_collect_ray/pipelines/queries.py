@@ -8689,6 +8689,35 @@ def _dag_sql(k: int) -> str:
     )
 
 
+def q_sssp_tree(sf_dir: str):
+    """Shortest-path-tree parents from the converged SSSP(0) run:
+    parent(v) = min in-neighbor u with dist(u) + 1 = dist(v)
+    (algorithms/sssp.py shortest_path_tree — broadcast distance map +
+    one min exchange). Oracle: the _BFS_K-step distance unroll joined
+    against the edge table."""
+    from signal_collect_ray.algorithms import SSSP, shortest_path_tree
+
+    t = _state(sf_dir, SSSP(0), False, 50, tag="_tree")
+    out = shortest_path_tree(
+        derived_edges_ds(sf_dir), t, num_partitions=_P
+    )
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
+def _sssp_tree_sql(k: int, source: int = 0) -> str:
+    inner = _sssp_sql(k, source)
+    return (
+        f"WITH dist AS (SELECT vid, dist FROM ({inner}) WHERE dist IS NOT NULL), "
+        f"e AS ({_E_SQL}) "
+        "SELECT e.dst AS vid, CAST(MIN(e.src) AS BIGINT) AS parent "
+        "FROM e JOIN dist a ON a.vid = e.src "
+        "JOIN dist b ON b.vid = e.dst AND b.dist = a.dist + 1 "
+        "GROUP BY e.dst"
+    )
+
+
 _PACK_L = 256
 _PACK_SHARDS = 8
 
@@ -8769,6 +8798,7 @@ def queries():
         "rectangle_count": q_rectangle_count,
         "dag_layers": q_dag_layers,
         "sequence_packing": q_sequence_packing,
+        "sssp_tree": q_sssp_tree,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -8985,6 +9015,7 @@ def oracle_sql():
         "rectangle_count": _RECT_SQL,
         "dag_layers": _dag_sql(8),
         "sequence_packing": _PACK_SQL,
+        "sssp_tree": _sssp_tree_sql(_BFS_K),
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "

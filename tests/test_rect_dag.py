@@ -123,3 +123,87 @@ def test_dag_random_k_rounds_match_jacobi(tmp_path, ray_session):
     for k in (2, 5):
         got = _run_dag(tmp_path / f"k{k}", src, dst, k)
         assert got == _brute_layers(src, dst, k)
+
+
+def test_sssp_tree_parents(tmp_path, ray_session):
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import SSSP, shortest_path_tree
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    rng = np.random.RandomState(23)
+    n = 50
+    src = rng.randint(0, n, 150).astype(np.int64)
+    dst = rng.randint(0, n, 150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph.build(
+        _edges_ds(src, dst), os.path.join(str(tmp_path), "g"),
+        num_partitions=4,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=0.0, max_supersteps=60)
+    )
+    info = eng.run(
+        g, SSSP(0), run_dir=os.path.join(str(tmp_path), "run"), resume=False
+    )
+    state = info.state_table()
+    out = shortest_path_tree(_edges_ds(src, dst), state, num_partitions=4)
+    got = {
+        r["vid"]: r["parent"] for r in out.take_all()
+    }
+    # independent BFS
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in zip(src, dst):
+        adj[int(s)].append(int(d))
+    dist = {0: 0}
+    q = collections.deque([0])
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    want = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s in dist and d in dist and dist[d] == dist[s] + 1:
+            want[d] = min(want.get(d, s), s)
+    assert got == want
+    assert 0 not in got  # source has no parent
+
+
+def test_sssp_tree_join_path(tmp_path, ray_session, monkeypatch):
+    """Force the co-partitioned-join fallback; same parents."""
+    import signal_collect_ray.algorithms.sssp as sssp_mod
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import SSSP
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    src = np.array([0, 0, 1, 2, 3, 1], dtype=np.int64)
+    dst = np.array([1, 2, 3, 3, 4, 4], dtype=np.int64)
+    g = Graph.build(
+        _edges_ds(src, dst), os.path.join(str(tmp_path), "g"),
+        num_partitions=2,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=2, eps=0.0, max_supersteps=20)
+    )
+    info = eng.run(
+        g, SSSP(0), run_dir=os.path.join(str(tmp_path), "run"), resume=False
+    )
+    state = info.state_table()
+    want = {
+        r["vid"]: r["parent"]
+        for r in sssp_mod.shortest_path_tree(
+            _edges_ds(src, dst), state, num_partitions=2
+        ).take_all()
+    }
+    monkeypatch.setattr(sssp_mod, "BROADCAST_DIST_LIMIT", 0)
+    got = {
+        r["vid"]: r["parent"]
+        for r in sssp_mod.shortest_path_tree(
+            _edges_ds(src, dst), state, num_partitions=2
+        ).take_all()
+    }
+    assert got == want == {1: 0, 2: 0, 3: 1, 4: 1}
