@@ -1347,3 +1347,120 @@ def pack_sequences(counts_ds, seq_len: int, num_shards: int = 16,
         .groupby("shard")
         .map_groups(pack_group, batch_format="pyarrow")
     )
+
+
+def source_vocab_overlap(docs_ds, num_partitions: int = 32):
+    """Pairwise vocabulary overlap between corpus sources: for every
+    source pair (a < b), the number of distinct words both contain and
+    the vocabulary Jaccard |Va∩Vb| / |Va∪Vb| — the standard corpus-mix
+    diagnostic for how much two crawls/dumps duplicate each other's
+    lexicon. Word space is huge, source space tiny: per-block distinct
+    (word, source) sets → ONE hash exchange on the word → per-partition
+    dedup, per-word source combos (≤ C(n_sources,2) rows each) and
+    per-source distinct-word marginals fold to O(n_sources²) partials
+    per partition; the driver folds partitions. Returns a pyarrow Table
+    (source_a, source_b, n_common, jaccard) sorted by pair."""
+    import hashlib
+
+    from signal_collect_ray.util import part_of
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        seen = set()
+        for s, t in zip(
+            tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            for w in set((t or "").lower().split()):
+                seen.add((w, s))
+        if not seen:
+            return pa.table(
+                {
+                    "gpart": pa.array([], pa.int32()),
+                    "word": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        words = [w for w, _ in seen]
+        srcs = [s for _, s in seen]
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                for w in words
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(h, num_partitions), pa.int32()),
+                "word": pa.array(words, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "word": tbl.column("word").to_pylist(),
+                "source": tbl.column("source").to_pylist(),
+            }
+        ).drop_duplicates()
+        marg = df.groupby("source").size()
+        rows_a, rows_b, rows_n = [], [], []
+        for s, nv in marg.items():
+            rows_a.append(s)
+            rows_b.append("")  # marginal row: |V_s| partial
+            rows_n.append(int(nv))
+        import itertools as it
+
+        words_of = {
+            s: grp["word"].to_numpy()
+            for s, grp in df.groupby("source", sort=True)
+        }
+        for a, b in it.combinations(sorted(words_of), 2):
+            c = len(np.intersect1d(words_of[a], words_of[b]))
+            if c:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_n.append(int(c))
+        return pa.table(
+            {
+                "source_a": pa.array(rows_a, pa.string()),
+                "source_b": pa.array(rows_b, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    parts = (
+        docs_ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )
+    marg: dict = {}
+    common: dict = {}
+    for r in parts:
+        if r["source_b"] == "":
+            marg[r["source_a"]] = marg.get(r["source_a"], 0) + r["n"]
+        else:
+            key = (r["source_a"], r["source_b"])
+            common[key] = common.get(key, 0) + r["n"]
+    keys = sorted(common)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], pa.string()),
+            "source_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_common": pa.array([common[k] for k in keys], pa.int64()),
+            "jaccard": pa.array(
+                [
+                    round(
+                        common[k]
+                        / (marg[k[0]] + marg[k[1]] - common[k]),
+                        6,
+                    )
+                    for k in keys
+                ],
+                pa.float64(),
+            ),
+        }
+    )

@@ -8718,6 +8718,40 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise source vocabulary Jaccard (functions/text.py
+    source_vocab_overlap): one word-hash exchange, per-partition
+    intersect1d pair partials, O(sources²) driver fold."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import source_vocab_overlap
+
+    return source_vocab_overlap(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+    )
+
+
+_SRC_VOCAB_SQL = """
+WITH d AS (
+  SELECT source,
+         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') AS w
+  FROM documents),
+u AS (SELECT source, unnest(w) AS word FROM d),
+ws AS (SELECT DISTINCT source, word FROM u WHERE word <> ''),
+m AS (SELECT source, COUNT(*) AS nv FROM ws GROUP BY source),
+c AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM ws a JOIN ws b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT c.source_a, c.source_b, CAST(c.n_common AS BIGINT) AS n_common,
+       ROUND(c.n_common * 1.0 / (ma.nv + mb.nv - c.n_common), 6) AS jaccard
+FROM c JOIN m ma ON ma.source = c.source_a
+       JOIN m mb ON mb.source = c.source_b
+"""
+
+
 _PACK_L = 256
 _PACK_SHARDS = 8
 
@@ -8799,6 +8833,7 @@ def queries():
         "dag_layers": q_dag_layers,
         "sequence_packing": q_sequence_packing,
         "sssp_tree": q_sssp_tree,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9016,6 +9051,7 @@ def oracle_sql():
         "dag_layers": _dag_sql(8),
         "sequence_packing": _PACK_SQL,
         "sssp_tree": _sssp_tree_sql(_BFS_K),
+        "source_vocab_overlap": _SRC_VOCAB_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
