@@ -37,6 +37,7 @@ from signal_collect_ray.algorithms.modularity import (
 from signal_collect_ray.algorithms.triangles import (
     triangle_counts,
     total_triangles,
+    triangle_list,
     clustering_coefficient,
 )
 
@@ -78,5 +79,6 @@ __all__ = [
     "best_paths",
     "triangle_counts",
     "total_triangles",
+    "triangle_list",
     "clustering_coefficient",
 ]

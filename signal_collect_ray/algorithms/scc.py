@@ -99,9 +99,15 @@ def scc_labels(edges_ds, workdir: str, num_partitions: int = 4,
     # materialize the directed edge array once (driver loop filters it
     # with sorted-array numpy kernels — no per-edge Python; per-round
     # subgraphs rebuild through Graph.build's own shuffles)
-    rows = edges_ds.select_columns(["src", "dst"]).take_all()
-    src = np.array([r["src"] for r in rows], dtype=np.int64)
-    dst = np.array([r["dst"] for r in rows], dtype=np.int64)
+    et = pa.concat_tables(
+        list(
+            edges_ds.select_columns(["src", "dst"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    src = et.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
     keep = src != dst
     src, dst = src[keep], dst[keep]
     remaining = np.unique(np.concatenate([src, dst]))  # sorted

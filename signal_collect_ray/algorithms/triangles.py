@@ -533,3 +533,39 @@ def clustering_coefficient(edges_ds, num_partitions: int = 64):
         .groupby("gpart")
         .map_groups(max_by_vid, batch_format="pyarrow")
     )
+
+
+def triangle_list(edges_ds, num_partitions: int = 64):
+    """Enumerate every distinct triangle as a canonical (a < b < c) row
+    — the same two-exchange degree-oriented wedge closure as
+    ``triangle_counts`` (each triangle closes exactly ONE wedge in the
+    orientation DAG, so rows are exactly the triangles, no dedup
+    needed); the per-group kernel just id-sorts the corner triple
+    instead of aggregating per vertex. Output size is the triangle
+    count itself — stream it to a sink, don't take_all at web scale."""
+
+    def lister(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        w = _closed_wedges(tbl)
+        if w is None:
+            return empty
+        m = np.sort(np.stack(w, axis=1), axis=1)
+        return pa.table(
+            {
+                "a": pa.array(m[:, 0], pa.int64()),
+                "b": pa.array(m[:, 1], pa.int64()),
+                "c": pa.array(m[:, 2], pa.int64()),
+            }
+        )
+
+    oriented, _ = _oriented_edges(edges_ds, num_partitions)
+    shipped = oriented.groupby("spart").map_groups(
+        _OrientAndShip(num_partitions), batch_format="pyarrow"
+    )
+    return shipped.groupby("ipart").map_groups(lister, batch_format="pyarrow")

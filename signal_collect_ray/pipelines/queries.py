@@ -8718,6 +8718,18 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
+def q_triangle_list(sf_dir: str):
+    """Every distinct triangle as a canonical (a<b<c) row
+    (algorithms/triangles.py triangle_list — the counting pipeline's
+    wedge closure emitting corners instead of aggregating)."""
+    from signal_collect_ray.algorithms import triangle_list
+
+    out = triangle_list(derived_edges_ds(sf_dir), num_partitions=32)
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
 def q_source_vocab_overlap(sf_dir: str):
     """Pairwise source vocabulary Jaccard (functions/text.py
     source_vocab_overlap): one word-hash exchange, per-partition
@@ -8834,6 +8846,7 @@ def queries():
         "sequence_packing": q_sequence_packing,
         "sssp_tree": q_sssp_tree,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "triangle_list": q_triangle_list,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9052,6 +9065,8 @@ def oracle_sql():
         "sequence_packing": _PACK_SQL,
         "sssp_tree": _sssp_tree_sql(_BFS_K),
         "source_vocab_overlap": _SRC_VOCAB_SQL,
+        "triangle_list": _TRI_SQL_BASE
+        + "SELECT u AS a, v AS b, w AS c FROM tri",
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "

@@ -207,3 +207,27 @@ def test_sssp_tree_join_path(tmp_path, ray_session, monkeypatch):
         ).take_all()
     }
     assert got == want == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_triangle_list_enumeration(ray_session):
+    from signal_collect_ray.algorithms import total_triangles, triangle_list
+
+    rng = np.random.RandomState(31)
+    n = 25
+    src = rng.randint(0, n, 120).astype(np.int64)
+    dst = rng.randint(0, n, 120).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    rows = triangle_list(_edges_ds(src, dst), num_partitions=4).take_all()
+    got = {(r["a"], r["b"], r["c"]) for r in rows}
+    assert len(rows) == len(got)  # each triangle exactly once
+    adj = set()
+    for s, d in zip(src, dst):
+        adj.add((min(s, d), max(s, d)))
+    want = set()
+    for a, b in adj:
+        for c in range(n):
+            if c > b and (a, c) in adj and (b, c) in adj:
+                want.add((a, b, c))
+    assert got == want
+    assert len(got) == total_triangles(_edges_ds(src, dst), num_partitions=4)
