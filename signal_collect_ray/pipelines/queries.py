@@ -8718,6 +8718,148 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
+_Q18_MIN_QTY = 150
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-flavored large-volume orders: per-order total quantity
+    (exact int units, per-block segment-sum pre-combine + one hash
+    exchange), HAVING > 150, then the small survivor set broadcast into
+    the orders scan for o_custkey. The group-then-filter-then-join
+    shape that makes Q18 the classic anti-broadcast trap — here the
+    join is AFTER the reduction, so the broadcast side is tiny."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+    from signal_collect_ray.util import part_of, segment_sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = np.round(
+            tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        kk, qq = segment_sum(k, q)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(kk, 32), pa.int32()),
+                "o_orderkey": pa.array(kk, pa.int64()),
+                "qty": pa.array(qq, pa.int64()),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        kk, qq = segment_sum(
+            tbl.column("o_orderkey").to_numpy(zero_copy_only=False),
+            tbl.column("qty").to_numpy(zero_copy_only=False),
+        )
+        keep = qq > _Q18_MIN_QTY
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kk[keep], pa.int64()),
+                "total_qty": pa.array(qq[keep], pa.int64()),
+            }
+        )
+
+    big = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    out = broadcast_join(orders, big, on="o_orderkey")
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    ).select(["o_orderkey", "o_custkey", "total_qty"])
+
+
+_Q18_SQL = f"""
+WITH t AS (SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1 HAVING q > {_Q18_MIN_QTY})
+SELECT o.o_orderkey, o.o_custkey, t.q AS total_qty
+FROM orders o JOIN t ON t.l_orderkey = o.o_orderkey
+"""
+
+
+def q_returned_revenue_top20(sf_dir: str):
+    """TPC-H-Q10-flavored returned-item revenue: lineitems with
+    l_returnflag = 'R', exact integer-cent revenue units, big-big
+    hash_join to orders for the customer key, per-customer sum, exact
+    global top-20 (revenue desc, custkey asc — rounded BEFORE the
+    prune so the SQL mirror decides boundary rows identically)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag",
+        ],
+    )
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(tbl.column("l_returnflag"), "R").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        units = np.round(p * 100.0).astype(np.int64) * np.round(
+            (1.0 - d) * 100.0
+        ).astype(np.int64)
+        k = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(k, pa.int64()),
+                "rev": pa.array(units, pa.int64()),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    j = hash_join(li, orders, on="l_orderkey")
+    agg = j.groupby("o_custkey").aggregate(Sum("rev", alias_name="units"))
+    t = pa.concat_tables(
+        list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+    rev_d = _round_half_away(
+        t.column("units").to_numpy(zero_copy_only=False) / 10000.0, 2
+    )
+    order = np.lexsort((cust, -rev_d))[:20]
+    return pa.table(
+        {
+            "c_custkey": pa.array(cust[order], pa.int64()),
+            "revenue": pa.array(rev_d[order], pa.float64()),
+        }
+    )
+
+
+_Q10_SQL = """
+WITH r AS (SELECT o.o_custkey AS c_custkey,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND((1.0 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_returnflag = 'R' GROUP BY 1)
+SELECT c_custkey, revenue FROM r
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
 def q_triangle_list(sf_dir: str):
     """Every distinct triangle as a canonical (a<b<c) row
     (algorithms/triangles.py triangle_list — the counting pipeline's
@@ -8847,6 +8989,8 @@ def queries():
         "sssp_tree": q_sssp_tree,
         "source_vocab_overlap": q_source_vocab_overlap,
         "triangle_list": q_triangle_list,
+        "large_orders": q_large_orders,
+        "returned_revenue_top20": q_returned_revenue_top20,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9067,6 +9211,8 @@ def oracle_sql():
         "source_vocab_overlap": _SRC_VOCAB_SQL,
         "triangle_list": _TRI_SQL_BASE
         + "SELECT u AS a, v AS b, w AS c FROM tri",
+        "large_orders": _Q18_SQL,
+        "returned_revenue_top20": _Q10_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
