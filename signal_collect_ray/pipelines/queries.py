@@ -8718,6 +8718,54 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """End-to-end WARC-lite source check: documents → minimal WARC 1.0
+    response records (8 archive files, knuth-hash sharded) → distributed
+    ``read_warc_lite`` parse → (doc_id, text) recovered from the
+    WARC-Target-URI. Oracle: the documents table itself — byte-identical
+    text through the archive round trip."""
+    import ray.data as rd
+
+    from signal_collect_ray.sources import read_warc_lite, write_warc_lite
+    from signal_collect_ray.util import part_of
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    wdir = _work_dir(sf_dir, "warc")
+    os.makedirs(wdir, exist_ok=True)
+    n_shards = 8
+    shards: dict = {i: [] for i in range(n_shards)}
+    for b in docs.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = part_of(ids, n_shards)
+        for i, t, s in zip(ids, b.column("text").to_pylist(), sh):
+            shards[int(s)].append(
+                (f"doc://{int(i)}", "2024-01-01T00:00:00Z", t or "")
+            )
+    paths = []
+    for s, recs in shards.items():
+        p = os.path.join(wdir, f"shard_{s}.warc")
+        write_warc_lite(p, recs)
+        paths.append(p)
+
+    parsed = read_warc_lite(paths)
+
+    def back(tbl: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(u[len("doc://"):]) for u in tbl.column("url").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": tbl.column("text"),
+            }
+        )
+
+    return parsed.map_batches(back, batch_format="pyarrow")
+
+
 _Q18_MIN_QTY = 150
 
 
@@ -8991,6 +9039,7 @@ def queries():
         "triangle_list": q_triangle_list,
         "large_orders": q_large_orders,
         "returned_revenue_top20": q_returned_revenue_top20,
+        "warc_roundtrip": q_warc_roundtrip,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9213,6 +9262,7 @@ def oracle_sql():
         + "SELECT u AS a, v AS b, w AS c FROM tri",
         "large_orders": _Q18_SQL,
         "returned_revenue_top20": _Q10_SQL,
+        "warc_roundtrip": "SELECT doc_id, COALESCE(text, '') AS text FROM documents",
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "

@@ -3,6 +3,12 @@ from signal_collect_ray.sources.pages import (
     page_links,
     page_url,
 )
+from signal_collect_ray.sources.corpus import (
+    read_jsonl_docs,
+    read_warc_lite,
+    write_warc_lite,
+    rmat_edges,
+)
 from signal_collect_ray.sources.extract import (
     HYPERLINK_RE,
     extract_links,
@@ -22,4 +28,8 @@ __all__ = [
     "LinkExtractor",
     "TextExtractor",
     "pages_to_edges",
+    "read_jsonl_docs",
+    "read_warc_lite",
+    "write_warc_lite",
+    "rmat_edges",
 ]
