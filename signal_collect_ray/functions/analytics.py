@@ -898,3 +898,36 @@ def rank_in_group(
         .groupby("part")
         .map_groups(number, batch_format="pyarrow")
     )
+
+
+def melt(ds, id_cols, value_cols, var_name: str = "metric",
+         value_name: str = "value"):
+    """UNPIVOT / melt: widen-to-long reshape — each input row emits one
+    (id_cols…, var_name, value_name) row per value column. Pure
+    per-batch kernel (k column gathers + one concat), no exchange, no
+    Python row loop; the inverse of ``pivot_counts``. Value columns
+    must share one Arrow type."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        k = len(value_cols)
+
+        def chunks_of(col):
+            ca = tbl.column(col)
+            return list(ca.chunks) or [pa.array([], type=ca.type)]
+
+        cols = {}
+        for c in id_cols:
+            cols[c] = pa.chunked_array(chunks_of(c) * k)
+        cols[var_name] = pa.array(
+            np.repeat(np.array(value_cols, dtype=object), n).tolist(),
+            pa.string(),
+        )
+        vtype = tbl.column(value_cols[0]).type
+        cols[value_name] = pa.chunked_array(
+            [ch.cast(vtype) for c in value_cols for ch in chunks_of(c)],
+            type=vtype,
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

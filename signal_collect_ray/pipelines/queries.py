@@ -8718,6 +8718,39 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
+def q_doc_metrics_melted(sf_dir: str):
+    """UNPIVOT/melt (functions/analytics.py melt — the inverse of
+    pivot): per-doc (n_words, n_tokens, n_chars) widened to long
+    (doc_id, metric, value) rows, one per-batch gather, no exchange.
+    Oracle: three-way UNION ALL with the RE2-identical token regex."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import melt
+    from signal_collect_ray.functions.text import TokenCount
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    counted = ds.map_batches(TokenCount(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_words", "n_tokens", "n_chars"])
+    return melt(
+        counted, ["doc_id"], ["n_words", "n_tokens", "n_chars"]
+    )
+
+
+_MELT_SQL = """
+WITH t AS (SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+  CAST(length(regexp_extract_all(text,
+       '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS n_tokens,
+  CAST(n_chars AS BIGINT) AS n_chars FROM documents)
+SELECT doc_id, 'n_words' AS metric, n_words AS value FROM t
+UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM t
+UNION ALL SELECT doc_id, 'n_chars', n_chars FROM t
+"""
+
+
 def q_warc_roundtrip(sf_dir: str):
     """End-to-end WARC-lite source check: documents → minimal WARC 1.0
     response records (8 archive files, knuth-hash sharded) → distributed
@@ -9040,6 +9073,7 @@ def queries():
         "large_orders": q_large_orders,
         "returned_revenue_top20": q_returned_revenue_top20,
         "warc_roundtrip": q_warc_roundtrip,
+        "doc_metrics_melted": q_doc_metrics_melted,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9263,6 +9297,7 @@ def oracle_sql():
         "large_orders": _Q18_SQL,
         "returned_revenue_top20": _Q10_SQL,
         "warc_roundtrip": "SELECT doc_id, COALESCE(text, '') AS text FROM documents",
+        "doc_metrics_melted": _MELT_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "

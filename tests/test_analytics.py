@@ -204,3 +204,27 @@ def test_gaps_match_duckdb(inp):
         .fetchall()
     )
     assert got == want
+
+
+def test_melt_roundtrip(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.functions.analytics import melt
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "a": pa.array([10, 20], pa.int64()),
+                "b": pa.array([30, 40], pa.int64()),
+            }
+        )
+    )
+    rows = sorted(
+        (r["k"], r["metric"], r["value"])
+        for r in melt(ds, ["k"], ["a", "b"]).take_all()
+    )
+    assert rows == [
+        (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40),
+    ]
