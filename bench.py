@@ -474,7 +474,80 @@ def run_scaling_weak() -> dict:
     }
 
 
+def run_rmat(num_cpus: int, scale: int = 18, n_edges: int = 5_000_000) -> dict:
+    """Hub-skew stress: PageRank over a deterministic R-MAT graph
+    (a=0.57 — far heavier-tailed than the web-density pages synth).
+    Evidences the two skew paths: the resident engine's dense bincount
+    exchange (hub-oblivious), and the durable executor's salted
+    two-stage aggregation (salt_buckets A/B at fixed k supersteps)."""
+    import time
+
+    from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.algorithms.cocitation import _in_degrees
+    from signal_collect_ray.engine_resident import ResidentEngine
+    from signal_collect_ray.sources import rmat_edges
+
+    _init_ray(num_cpus)
+    work = "/tmp/scray_bench/rmat"
+    P = max(2 * num_cpus, 16)
+    out: dict = {
+        "metric": "rmat_pagerank_bench",
+        "scale": scale,
+        "n_edges_drawn": n_edges,
+        "num_cpus": num_cpus,
+    }
+    t0 = time.perf_counter()
+    edges = rmat_edges(scale, n_edges, seed=7, num_blocks=P)
+    g = Graph.build(edges, os.path.join(work, "g"), num_partitions=P)
+    out["build_sec"] = round(time.perf_counter() - t0, 3)
+    out["n_vertices"] = g.num_vertices
+    out["n_edges"] = g.num_edges
+    deg = _in_degrees(edges, num_partitions=P)
+    import pyarrow as pa  # noqa: F401
+
+    mx = deg.max("deg")
+    out["max_in_degree"] = int(mx)
+
+    t0 = time.perf_counter()
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=P, eps=1e-6, max_supersteps=60,
+                     convergence_check_interval=8)
+    )
+    info = eng.run(
+        g, PageRank(), run_dir=os.path.join(work, "run_res"), resume=False,
+        checkpoint_interval=100,
+    )
+    pr_s = time.perf_counter() - t0
+    out["resident_pagerank_sec"] = round(pr_s, 3)
+    out["resident_supersteps"] = info.supersteps
+    out["resident_edges_per_sec"] = int(
+        g.num_edges * info.supersteps / pr_s
+    )
+
+    for salt in (1, 8):
+        t0 = time.perf_counter()
+        eng_d = SuperstepEngine(
+            EngineConfig(num_partitions=P, eps=0.0, max_supersteps=3,
+                         salt_buckets=salt)
+        )
+        eng_d.run(
+            g, PageRank(), run_dir=os.path.join(work, f"run_d{salt}"),
+            resume=False,
+        )
+        out[f"durable_k3_salt{salt}_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+    return out
+
+
 def main():
+    if "--rmat" in sys.argv:
+        import ray
+
+        print(json.dumps(run_rmat(NUM_CPUS)))
+        ray.shutdown()
+        return
     if "--scaling-child" in sys.argv:
         _scaling_child(NUM_CPUS)
         return
