@@ -8718,6 +8718,61 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
+def q_spearman_indeg_pagerank(sf_dir: str):
+    """Spearman rank correlation between in-degree and 4-step PageRank
+    — the centrality-agreement diagnostic. Ranks use the (value, vid)
+    tie-break so they are a permutation and ρ = 1 − 6Σd²/(n(n²−1))
+    applies exactly; PR values are rounded to 6 digits BEFORE ranking
+    so the SQL mirror orders every tie identically. State tables are
+    driver-resident at gate scale (same precedent as
+    harmonic_closeness); at web scale the rank assignment runs through
+    the broadcast counting-histogram percent-rank machinery and Σd²
+    folds as per-block partials."""
+    from signal_collect_ray.algorithms import PageRank
+
+    t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
+    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = np.round(
+        t.column("state").to_numpy(zero_copy_only=False).astype(np.float64), 6
+    )
+    et = pa.concat_tables(
+        list(
+            derived_edges_ds(sf_dir).select_columns(["dst"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    dst = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    vs = np.sort(vid)
+    deg = np.bincount(
+        np.searchsorted(vs, dst), minlength=len(vs)
+    ).astype(np.int64)
+    deg = deg[np.searchsorted(vs, vid)]  # align to state-table order
+    n = len(vid)
+    rx = np.empty(n, dtype=np.int64)
+    rx[np.lexsort((vid, deg))] = np.arange(1, n + 1)
+    ry = np.empty(n, dtype=np.int64)
+    ry[np.lexsort((vid, pr))] = np.arange(1, n + 1)
+    d = (rx - ry).astype(np.float64)
+    rho = 1.0 - 6.0 * float((d * d).sum()) / (n * (float(n) * n - 1.0))
+    return pa.table({"rho": pa.array([round(rho, 6)], pa.float64())})
+
+
+_SPEARMAN_SQL = f"""
+WITH pr AS ({_pr_sql(4)}),
+e AS ({_E_SQL}),
+ind AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst),
+j AS (SELECT pr.vid, pr.rank AS r, COALESCE(ind.c, 0) AS deg
+      FROM pr LEFT JOIN ind ON ind.dst = pr.vid),
+rk AS (SELECT vid,
+       ROW_NUMBER() OVER (ORDER BY deg, vid) AS rx,
+       ROW_NUMBER() OVER (ORDER BY r, vid) AS ry FROM j)
+SELECT ROUND(1 - 6.0 * SUM(CAST((rx - ry) * (rx - ry) AS DOUBLE))
+       / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1)), 6) AS rho
+FROM rk
+"""
+
+
 def q_doc_metrics_melted(sf_dir: str):
     """UNPIVOT/melt (functions/analytics.py melt — the inverse of
     pivot): per-doc (n_words, n_tokens, n_chars) widened to long
@@ -9074,6 +9129,7 @@ def queries():
         "returned_revenue_top20": q_returned_revenue_top20,
         "warc_roundtrip": q_warc_roundtrip,
         "doc_metrics_melted": q_doc_metrics_melted,
+        "spearman_indeg_pagerank": q_spearman_indeg_pagerank,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9298,6 +9354,7 @@ def oracle_sql():
         "returned_revenue_top20": _Q10_SQL,
         "warc_roundtrip": "SELECT doc_id, COALESCE(text, '') AS text FROM documents",
         "doc_metrics_melted": _MELT_SQL,
+        "spearman_indeg_pagerank": _SPEARMAN_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
