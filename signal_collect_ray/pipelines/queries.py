@@ -8773,6 +8773,130 @@ FROM rk
 """
 
 
+_RRF_K = 60
+
+
+def q_rrf_fused_top20(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) of the
+    in-degree and 4-step-PageRank rankings: score(v) =
+    1/(60+r_deg(v)) + 1/(60+r_pr(v)) with descending-value ranks
+    (ties broken by vid, so ranks are a permutation — mirrorable
+    exactly), top 20 by (score desc, vid asc). The standard
+    multi-signal result fusion for search/retrieval stacks."""
+    from signal_collect_ray.algorithms import PageRank
+
+    t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
+    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = np.round(
+        t.column("state").to_numpy(zero_copy_only=False).astype(np.float64), 6
+    )
+    et = pa.concat_tables(
+        list(
+            derived_edges_ds(sf_dir).select_columns(["dst"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    dst = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    vs = np.sort(vid)
+    deg = np.bincount(np.searchsorted(vs, dst), minlength=len(vs)).astype(
+        np.int64
+    )
+    deg = deg[np.searchsorted(vs, vid)]
+    n = len(vid)
+    r_deg = np.empty(n, dtype=np.int64)
+    r_deg[np.lexsort((vid, -deg))] = np.arange(1, n + 1)
+    r_pr = np.empty(n, dtype=np.int64)
+    r_pr[np.lexsort((vid, -pr))] = np.arange(1, n + 1)
+    score = np.round(
+        1.0 / (_RRF_K + r_deg) + 1.0 / (_RRF_K + r_pr), 6
+    )
+    order = np.lexsort((vid, -score))[:20]
+    return pa.table(
+        {
+            "vid": pa.array(vid[order], pa.int64()),
+            "rrf": pa.array(score[order], pa.float64()),
+        }
+    )
+
+
+_RRF_SQL = f"""
+WITH pr AS ({_pr_sql(4)}),
+e AS ({_E_SQL}),
+ind AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst),
+j AS (SELECT pr.vid, pr.rank AS r, COALESCE(ind.c, 0) AS deg
+      FROM pr LEFT JOIN ind ON ind.dst = pr.vid),
+rk AS (SELECT vid,
+       ROW_NUMBER() OVER (ORDER BY deg DESC, vid) AS rd,
+       ROW_NUMBER() OVER (ORDER BY r DESC, vid) AS rp FROM j)
+SELECT vid, ROUND(1.0 / ({_RRF_K} + rd) + 1.0 / ({_RRF_K} + rp), 6) AS rrf
+FROM rk ORDER BY rrf DESC, vid ASC LIMIT 20
+"""
+
+
+def q_hourly_event_zscores(sf_dir: str):
+    """Trailing-window anomaly score per hour: z = (c − mean(prev ≤24
+    observed hours)) / stddev_samp(prev), over the hourly event-count
+    series — the ops-dashboard anomaly detector. Counting is
+    distributed (per-block hour bincount partials, one tiny groupby);
+    the rolling pass runs on the aggregated series, whose length is
+    hours-of-history — thousands of rows at any corpus scale."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    HOUR_US = 3_600_000_000
+
+    def hr(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"hr": pa.array(ts // HOUR_US, pa.int64())})
+
+    counts = (
+        ds.map_batches(hr, batch_format="pyarrow")
+        .groupby("hr")
+        .aggregate(Count(alias_name="c"))
+    )
+    t = pa.concat_tables(
+        list(counts.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    h = t.column("hr").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(h, kind="stable")
+    h, c = h[order], c[order]
+    out_h, out_c, out_z = [], [], []
+    for i in range(len(h)):
+        lo = max(0, i - 24)
+        w = c[lo:i]
+        if len(w) >= 2:
+            m = w.mean()
+            s = w.std(ddof=1)
+            if s > 0:
+                out_h.append(int(h[i]))
+                out_c.append(int(c[i]))
+                out_z.append(round((c[i] - m) / s, 6))
+    return pa.table(
+        {
+            "hr": pa.array(out_h, pa.int64()),
+            "n_events": pa.array(out_c, pa.int64()),
+            "z": pa.array(out_z, pa.float64()),
+        }
+    )
+
+
+_HOURLY_Z_SQL = """
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS c
+           FROM events GROUP BY 1),
+w AS (SELECT hr, c,
+      AVG(c) OVER (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS m,
+      STDDEV_SAMP(c) OVER (ORDER BY hr
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s
+      FROM h)
+SELECT CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS n_events,
+       ROUND((c - m) / s, 6) AS z
+FROM w WHERE s IS NOT NULL AND s > 0
+"""
+
+
 def q_doc_metrics_melted(sf_dir: str):
     """UNPIVOT/melt (functions/analytics.py melt — the inverse of
     pivot): per-doc (n_words, n_tokens, n_chars) widened to long
@@ -9130,6 +9254,8 @@ def queries():
         "warc_roundtrip": q_warc_roundtrip,
         "doc_metrics_melted": q_doc_metrics_melted,
         "spearman_indeg_pagerank": q_spearman_indeg_pagerank,
+        "rrf_fused_top20": q_rrf_fused_top20,
+        "hourly_event_zscores": q_hourly_event_zscores,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9355,6 +9481,8 @@ def oracle_sql():
         "warc_roundtrip": "SELECT doc_id, COALESCE(text, '') AS text FROM documents",
         "doc_metrics_melted": _MELT_SQL,
         "spearman_indeg_pagerank": _SPEARMAN_SQL,
+        "rrf_fused_top20": _RRF_SQL,
+        "hourly_event_zscores": _HOURLY_Z_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
