@@ -8897,6 +8897,89 @@ FROM w WHERE s IS NOT NULL AND s > 0
 """
 
 
+def q_knn_label_consistency(sf_dir: str):
+    """Label-noise probe: each vector's 3 nearest neighbors (cosine,
+    self excluded, ties → smaller vec_id), their majority label (ties →
+    smaller label), and whether it disagrees with the vector's own
+    label — the standard embedding-space mislabel detector. Broadcast
+    normalized matrix + per-batch matmul (byte-capped idiom; IVF
+    bucketing is the documented scale path)."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labs = np.array([rows[i]["label"] for i in order], dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(rows[i]["embedding"], dtype=np.float64) for i in order]
+    )
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_labels = int(labs.max()) + 1
+    ref = ray.put((ids, labs, mat))
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        c_ids, c_labs, c_mat = ray.get(ref)
+        q_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        own = tbl.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in tbl.column("embedding").to_pylist()
+            ]
+        )
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ c_mat.T
+        pos = np.searchsorted(c_ids, q_ids)
+        sims[np.arange(len(q_ids)), pos] = -np.inf  # exclude self
+        # stable argsort on -sims: equal sims resolve to the smaller
+        # candidate index = smaller vec_id (c_ids ascending)
+        top3 = np.argsort(-sims, axis=1, kind="stable")[:, :3]
+        l3 = c_labs[top3]  # (n, 3)
+        flat = l3 + (np.arange(len(l3))[:, None] * n_labels)
+        counts = np.bincount(
+            flat.ravel(), minlength=len(l3) * n_labels
+        ).reshape(len(l3), n_labels)
+        maj = np.argmax(counts, axis=1)  # first max = smallest label
+        return pa.table(
+            {
+                "vec_id": pa.array(q_ids, pa.int64()),
+                "label": pa.array(own, pa.int64()),
+                "nn_majority": pa.array(maj.astype(np.int64), pa.int64()),
+                "mismatch": pa.array(
+                    (own != maj).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return emb.map_batches(kernel, batch_format="pyarrow")
+
+
+_KNN_LABEL_SQL = """
+WITH s AS (SELECT a.vec_id, a.label AS own, b.label AS nl,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+t AS (SELECT vec_id, own, nl, COUNT(*) AS c FROM s WHERE rn <= 3
+      GROUP BY 1, 2, 3),
+m AS (SELECT vec_id, own, nl,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nl ASC) AS r
+      FROM t)
+SELECT vec_id, CAST(own AS BIGINT) AS label,
+       CAST(nl AS BIGINT) AS nn_majority,
+       CAST(own <> nl AS BIGINT) AS mismatch
+FROM m WHERE r = 1
+"""
+
+
 def q_doc_metrics_melted(sf_dir: str):
     """UNPIVOT/melt (functions/analytics.py melt — the inverse of
     pivot): per-doc (n_words, n_tokens, n_chars) widened to long
@@ -9256,6 +9339,7 @@ def queries():
         "spearman_indeg_pagerank": q_spearman_indeg_pagerank,
         "rrf_fused_top20": q_rrf_fused_top20,
         "hourly_event_zscores": q_hourly_event_zscores,
+        "knn_label_consistency": q_knn_label_consistency,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9483,6 +9567,7 @@ def oracle_sql():
         "spearman_indeg_pagerank": _SPEARMAN_SQL,
         "rrf_fused_top20": _RRF_SQL,
         "hourly_event_zscores": _HOURLY_Z_SQL,
+        "knn_label_consistency": _KNN_LABEL_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
