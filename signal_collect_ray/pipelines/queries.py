@@ -8897,6 +8897,66 @@ FROM w WHERE s IS NOT NULL AND s > 0
 """
 
 
+_SKEW_P = 16
+
+
+def q_partition_skew(sf_dir: str):
+    """Shuffle-planning diagnostic: row count per hash partition of
+    events.user_id under the engine's own mapper (util.part_of,
+    Knuth multiplicative) at P=16, with the imbalance ratio
+    n/avg — what an operator consults before picking partition counts
+    and salting. Per-block bincount partials, one 16-row fold."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = np.bincount(part_of(u, _SKEW_P), minlength=_SKEW_P)
+        return pa.table(
+            {
+                "part": pa.array(np.arange(_SKEW_P), pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = np.zeros(_SKEW_P, dtype=np.int64)
+    for r in parts:
+        tot[r["part"]] += r["n"]
+    avg = tot.sum() / _SKEW_P
+    return pa.table(
+        {
+            "part": pa.array(np.arange(_SKEW_P), pa.int64()),
+            "n_rows": pa.array(tot, pa.int64()),
+            "imbalance": pa.array(
+                np.round(tot / avg, 6), pa.float64()
+            ),
+        }
+    )
+
+
+_SKEW_SQL = f"""
+WITH s AS (SELECT ((CAST(user_id AS UBIGINT) * 2654435761) % 4294967296)
+           % {_SKEW_P} AS part FROM events),
+agg AS (SELECT part, COUNT(*) AS n FROM s GROUP BY part),
+t AS (SELECT CAST(p.p AS BIGINT) AS part,
+      CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_rows
+      FROM (SELECT UNNEST(range({_SKEW_P})) AS p) p
+      LEFT JOIN agg ON agg.part = p.p)
+SELECT part, n_rows,
+       ROUND(n_rows / ((SELECT SUM(n_rows) FROM t) / {_SKEW_P}.0), 6)
+       AS imbalance
+FROM t
+"""
+
+
 def q_knn_label_consistency(sf_dir: str):
     """Label-noise probe: each vector's 3 nearest neighbors (cosine,
     self excluded, ties → smaller vec_id), their majority label (ties →
@@ -9340,6 +9400,7 @@ def queries():
         "rrf_fused_top20": q_rrf_fused_top20,
         "hourly_event_zscores": q_hourly_event_zscores,
         "knn_label_consistency": q_knn_label_consistency,
+        "partition_skew": q_partition_skew,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9568,6 +9629,7 @@ def oracle_sql():
         "rrf_fused_top20": _RRF_SQL,
         "hourly_event_zscores": _HOURLY_Z_SQL,
         "knn_label_consistency": _KNN_LABEL_SQL,
+        "partition_skew": _SKEW_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
