@@ -63,7 +63,11 @@ def _init_ray(num_cpus: int):
             ignore_reinit_error=True,
             logging_level="ERROR",
             runtime_env={
-                "env_vars": {"RAY_DATA_LOGGING_CONFIG": _LOGGING_YAML}
+                "env_vars": {
+                    "RAY_DATA_LOGGING_CONFIG": os.environ[
+                        "RAY_DATA_LOGGING_CONFIG"
+                    ]
+                }
             },
         )
     logging.getLogger("ray.data").setLevel(logging.CRITICAL)
@@ -484,7 +488,6 @@ def run_rmat(num_cpus: int, scale: int = 18, n_edges: int = 5_000_000) -> dict:
 
     from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
     from signal_collect_ray.algorithms import PageRank
-    from signal_collect_ray.algorithms.cocitation import _in_degrees
     from signal_collect_ray.engine_resident import ResidentEngine
     from signal_collect_ray.sources import rmat_edges
 
@@ -503,11 +506,22 @@ def run_rmat(num_cpus: int, scale: int = 18, n_edges: int = 5_000_000) -> dict:
     out["build_sec"] = round(time.perf_counter() - t0, 3)
     out["n_vertices"] = g.num_vertices
     out["n_edges"] = g.num_edges
-    deg = _in_degrees(edges, num_partitions=P)
-    import pyarrow as pa  # noqa: F401
+    # multiplicity-inclusive in-degree — the graph is built dedup=False,
+    # so this is the actual largest collect group the A/B below stresses
+    from signal_collect_ray.algorithms.triangles import _sum_by_key
 
-    mx = deg.max("deg")
-    out["max_in_degree"] = int(mx)
+    def ones(tbl):
+        import pyarrow as pa
+
+        return pa.table(
+            {"key": tbl.column("dst"), "one": pa.array(
+                [1] * tbl.num_rows, type=pa.int64())}
+        )
+
+    deg = _sum_by_key(
+        edges.map_batches(ones, batch_format="pyarrow"), "key", "one", P
+    )
+    out["max_in_degree"] = int(deg.max("one"))
 
     t0 = time.perf_counter()
     eng = ResidentEngine(

@@ -8718,16 +8718,17 @@ def _sssp_tree_sql(k: int, source: int = 0) -> str:
     )
 
 
-def q_spearman_indeg_pagerank(sf_dir: str):
-    """Spearman rank correlation between in-degree and 4-step PageRank
-    — the centrality-agreement diagnostic. Ranks use the (value, vid)
-    tie-break so they are a permutation and ρ = 1 − 6Σd²/(n(n²−1))
-    applies exactly; PR values are rounded to 6 digits BEFORE ranking
-    so the SQL mirror orders every tie identically. State tables are
-    driver-resident at gate scale (same precedent as
+def _vid_pr_deg(sf_dir: str):
+    """(vid, 6-digit-rounded 4-step PageRank, in-degree) arrays —
+    shared by the rank-composition queries (spearman / RRF). State
+    tables are driver-resident at gate scale (same precedent as
     harmonic_closeness); at web scale the rank assignment runs through
-    the broadcast counting-histogram percent-rank machinery and Σd²
-    folds as per-block partials."""
+    the broadcast counting-histogram percent-rank machinery and the
+    fold distributes as per-block partials. Memoized per sf_dir."""
+    key = (sf_dir, "vid_pr_deg")
+    hit = _RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     from signal_collect_ray.algorithms import PageRank
 
     t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
@@ -8748,6 +8749,18 @@ def q_spearman_indeg_pagerank(sf_dir: str):
         np.searchsorted(vs, dst), minlength=len(vs)
     ).astype(np.int64)
     deg = deg[np.searchsorted(vs, vid)]  # align to state-table order
+    out = (vid, pr, deg)
+    _RESULT_CACHE[key] = out
+    return out
+
+
+def q_spearman_indeg_pagerank(sf_dir: str):
+    """Spearman rank correlation between in-degree and 4-step PageRank
+    — the centrality-agreement diagnostic. Ranks use the (value, vid)
+    tie-break so they are a permutation and ρ = 1 − 6Σd²/(n(n²−1))
+    applies exactly; PR values are rounded to 6 digits BEFORE ranking
+    so the SQL mirror orders every tie identically."""
+    vid, pr, deg = _vid_pr_deg(sf_dir)
     n = len(vid)
     rx = np.empty(n, dtype=np.int64)
     rx[np.lexsort((vid, deg))] = np.arange(1, n + 1)
@@ -8783,26 +8796,7 @@ def q_rrf_fused_top20(sf_dir: str):
     (ties broken by vid, so ranks are a permutation — mirrorable
     exactly), top 20 by (score desc, vid asc). The standard
     multi-signal result fusion for search/retrieval stacks."""
-    from signal_collect_ray.algorithms import PageRank
-
-    t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
-    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
-    pr = np.round(
-        t.column("state").to_numpy(zero_copy_only=False).astype(np.float64), 6
-    )
-    et = pa.concat_tables(
-        list(
-            derived_edges_ds(sf_dir).select_columns(["dst"]).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        )
-    )
-    dst = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-    vs = np.sort(vid)
-    deg = np.bincount(np.searchsorted(vs, dst), minlength=len(vs)).astype(
-        np.int64
-    )
-    deg = deg[np.searchsorted(vs, vid)]
+    vid, pr, deg = _vid_pr_deg(sf_dir)
     n = len(vid)
     r_deg = np.empty(n, dtype=np.int64)
     r_deg[np.lexsort((vid, -deg))] = np.arange(1, n + 1)
@@ -8967,11 +8961,13 @@ def q_knn_label_consistency(sf_dir: str):
     import ray
     import ray.data as rd
 
-    emb = rd.read_parquet(
+    emb_src = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "label", "embedding"],
     )
-    rows = emb.take_all()
+    rows = emb_src.take_all()
+    # one parquet scan: the query pass re-uses the materialized rows
+    emb = rd.from_items(rows)
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]

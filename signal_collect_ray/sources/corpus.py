@@ -163,7 +163,7 @@ def rmat_edges(
 ):
     """Deterministic R-MAT edge Dataset over 2**scale vertices: for
     each edge index e and recursion level l, quadrant choice is a
-    counter-based uniform ``mix64(seed ⊕ e·scale + l)`` draw against
+    counter-based uniform ``mix64(e·scale + l + (seed << 32))`` draw against
     the (a, b, c, d=1−a−b−c) split — stateless, so blocks generate
     independently and any partitioning yields bit-identical edges.
     Returns (src:int64, dst:int64, weight:float64=1)."""
