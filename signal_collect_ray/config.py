@@ -61,6 +61,13 @@ class EngineConfig:
     # speed on long runs.
     checkpoint_interval: int = 1
 
+    # Keep only the newest N COMPLETE checkpoints (None = keep all).
+    # Resume only ever reads the latest complete step, so retain=2
+    # (resume point + one predecessor) is safe; at 10^12 vertices a
+    # 100-superstep run cannot afford 100 full state copies. Pruning
+    # happens strictly after the newer manifest lands (crash-safe).
+    checkpoint_retain: Optional[int] = None
+
     # Signal-stage compute strategy. "tasks" (default) runs the signal
     # stage as stateless tasks — lowest per-superstep latency, CSR blocks
     # still come zero-copy from the object store. "actors" runs it as a

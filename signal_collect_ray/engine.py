@@ -581,6 +581,30 @@ class SuperstepEngine:
         with open(os.path.join(step_tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
         os.rename(step_tmp, step_dir)
+        self._prune_checkpoints(
+            os.path.dirname(step_dir), self.config.checkpoint_retain
+        )
+
+    @staticmethod
+    def _prune_checkpoints(run_dir: str, retain) -> None:
+        """Drop all but the newest ``retain`` COMPLETE checkpoints
+        (``EngineConfig.checkpoint_retain``; None keeps every step).
+        Ordering is crash-safe: pruning runs only AFTER the newer
+        step's manifest rename landed, resume reads
+        ``_latest_complete_step``, and a crash mid-prune just leaves
+        extra old steps behind. At 10^12 vertices a 100-superstep run
+        cannot afford 100 full state copies — retain=2 keeps the
+        resume point plus one predecessor for the delta-debugging
+        path."""
+        if not retain:
+            return
+        steps = []
+        for d in glob.glob(os.path.join(run_dir, "step=*")):
+            if os.path.exists(os.path.join(d, "manifest.json")):
+                steps.append((int(os.path.basename(d).split("=")[1]), d))
+        steps.sort()
+        for _, d in steps[: max(0, len(steps) - int(retain))]:
+            shutil.rmtree(d, ignore_errors=True)
 
     @classmethod
     def recalculate_scores(cls, run_dir: str) -> int:

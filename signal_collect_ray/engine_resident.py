@@ -693,7 +693,8 @@ class ResidentEngine:
                 ray.get([w.init_from_vertices.remote(vertex_files) for w in workers])
             )
             manifest = SuperstepEngine._manifest(0, rows, lineage_base, None)
-            self._checkpoint(workers, run_dir, 0, manifest)
+            self._checkpoint(workers, run_dir, 0, manifest,
+                             retain=self.config.checkpoint_retain)
             per_step = [manifest]
             start_k = 0
 
@@ -916,14 +917,16 @@ class ResidentEngine:
                     converged = True
                     reason = "GlobalConstraintMet"
             if converged or (ckpt_int and k % ckpt_int == 0):
-                self._checkpoint(workers, run_dir, k, last)
+                self._checkpoint(workers, run_dir, k, last,
+                                 retain=self.config.checkpoint_retain)
         drain_pending()
         # the final step must exist on disk whatever path ended the loop
         # (in-loop converged/interval checkpoints make this a no-op)
         if not os.path.exists(
             os.path.join(SuperstepEngine._step_dir(run_dir, k), "manifest.json")
         ):
-            self._checkpoint(workers, run_dir, k, last)
+            self._checkpoint(workers, run_dir, k, last,
+                             retain=self.config.checkpoint_retain)
 
         return ExecutionInformation(
             algorithm=algo.name,
@@ -964,7 +967,8 @@ class ResidentEngine:
         return InteractiveComputation(ns)
 
     @staticmethod
-    def _checkpoint(workers, run_dir: str, k: int, manifest: dict):
+    def _checkpoint(workers, run_dir: str, k: int, manifest: dict,
+                    retain=None):
         import ray
 
         step_dir = SuperstepEngine._step_dir(run_dir, k)
@@ -978,6 +982,7 @@ class ResidentEngine:
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
         os.rename(tmp, step_dir)
+        SuperstepEngine._prune_checkpoints(run_dir, retain)
 
 
 def _flatten(lists):

@@ -103,3 +103,64 @@ def test_resume_with_resized_worker_pool(tmp_path):
     assert np.allclose(
         a.column("state").to_numpy(), b.column("state").to_numpy(), atol=0
     )
+
+
+def test_checkpoint_retention(tmp_path, ray_session):
+    """checkpoint_retain=2 keeps only the newest two complete steps on
+    both executors, and resume from the survivor still works."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.engine_resident import ResidentEngine
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(2)
+    src = rng.randint(0, 30, 120).astype(np.int64)
+    dst = rng.randint(0, 30, 120).astype(np.int64)
+    keep = src != dst
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+    )
+    g = Graph.build(
+        edges, os.path.join(str(tmp_path), "g"), num_partitions=4
+    )
+
+    def steps_on_disk(run_dir):
+        return sorted(
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(run_dir, "step=*"))
+            if os.path.exists(os.path.join(d, "manifest.json"))
+        )
+
+    for name, eng_cls in (("durable", SuperstepEngine), ("resident", ResidentEngine)):
+        cfg = EngineConfig(
+            num_partitions=4, eps=0.0, max_supersteps=6,
+            checkpoint_retain=2,
+        )
+        eng = eng_cls(cfg)
+        rd_ = os.path.join(str(tmp_path), f"run_{name}")
+        kw = {} if eng_cls is SuperstepEngine else {"checkpoint_interval": 1}
+        info = eng.run(g, PageRank(), run_dir=rd_, resume=False, **kw)
+        on_disk = steps_on_disk(rd_)
+        assert len(on_disk) == 2, (name, on_disk)
+        assert on_disk[-1] == info.supersteps
+        # resume from the survivor: continue two more supersteps
+        cfg2 = EngineConfig(
+            num_partitions=4, eps=0.0, max_supersteps=8,
+            checkpoint_retain=2,
+        )
+        info2 = eng_cls(cfg2).run(
+            g, PageRank(), run_dir=rd_, resume=True, **kw
+        )
+        assert info2.supersteps == 8
+        assert len(steps_on_disk(rd_)) == 2
