@@ -357,6 +357,18 @@ def _oriented_edges(edges_ds, num_partitions=64):
     degs = _degrees(uniq, num_partitions).materialize()
 
     n_vertices = degs.count()
+    if n_vertices == 0:
+        # no surviving undirected edges (e.g. self-loops only)
+        def to_oriented(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "spart": pa.array([], pa.int32()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                }
+            )
+
+        return uniq.map_batches(to_oriented, batch_format="pyarrow"), degs
     if n_vertices <= BROADCAST_DEGREE_LIMIT:
         # broadcast path: ray.put the sorted (vid, deg) arrays once;
         # every orient batch does two zero-copy searchsorted lookups.

@@ -231,3 +231,30 @@ def test_triangle_list_enumeration(ray_session):
                 want.add((a, b, c))
     assert got == want
     assert len(got) == total_triangles(_edges_ds(src, dst), num_partitions=4)
+
+
+def test_degenerate_graphs(tmp_path, ray_session):
+    """Empty / self-loop-only / single-edge inputs run clean through
+    the new operators."""
+    from signal_collect_ray.algorithms import (
+        total_triangles,
+        triangle_list,
+    )
+    from signal_collect_ray.algorithms.scc import scc_labels
+
+    # self-loops only → no edges after filtering
+    src = np.array([3, 4], dtype=np.int64)
+    dst = np.array([3, 4], dtype=np.int64)
+    assert rectangle_count(_edges_ds(src, dst), num_partitions=2) == 0
+    assert triangle_list(_edges_ds(src, dst), num_partitions=2).count() == 0
+    assert total_triangles(_edges_ds(src, dst), num_partitions=2) == 0
+    t = scc_labels(_edges_ds(src, dst), str(tmp_path / "scc_self"))
+    assert t.num_rows == 0  # self-loops dropped, no vertices remain
+
+    # one real edge
+    src = np.array([0], dtype=np.int64)
+    dst = np.array([1], dtype=np.int64)
+    assert rectangle_count(_edges_ds(src, dst), num_partitions=2) == 0
+    t = scc_labels(_edges_ds(src, dst), str(tmp_path / "scc_one"))
+    got = dict(zip(t.column("vid").to_pylist(), t.column("scc").to_pylist()))
+    assert got == {0: 0, 1: 1}
