@@ -8891,6 +8891,60 @@ FROM w WHERE s IS NOT NULL AND s > 0
 """
 
 
+_CURVE_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_dedup_threshold_curve(sf_dir: str):
+    """Dedup threshold-sensitivity curve: exact word-5-gram Jaccard
+    pair counts at τ ∈ {0.5 … 0.9} from ONE inverted-index pass
+    (ngram_jaccard_pairs at the loosest τ; the tighter buckets filter
+    the same scored pair set — no re-shingling). The knob-tuning
+    diagnostic a curation run consults before committing a dedup
+    threshold. Buckets compare the 6-digit-rounded Jaccard on both
+    sides."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(ds, shingle_k=5, threshold=_CURVE_TAUS[0])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        j = tbl.column("jaccard").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "threshold": pa.array(list(_CURVE_TAUS), pa.float64()),
+                "n": pa.array(
+                    [int((j >= t).sum()) for t in _CURVE_TAUS], pa.int64()
+                ),
+            }
+        )
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = {t: 0 for t in _CURVE_TAUS}
+    for r in parts:
+        tot[r["threshold"]] += r["n"]
+    return pa.table(
+        {
+            "threshold": pa.array(list(_CURVE_TAUS), pa.float64()),
+            "n_pairs": pa.array([tot[t] for t in _CURVE_TAUS], pa.int64()),
+        }
+    )
+
+
+def _curve_sql() -> str:
+    taus = ", ".join(str(t) for t in _CURVE_TAUS)
+    return (
+        f"WITH base AS ({_ngram_pairs_sql(_CURVE_TAUS[0])}), "
+        f"t AS (SELECT unnest([{taus}]) AS threshold) "
+        "SELECT t.threshold, CAST(COUNT(b.id_a) AS BIGINT) AS n_pairs "
+        "FROM t LEFT JOIN base b ON b.jaccard >= t.threshold "
+        "GROUP BY t.threshold"
+    )
+
+
 _SKEW_P = 16
 
 
@@ -9397,6 +9451,7 @@ def queries():
         "hourly_event_zscores": q_hourly_event_zscores,
         "knn_label_consistency": q_knn_label_consistency,
         "partition_skew": q_partition_skew,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9626,6 +9681,7 @@ def oracle_sql():
         "hourly_event_zscores": _HOURLY_Z_SQL,
         "knn_label_consistency": _KNN_LABEL_SQL,
         "partition_skew": _SKEW_SQL,
+        "dedup_threshold_curve": _curve_sql(),
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
