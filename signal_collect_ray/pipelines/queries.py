@@ -5585,6 +5585,154 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+_TEMP_ALPHAS = (0.3, 0.5, 0.7)
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-scaled sampling weights per source (multilingual-LM
+    recipe, e.g. mBERT/XLM-R exponent smoothing, public): w_s(α) ∝
+    (token count of source s)^α, normalized per α ∈ {0.3, 0.5, 0.7} —
+    the up-weighting curve for low-resource sources. One distributed
+    token-count aggregate; the α-sweep folds over the handful of
+    sources on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def count(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        n = np.array([len((t or "").split()) for t in texts], np.int64)
+        return pa.table(
+            {"source": tbl.column("source"), "n": pa.array(n, pa.int64())}
+        )
+
+    rows = (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+        .take_all()
+    )
+    toks = {r["source"]: int(r["n_tokens"]) for r in rows}
+    srcs = sorted(toks)
+    out_s, out_a, out_t, out_w = [], [], [], []
+    for alpha in _TEMP_ALPHAS:
+        pw = {s: toks[s] ** alpha for s in srcs}
+        z = sum(pw.values())
+        for s in srcs:
+            out_s.append(s)
+            out_a.append(alpha)
+            out_t.append(toks[s])
+            out_w.append(round(pw[s] / z, 6))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "alpha": pa.array(out_a, pa.float64()),
+            "n_tokens": pa.array(out_t, pa.int64()),
+            "weight": pa.array(out_w, pa.float64()),
+        }
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH t AS (SELECT source,
+           CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS n_tokens FROM documents GROUP BY source),
+a AS (SELECT unnest([{', '.join(str(a) for a in _TEMP_ALPHAS)}]) AS alpha)
+SELECT t.source, a.alpha, t.n_tokens,
+       ROUND(POW(t.n_tokens, a.alpha)
+             / SUM(POW(t.n_tokens, a.alpha))
+               OVER (PARTITION BY a.alpha), 6) AS weight
+FROM t CROSS JOIN a
+"""
+
+
+def q_event_association_rules(sf_dir: str):
+    """Association-rule metrics over the co-occurring event-type pairs:
+    support = P(a∧b), confidence = P(b|a), lift = P(a∧b)/(P(a)P(b)),
+    computed from the same distinct-(user, type) exchange as
+    event_pair_cooccurrence plus a broadcast per-type marginal — the
+    classic market-basket readout. Rounded to 6 digits both sides."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray.functions.analytics import (
+        cooccurring_event_pairs,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    pairs = pa.concat_tables(
+        list(
+            cooccurring_event_pairs(ev).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    n_users = ev.groupby("user_id").aggregate(Count(alias_name="_n")).count()
+    marg_rows = (
+        ev.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    marg = {r["event_type"]: r["n"] for r in marg_rows}
+    ta = pairs.column("type_a").to_pylist()
+    tb = pairs.column("type_b").to_pylist()
+    nab = pairs.column("n_users").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    na = np.array([marg[a] for a in ta], dtype=np.float64)
+    nb = np.array([marg[b] for b in tb], dtype=np.float64)
+    order = np.lexsort((np.asarray(tb, dtype=object), np.asarray(ta, dtype=object)))
+    return pa.table(
+        {
+            "type_a": pa.array(np.asarray(ta, dtype=object)[order].tolist(), pa.string()),
+            "type_b": pa.array(np.asarray(tb, dtype=object)[order].tolist(), pa.string()),
+            "support": pa.array(
+                np.round(nab / n_users, 6)[order], pa.float64()
+            ),
+            "confidence": pa.array(
+                np.round(nab / na, 6)[order], pa.float64()
+            ),
+            "lift": pa.array(
+                np.round(nab * n_users / (na * nb), 6)[order], pa.float64()
+            ),
+        }
+    )
+
+
+_EVENT_RULES_SQL = (
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+    "nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events), "
+    "m AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1), "
+    "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "COUNT(*) AS nab FROM ut a JOIN ut b ON a.user_id = b.user_id "
+    "AND a.event_type < b.event_type GROUP BY 1, 2) "
+    "SELECT p.type_a, p.type_b, "
+    "ROUND(p.nab * 1.0 / nu.n, 6) AS support, "
+    "ROUND(p.nab * 1.0 / ma.n, 6) AS confidence, "
+    "ROUND(p.nab * 1.0 * nu.n / (ma.n * mb.n), 6) AS lift "
+    "FROM p CROSS JOIN nu JOIN m ma ON ma.event_type = p.type_a "
+    "JOIN m mb ON mb.event_type = p.type_b"
+)
+
+
 def q_decayed_engagement(sf_dir: str):
     """Per-user 1-day-half-life decayed value sum (functions.analytics.
     time_decayed_sum) — recency-weighted engagement scoring."""
@@ -9452,6 +9600,8 @@ def queries():
         "knn_label_consistency": q_knn_label_consistency,
         "partition_skew": q_partition_skew,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "event_association_rules": q_event_association_rules,
+        "temperature_mixture": q_temperature_mixture,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9682,6 +9832,8 @@ def oracle_sql():
         "knn_label_consistency": _KNN_LABEL_SQL,
         "partition_skew": _SKEW_SQL,
         "dedup_threshold_curve": _curve_sql(),
+        "event_association_rules": _EVENT_RULES_SQL,
+        "temperature_mixture": _TEMP_MIX_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
