@@ -5585,6 +5585,94 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_silhouette_scores(sf_dir: str):
+    """Simplified silhouette per embedding (centroid form, public
+    standard): a = euclidean distance to own label's centroid, b = min
+    distance to any other centroid, s = (b − a)/max(a, b) — the cluster
+    / labeling quality score. Centroids from the distributed
+    vector_mean_by_key exchange (10 × dim values), broadcast; one
+    vectorized distance pass per batch."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import vector_mean_by_key
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+    cent_rows = vector_mean_by_key(emb, "label").take_all()
+    labels = sorted({r["label"] for r in cent_rows})
+    dim = max(r["pos"] for r in cent_rows) + 1
+    cmat = np.zeros((len(labels), dim))
+    lab_to_row = {l: i for i, l in enumerate(labels)}
+    for r in cent_rows:
+        cmat[lab_to_row[r["label"]], r["pos"]] = r["mean_val"]
+    ref = ray.put((np.array(labels, dtype=np.int64), cmat))
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        labs_arr, cm = ray.get(ref)
+        own = tbl.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in tbl.column("embedding").to_pylist()
+            ]
+        )
+        # (n, L) euclidean distances — direct Σ(q−c)² per centroid (same
+        # elementwise terms as the SQL mirror, not the expanded matmul
+        # form, so the 6-digit rounding agrees)
+        d2 = np.empty((len(q), len(cm)))
+        for li in range(len(cm)):
+            diff = q - cm[li]
+            d2[:, li] = (diff * diff).sum(axis=1)
+        d = np.sqrt(d2)
+        own_row = np.searchsorted(labs_arr, own)
+        a = d[np.arange(len(own)), own_row]
+        dmask = d.copy()
+        dmask[np.arange(len(own)), own_row] = np.inf
+        b = dmask.min(axis=1)
+        denom = np.maximum(a, b)
+        keep = denom > 0
+        s = np.round((b[keep] - a[keep]) / denom[keep], 6)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    tbl.column("vec_id").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "label": pa.array(own[keep], pa.int64()),
+                "silhouette": pa.array(s, pa.float64()),
+            }
+        )
+
+    return emb.map_batches(kernel, batch_format="pyarrow")
+
+
+_SILHOUETTE_SQL = """
+WITH c AS (SELECT label, r.pos AS pos,
+           SUM(CAST(embedding[r.pos] AS DOUBLE)) / COUNT(*) AS v
+           FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS r(pos)
+           GROUP BY label, r.pos),
+d AS (SELECT e.vec_id, e.label AS own, c.label AS cl,
+      sqrt(SUM(POW(CAST(e.embedding[c.pos] AS DOUBLE) - c.v, 2))) AS dist
+      FROM embeddings e JOIN c ON c.pos <= len(e.embedding)
+      GROUP BY 1, 2, 3),
+s AS (SELECT vec_id, own,
+      MAX(CASE WHEN cl = own THEN dist END) AS a,
+      MIN(CASE WHEN cl <> own THEN dist END) AS b
+      FROM d GROUP BY 1, 2)
+SELECT vec_id, CAST(own AS BIGINT) AS label,
+       ROUND((b - a) / GREATEST(a, b), 6) AS silhouette
+FROM s WHERE GREATEST(a, b) > 0
+"""
+
+
 _TEMP_ALPHAS = (0.3, 0.5, 0.7)
 
 
@@ -9602,6 +9690,7 @@ def queries():
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "event_association_rules": q_event_association_rules,
         "temperature_mixture": q_temperature_mixture,
+        "silhouette_scores": q_silhouette_scores,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9834,6 +9923,7 @@ def oracle_sql():
         "dedup_threshold_curve": _curve_sql(),
         "event_association_rules": _EVENT_RULES_SQL,
         "temperature_mixture": _TEMP_MIX_SQL,
+        "silhouette_scores": _SILHOUETTE_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
