@@ -5585,6 +5585,92 @@ _EVENT_PAIR_COOCCURRENCE_SQL = (
 )
 
 
+def q_hll_registers(sf_dir: str):
+    """Bit-exact oracle for the HyperLogLog sketch: the nonzero
+    register vector (event_type, idx, rho) that approx_distinct_users
+    estimates from — mix64 reproduced in SQL via 32-bit-limb modular
+    multiplication and rho via exact bin() bit-length (no
+    float log2 anywhere). Proves the sketch, not just its estimate:
+    the estimator is then pure arithmetic over these registers."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from signal_collect_ray.functions.sketches import _hash_col, _registers
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    P_HLL = 12
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ets = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        out_e, out_i, out_r = [], [], []
+        for et in np.unique(ets):
+            sel = ets == et
+            regs = _registers(
+                _hash_col(tbl.column("user_id").filter(pa.array(sel))),
+                P_HLL,
+            )
+            nz = np.flatnonzero(regs)
+            out_e += [et] * len(nz)
+            out_i.append(nz)
+            out_r.append(regs[nz])
+        return pa.table(
+            {
+                "event_type": pa.array(out_e, pa.string()),
+                "idx": pa.array(
+                    np.concatenate(out_i)
+                    if out_i
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "rho": pa.array(
+                    np.concatenate(out_r).astype(np.int64)
+                    if out_r
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "idx"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def _mix64_mul_sql(col: str, c: int) -> str:
+    """(col * c) mod 2^64 in DuckDB: 32-bit-limb split so no HUGEINT
+    intermediate exceeds 2^96."""
+    return (
+        f"CAST(((CAST({col} & 4294967295 AS HUGEINT) * {c}) "
+        "% 18446744073709551616 "
+        f"+ ((CAST({col} >> 32 AS HUGEINT) * {c}) % 4294967296) "
+        "* 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+_HLL_REG_SQL = f"""
+WITH u AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x
+           FROM events),
+h1 AS (SELECT event_type, xor(x, x >> 33) AS x FROM u),
+h2 AS (SELECT event_type, {_mix64_mul_sql('x', 0xFF51AFD7ED558CCD)} AS x
+       FROM h1),
+h3 AS (SELECT event_type, xor(x, x >> 33) AS x FROM h2),
+h4 AS (SELECT event_type, {_mix64_mul_sql('x', 0xC4CEB9FE1A85EC53)} AS x
+       FROM h3),
+h AS (SELECT event_type, xor(x, x >> 33) AS x FROM h4),
+r AS (SELECT event_type, CAST(x >> 52 AS BIGINT) AS idx,
+      CASE WHEN (x & 4503599627370495) = 0 THEN 53
+           ELSE 53 - length(bin(x & 4503599627370495)) END AS rho
+      FROM h)
+SELECT event_type, idx, CAST(MAX(rho) AS BIGINT) AS rho
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_silhouette_scores(sf_dir: str):
     """Simplified silhouette per embedding (centroid form, public
     standard): a = euclidean distance to own label's centroid, b = min
@@ -9691,6 +9777,7 @@ def queries():
         "event_association_rules": q_event_association_rules,
         "temperature_mixture": q_temperature_mixture,
         "silhouette_scores": q_silhouette_scores,
+        "hll_registers": q_hll_registers,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -9924,6 +10011,7 @@ def oracle_sql():
         "event_association_rules": _EVENT_RULES_SQL,
         "temperature_mixture": _TEMP_MIX_SQL,
         "silhouette_scores": _SILHOUETTE_SQL,
+        "hll_registers": _HLL_REG_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
