@@ -5671,6 +5671,53 @@ FROM r GROUP BY 1, 2
 """
 
 
+_RMAT_Q = {"scale": 8, "n": 2000, "seed": 1}
+
+
+def q_rmat_edges_oracle(sf_dir: str):
+    """The R-MAT generator itself, oracle-backed bit-for-bit: every
+    quadrant draw is mix64(e·scale + l + (seed<<32)) / 2^64 compared
+    against the (a, a+b, a+b+c) thresholds — all reproducible in SQL
+    (limb-split modular mix64, double division by 2^64, integer bit
+    assembly), so the synthetic-graph source is held to the same
+    standard as the data operators. sf-independent by construction."""
+    from signal_collect_ray.sources import rmat_edges
+
+    out = rmat_edges(
+        _RMAT_Q["scale"], _RMAT_Q["n"], seed=_RMAT_Q["seed"], num_blocks=8
+    ).select_columns(["src", "dst"])
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
+def _rmat_sql() -> str:
+    sc, n, seed = _RMAT_Q["scale"], _RMAT_Q["n"], _RMAT_Q["seed"]
+    return f"""
+WITH lv AS (SELECT CAST(e.e AS UBIGINT) AS e, CAST(l.l AS BIGINT) AS l,
+            CAST(e.e * {sc} + l.l + {seed * 2**32} AS UBIGINT) AS x
+            FROM (SELECT unnest(range(0, {n})) AS e) e
+            CROSS JOIN (SELECT unnest(range(0, {sc})) AS l) l),
+h1 AS (SELECT e, l, xor(x, x >> 33) AS x FROM lv),
+h2 AS (SELECT e, l, {_mix64_mul_sql('x', 0xFF51AFD7ED558CCD)} AS x FROM h1),
+h3 AS (SELECT e, l, xor(x, x >> 33) AS x FROM h2),
+h4 AS (SELECT e, l, {_mix64_mul_sql('x', 0xC4CEB9FE1A85EC53)} AS x FROM h3),
+h AS (SELECT e, l,
+      CAST(xor(x, x >> 33) AS DOUBLE) / 18446744073709551616.0 AS u
+      FROM h4),
+bits AS (SELECT e, l,
+    CASE WHEN (u >= 0.57 AND u < (0.57 + 0.19)) OR u >= (0.57 + 0.19 + 0.19)
+         THEN 1 ELSE 0 END AS rbit,
+    CASE WHEN u >= (0.57 + 0.19) THEN 1 ELSE 0 END AS lbit
+    FROM h),
+agg AS (SELECT e,
+        CAST(SUM(lbit * (1 << ({sc} - 1 - l))) AS BIGINT) AS src,
+        CAST(SUM(rbit * (1 << ({sc} - 1 - l))) AS BIGINT) AS dst
+        FROM bits GROUP BY e)
+SELECT src, dst FROM agg WHERE src <> dst
+"""
+
+
 def q_silhouette_scores(sf_dir: str):
     """Simplified silhouette per embedding (centroid form, public
     standard): a = euclidean distance to own label's centroid, b = min
@@ -9778,6 +9825,7 @@ def queries():
         "temperature_mixture": q_temperature_mixture,
         "silhouette_scores": q_silhouette_scores,
         "hll_registers": q_hll_registers,
+        "rmat_edges_oracle": q_rmat_edges_oracle,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -10012,6 +10060,7 @@ def oracle_sql():
         "temperature_mixture": _TEMP_MIX_SQL,
         "silhouette_scores": _SILHOUETTE_SQL,
         "hll_registers": _HLL_REG_SQL,
+        "rmat_edges_oracle": _rmat_sql(),
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
