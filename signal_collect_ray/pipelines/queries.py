@@ -5671,6 +5671,93 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_hll_estimates(sf_dir: str):
+    """The HyperLogLog ESTIMATE per event type, oracle-backed: the
+    register sum Σ2^-M is lifted to the exact integer Σ2^(53−M)
+    (arbitrary precision on the Ray side, HUGEINT in SQL), so the only
+    float ops are the final alpha/division/ln — identical IEEE doubles
+    from identical literals on both sides; rounded to 3 digits."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.sketches import _hash_col, _registers
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    P_HLL = 12
+    m = 1 << P_HLL
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ets = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        out_e, out_r = [], []
+        for et in np.unique(ets):
+            sel = ets == et
+            regs = _registers(
+                _hash_col(tbl.column("user_id").filter(pa.array(sel))),
+                P_HLL,
+            )
+            out_e.append(et)
+            out_r.append(regs)
+        return pa.table(
+            {
+                "event_type": pa.array(out_e, pa.string()),
+                "regs": pa.array(
+                    [r.tolist() for r in out_r], pa.list_(pa.uint8())
+                ),
+            }
+        )
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for et, r in zip(
+            b.column("event_type").to_pylist(), b.column("regs").to_pylist()
+        ):
+            cur = merged.setdefault(et, np.zeros(m, dtype=np.uint8))
+            np.maximum(cur, np.asarray(r, dtype=np.uint8), out=cur)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    out_e, out_est = [], []
+    for et in sorted(merged):
+        regs = merged[et]
+        s_int = sum(1 << (53 - int(v)) for v in regs)  # exact
+        e = alpha * m * m * float(2**53) / float(s_int)
+        zeros = int((regs == 0).sum())
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        out_e.append(et)
+        out_est.append(round(float(e), 3))
+    return pa.table(
+        {
+            "event_type": pa.array(out_e, pa.string()),
+            "estimate": pa.array(out_est, pa.float64()),
+        }
+    )
+
+
+_HLL_EST_SQL = f"""
+WITH regs AS ({_HLL_REG_SQL}),
+spine AS (SELECT et.event_type, CAST(i.i AS BIGINT) AS idx
+          FROM (SELECT DISTINCT event_type FROM events) et
+          CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) i),
+full_regs AS (SELECT s.event_type, s.idx, COALESCE(r.rho, 0) AS rho
+              FROM spine s LEFT JOIN regs r
+              ON r.event_type = s.event_type AND r.idx = s.idx),
+agg AS (SELECT event_type,
+        SUM(CAST(POW(2, 53 - rho) AS HUGEINT)) AS s_int,
+        COUNT(*) FILTER (rho = 0) AS zeros FROM full_regs GROUP BY 1),
+est AS (SELECT event_type, zeros,
+        (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+        * CAST(POW(2, 53) AS DOUBLE) / CAST(s_int AS DOUBLE) AS e
+        FROM agg)
+SELECT event_type,
+       ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+             THEN 4096 * ln(4096.0 / zeros) ELSE e END, 3) AS estimate
+FROM est
+"""
+
+
 _RMAT_Q = {"scale": 8, "n": 2000, "seed": 1}
 
 
@@ -9826,6 +9913,7 @@ def queries():
         "silhouette_scores": q_silhouette_scores,
         "hll_registers": q_hll_registers,
         "rmat_edges_oracle": q_rmat_edges_oracle,
+        "hll_estimates": q_hll_estimates,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -10061,6 +10149,7 @@ def oracle_sql():
         "silhouette_scores": _SILHOUETTE_SQL,
         "hll_registers": _HLL_REG_SQL,
         "rmat_edges_oracle": _rmat_sql(),
+        "hll_estimates": _HLL_EST_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
