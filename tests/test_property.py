@@ -528,3 +528,34 @@ def test_hash_sample_matches_duckdb(ids, rate):
         for r in hash_sample(rd.from_arrow(tbl), rate=rate).take_all()
     )
     assert got == want
+
+
+def test_sql_mix64_matches_numpy_property():
+    """The limb-split SQL mix64 (hll_registers / rmat oracles) is
+    bit-identical to util.mix64 on random uint64 inputs."""
+    import duckdb
+    import numpy as np
+
+    from signal_collect_ray.pipelines.queries import _mix64_mul_sql
+    from signal_collect_ray.util import mix64
+
+    rng = np.random.RandomState(17)
+    vals = np.concatenate(
+        [
+            rng.randint(0, 2**63, 50).astype(np.uint64),
+            rng.randint(0, 2**63, 50).astype(np.uint64) * 2 + 1,
+            np.array([0, 1, 2**32, 2**52 - 1, 2**63, 2**64 - 1], np.uint64),
+        ]
+    )
+    want = sorted(int(x) for x in mix64(vals))
+    rows = ", ".join(f"({int(v)})" for v in vals.tolist())
+    q = f"""
+    WITH u AS (SELECT CAST(v AS UBIGINT) AS x FROM (VALUES {rows}) t(v)),
+    h1 AS (SELECT xor(x, x >> 33) AS x FROM u),
+    h2 AS (SELECT {_mix64_mul_sql('x', 0xFF51AFD7ED558CCD)} AS x FROM h1),
+    h3 AS (SELECT xor(x, x >> 33) AS x FROM h2),
+    h4 AS (SELECT {_mix64_mul_sql('x', 0xC4CEB9FE1A85EC53)} AS x FROM h3)
+    SELECT xor(x, x >> 33) AS x FROM h4
+    """
+    got = sorted(int(r[0]) for r in duckdb.connect().execute(q).fetchall())
+    assert got == want
