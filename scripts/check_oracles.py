@@ -1,7 +1,8 @@
 """Driver-style correctness check: run every queries() entry and its
 oracle_sql() side-by-side over an sf dir, compare row count, schema
-(sorted column names) and values (rows sorted by all columns; floats to
-1e-9 after the query's own rounding).
+(sorted column names) and values EXACTLY (rows sorted by all columns;
+floats bit-for-bit — the driver hashes values, so a last-ulp difference
+the old 1e-9 tolerance masked is a real failure there).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
@@ -50,22 +51,25 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     for c in cols:
         g, w = got[c], want[c]
         if g.dtype.kind == "f" or w.dtype.kind == "f":
-            ok = np.allclose(
-                g.fillna(np.nan).values.astype(float),
-                w.fillna(np.nan).values.astype(float),
-                atol=1e-9, rtol=0, equal_nan=True,
-            )
+            gv = g.fillna(np.nan).values.astype(float)
+            wv = w.fillna(np.nan).values.astype(float)
+            # EXACT: identical IEEE bit patterns (NaN == NaN), like the
+            # driver's value hash — no tolerance
+            eq = gv.view(np.uint64) == wv.view(np.uint64)
+            eq |= np.isnan(gv) & np.isnan(wv)
+            # -0.0 vs +0.0 hash the same through repr-free value hashing
+            eq |= (gv == 0.0) & (wv == 0.0)
+            ok = bool(eq.all())
+            bad = np.flatnonzero(~eq)[:5]
         else:
-            ok = (g.fillna(-(2**62)).values == w.fillna(-(2**62)).values).all()
+            eq = g.fillna(-(2**62)).values == w.fillna(-(2**62)).values
+            ok = bool(eq.all())
+            bad = np.flatnonzero(~eq)[:5]
         if not ok:
-            bad = np.flatnonzero(
-                ~np.isclose(
-                    pd.to_numeric(g, errors="coerce").values,
-                    pd.to_numeric(w, errors="coerce").values,
-                    atol=1e-9, rtol=0, equal_nan=True,
-                )
-            )[:5]
-            problems.append(f"col {c} mismatch at rows {bad}: got {g.iloc[bad].tolist()} want {w.iloc[bad].tolist()}")
+            problems.append(
+                f"col {c} mismatch at rows {bad}: "
+                f"got {g.iloc[bad].tolist()} want {w.iloc[bad].tolist()}"
+            )
     return problems
 
 

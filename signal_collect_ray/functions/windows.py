@@ -58,7 +58,11 @@ class _UserSessions:
         starts = np.flatnonzero(brk)
         ends = np.concatenate([starts[1:], [len(ts)]]) - 1
         n = np.concatenate([starts[1:], [len(ts)]]) - starts
-        sums = np.add.reduceat(val, starts)
+        # exact integer cents (inputs are 2-dp): order-independent sum —
+        # a float accumulation can straddle the 6-dp rounding boundary
+        # depending on addition order (the de299fd money-sum bug class)
+        cents = np.rint(val * 100.0).astype(np.int64)
+        sums = np.add.reduceat(cents, starts) / 100.0
         return pa.table(
             {
                 "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
@@ -66,7 +70,7 @@ class _UserSessions:
                 "n_events": pa.array(n, pa.int64()),
                 "start_us": pa.array(ts[starts], pa.int64()),
                 "end_us": pa.array(ts[ends], pa.int64()),
-                "sum_value": pa.array(np.round(sums, 6), pa.float64()),
+                "sum_value": pa.array(sums, pa.float64()),
             }
         )
 
@@ -84,6 +88,17 @@ def sessionize(events_ds, gap_s: float = 14400.0):
     return pin_schema(out, _SESSION_SCHEMA)
 
 
+def _cents_to_value(tbl: pa.Table) -> pa.Table:
+    """Final map after a cents Sum: divide the exact integer once.
+    The oracle divides the identical integer by the identical 100.0,
+    so both sides land on the same IEEE double bit-for-bit."""
+    c = tbl.column("cents").to_numpy(zero_copy_only=False)
+    i = tbl.schema.get_field_index("cents")
+    return tbl.set_column(i, "cents", pa.array(c / 100.0, pa.float64())).rename_columns(
+        [n if n != "cents" else "sum_value" for n in tbl.column_names]
+    )
+
+
 class _WindowKey:
     __name__ = "_WindowKey"
 
@@ -93,11 +108,15 @@ class _WindowKey:
     def __call__(self, tbl: pa.Table) -> pa.Table:
         ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (ts // self.width_us) * self.width_us
+        # exact integer cents → the distributed Sum is order-independent
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "window_us": pa.array(win, pa.int64()),
                 "event_type": tbl.column("event_type"),
-                "value": tbl.column("value"),
+                "cents": pa.array(
+                    np.rint(v * 100.0).astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -114,20 +133,9 @@ def tumbling_window(events_ds, width_s: float = 3600.0):
     keyed = ev.map_batches(_WindowKey(width_us), batch_format="pyarrow")
     agg = keyed.groupby(["window_us", "event_type"]).aggregate(
         Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
+        Sum("cents", alias_name="cents"),
     )
-
-    def rnd(tbl: pa.Table) -> pa.Table:
-        # float sums differ from the oracle only in addition order;
-        # round where the inputs' 2-decimal granularity makes it exact
-        s = tbl.column("sum_value").to_numpy(zero_copy_only=False)
-        return tbl.set_column(
-            tbl.schema.get_field_index("sum_value"),
-            "sum_value",
-            pa.array(np.round(s, 6), pa.float64()),
-        )
-
-    return agg.map_batches(rnd, batch_format="pyarrow")
+    return agg.map_batches(_cents_to_value, batch_format="pyarrow")
 
 
 class _SlidingWindowKey:
@@ -154,11 +162,13 @@ class _SlidingWindowKey:
         offs = np.arange(self.k, dtype=np.int64) * self.slide_us
         win = np.repeat(newest, self.k) - np.tile(offs, n)
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.k))
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        cents = np.repeat(np.rint(v * 100.0).astype(np.int64), self.k)
         return pa.table(
             {
                 "window_us": pa.array(win, pa.int64()),
                 "event_type": tbl.column("event_type").take(idx),
-                "value": tbl.column("value").take(idx),
+                "cents": pa.array(cents, pa.int64()),
             }
         )
 
@@ -179,18 +189,9 @@ def sliding_window(events_ds, width_s: float = 7200.0, slide_s: float = 3600.0):
     )
     agg = keyed.groupby(["window_us", "event_type"]).aggregate(
         Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
+        Sum("cents", alias_name="cents"),
     )
-
-    def rnd(tbl: pa.Table) -> pa.Table:
-        s = tbl.column("sum_value").to_numpy(zero_copy_only=False)
-        return tbl.set_column(
-            tbl.schema.get_field_index("sum_value"),
-            "sum_value",
-            pa.array(np.round(s, 6), pa.float64()),
-        )
-
-    return agg.map_batches(rnd, batch_format="pyarrow")
+    return agg.map_batches(_cents_to_value, batch_format="pyarrow")
 
 
 class _RunningTotals:

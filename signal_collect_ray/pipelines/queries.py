@@ -2832,7 +2832,7 @@ def _sliding_sql() -> str:
     return (
         f"SELECT (epoch_us(ts) // {s}) * {s} - j.j * {s} AS window_us, "
         "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
-        "ROUND(SUM(value), 6) AS sum_value "
+        "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value "
         f"FROM events, unnest(range(0, {k})) AS j(j) "
         "GROUP BY 1, 2"
     )
@@ -10326,14 +10326,16 @@ def oracle_sql():
             "AS session FROM o) "
             "SELECT user_id, session, COUNT(*) AS n_events, "
             "epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us, "
-            "ROUND(SUM(value), 6) AS sum_value "
-            "FROM s GROUP BY user_id, session"
+            # exact integer cents (inputs are 2-dp): both sides divide
+            # the identical integer by 100.0 → bit-identical doubles
+            "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 "
+            "AS sum_value FROM s GROUP BY user_id, session"
         ),
         "event_windows": (
             "SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_us, "
             "event_type, COUNT(*) AS n_events, "
-            "ROUND(SUM(value), 6) AS sum_value "
-            "FROM events GROUP BY 1, 2"
+            "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 "
+            "AS sum_value FROM events GROUP BY 1, 2"
         ),
         "doc_sample_10pct": (
             # floor() matches hash_sample's truncating int(rate * 2^32)

@@ -2443,3 +2443,102 @@ def test_entity_resolve_hand(tmp_path):
     got = {r["doc_id"]: r["entity_id"] for r in rows}
     # 0, 1, 7 merge (transitively via 0); 2 and 3 stay singletons
     assert got == {0: 0, 1: 0, 7: 0, 2: 2, 3: 3}
+
+
+def test_window_sums_bit_exact_vs_duckdb_any_order():
+    """Regression for the r03 event_sessions hash mismatch: session /
+    window value sums must be BIT-exact vs DuckDB regardless of the
+    distributed addition order. Values are 2-dp; both sides sum exact
+    integer cents and divide the identical integer by 100.0, so any
+    row permutation / block split must give identical IEEE doubles."""
+    import duckdb
+
+    from signal_collect_ray.functions.windows import (
+        sessionize,
+        sliding_window,
+        tumbling_window,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4_000
+    # adversarial values: many 0.005-straddling cent patterns
+    cents = rng.integers(1, 5_000, n)
+    vals = cents / 100.0
+    ts_us = np.sort(rng.integers(0, 3_600_000_000 * 4, n))
+    users = rng.integers(0, 37, n)
+    etype = np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]
+
+    con = duckdb.connect()
+
+    for perm_seed in (0, 1, 2):
+        order = np.random.default_rng(perm_seed).permutation(n)
+        tbl = pa.table(
+            {
+                "user_id": pa.array(users[order], pa.int64()),
+                "ts": pa.array(ts_us[order], pa.timestamp("us")),
+                "event_type": pa.array(etype[order]),
+                "value": pa.array(vals[order], pa.float64()),
+            }
+        )
+        con.register("events", tbl)
+        ds = rd.from_arrow(tbl).repartition(11)
+
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                """
+                WITH o AS (SELECT user_id, ts, value, CASE WHEN
+                  epoch(ts - LAG(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts)) > 14400 THEN 1 ELSE 0 END AS brk
+                  FROM events),
+                s AS (SELECT user_id, ts, value, SUM(brk) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session FROM o)
+                SELECT user_id, session,
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+                FROM s GROUP BY 1, 2
+                """
+            ).fetchall()
+        }
+        got = {
+            (r["user_id"], r["session"]): r["sum_value"]
+            for r in sessionize(ds, gap_s=14400.0).take_all()
+        }
+        assert got == want  # dict == is bit-exact float equality
+
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                """
+                SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)),
+                  event_type,
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+                FROM events GROUP BY 1, 2
+                """
+            ).fetchall()
+        }
+        got = {
+            (r["window_us"], r["event_type"]): r["sum_value"]
+            for r in tumbling_window(ds, width_s=3600.0).take_all()
+        }
+        assert got == want
+
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                """
+                SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                    - j.j * 3600000000, event_type,
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+                FROM events, unnest(range(0, 2)) AS j(j) GROUP BY 1, 2
+                """
+            ).fetchall()
+        }
+        got = {
+            (r["window_us"], r["event_type"]): r["sum_value"]
+            for r in sliding_window(
+                ds, width_s=7200.0, slide_s=3600.0
+            ).take_all()
+        }
+        assert got == want
+        con.unregister("events")
