@@ -31,6 +31,11 @@ _STOPWORDS = {
 # BPE-ish tokenizer: words, numbers, or single non-space symbols — a
 # public GPT-2-style pre-tokenization pattern approximation.
 _TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+# RE2-exact \S+: RE2's \s is the ASCII set [\t\n\f\r ] only, while
+# Python's str.split() (and even re.ASCII \s, which adds \v) split on
+# more — NBSP / vertical-tab documents would diverge from the DuckDB
+# oracles otherwise
+_RE2_NONSPACE_RE = re.compile(r"[^ \t\n\f\r]+")
 _WORD_RE = re.compile(r"[A-Za-z]+")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 
@@ -1369,7 +1374,8 @@ def source_vocab_overlap(docs_ds, num_partitions: int = 32):
         for s, t in zip(
             tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
         ):
-            for w in set((t or "").lower().split()):
+            # RE2-exact tokenization — must match the oracle's \S+
+            for w in set(_RE2_NONSPACE_RE.findall((t or "").lower())):
                 seen.add((w, s))
         if not seen:
             return pa.table(

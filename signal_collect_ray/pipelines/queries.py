@@ -5912,8 +5912,13 @@ def q_temperature_mixture(sf_dir: str):
     )
 
     def count(tbl: pa.Table) -> pa.Table:
+        from signal_collect_ray.functions.text import _RE2_NONSPACE_RE
+
         texts = tbl.column("text").to_pylist()
-        n = np.array([len((t or "").split()) for t in texts], np.int64)
+        # RE2-exact \S+ (matches the oracle's regexp_extract_all)
+        n = np.array(
+            [len(_RE2_NONSPACE_RE.findall(t or "")) for t in texts], np.int64
+        )
         return pa.table(
             {"source": tbl.column("source"), "n": pa.array(n, pa.int64())}
         )
@@ -9447,7 +9452,10 @@ def q_partition_skew(sf_dir: str):
 
 
 _SKEW_SQL = f"""
-WITH s AS (SELECT ((CAST(user_id AS UBIGINT) * 2654435761) % 4294967296)
+WITH s AS (SELECT xor(
+             ((CAST(user_id AS UBIGINT) % 4294967296) * 2654435761)
+             % 4294967296,
+             CAST(user_id AS UBIGINT) >> 32)
            % {_SKEW_P} AS part FROM events),
 agg AS (SELECT part, COUNT(*) AS n FROM s GROUP BY part),
 t AS (SELECT CAST(p.p AS BIGINT) AS part,
@@ -9502,7 +9510,11 @@ def q_knn_label_consistency(sf_dir: str):
             ]
         )
         q = q / np.linalg.norm(q, axis=1, keepdims=True)
-        sims = q @ c_mat.T
+        # round to 6dp before ranking: the oracle computes cosine via a
+        # different formula (list_cosine_similarity vs normalized
+        # matmul); last-ulp differences on near-ties would flip
+        # neighbor membership without a shared quantization
+        sims = _round_half_away(q @ c_mat.T, 6)
         pos = np.searchsorted(c_ids, q_ids)
         sims[np.arange(len(q_ids)), pos] = -np.inf  # exclude self
         # stable argsort on -sims: equal sims resolve to the smaller
@@ -9531,7 +9543,8 @@ def q_knn_label_consistency(sf_dir: str):
 _KNN_LABEL_SQL = """
 WITH s AS (SELECT a.vec_id, a.label AS own, b.label AS nl,
       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        ORDER BY ROUND(list_cosine_similarity(a.embedding, b.embedding),
+                       6) DESC,
         b.vec_id) AS rn
       FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
 t AS (SELECT vec_id, own, nl, COUNT(*) AS c FROM s WHERE rn <= 3
@@ -9649,8 +9662,11 @@ def q_large_orders(sf_dir: str):
 
     def partial(tbl: pa.Table) -> pa.Table:
         k = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
-        q = np.round(
-            tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        # half-away rounding to match DuckDB ROUND (np.round is
+        # half-to-even; quantities are integral so both agree today,
+        # but an exact-.5 quantity would flip under np.round)
+        q = _round_half_away(
+            tbl.column("l_quantity").to_numpy(zero_copy_only=False), 0
         ).astype(np.int64)
         kk, qq = segment_sum(k, q)
         return pa.table(
@@ -9834,8 +9850,13 @@ def q_sequence_packing(sf_dir: str):
     )
 
     def count(tbl: pa.Table) -> pa.Table:
+        from signal_collect_ray.functions.text import _RE2_NONSPACE_RE
+
         texts = tbl.column("text").to_pylist()
-        n = np.array([len((t or "").split()) for t in texts], np.int64)
+        # RE2-exact \S+ (matches _PACK_SQL's regexp_extract_all)
+        n = np.array(
+            [len(_RE2_NONSPACE_RE.findall(t or "")) for t in texts], np.int64
+        )
         return pa.table(
             {"doc_id": tbl.column("doc_id"), "n": pa.array(n, pa.int64())}
         )
@@ -9849,7 +9870,10 @@ def q_sequence_packing(sf_dir: str):
 _PACK_SQL = f"""
 WITH t AS (SELECT doc_id,
            CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n,
-           CAST(((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296)
+           CAST(xor(
+                  ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+                  % 4294967296,
+                  CAST(doc_id AS UBIGINT) >> 32)
                 % {_PACK_SHARDS} AS BIGINT) AS shard
            FROM documents),
 s AS (SELECT * FROM t WHERE n > 0),
