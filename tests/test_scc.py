@@ -96,3 +96,45 @@ def test_scc_random_graph(tmp_path, ray_session):
     dst = rng.randint(0, n, 240).astype(np.int64)
     keep = src != dst
     _check(tmp_path, src[keep], dst[keep])
+
+
+def test_scc_driver_holds_only_pivots(tmp_path, ray_session, monkeypatch):
+    """Scale guard: the outer loop must never materialize the edge
+    table or per-round O(E)/O(V) masks on the driver. Static check that
+    the banned idioms are gone, plus a functional check that the pivot
+    arrays the driver DOES hold are bounded by the SCC count per round,
+    not the edge count."""
+    import inspect
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms import scc as scc_mod
+    from signal_collect_ray.algorithms.scc import _BackMark, scc_labels
+
+    src_text = inspect.getsource(scc_mod)
+    assert "iter_batches" not in src_text
+    assert "to_pandas" not in src_text
+    assert "take_all" in src_text  # per-part COUNT rows only
+
+    # graph: 3-cycle + 4-cycle + chain; every round's pivot set must be
+    # <= number of SCCs finished that round (here <= 4 per round)
+    src = [0, 1, 2, 10, 11, 12, 13, 2, 13, 20]
+    dst = [1, 2, 0, 11, 12, 13, 10, 10, 20, 21]
+    seen_pivot_sizes = []
+    orig_init = _BackMark.__init__
+
+    def spy_init(self, pivots_sorted):
+        seen_pivot_sizes.append(len(pivots_sorted))
+        orig_init(self, pivots_sorted)
+
+    monkeypatch.setattr(_BackMark, "__init__", spy_init)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    )
+    t = scc_labels(edges, str(tmp_path / "scc_mem"))
+    got = dict(zip(t.column("vid").to_pylist(), t.column("scc").to_pylist()))
+    want = _tarjan(np.asarray(src), np.asarray(dst))
+    assert got == want
+    assert seen_pivot_sizes and all(s <= 4 for s in seen_pivot_sizes)
