@@ -209,6 +209,37 @@ def broadcast_join(
     return left_ds.map_batches(join, batch_format="pyarrow")
 
 
+def capped_broadcast_join(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    max_broadcast_bytes: int = _BROADCAST_JOIN_LIMIT,
+    num_partitions: int = 64,
+):
+    """The 100-TB lookup idiom (same shape as ``dedup.drop_ids``):
+    broadcast the right side when it fits the byte cap, otherwise fall
+    back to the single-exchange co-partitioned ``hash_join``. The size
+    probe is ``Dataset.size_bytes()`` on the materialized right —
+    block metadata only; nothing is pulled to the driver to decide,
+    and above the cap nothing is ever pulled at all."""
+    right_mat = right_ds.materialize()
+    size = right_mat.size_bytes() or 0
+    if size <= max_broadcast_bytes:
+        return broadcast_join(
+            left_ds, right_mat, on, how=how,
+            max_broadcast_bytes=max(max_broadcast_bytes, size + 1),
+        )
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    # scale the exchange width to the right side: full fan-out for a
+    # genuinely big lookup table, a handful of partitions when the
+    # fallback was forced on tiny data (tests / cap=0 A/B runs) — a
+    # 64-way shuffle of a 10 KB table is pure scheduling overhead
+    parts = min(num_partitions, max(8, size // (8 << 20) + 1))
+    return hash_join(left_ds, right_mat, on, how=how, num_partitions=parts)
+
+
 _HJ_SIDE = "__hj_side"
 _HJ_GPART = "__hj_gpart"
 

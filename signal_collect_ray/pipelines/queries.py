@@ -56,6 +56,21 @@ _BFS_K = 12
 _GRAPH_CACHE: Dict[str, object] = {}
 _RESULT_CACHE: Dict[tuple, object] = {}  # memo for reused query results
 
+# Byte cap for small-side lookup broadcasts (capped_broadcast_join).
+# None → joins._BROADCAST_JOIN_LIMIT; tests monkeypatch this to 0 to
+# force the co-partitioned hash-join fallback and A/B the two paths.
+_LOOKUP_CAP_BYTES: Optional[int] = None
+
+
+def _LOOKUP_CAP() -> int:
+    from signal_collect_ray.functions.joins import _BROADCAST_JOIN_LIMIT
+
+    return (
+        _BROADCAST_JOIN_LIMIT
+        if _LOOKUP_CAP_BYTES is None
+        else _LOOKUP_CAP_BYTES
+    )
+
 
 def _work_dir(sf_dir: str, name: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
@@ -914,26 +929,37 @@ def q_louvain_communities(sf_dir: str):
 
 def q_avg_neighbor_degree(sf_dir: str):
     """Per-vertex mean out-degree of out-neighbors (the local
-    assortativity profile; Barrat et al. 2004, public). Degrees
-    broadcast once (same byte-capped idiom as degree_assortativity);
-    one vectorized pass emits per-block (src, sum, n) partials and a
-    tiny groupby folds them."""
-    import ray
-
+    assortativity profile; Barrat et al. 2004, public). Degree lookup
+    via capped_broadcast_join — broadcast under the byte cap,
+    co-partitioned hash-join fallback above it (never an unconditional
+    O(V) driver take); one vectorized pass emits per-block (src, sum,
+    n) partials and a tiny groupby folds them."""
     from ray.data.aggregate import Sum
 
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
     g = _graph(sf_dir)
-    vt = g.vertices_ds().select_columns(["vid", "out_degree"]).take_all()
-    vids = np.array([r["vid"] for r in vt], dtype=np.int64)
-    degs = np.array([r["out_degree"] for r in vt], dtype=np.float64)
-    order = np.argsort(vids)
-    ref = ray.put((vids[order], degs[order]))
+
+    def as_deg(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": tbl.column("vid"),
+                "nbr_deg": tbl.column("out_degree").cast(pa.float64()),
+            }
+        )
+
+    deg = g.vertices_ds().select_columns(["vid", "out_degree"]).map_batches(
+        as_deg, batch_format="pyarrow"
+    )
+    joined = capped_broadcast_join(
+        derived_edges_ds(sf_dir).select_columns(["src", "dst"]),
+        deg, on="dst", how="inner",  # every dst is a graph vertex
+        max_broadcast_bytes=_LOOKUP_CAP(),
+    )
 
     def partial(tbl: pa.Table) -> pa.Table:
-        dv, dd = ray.get(ref)
         s = tbl.column("src").to_numpy(zero_copy_only=False)
-        d = tbl.column("dst").to_numpy(zero_copy_only=False)
-        nd = dd[np.searchsorted(dv, d)]
+        nd = tbl.column("nbr_deg").to_numpy(zero_copy_only=False)
         u, inv = np.unique(s, return_inverse=True)
         return pa.table(
             {
@@ -944,8 +970,7 @@ def q_avg_neighbor_degree(sf_dir: str):
         )
 
     agg = (
-        derived_edges_ds(sf_dir)
-        .select_columns(["src", "dst"])
+        joined
         .map_batches(partial, batch_format="pyarrow")
         .groupby("vid")
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
@@ -2351,26 +2376,43 @@ _RECIPROCITY_SQL = (
 def q_degree_assortativity(sf_dir: str):
     """Newman (2002, public) degree assortativity over the symmetric
     graph: Pearson correlation of endpoint degrees across edges.
-    Degrees broadcast once (500-vertex table); per-block partial sums of
-    (j, k, j², k², jk); one driver-side formula — no shuffle at all."""
-    import ray
+    Endpoint degrees attach via capped_broadcast_join (broadcast under
+    the byte cap, co-partitioned hash-join above it); per-block partial
+    sums of (j, k, j², k², jk) — products of integer-valued degrees,
+    so the float partials are exact and order-independent; one
+    driver-side formula."""
+    from signal_collect_ray.functions.joins import capped_broadcast_join
 
     g = _graph(sf_dir, True)
-    vt = g.vertices_ds().select_columns(["vid", "out_degree"]).take_all()
-    vids = np.array([r["vid"] for r in vt], dtype=np.int64)
-    degs = np.array([r["out_degree"] for r in vt], dtype=np.float64)
-    order = np.argsort(vids)
-    ref = ray.put((vids[order], degs[order]))
+    vds = g.vertices_ds().select_columns(["vid", "out_degree"])
+
+    def as_deg(key: str, out: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: tbl.column("vid"),
+                    out: tbl.column("out_degree").cast(pa.float64()),
+                }
+            )
+
+        return fn
+
+    e = g.edges_ds().select_columns(["src", "dst"])
+    e = capped_broadcast_join(
+        e, vds.map_batches(as_deg("src", "dj"), batch_format="pyarrow"),
+        on="src", max_broadcast_bytes=_LOOKUP_CAP(),
+    )
+    e = capped_broadcast_join(
+        e, vds.map_batches(as_deg("dst", "dk"), batch_format="pyarrow"),
+        on="dst", max_broadcast_bytes=_LOOKUP_CAP(),
+    )
 
     def sums(tbl: pa.Table) -> pa.Table:
-        dv, dd = ray.get(ref)
-        s = tbl.column("src").to_numpy(zero_copy_only=False)
-        d = tbl.column("dst").to_numpy(zero_copy_only=False)
-        j = dd[np.searchsorted(dv, s)]
-        k = dd[np.searchsorted(dv, d)]
+        j = tbl.column("dj").to_numpy(zero_copy_only=False)
+        k = tbl.column("dk").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "m": pa.array([float(len(s))], pa.float64()),
+                "m": pa.array([float(len(j))], pa.float64()),
                 "sjk": pa.array([float((j * k).sum())], pa.float64()),
                 "sj": pa.array([float((0.5 * (j + k)).sum())], pa.float64()),
                 "sj2": pa.array(
@@ -2379,9 +2421,7 @@ def q_degree_assortativity(sf_dir: str):
             }
         )
 
-    parts = g.edges_ds().select_columns(["src", "dst"]).map_batches(
-        sums, batch_format="pyarrow"
-    ).take_all()
+    parts = e.map_batches(sums, batch_format="pyarrow").take_all()
     m = sum(r["m"] for r in parts)
     sjk = sum(r["sjk"] for r in parts)
     sj = sum(r["sj"] for r in parts)
@@ -7277,17 +7317,29 @@ def q_dangling_mass(sf_dir: str):
         resume=False,
         checkpoint_interval=50,
     )
-    t = info.state_table()
-    vid = t.column("vid").to_numpy(zero_copy_only=False)
-    rank = t.column("state").to_numpy(zero_copy_only=False)
-    vt = g.vertices_ds().select_columns(["vid", "out_degree"]).take_all()
-    od = {r["vid"]: r["out_degree"] for r in vt}
-    dang = np.array([od.get(int(v), 0) == 0 for v in vid])
-    mass = rank[dang].sum()
-    total = rank.sum()
+    # the engine's state shards already carry out_degree — one
+    # streaming pass of per-block partials, no O(V) driver broadcast
+    def partial(tbl: pa.Table) -> pa.Table:
+        rank = tbl.column("state").to_numpy(zero_copy_only=False)
+        od = tbl.column("out_degree").to_numpy(zero_copy_only=False)
+        dang = od == 0
+        return pa.table(
+            {
+                "n_dangling": pa.array([int(dang.sum())], pa.int64()),
+                "mass": pa.array([float(rank[dang].sum())], pa.float64()),
+                "total": pa.array([float(rank.sum())], pa.float64()),
+            }
+        )
+
+    parts = info.final_state_ds().map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    n_dang = sum(r["n_dangling"] for r in parts)
+    mass = sum(r["mass"] for r in parts)
+    total = sum(r["total"] for r in parts)
     return pa.table(
         {
-            "n_dangling": pa.array([int(dang.sum())], pa.int64()),
+            "n_dangling": pa.array([int(n_dang)], pa.int64()),
             "mass": pa.array(
                 [float(_round_half_away(np.array([mass]), 4)[0])], pa.float64()
             ),
@@ -7455,85 +7507,126 @@ def q_wl_refinement(sf_dir: str):
     tiny unique-fold maps signatures to min-vid class labels."""
     import hashlib
 
-    import ray
+    from ray.data.aggregate import Min
 
+    from signal_collect_ray.functions.joins import capped_broadcast_join
     from signal_collect_ray.util import part_of
 
-    def keyed(tbl: pa.Table) -> pa.Table:
-        d = tbl.column("dst").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gpart": pa.array(part_of(d, 32), pa.int32()),
-                "src": tbl.column("src"),
-                "dst": tbl.column("dst"),
-            }
+    def _sig64(payload: str) -> int:
+        # SIGNED view of the 64-bit digest — Ray Data's groupby folds
+        # go through Python ints and overflow on uint64
+        return int.from_bytes(
+            hashlib.md5(payload.encode()).digest()[:8], "big", signed=True
         )
 
     edges = (
         derived_edges_ds(sf_dir)
         .select_columns(["src", "dst"])
-        .map_batches(keyed, batch_format="pyarrow")
-        .materialize()  # reused every round — pin the co-partitioned set
+        .materialize()  # reused every round
     )
-    vrows = _graph(sf_dir).vertices_ds().select_columns(["vid"]).take_all()
-    vids = np.sort(np.array([r["vid"] for r in vrows], dtype=np.int64))
-    color = np.zeros(len(vids), dtype=np.int64)
 
-    def _sig64(payload: str) -> int:
-        return int.from_bytes(hashlib.md5(payload.encode()).digest()[:8], "big")
+    def zero_color(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": tbl.column("vid"),
+                "color": pa.array(np.zeros(len(tbl), np.int64), pa.int64()),
+            }
+        )
+
+    # colors live as a DISTRIBUTED (vid, color) table end-to-end; the
+    # driver never holds the color vector
+    colors = (
+        _graph(sf_dir).vertices_ds().select_columns(["vid"])
+        .map_batches(zero_color, batch_format="pyarrow")
+    )
+
+    def as_lookup(key: str, out: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return pa.table({key: tbl.column("vid"), out: tbl.column("color")})
+
+        return fn
+
+    def sig_group(tbl: pa.Table) -> pa.Table:
+        # all in-edges of each dst are co-partitioned here: sort by
+        # (dst, src color), hash each contiguous multiset slice
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        cs = tbl.column("csrc").to_numpy(zero_copy_only=False)
+        cd = tbl.column("cdst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cs, d))
+        d_s, c_s, own = d[order], cs[order], cd[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], d_s[1:] != d_s[:-1]])
+        )
+        ends = np.append(bounds[1:], len(d_s))
+        out_v = d_s[bounds]
+        out_sig = np.empty(len(bounds), dtype=np.int64)
+        for j, (b, e) in enumerate(zip(bounds, ends)):
+            payload = f"{own[b]}|" + ",".join(map(str, c_s[b:e]))
+            out_sig[j] = np.int64(_sig64(payload))
+        return pa.table(
+            {
+                "vid": pa.array(out_v, pa.int64()),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "gpart", pa.array(part_of(d, 32), pa.int32())
+        )
+
+    def fill_empty(tbl: pa.Table) -> pa.Table:
+        # vertices with no in-edges: signature (own color, empty set).
+        # fill_null(0) BEFORE to_numpy — a nulled uint64 column would
+        # otherwise decay to float64 and corrupt 64-bit signatures
+        import pyarrow.compute as pc
+
+        vid = tbl.column("vid")
+        col = tbl.column("color").to_numpy(zero_copy_only=False)
+        null = np.asarray(tbl.column("sig").is_null())
+        out = (
+            pc.fill_null(tbl.column("sig"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        for i in np.flatnonzero(null):
+            out[i] = np.int64(_sig64(f"{col[i]}|"))
+        return pa.table(
+            {"vid": vid, "sig": pa.array(out, pa.int64())}
+        )
 
     for _ in range(_WL_K):
-        ref = ray.put((vids, color))
-
-        def sig_group(tbl: pa.Table) -> pa.Table:
-            # all in-edges of each dst are co-partitioned here: sort by
-            # (dst, src color), hash each contiguous multiset slice
-            gv, gc = ray.get(ref)
-            s = tbl.column("src").to_numpy(zero_copy_only=False)
-            d = tbl.column("dst").to_numpy(zero_copy_only=False)
-            cs = gc[np.searchsorted(gv, s)]
-            cd = gc[np.searchsorted(gv, d)]
-            order = np.lexsort((cs, d))
-            d_s, c_s, own = d[order], cs[order], cd[order]
-            bounds = np.flatnonzero(
-                np.concatenate([[True], d_s[1:] != d_s[:-1]])
-            )
-            ends = np.append(bounds[1:], len(d_s))
-            out_v = d_s[bounds]
-            out_sig = np.empty(len(bounds), dtype=np.uint64)
-            for j, (b, e) in enumerate(zip(bounds, ends)):
-                payload = f"{own[b]}|" + ",".join(map(str, c_s[b:e]))
-                out_sig[j] = np.uint64(_sig64(payload))
-            return pa.table(
-                {
-                    "vid": pa.array(out_v, pa.int64()),
-                    "sig": pa.array(out_sig, pa.uint64()),
-                }
-            )
-
-        srows = (
-            edges.groupby("gpart")
+        cm = colors.materialize()
+        annotated = capped_broadcast_join(
+            edges,
+            cm.map_batches(as_lookup("src", "csrc"), batch_format="pyarrow"),
+            on="src", max_broadcast_bytes=_LOOKUP_CAP(),
+        )
+        annotated = capped_broadcast_join(
+            annotated,
+            cm.map_batches(as_lookup("dst", "cdst"), batch_format="pyarrow"),
+            on="dst", max_broadcast_bytes=_LOOKUP_CAP(),
+        )
+        sigs = (
+            annotated.map_batches(keyed, batch_format="pyarrow")
+            .groupby("gpart")
             .map_groups(sig_group, batch_format="pyarrow")
-            .take_all()
         )
-        # vertices with no in-edges keep signature (own color, empty)
-        sigs = np.array(
-            [np.uint64(_sig64(f"{c}|")) for c in color], dtype=np.uint64
+        full = capped_broadcast_join(
+            cm, sigs, on="vid", how="left",
+            max_broadcast_bytes=_LOOKUP_CAP(),
+        ).map_batches(fill_empty, batch_format="pyarrow")
+        # canonical class label = min member vid per signature — a
+        # distributed fold, then one more capped lookup
+        classes = full.groupby("sig").aggregate(
+            Min("vid", alias_name="color")
         )
-        sv = np.array([r["vid"] for r in srows], dtype=np.int64)
-        sg = np.array([r["sig"] for r in srows], dtype=np.uint64)
-        sigs[np.searchsorted(vids, sv)] = sg
-        # min-vid per signature class (vids ascending ⇒ first index wins)
-        _u, first = np.unique(sigs, return_index=True)
-        remap = {int(s): int(vids[i]) for s, i in zip(_u, first)}
-        color = np.array([remap[int(s)] for s in sigs], dtype=np.int64)
+        colors = capped_broadcast_join(
+            full, classes, on="sig", max_broadcast_bytes=_LOOKUP_CAP(),
+        ).select_columns(["vid", "color"])
 
-    return pa.table(
-        {
-            "vid": pa.array(vids, pa.int64()),
-            "color": pa.array(color, pa.int64()),
-        }
-    )
+    return colors.sort("vid")
 
 
 def _wl_sql(k: int) -> str:
@@ -8281,23 +8374,42 @@ def q_quality_percent_rank(sf_dir: str):
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    scored = ds.map_batches(QualityScore(), batch_format="pyarrow")
+    ).map_batches(QualityScore(), batch_format="pyarrow")
 
-    def proj(tbl: pa.Table) -> pa.Table:
-        return tbl.select(["doc_id", "quality"])
+    def keyed(tbl: pa.Table) -> pa.Table:
+        # the 6-dp-quantized score (the _QUALITY_SQL contract) as an
+        # exact integer key — the histogram domain is then bounded by
+        # the score range × 1e6, NOT by N, so the broadcast stays small
+        # at any corpus size (same idiom as quality_percentiles)
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        qi = np.round(q * 1e6).astype(np.int64)
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "qi": pa.array(qi, pa.int64())})
 
-    scored = scored.map_batches(proj, batch_format="pyarrow").materialize()
-    qrows = scored.select_columns(["quality"]).take_all()
-    allq = np.sort(np.array([r["quality"] for r in qrows]))
-    N = len(allq)
-    ref = ray.put(allq)
+    kd = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        u, c = np.unique(tbl.column("qi").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"qi": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    parts = kd.map_batches(hist, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[r["qi"]] = agg.get(r["qi"], 0) + r["c"]
+    vals = np.array(sorted(agg), dtype=np.int64)
+    counts = np.array([agg[v] for v in vals], dtype=np.int64)
+    cum = np.cumsum(counts)
+    excl = cum - counts  # strictly-lower count per distinct score
+    N = int(cum[-1]) if len(cum) else 0
+    ref = ray.put((vals, excl))
 
     def rank(tbl: pa.Table) -> pa.Table:
-        sorted_q = ray.get(ref)
-        q = tbl.column("quality").to_numpy(zero_copy_only=False)
-        less = np.searchsorted(sorted_q, q, side="left")
-        pct = less * 1.0 / (N - 1) if N > 1 else np.zeros(len(q))
+        v, e = ray.get(ref)
+        qi = tbl.column("qi").to_numpy(zero_copy_only=False)
+        less = e[np.searchsorted(v, qi)]
+        pct = less * 1.0 / (N - 1) if N > 1 else np.zeros(len(qi))
         return pa.table(
             {
                 "doc_id": tbl.column("doc_id"),
@@ -8305,15 +8417,14 @@ def q_quality_percent_rank(sf_dir: str):
             }
         )
 
-    return scored.map_batches(rank, batch_format="pyarrow")
+    return kd.map_batches(rank, batch_format="pyarrow")
 
 
 def _quality_pct_rank_sql() -> str:
-    raw = _QUALITY_SQL.replace(
-        "SELECT doc_id, ROUND(", "SELECT doc_id, ("
-    ).replace("* 0.2, 6) ", "* 0.2) ")
+    # ranks the 6-dp-quantized score (the _QUALITY_SQL contract) — the
+    # same tie groups the engine's bounded counting histogram uses
     return (
-        f"WITH q AS ({raw}) "
+        f"WITH q AS ({_QUALITY_SQL}) "
         "SELECT doc_id, ROUND(PERCENT_RANK() OVER (ORDER BY quality), 6) "
         "AS pct_rank FROM q"
     )
