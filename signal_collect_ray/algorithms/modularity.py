@@ -198,7 +198,6 @@ def _louvain_broadcast(edges, rounds: int, num_partitions: int,
     from signal_collect_ray.util import part_of
 
     # vertex set + weighted degrees from per-block partials (tiny rows)
-    parts: dict = {}
     def deg_partial(tbl: pa.Table) -> pa.Table:
         src = tbl.column("src").to_numpy(zero_copy_only=False)
         w = (tbl.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -208,13 +207,16 @@ def _louvain_broadcast(edges, rounds: int, num_partitions: int,
         return pa.table({"v": pa.array(u, pa.int64()),
                          "c": pa.array(c, pa.float64())})
 
+    pv, pc = [], []
     for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
-        for v, c in zip(b.column("v").to_pylist(), b.column("c").to_pylist()):
-            parts[v] = parts.get(v, 0) + c
-    vids = np.array(sorted(parts), dtype=np.int64)
-    deg = np.array([parts[v] for v in vids], dtype=np.float64)
+        pv.append(b.column("v").to_numpy(zero_copy_only=False))
+        pc.append(b.column("c").to_numpy(zero_copy_only=False))
+    allv = np.concatenate(pv) if pv else np.empty(0, np.int64)
+    allc = np.concatenate(pc) if pc else np.empty(0, np.float64)
+    vids, inv = np.unique(allv, return_inverse=True)
+    deg = np.bincount(inv, weights=allc, minlength=len(vids))
     labels = vids.copy()
     m2 = float(deg.sum())
     n = len(vids)
@@ -249,15 +251,16 @@ def _louvain_broadcast(edges, rounds: int, num_partitions: int,
             )
 
         kernel = _BroadcastArgmax(ref, m2, 2, r % 2)
-        out = (
+        moved = (
             edges.map_batches(partial, batch_format="pyarrow")
             .groupby("part")
             .map_groups(kernel, batch_format="pyarrow")
-            .take_all()
         )
         new_labels = labels.copy()
-        for row in out:
-            new_labels[np.searchsorted(vids, row["vid"])] = row["label"]
+        for b in moved.iter_batches(batch_format="pyarrow", batch_size=None):
+            ov = b.column("vid").to_numpy(zero_copy_only=False)
+            ol = b.column("label").to_numpy(zero_copy_only=False)
+            new_labels[np.searchsorted(vids, ov)] = ol
         labels = new_labels
 
     return rd.from_arrow(
