@@ -1,12 +1,20 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
-The decode/resample kernels themselves are STUBBED (no image/audio
-libraries in this container): ``decoder="fake"`` produces deterministic
-feature vectors from the bytes; ``decoder="real"`` raises
-NotImplementedError where a PIL/libsndfile call would go. Everything
-around the kernel — schema, actor-pool stage shape, small batch sizes
-for wide binary rows, typed metadata, output layout — is real and
-tested.
+Two decode paths:
+
+- ``decoder="real"`` — a REAL decode stage: PGM/PPM/BMP/PNG images and
+  PCM16 WAV audio decode via the zero-dependency codecs in
+  ``functions.codecs`` (pure stdlib/numpy); PIL, when installed,
+  extends the image path to JPEG/WebP/etc. Images → grayscale → 4×4
+  nearest-neighbor thumbnail (16 features); audio → 16-segment
+  amplitude envelope. Only a payload in a format none of those cover
+  raises NotImplementedError.
+- ``decoder="fake"`` — deterministic md5-derived features, kept for
+  byte-exact SQL oracles over arbitrary (undecodable) payloads.
+
+Everything around the kernel — schema, actor-pool stage shape, small
+batch sizes for wide binary rows, typed metadata, output layout — is
+shared by both paths.
 
 Schema convention for a media table:
     (media_id:int64, kind:string, payload:binary,
@@ -122,7 +130,13 @@ class MediaFeatureExtractor:
         self.decoder = decoder
         self._pil = None
         if decoder == "real":
-            # decoder load happens ONCE PER ACTOR, here — never per batch
+            # decoder state loads ONCE PER ACTOR, here — never per batch.
+            # The builtin codecs (functions.codecs: PGM/PPM/BMP/PNG + WAV,
+            # pure stdlib) always exist; PIL, when installed, extends the
+            # image path to everything else (JPEG/WebP/...).
+            from signal_collect_ray.functions import codecs
+
+            self._codecs = codecs
             try:
                 from PIL import Image  # noqa: F401
 
@@ -131,6 +145,14 @@ class MediaFeatureExtractor:
                 self._pil = None
 
     def _decode_real(self, payload: bytes, kind: str) -> np.ndarray:
+        cx = self._codecs
+        fmt = cx.sniff_format(payload)
+        if fmt == "wav":
+            samples, _sr = cx.decode_wav(payload)
+            return cx.segment_envelope(samples, self.DIM)
+        if fmt in ("pgm", "ppm", "bmp", "png"):
+            img = cx.to_grayscale(cx.decode_image(payload))
+            return cx.resize_nearest(img, 4, 4).reshape(-1) / 255.0
         if kind == "image" and self._pil is not None:
             import io
 
@@ -138,10 +160,10 @@ class MediaFeatureExtractor:
             img = img.resize((4, 4))  # DIM=16 grayscale thumbnail
             return np.asarray(img, dtype=np.float64).reshape(-1) / 255.0
         raise NotImplementedError(
-            f"real {kind} decode needs "
+            f"real decode of a non-PGM/PPM/BMP/PNG/WAV {kind} payload needs "
             + ("soundfile/av" if kind != "image" else "PIL")
-            + " — not available in this environment; the import-try in "
-            "__init__ activates it automatically where installed"
+            + " — not installed here; the import-try in __init__ activates "
+            "it automatically where it exists"
         )
 
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
@@ -172,11 +194,56 @@ class MediaFeatureExtractor:
         )
 
 
-def extract_media_features(media_ds, concurrency=2, batch_size: int = 64):
+def real_media_from_documents(docs_ds):
+    """Derive a REAL-format media table from the ``documents`` table:
+    even doc_ids render an 8x8 PGM image whose 2x2-replicated pixel grid
+    is the md5 digest of the text (so a 4x4 nearest-neighbor thumbnail
+    recovers the digest exactly); odd doc_ids render a 64-sample PCM16
+    WAV whose 16 constant 4-sample segments encode the digest bytes as
+    (b - 128) * 256. Both decode through the genuine codec path and
+    both have exact DuckDB mirrors via md5 hex-nibble arithmetic."""
+    from signal_collect_ray.functions import codecs
+
+    def to_media(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [(t or "") for t in tbl.column("text").to_pylist()]
+        payloads, kinds, metas = [], [], []
+        for i, t in zip(ids, texts):
+            dig = np.frombuffer(
+                hashlib.md5(t.encode("utf-8")).digest(), np.uint8
+            )
+            if i % 2 == 0:
+                px = np.kron(dig.reshape(4, 4), np.ones((2, 2), np.uint8))
+                payloads.append(codecs.encode_pgm(px))
+                kinds.append("image")
+                metas.append({"width": 8, "height": 8,
+                              "sample_rate": 0, "n_frames": 1})
+            else:
+                s = np.repeat(
+                    (dig.astype(np.int64) - 128) * 256, 4
+                ).astype(np.int16)
+                payloads.append(codecs.encode_wav(s, 16000))
+                kinds.append("audio")
+                metas.append({"width": 0, "height": 0,
+                              "sample_rate": 16000, "n_frames": 64})
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+    return docs_ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def extract_media_features(media_ds, concurrency=2, batch_size: int = 64,
+                           decoder: str = "fake"):
     """Feature extraction as an actor-pool stage over a media Dataset."""
     return media_ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"decoder": "fake"},
+        fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -5008,6 +5008,79 @@ def _media_sql() -> str:
     )
 
 
+def q_media_real_decode(sf_dir: str):
+    """The REAL multimodal decode path under the oracle gate: documents
+    render to genuine on-disk formats (even doc_ids → an 8x8 binary PGM
+    whose 2x2-replicated pixels are the md5 digest of the text; odd →
+    a 64-sample PCM16 WAV encoding the digest as 16 constant 4-sample
+    segments), then MediaFeatureExtractor(decoder="real") sniffs the
+    magic bytes, decodes with the zero-dependency codecs
+    (functions/codecs.py), grayscales + 4x4-thumbnails the image /
+    envelope-folds the audio. Features land back on md5-nibble
+    arithmetic, so the whole decode pipeline has an exact DuckDB
+    mirror: f_j = byte_j/255 (image) or |byte_j-128|/128 (audio).
+    All intermediate floats are exact (dyadic) or the /255 family the
+    committed sweep already pins; rounding is half-away on both sides."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        extract_media_features,
+        real_media_from_documents,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    feats = extract_media_features(
+        real_media_from_documents(docs), concurrency=2, batch_size=64,
+        decoder="real",
+    )
+    dim = MediaFeatureExtractor.DIM
+
+    def flatten(tbl: pa.Table) -> pa.Table:
+        f = np.asarray(tbl.column("features").to_pylist(), dtype=np.float64)
+        if f.size == 0:
+            f = f.reshape(0, dim)
+        cols = {
+            "media_id": tbl.column("media_id"),
+            "kind": tbl.column("kind"),
+            "payload_bytes": tbl.column("payload_bytes"),
+        }
+        for j in range(dim):
+            cols[f"f{j:02d}"] = pa.array(
+                _round_half_away(f[:, j], 6), pa.float64()
+            )
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def _media_real_sql() -> str:
+    """Exact SQL mirror of q_media_real_decode (see its docstring)."""
+    hexd = "'0123456789abcdef'"
+    feats = ", ".join(
+        "ROUND(CASE WHEN media_id % 2 = 0 THEN b{j} / 255.0 "
+        "ELSE ABS(b{j} - 128) / 128.0 END, 6) AS f{j:02d}".format(j=j)
+        for j in range(16)
+    )
+    bytes_ = ", ".join(
+        f"(strpos({hexd}, substr(h, {2 * j + 1}, 1)) - 1) * 16 "
+        f"+ strpos({hexd}, substr(h, {2 * j + 2}, 1)) - 1 AS b{j}"
+        for j in range(16)
+    )
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "md5(COALESCE(text, '')) AS h FROM documents), "
+        f"d AS (SELECT media_id, {bytes_} FROM m) "
+        "SELECT media_id, "
+        "CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+        # PGM: 'P5\\n8 8\\n255\\n' (11 B) + 64 px; WAV: 44 B header + 128 B
+        "CASE WHEN media_id % 2 = 0 THEN 75 ELSE 172 END AS payload_bytes, "
+        f"{feats} FROM d"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL generators for the document / embedding oracles
 # ---------------------------------------------------------------------------
@@ -10205,6 +10278,7 @@ def queries():
         "vertex_coloring": q_vertex_coloring,
         "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
         "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         # rows-only checks (not SQL-expressible)
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
         "pagerank_converged": q_pagerank_converged,
@@ -10502,4 +10576,5 @@ def oracle_sql():
         "vertex_coloring": _COLORING_SQL,
         "embedding_dedup_pairs_lsh": _EMB_LSH_SQL,
         "media_features": _media_sql(),
+        "media_real_decode": _media_real_sql(),
     }
