@@ -82,6 +82,32 @@ def _timed(fn):
     return time.monotonic() - t0, out
 
 
+def _cpu_jiffies() -> tuple:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
+    the quiet-window protocol from BASELINE.md: the delta across a
+    bench run attributes a slow wall to hypervisor CPU steal at a
+    glance instead of leaving a 1.3x spread unexplained."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+class _StealMeter:
+    """Context helper: .pct() = % of machine CPU time stolen by the
+    hypervisor between construction and the call."""
+
+    def __init__(self):
+        self.s0, self.t0 = _cpu_jiffies()
+
+    def pct(self) -> float:
+        s1, t1 = _cpu_jiffies()
+        dt = t1 - self.t0
+        return round(100.0 * (s1 - self.s0) / dt, 2) if dt > 0 else 0.0
+
+
 def run_headline(sf_dir: str, num_cpus: int) -> dict:
     import ray.data as rd
 
@@ -352,6 +378,7 @@ def _scaling_child(num_cpus: int) -> None:
     wp = synthesize_pages_dataset(500, avg_links=4, seed=1)
     Graph.build(pages_to_edges(wp), os.path.join(work, "warm"), num_partitions=8)
 
+    meter = _StealMeter()
     t0 = time.monotonic()
     pages = synthesize_pages_dataset(SCALE_PAGES, avg_links=SCALE_AVG_LINKS, seed=42)
     g = Graph.build(
@@ -385,6 +412,7 @@ def _scaling_child(num_cpus: int) -> None:
                 "n_edges": g.num_edges,
                 "edges_traversed": info.edges_traversed_total,
                 "pr_edges_per_sec": int(info.edges_traversed_total / max(t_pr, 1e-9)),
+                "cpu_steal_pct": meter.pct(),
             }
         )
     )
@@ -423,6 +451,7 @@ def _scaling_run(ncpu: int, pages: Optional[int] = None) -> dict:
     rep["reps"] = len(runs)
     rep["wall_sec_all"] = [r["wall_sec"] for r in runs]
     rep["pagerank_sec_all"] = [r["pagerank_sec"] for r in runs]
+    rep["cpu_steal_pct_all"] = [r.get("cpu_steal_pct", 0.0) for r in runs]
     return rep
 
 
@@ -574,7 +603,9 @@ def main():
     _init_ray(NUM_CPUS)
     import ray
 
+    meter = _StealMeter()
     out = run_headline(SF_DIR, NUM_CPUS)
+    out["cpu_steal_pct"] = meter.pct()
     print(json.dumps(out))
     ray.shutdown()
 

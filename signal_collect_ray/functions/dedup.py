@@ -824,8 +824,69 @@ class SimHasher:
         return tbl.append_column("simhash", pa.array(out, pa.int64()))
 
 
-def simhash_signatures(docs_ds, shingle_k: int = 3):
-    return docs_ds.map_batches(SimHasher(shingle_k), batch_format="pyarrow")
+def _md5_hash64(s: str) -> int:
+    """First 8 bytes of md5 as a big-endian uint64 — chosen because
+    DuckDB mirrors it exactly: CAST(concat('0x', substr(md5(s), 1, 16))
+    AS UBIGINT)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+class SimHasherMd5:
+    """SimHash whose shingle hash is md5 over the word-k-shingle STRING
+    (windows kept with multiplicity, like SimHasher) — a hair slower
+    than the polynomial-fold blake2b path but every step is exactly
+    SQL-expressible, which puts the whole signature computation under
+    the DuckDB oracle gate. Bits 0..62 only (matching SimHasher's
+    int64-positivity mask), so the vote loop runs 63 passes."""
+
+    __name__ = "SimHasherMd5"
+
+    def __init__(self, shingle_k: int = 3):
+        self.k = shingle_k
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        if not texts:
+            return tbl.append_column("simhash", pa.array([], pa.int64()))
+        k, memo = self.k, {}
+        flat_list: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = _norm(t).split()
+            if len(words) < k:
+                strs = [" ".join(words)]
+            else:
+                strs = [
+                    " ".join(words[j : j + k])
+                    for j in range(len(words) - k + 1)
+                ]
+            counts[i] = len(strs)
+            get = memo.get
+            for s in strs:
+                v = get(s)
+                if v is None:
+                    v = _md5_hash64(s)
+                    memo[s] = v
+                flat_list.append(v)
+        flat = np.array(flat_list, dtype=np.uint64)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for b in range(63):
+            bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            v = 2 * np.add.reduceat(bit, offsets) - counts
+            out |= (v > 0).astype(np.uint64) << np.uint64(b)
+        return tbl.append_column(
+            "simhash", pa.array(out.astype(np.int64), pa.int64())
+        )
+
+
+_SIMHASHERS = {"blake2b": SimHasher, "md5": SimHasherMd5}
+
+
+def simhash_signatures(docs_ds, shingle_k: int = 3, hasher: str = "blake2b"):
+    return docs_ds.map_batches(
+        _SIMHASHERS[hasher](shingle_k), batch_format="pyarrow"
+    )
 
 
 class _BlockEmit:
@@ -915,7 +976,7 @@ class _HammingBucketPairs:
 
 def simhash_dedup_pairs(
     docs_ds, id_col: str = "doc_id", max_hamming: int = 3, shingle_k: int = 3,
-    all_pairs_cap: int = 1024,
+    all_pairs_cap: int = 1024, hasher: str = "blake2b",
 ):
     """Near-duplicate pairs by simhash hamming distance ≤ ``max_hamming``.
 
@@ -925,7 +986,7 @@ def simhash_dedup_pairs(
     min-link fallback (``all_pairs_cap``)."""
     n_blocks = max_hamming + 1
     sigs = docs_ds.select_columns([id_col, "text"]).map_batches(
-        SimHasher(shingle_k), batch_format="pyarrow"
+        _SIMHASHERS[hasher](shingle_k), batch_format="pyarrow"
     )
     blocks = sigs.map_batches(_BlockEmit(n_blocks, id_col), batch_format="pyarrow")
     pairs = blocks.groupby(["block_id", "block_key"]).map_groups(

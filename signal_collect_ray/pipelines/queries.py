@@ -4865,6 +4865,135 @@ def q_simhash_signatures(sf_dir: str):
     return simhash_signatures(ds).select_columns(["doc_id", "simhash"])
 
 
+_DOC_PLANT_OFFSET = 1_000_000_000
+_DOC_PLANT_N = 5
+# Augmented documents relation shared by the planted-fixture dedup
+# oracles: the 5 smallest doc_ids duplicated verbatim at id + 1e9.
+_DOCS_PLANTED_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {_DOC_PLANT_OFFSET}, text FROM "
+    f"(SELECT doc_id, text FROM documents ORDER BY doc_id "
+    f"LIMIT {_DOC_PLANT_N})) aug"
+)
+
+
+def _docs_planted(sf_dir: str):
+    """documents ∪ verbatim copies of the 5 smallest doc_ids at
+    id + 1e9 — the Ray side of _DOCS_PLANTED_SQL."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def bump(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.set_column(
+            tbl.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(v + _DOC_PLANT_OFFSET, pa.int64()),
+        )
+
+    planted = ds.sort("doc_id").limit(_DOC_PLANT_N).map_batches(
+        bump, batch_format="pyarrow"
+    )
+    return ds.union(planted)
+
+
+def q_minhash_dedup_pairs_planted(sf_dir: str):
+    """MinHash+LSH candidate generation + exact-Jaccard verify with a
+    DETERMINISTIC full-equality oracle: the corpus is augmented with
+    verbatim duplicates of the 5 smallest doc_ids (J = 1 with their
+    originals — identical shingle sets give identical minhash
+    signatures, so every band bucket contains the pair and recall is
+    exactly 1, no probabilistic argument), and the verify threshold
+    0.999 sits above the corpus's maximum non-identical pair Jaccard
+    (0.9889 at sf0.01 — asserted by the oracle itself: a missed or
+    spurious pair fails the hash). The general-recall behavior at lower
+    thresholds stays covered by dedup_minhash_survivors' 1-1e-14
+    recall argument and the rows-only minhash_dedup_pairs probe."""
+    from signal_collect_ray.functions.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    aug = _docs_planted(sf_dir)
+    pairs = minhash_lsh_candidates(aug)
+    return jaccard_verify(aug, pairs, threshold=0.999)
+
+
+def _simhash_md5_sig_sql(docs_src: str = "documents") -> str:
+    """Exact SQL mirror of SimHasherMd5 (word-3-shingle strings with
+    multiplicity → md5 → first-8-bytes uint64 → per-bit ±1 vote →
+    bits 0..62): the same sh CTE family as _ngram_pairs_sql at k = 3,
+    hex16 → UBIGINT cast, vote per (doc, bit), HUGEINT bit assembly."""
+    return (
+        "WITH docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array("
+        f"trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM {docs_src}), "
+        "sh AS MATERIALIZED ("
+        "SELECT doc_id, array_to_string(w, ' ') AS s FROM docs WHERE len(w) < 3 "
+        "UNION ALL "
+        "SELECT d.doc_id, array_to_string(d.w[i.i:i.i+2], ' ') AS s "
+        "FROM docs d, LATERAL (SELECT unnest(range(1, len(d.w) - 1)) AS i) i "
+        "WHERE len(d.w) >= 3), "
+        "hv AS MATERIALIZED (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh), "
+        "votes AS (SELECT doc_id, b.b AS b, "
+        "SUM(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+        "FROM hv, LATERAL (SELECT unnest(range(0, 63)) AS b) b GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN "
+        "CAST(1 AS HUGEINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM votes GROUP BY doc_id"
+    )
+
+
+def q_simhash_md5_signatures(sf_dir: str):
+    """The SimHash SIGNATURE computation itself under the exact oracle
+    gate: the md5-shingle-hash variant (functions/dedup.py:SimHasherMd5)
+    is bit-for-bit mirrorable in DuckDB, so all 63 signature bits of
+    every document are hash-checked — the blake2b production variant
+    (simhash_signatures default) shares every step except the shingle
+    hash primitive."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import simhash_signatures
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_signatures(ds, hasher="md5").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def q_simhash_dedup_pairs_md5(sf_dir: str):
+    """SimHash near-dup pairs with a FULL-equality oracle: md5-variant
+    signatures over the planted corpus, Manku pigeonhole block search
+    at radius 3 (4 blocks — any pair within hamming 3 shares a block
+    EXACTLY, so recall is deterministically 1 while every bucket stays
+    under the all-pairs cap, which 505 total docs always do), exact
+    popcount verify. The oracle recomputes the signatures in SQL
+    (_simhash_md5_sig_sql) and takes literal all-pairs
+    bit_count(xor) ≤ 3 — candidate generation, verify, and the planted
+    hamming-0 pairs are all pinned."""
+    from signal_collect_ray.functions.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(
+        _docs_planted(sf_dir), max_hamming=3, shingle_k=3, hasher="md5"
+    )
+
+
+_SIMHASH_MD5_PAIRS_SQL = (
+    f"WITH sig AS MATERIALIZED ({_simhash_md5_sig_sql(_DOCS_PLANTED_SQL)}) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(CAST(a.simhash AS UBIGINT), "
+    "CAST(b.simhash AS UBIGINT))) AS BIGINT) AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(CAST(a.simhash AS UBIGINT), "
+    "CAST(b.simhash AS UBIGINT))) <= 3"
+)
+
+
 def q_embedding_dedup_pairs(sf_dir: str):
     """EXACT all-pairs cosine ≥ 0.5 (brute-force baseline, broadcast
     matrix + chunked matmul per batch) — DuckDB-oracle-checked via
@@ -5310,14 +5439,16 @@ _EMB_DUP_PAIRS_SQL = (
 )
 
 
-def _ngram_pairs_sql(threshold: float = 0.8) -> str:
+def _ngram_pairs_sql(threshold: float = 0.8, docs_src: str = "documents") -> str:
     """Exact word-5-shingle Jaccard pairs (string shingles — the Ray
     side hashes shingles, which preserves set Jaccard up to 64-bit hash
     collisions). Same shingle CTEs as ``_survivors_sql``; the filter is
-    on the unrounded Jaccard, mirroring ``ngram_jaccard_pairs``."""
+    on the unrounded Jaccard, mirroring ``ngram_jaccard_pairs``.
+    ``docs_src`` lets planted-fixture oracles swap in an augmented
+    (doc_id, text) relation."""
     return (
         "WITH docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array("
-        "trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM documents), "
+        f"trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM {docs_src}), "
         "sh AS MATERIALIZED ("
         "SELECT doc_id, array_to_string(w, ' ') AS s FROM docs WHERE len(w) < 5 "
         "UNION ALL "
@@ -10279,6 +10410,9 @@ def queries():
         "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
+        "minhash_dedup_pairs_planted": q_minhash_dedup_pairs_planted,
+        "simhash_md5_signatures": q_simhash_md5_signatures,
+        "simhash_dedup_pairs_md5": q_simhash_dedup_pairs_md5,
         # rows-only checks (not SQL-expressible)
         "knn_lsh_vec0_top5": q_knn_lsh_vec0_top5,
         "pagerank_converged": q_pagerank_converged,
@@ -10577,4 +10711,9 @@ def oracle_sql():
         "embedding_dedup_pairs_lsh": _EMB_LSH_SQL,
         "media_features": _media_sql(),
         "media_real_decode": _media_real_sql(),
+        "minhash_dedup_pairs_planted": _ngram_pairs_sql(
+            0.999, docs_src=_DOCS_PLANTED_SQL
+        ),
+        "simhash_md5_signatures": _simhash_md5_sig_sql(),
+        "simhash_dedup_pairs_md5": _SIMHASH_MD5_PAIRS_SQL,
     }

@@ -92,22 +92,26 @@ def test_loaders(tmp_path):
     assert vids == [1, 2, 4, 5]
 
 
-def _docs_ds():
-    texts = [
-        "The quick brown fox jumps over the lazy dog and runs to the hills",
-        "the quick brown fox jumps over the lazy dog and runs to the hills",
-        "Der schnelle braune Fuchs springt über den faulen Hund und rennt",
-        "completely different content about graph engines and ray data pipelines",
-        "The quick brown fox jumps over the lazy dog and runs to the mountains",
-    ]
-    return rd.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
-                "text": pa.array(texts, pa.string()),
-            }
-        )
+_DOC_TEXTS = [
+    "The quick brown fox jumps over the lazy dog and runs to the hills",
+    "the quick brown fox jumps over the lazy dog and runs to the hills",
+    "Der schnelle braune Fuchs springt über den faulen Hund und rennt",
+    "completely different content about graph engines and ray data pipelines",
+    "The quick brown fox jumps over the lazy dog and runs to the mountains",
+]
+
+
+def _docs_tbl():
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(len(_DOC_TEXTS))), pa.int64()),
+            "text": pa.array(_DOC_TEXTS, pa.string()),
+        }
     )
+
+
+def _docs_ds():
+    return rd.from_arrow(_docs_tbl())
 
 
 def test_text_analysis():
@@ -385,6 +389,51 @@ def test_simhash_near_duplicates():
     h04 = bin(out[0] ^ out[4]).count("1")
     h03 = bin(out[0] ^ out[3]).count("1")
     assert h04 < h03
+
+
+def test_simhash_md5_variant_matches_duckdb():
+    """SimHasherMd5 is the SQL-mirrorable signature path: identical
+    texts share a signature, the pigeonhole pair search is exact at its
+    radius, and the signature matches a direct DuckDB recomputation."""
+    import duckdb
+
+    from signal_collect_ray.functions.dedup import (
+        SimHasherMd5,
+        simhash_dedup_pairs,
+        simhash_signatures,
+    )
+    from signal_collect_ray.pipelines.queries import _simhash_md5_sig_sql
+
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(_docs_ds(), hasher="md5").take_all()
+    }
+    assert out[0] == out[1]  # exact dups → identical signatures
+
+    con = duckdb.connect()
+    con.register("documents", _docs_tbl())
+    want = dict(con.execute(_simhash_md5_sig_sql()).fetchall())
+    assert out == want
+
+    # pigeonhole search returns EXACTLY the hamming<=3 pairs
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup_pairs(_docs_ds(), hasher="md5").take_all()
+    }
+    brute = {
+        (a, b): bin(out[a] ^ out[b]).count("1")
+        for a in out
+        for b in out
+        if a < b and bin(out[a] ^ out[b]).count("1") <= 3
+    }
+    assert pairs == brute
+
+    # single-row and batch paths agree (memoized batch kernel)
+    one = SimHasherMd5(3)(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([_DOC_TEXTS[0]], pa.string())})
+    )
+    assert one.column("simhash").to_pylist() == [out[0]]
 
 
 def test_knn_brute_force():
