@@ -75,13 +75,36 @@ def _estimates(regs: np.ndarray, p: int) -> np.ndarray:
     return e
 
 
+def _exact_q20_sum(regs: np.ndarray, p: int) -> int:
+    """Σ_v round_half_away(e_v · 2^20) as an exact int64 — each e_v is
+    computed from the EXACT integer register sum Σ2^(64−r) (arbitrary
+    precision; see sketches._estimate for the power-of-two-rescale
+    equivalence with the float form), so the per-vertex estimate and
+    the 2^20-quantized total are bit-reproducible in any merge order
+    AND mirrorable in SQL (POW(2, 64−rho)::HUGEINT / ROUND(e·2^20)).
+    Python-int per row: only the oracle-gated exact mode pays this;
+    the bench path keeps the vectorized float `_estimates`."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    tot = 0
+    for row in regs:
+        counts = np.bincount(row, minlength=1)
+        s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+        e = alpha * m * m * float(1 << 64) / float(s_int)
+        zeros = int(counts[0])
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        tot += int(np.floor(e * 1048576.0 + 0.5))
+    return tot
+
+
 def _pnum(path: str) -> int:
     return int(os.path.basename(path).split("-")[1].split(".")[0])
 
 
 def neighborhood_function(
     graph, p: int = 8, max_rounds: int = 64, alpha: float = 0.9,
-    exchange_buckets: int = 16,
+    exchange_buckets: int = 16, exact: bool = False,
 ):
     """Run HyperBall over ``graph``. Returns a dict with
 
@@ -202,7 +225,7 @@ def neighborhood_function(
         return outs[0] if len(outs) == 1 else tuple(outs)
 
     @ray.remote
-    def update(state, plan_d, hll_p, *served):
+    def update(state, plan_d, hll_p, exact_est, *served):
         """fold the served (positions-into-wanted, rows) deltas into
         each source's registers via one segment-max; unserved neighbor
         slots stay zero — a no-op under max."""
@@ -227,16 +250,23 @@ def neighborhood_function(
         else:
             new_state = state
             changed_mask = np.zeros(len(state), dtype=bool)
-        est = float(_estimates(new_state, hll_p).sum())
+        if exact_est:
+            est = _exact_q20_sum(new_state, hll_p)
+        else:
+            est = float(_estimates(new_state, hll_p).sum())
         # num_returns=3 at the call site: state and mask stay remote
         return new_state, changed_mask, (bool(changed_mask.any()), est)
 
     # ---- init
     state_refs, vids_refs, plan_refs = {}, {}, {}
-    nf0 = 0.0
+    nf0 = 0 if exact else 0.0
     for q in parts:
         regs = _init_regs(vids_by_part[q], p)
-        nf0 += float(_estimates(regs, p).sum())
+        nf0 += (
+            _exact_q20_sum(regs, p)
+            if exact
+            else float(_estimates(regs, p).sum())
+        )
         state_refs[q] = ray.put(regs)
         vids_refs[q] = ray.put(vids_by_part[q])
         plan_refs[q] = ray.put(plans[q])
@@ -272,13 +302,13 @@ def neighborhood_function(
         # scalars are fetched
         results = {
             q: update.options(num_returns=3).remote(
-                state_refs[q], plan_refs[q], p, *served[q]
+                state_refs[q], plan_refs[q], p, exact, *served[q]
             )
             for q in parts
         }
         metas = ray.get([results[q][2] for q in parts])
         any_changed = False
-        total = 0.0
+        total = 0 if exact else 0.0
         for (changed, est), q in zip(metas, parts):
             any_changed |= changed
             total += est
@@ -288,6 +318,9 @@ def neighborhood_function(
             break
         nf.append(total)
 
+    if exact:
+        # quantized int64 totals → exact dyadic doubles (k/2^20)
+        nf = [q20 / 1048576.0 for q20 in nf]
     n_inf = nf[-1]
     eff = next(t for t, x in enumerate(nf) if x >= alpha * n_inf)
     return {

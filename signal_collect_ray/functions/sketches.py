@@ -67,10 +67,18 @@ def _registers(h: np.ndarray, p: int) -> np.ndarray:
 
 
 def _estimate(regs: np.ndarray, p: int) -> float:
+    """HLL estimate with the register sum Σ2^-M lifted to the EXACT
+    integer Σ2^(64−M) (addition-order-independent, so the value is
+    bit-identical no matter how partials merged — and SQL-mirrorable);
+    the only float ops are the final alpha/division/ln. 2^64·Σ2^-M is
+    an exact power-of-two rescale, so this equals the float form to the
+    last ulp for p ≤ 12 while also covering rho > 53 (small p)."""
     m = float(1 << p)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    e = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
-    zeros = int((regs == 0).sum())
+    counts = np.bincount(regs, minlength=1)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    e = alpha * m * m * float(1 << 64) / float(s_int)
+    zeros = int(counts[0])
     if e <= 2.5 * m and zeros > 0:
         e = m * np.log(m / zeros)
     return float(e)

@@ -3055,20 +3055,36 @@ def _stratified_sql() -> str:
     )
 
 
+_HB_SQL_ROUNDS = 8  # SQL ball unroll bound; the query asserts rounds fit
+
+
 def q_neighborhood_function(sf_dir: str):
-    """HyperBall approximate neighborhood function N(t) + effective
-    diameter of the derived graph (algorithms.hyperball). Rows-only
-    driver check (HLL-approximate by construction); ≤15 % error vs an
-    exact BFS closure and partition-invariance are pinned in
-    tests/test_hyperball.py."""
+    """HyperBall neighborhood function N(t) + effective diameter of the
+    derived graph (algorithms.hyperball), EXACTLY oracle-backed in its
+    ``exact`` mode: per-vertex HLL estimates use the integer register
+    sum Σ2^(64−rho) and the per-round total is accumulated as
+    2^20-quantized int64 (addition-order-free), so DuckDB can replay
+    the whole computation — mix64 vertex hashes, register max over the
+    unrolled ≤{K}-hop out-ball, the alpha/linear-counting estimate,
+    and the register-change stopping rule (Σrho strictly grows while
+    any register grows). ≤15 % error vs an exact BFS closure and
+    partition-invariance stay pinned in tests/test_hyperball.py."""
     from signal_collect_ray.algorithms.hyperball import neighborhood_function
 
-    out = neighborhood_function(_graph(sf_dir), p=8)
+    out = neighborhood_function(_graph(sf_dir), p=8, exact=True)
     nf = out["nf"]
+    if len(nf) - 1 > _HB_SQL_ROUNDS:
+        raise RuntimeError(
+            f"HyperBall converged in {len(nf) - 1} rounds — raise "
+            f"_HB_SQL_ROUNDS (= {_HB_SQL_ROUNDS}) so the SQL oracle's "
+            "unrolled ball covers it"
+        )
     return pa.table(
         {
             "t": pa.array(np.arange(len(nf), dtype=np.int64), pa.int64()),
-            "n_pairs": pa.array(np.round(nf, 3), pa.float64()),
+            "n_pairs": pa.array(
+                _round_half_away(np.asarray(nf, np.float64), 3), pa.float64()
+            ),
             "effective_diameter": pa.array(
                 np.full(len(nf), out["effective_diameter"], np.int64),
                 pa.int64(),
@@ -3120,14 +3136,17 @@ def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type
     (functions.sketches.approx_distinct_by_key) — the shuffle-free
     sketch counterpart of the exact ``distinct_users_per_event`` query.
-    Rows-only driver check (approximate by construction); the ≤5 %
-    error bound vs the exact counts is pinned in
+    EXACTLY oracle-backed since sketches._estimate lifted the register
+    sum to the integer Σ2^(64−M): the estimate is addition-order
+    independent and bit-identical to the SQL recomputation of the same
+    mix64 registers (_HLL_EST_SQL family), rounded to 3 digits; the
+    ≤5 % error bound vs the exact counts stays pinned in
     tests/test_functions.py."""
     import ray.data as rd
 
     from signal_collect_ray.functions.sketches import approx_distinct_by_key
 
-    return approx_distinct_by_key(
+    out = approx_distinct_by_key(
         rd.read_parquet(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_type", "user_id"],
@@ -3135,6 +3154,16 @@ def q_approx_distinct_users(sf_dir: str):
         key="event_type",
         col="user_id",
     )
+
+    def round3(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("approx_n").to_numpy(zero_copy_only=False)
+        return tbl.set_column(
+            tbl.schema.get_field_index("approx_n"),
+            "approx_n",
+            pa.array(_round_half_away(v, 3), pa.float64()),
+        )
+
+    return out.map_batches(round3, batch_format="pyarrow")
 
 
 def q_event_rollup(sf_dir: str):
@@ -6000,6 +6029,76 @@ SELECT event_type,
              THEN 4096 * ln(4096.0 / zeros) ELSE e END, 3) AS estimate
 FROM est
 """
+
+
+def _hyperball_sql(k: int = 8, p: int = 8) -> str:
+    """Exact SQL replay of neighborhood_function(p, exact=True): mix64
+    vertex hashes → (idx, rho), register max over the unrolled t-hop
+    out-ball (b0..bk, UNION-deduped), exact HUGEINT register sums →
+    the alpha / linear-counting estimate, 2^20 quantization, and the
+    register-change stopping rule Σrho(t) > Σrho(t−1)."""
+    m = 1 << p
+    wbits = 64 - p
+    wmask = (1 << wbits) - 1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "vv AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "h1 AS (SELECT vid, xor(CAST(vid AS UBIGINT), "
+        "CAST(vid AS UBIGINT) >> 33) AS x FROM vv)",
+        f"h2 AS (SELECT vid, {_mix64_mul_sql('x', 0xFF51AFD7ED558CCD)} AS x FROM h1)",
+        "h3 AS (SELECT vid, xor(x, x >> 33) AS x FROM h2)",
+        f"h4 AS (SELECT vid, {_mix64_mul_sql('x', 0xC4CEB9FE1A85EC53)} AS x FROM h3)",
+        "hh AS (SELECT vid, xor(x, x >> 33) AS x FROM h4)",
+        f"hr AS MATERIALIZED (SELECT vid, CAST(x >> {wbits} AS BIGINT) AS idx, "
+        f"CASE WHEN (x & {wmask}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits + 1} - length(bin(x & {wmask})) END AS rho FROM hh)",
+        "b0 AS MATERIALIZED (SELECT vid AS v, vid AS u FROM vv)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT v, u FROM b{i-1} UNION "
+            f"SELECT b.v, e.dst AS u FROM b{i-1} b JOIN e ON e.src = b.u)"
+        )
+    lvl = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, b.v, hr.idx, MAX(hr.rho) AS rho "
+        f"FROM b{t} b JOIN hr ON hr.vid = b.u GROUP BY b.v, hr.idx"
+        for t in range(k + 1)
+    )
+    ctes.append(f"regs AS MATERIALIZED ({lvl})")
+    ctes.append(
+        "agg AS (SELECT t, v, "
+        f"SUM(CAST(POW(2, 64 - rho) AS HUGEINT)) "
+        f"+ ({m} - COUNT(*)) * CAST(POW(2, 64) AS HUGEINT) AS s_int, "
+        f"{m} - COUNT(*) AS zeros FROM regs GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "est AS (SELECT t, v, CASE WHEN "
+        f"{alpha} * {m} * {m} * CAST(POW(2, 64) AS DOUBLE) "
+        f"/ CAST(s_int AS DOUBLE) <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * ln({m}.0 / zeros) "
+        f"ELSE {alpha} * {m} * {m} * CAST(POW(2, 64) AS DOUBLE) "
+        "/ CAST(s_int AS DOUBLE) END AS e FROM agg)"
+    )
+    ctes.append(
+        "nft AS (SELECT t, SUM(CAST(ROUND(e * 1048576.0) AS BIGINT)) "
+        "/ 1048576.0 AS n FROM est GROUP BY t)"
+    )
+    ctes.append("ssum AS (SELECT t, SUM(rho) AS s FROM regs GROUP BY t)")
+    ctes.append(
+        "tmax AS (SELECT COALESCE(MAX(cur.t), 0) AS tt FROM ssum cur "
+        "JOIN ssum prev ON prev.t = cur.t - 1 WHERE cur.s > prev.s)"
+    )
+    ctes.append("nf AS (SELECT t, n FROM nft WHERE t <= (SELECT tt FROM tmax))")
+    ctes.append(
+        "eff AS (SELECT MIN(t) AS ed FROM nf WHERE n >= 0.9 * "
+        "(SELECT n FROM nf WHERE t = (SELECT tt FROM tmax)))"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT t, ROUND(n, 3) AS n_pairs, "
+        "(SELECT ed FROM eff) AS effective_diameter FROM nf"
+    )
 
 
 _RMAT_Q = {"scale": 8, "n": 2000, "seed": 1}
@@ -10410,6 +10509,8 @@ def queries():
         "embedding_dedup_pairs_lsh": q_embedding_dedup_pairs_lsh,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
+        "approx_distinct_users": q_approx_distinct_users,
+        "neighborhood_function": q_neighborhood_function,
         "minhash_dedup_pairs_planted": q_minhash_dedup_pairs_planted,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         "simhash_dedup_pairs_md5": q_simhash_dedup_pairs_md5,
@@ -10421,8 +10522,6 @@ def queries():
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
         "pagerank_async": q_pagerank_async,
-        "approx_distinct_users": q_approx_distinct_users,
-        "neighborhood_function": q_neighborhood_function,
         "betweenness_sampled": q_betweenness,
     }
 
@@ -10714,6 +10813,12 @@ def oracle_sql():
         "minhash_dedup_pairs_planted": _ngram_pairs_sql(
             0.999, docs_src=_DOCS_PLANTED_SQL
         ),
+        # identical register+estimate math as hll_estimates; only the
+        # output column name differs (approx_distinct_by_key contract)
+        "approx_distinct_users": _HLL_EST_SQL.replace(
+            "AS estimate", "AS approx_n"
+        ),
+        "neighborhood_function": _hyperball_sql(_HB_SQL_ROUNDS),
         "simhash_md5_signatures": _simhash_md5_sig_sql(),
         "simhash_dedup_pairs_md5": _SIMHASH_MD5_PAIRS_SQL,
     }
