@@ -124,11 +124,20 @@ def ktruss(edges_ds, k: int, num_partitions: int = 64, max_rounds: int = 30):
             cur = nxt
             break
         cur, n = nxt, m
-    rows = cur.take_all() if n else []
-    rows.sort(key=lambda r: (r["a"], r["b"]))
+    if not n:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    # bounded by surviving truss edges; columnar lexsort, no row loop
+    tbl = pa.concat_tables(
+        cur.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
     return pa.table(
         {
-            "a": pa.array([r["a"] for r in rows], pa.int64()),
-            "b": pa.array([r["b"] for r in rows], pa.int64()),
+            "a": pa.array(a[order], pa.int64()),
+            "b": pa.array(b[order], pa.int64()),
         }
     )

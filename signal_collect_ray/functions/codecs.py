@@ -265,6 +265,65 @@ def decode_wav(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed video, the ffmpeg/mjpegtools interchange
+# format. Cmono = one 8-bit grayscale plane per frame (in the public
+# spec), which keeps the codec pure stdlib/numpy.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps=(25, 1)) -> bytes:
+    """(T, H, W) uint8 grayscale frames → YUV4MPEG2 Cmono bytes."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w = f.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A0:0 Cmono\n" % (w, h, *fps)
+    return head + b"".join(b"FRAME\n" + f[i].tobytes() for i in range(t))
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 Cmono bytes → ((T, H, W) uint8 frames, (fps_n, fps_d))."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = 0
+    fps = (25, 1)
+    mono = False
+    for tok in tokens[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            n, d = tok[1:].split(b":")
+            fps = (int(n), int(d))
+        elif tok[:1] == b"C":
+            mono = tok == b"Cmono"
+    if not mono:
+        raise ValueError("only Cmono (8-bit grayscale) Y4M supported")
+    frame_len = w * h
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, frame_len, pos).reshape(h, w)
+        )
+        pos += frame_len
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-frame sample over the time axis (the same floor
+    grid as resize_nearest: index i ↦ floor(i·T/k))."""
+    t = len(frames)
+    if t == 0:
+        raise ValueError("empty video")
+    return frames[(np.arange(k) * t) // k]
+
+
+# ---------------------------------------------------------------------------
 # format sniffing + deterministic resamplers
 # ---------------------------------------------------------------------------
 
@@ -281,6 +340,8 @@ def sniff_format(payload: bytes) -> str:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return "unknown"
 
 

@@ -2,13 +2,14 @@
 
 Two decode paths:
 
-- ``decoder="real"`` — a REAL decode stage: PGM/PPM/BMP/PNG images and
-  PCM16 WAV audio decode via the zero-dependency codecs in
-  ``functions.codecs`` (pure stdlib/numpy); PIL, when installed,
-  extends the image path to JPEG/WebP/etc. Images → grayscale → 4×4
-  nearest-neighbor thumbnail (16 features); audio → 16-segment
-  amplitude envelope. Only a payload in a format none of those cover
-  raises NotImplementedError.
+- ``decoder="real"`` — a REAL decode stage: PGM/PPM/BMP/PNG images,
+  PCM16 WAV audio and Y4M (YUV4MPEG2 Cmono) video decode via the
+  zero-dependency codecs in ``functions.codecs`` (pure stdlib/numpy);
+  PIL, when installed, extends the image path to JPEG/WebP/etc.
+  Images → grayscale → 4×4 nearest-neighbor thumbnail (16 features);
+  audio → 16-segment amplitude envelope; video → 4-frame floor-grid
+  sample → 2×2 thumbnails (16 features). Only a payload in a format
+  none of those cover raises NotImplementedError.
 - ``decoder="fake"`` — deterministic md5-derived features, kept for
   byte-exact SQL oracles over arbitrary (undecodable) payloads.
 
@@ -150,6 +151,17 @@ class MediaFeatureExtractor:
         if fmt == "wav":
             samples, _sr = cx.decode_wav(payload)
             return cx.segment_envelope(samples, self.DIM)
+        if fmt == "y4m":
+            # frame-sample: 4 frames on the floor grid, each to a 2x2
+            # grayscale thumbnail -> DIM=16 features
+            frames, _fps = cx.decode_y4m(payload)
+            picked = cx.sample_frames(frames, 4)
+            return (
+                np.stack(
+                    [cx.resize_nearest(f, 2, 2).reshape(-1) for f in picked]
+                ).reshape(-1)
+                / 255.0
+            )
         if fmt in ("pgm", "ppm", "bmp", "png"):
             img = cx.to_grayscale(cx.decode_image(payload))
             return cx.resize_nearest(img, 4, 4).reshape(-1) / 255.0
@@ -195,13 +207,16 @@ class MediaFeatureExtractor:
 
 
 def real_media_from_documents(docs_ds):
-    """Derive a REAL-format media table from the ``documents`` table:
-    even doc_ids render an 8x8 PGM image whose 2x2-replicated pixel grid
-    is the md5 digest of the text (so a 4x4 nearest-neighbor thumbnail
-    recovers the digest exactly); odd doc_ids render a 64-sample PCM16
-    WAV whose 16 constant 4-sample segments encode the digest bytes as
-    (b - 128) * 256. Both decode through the genuine codec path and
-    both have exact DuckDB mirrors via md5 hex-nibble arithmetic."""
+    """Derive a REAL-format media table from the ``documents`` table
+    (kind = doc_id mod 3): images render an 8x8 PGM whose 2x2-replicated
+    pixel grid is the md5 digest of the text (a 4x4 nearest-neighbor
+    thumbnail recovers the digest exactly); audio renders a 64-sample
+    PCM16 WAV whose 16 constant 4-sample segments encode the digest
+    bytes as (b - 128) * 256; video renders a 4-frame 4x4 Y4M (Cmono)
+    whose frame f's 2x2 pixel blocks are digest bytes 4f..4f+3 (the
+    4-frame floor-grid sample + 2x2 thumbnails recover the digest).
+    All three decode through the genuine codec path and have exact
+    DuckDB mirrors via md5 hex-nibble arithmetic."""
     from signal_collect_ray.functions import codecs
 
     def to_media(tbl: pa.Table) -> pa.Table:
@@ -212,13 +227,13 @@ def real_media_from_documents(docs_ds):
             dig = np.frombuffer(
                 hashlib.md5(t.encode("utf-8")).digest(), np.uint8
             )
-            if i % 2 == 0:
+            if i % 3 == 0:
                 px = np.kron(dig.reshape(4, 4), np.ones((2, 2), np.uint8))
                 payloads.append(codecs.encode_pgm(px))
                 kinds.append("image")
                 metas.append({"width": 8, "height": 8,
                               "sample_rate": 0, "n_frames": 1})
-            else:
+            elif i % 3 == 1:
                 s = np.repeat(
                     (dig.astype(np.int64) - 128) * 256, 4
                 ).astype(np.int16)
@@ -226,6 +241,20 @@ def real_media_from_documents(docs_ds):
                 kinds.append("audio")
                 metas.append({"width": 0, "height": 0,
                               "sample_rate": 16000, "n_frames": 64})
+            else:
+                frames = np.stack(
+                    [
+                        np.kron(
+                            dig[4 * f : 4 * f + 4].reshape(2, 2),
+                            np.ones((2, 2), np.uint8),
+                        )
+                        for f in range(4)
+                    ]
+                )
+                payloads.append(codecs.encode_y4m(frames))
+                kinds.append("video")
+                metas.append({"width": 4, "height": 4,
+                              "sample_rate": 0, "n_frames": 4})
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

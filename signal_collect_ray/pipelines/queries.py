@@ -5168,17 +5168,20 @@ def _media_sql() -> str:
 
 def q_media_real_decode(sf_dir: str):
     """The REAL multimodal decode path under the oracle gate: documents
-    render to genuine on-disk formats (even doc_ids → an 8x8 binary PGM
-    whose 2x2-replicated pixels are the md5 digest of the text; odd →
-    a 64-sample PCM16 WAV encoding the digest as 16 constant 4-sample
-    segments), then MediaFeatureExtractor(decoder="real") sniffs the
-    magic bytes, decodes with the zero-dependency codecs
-    (functions/codecs.py), grayscales + 4x4-thumbnails the image /
-    envelope-folds the audio. Features land back on md5-nibble
-    arithmetic, so the whole decode pipeline has an exact DuckDB
-    mirror: f_j = byte_j/255 (image) or |byte_j-128|/128 (audio).
-    All intermediate floats are exact (dyadic) or the /255 family the
-    committed sweep already pins; rounding is half-away on both sides."""
+    render to genuine on-disk formats (doc_id mod 3: an 8x8 binary PGM
+    whose 2x2-replicated pixels are the md5 digest of the text; a
+    64-sample PCM16 WAV encoding the digest as 16 constant 4-sample
+    segments; a 4-frame 4x4 Y4M Cmono video whose frame f carries
+    digest bytes 4f..4f+3 as 2x2 blocks), then
+    MediaFeatureExtractor(decoder="real") sniffs the magic bytes,
+    decodes with the zero-dependency codecs (functions/codecs.py),
+    grayscales + 4x4-thumbnails the image / envelope-folds the audio /
+    frame-samples + 2x2-thumbnails the video. Features land back on
+    md5-nibble arithmetic, so the whole decode pipeline has an exact
+    DuckDB mirror: f_j = byte_j/255 (image, video) or |byte_j-128|/128
+    (audio). All intermediate floats are exact (dyadic) or the /255
+    family the committed sweep already pins; rounding is half-away on
+    both sides."""
     import ray.data as rd
 
     from signal_collect_ray.functions.multimodal import (
@@ -5218,8 +5221,8 @@ def _media_real_sql() -> str:
     """Exact SQL mirror of q_media_real_decode (see its docstring)."""
     hexd = "'0123456789abcdef'"
     feats = ", ".join(
-        "ROUND(CASE WHEN media_id % 2 = 0 THEN b{j} / 255.0 "
-        "ELSE ABS(b{j} - 128) / 128.0 END, 6) AS f{j:02d}".format(j=j)
+        "ROUND(CASE WHEN media_id % 3 = 1 THEN ABS(b{j} - 128) / 128.0 "
+        "ELSE b{j} / 255.0 END, 6) AS f{j:02d}".format(j=j)
         for j in range(16)
     )
     bytes_ = ", ".join(
@@ -5232,9 +5235,12 @@ def _media_real_sql() -> str:
         "md5(COALESCE(text, '')) AS h FROM documents), "
         f"d AS (SELECT media_id, {bytes_} FROM m) "
         "SELECT media_id, "
-        "CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
-        # PGM: 'P5\\n8 8\\n255\\n' (11 B) + 64 px; WAV: 44 B header + 128 B
-        "CASE WHEN media_id % 2 = 0 THEN 75 ELSE 172 END AS payload_bytes, "
+        "CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        # PGM: 'P5\\n8 8\\n255\\n' (11 B) + 64 px; WAV: 44 B header
+        # + 128 B; Y4M: 36 B header + 4 x ('FRAME\\n' + 16 px)
+        "CASE media_id % 3 WHEN 0 THEN 75 WHEN 1 THEN 172 "
+        "ELSE 124 END AS payload_bytes, "
         f"{feats} FROM d"
     )
 

@@ -58,6 +58,24 @@ def test_png_roundtrip_gray_and_rgb():
         assert np.array_equal(cx.decode_png(cx.encode_png(px)), px)
 
 
+def test_y4m_roundtrip():
+    rng = np.random.RandomState(15)
+    frames = rng.randint(0, 256, size=(5, 6, 8)).astype(np.uint8)
+    payload = cx.encode_y4m(frames, fps=(30, 1))
+    out, fps = cx.decode_y4m(payload)
+    assert fps == (30, 1)
+    assert np.array_equal(out, frames)
+    assert cx.sniff_format(payload) == "y4m"
+
+
+def test_sample_frames_floor_grid():
+    frames = np.arange(8, dtype=np.uint8).reshape(8, 1, 1)
+    assert cx.sample_frames(frames, 4).reshape(-1).tolist() == [0, 2, 4, 6]
+    # fewer frames than samples replicates (floor grid)
+    two = np.arange(2, dtype=np.uint8).reshape(2, 1, 1)
+    assert cx.sample_frames(two, 4).reshape(-1).tolist() == [0, 0, 1, 1]
+
+
 def test_wav_roundtrip():
     rng = np.random.RandomState(7)
     s = rng.randint(-32768, 32768, size=160).astype(np.int16)
@@ -192,6 +210,15 @@ def test_real_decoder_on_codec_payloads():
     )
     feats = ex._decode_real(cx.encode_wav(s), "audio")
     assert np.allclose(feats, np.abs(np.arange(16) * 1000 - 8000) / 32768.0)
+
+    # video: 8 frames, floor-grid sample picks frames 0,2,4,6; each
+    # frame is constant so the 2x2 thumbnails are 4 copies of its value
+    vid = np.stack(
+        [np.full((4, 4), 10 * f, np.uint8) for f in range(8)]
+    )
+    feats = ex._decode_real(cx.encode_y4m(vid), "video")
+    want = np.repeat(np.array([0, 20, 40, 60], np.float64), 4) / 255.0
+    assert np.allclose(feats, want)
 
     # a payload in no supported format still raises (unless PIL covers it)
     if ex._pil is None:
