@@ -467,6 +467,53 @@ class _Worker:
             )
         return partials
 
+    def out_neighbors(self, vids: list) -> dict:
+        """Out-neighbor lists for the requested vertex ids, restricted to
+        the CSR partitions this worker owns (≙ the cheap outgoing half of
+        GraphDataProvider.findVicinity, reference
+        console/DataProvider.scala:400-415: "a vertex already knows its
+        outgoing edges"). O(len(vids) · log S) searchsorted probes per
+        owned partition — no scans."""
+        want = np.asarray(sorted(set(int(v) for v in vids)), dtype=np.int64)
+        out: dict = {}
+        if len(want) == 0:
+            return out
+        for p in self.parts:
+            csr = self.csr.get(p)
+            if csr is None or len(csr["src_ids"]) == 0:
+                continue
+            pos = np.searchsorted(csr["src_ids"], want)
+            pos_c = np.minimum(pos, len(csr["src_ids"]) - 1)
+            found = (pos < len(csr["src_ids"])) & (csr["src_ids"][pos_c] == want)
+            for v, j in zip(want[found], pos_c[found]):
+                s, e = int(csr["indptr"][j]), int(csr["indptr"][j + 1])
+                out.setdefault(int(v), []).extend(
+                    int(d) for d in csr["dst"][s:e]
+                )
+        return out
+
+    def in_neighbor_sources(self, vids: list) -> list:
+        """Source vertices of edges pointing INTO the requested set, over
+        this worker's CSR partitions (≙ FindVertexVicinitiesByIdsAggregator
+        — the reference documents the incoming direction as "an expensive
+        operation", console/DataProvider.scala:390-399: one vectorized
+        scan of each owned partition's dst array)."""
+        want = np.asarray(sorted(set(int(v) for v in vids)), dtype=np.int64)
+        srcs: set = set()
+        if len(want) == 0:
+            return []
+        for p in self.parts:
+            csr = self.csr.get(p)
+            if csr is None or len(csr["dst"]) == 0:
+                continue
+            hit = np.flatnonzero(np.isin(csr["dst"], want))
+            if len(hit) == 0:
+                continue
+            # edge i belongs to the src whose indptr range contains i
+            owner = np.searchsorted(csr["indptr"], hit, side="right") - 1
+            srcs.update(int(s) for s in np.unique(csr["src_ids"][owner]))
+        return sorted(srcs)
+
     # -- durability --------------------------------------------------------
     def checkpoint(self, out_dir: str):
         for p in self.parts:
@@ -720,6 +767,7 @@ class ResidentEngine:
             last=last,
             converged=converged,
             dense_capable=dense_capable,
+            threshold=threshold,
             t0=t0,
         )
 
@@ -1040,6 +1088,30 @@ class InteractiveComputation:
             for x in part
         ]
         return agg.reduce(partials)
+
+    def out_neighbors(self, vids) -> dict:
+        """Merged out-neighbor lists for ``vids`` across the worker pool
+        (console GraphDataProvider vicinity probes)."""
+        import ray
+
+        merged: dict = {}
+        for part in ray.get(
+            [w.out_neighbors.remote(list(vids)) for w in self._ns.workers]
+        ):
+            for v, ds in part.items():
+                merged.setdefault(v, []).extend(ds)
+        return merged
+
+    def in_neighbor_sources(self, vids) -> list:
+        """Vertices with an edge INTO ``vids`` (incoming-vicinity probe)."""
+        import ray
+
+        srcs: set = set()
+        for part in ray.get(
+            [w.in_neighbor_sources.remote(list(vids)) for w in self._ns.workers]
+        ):
+            srcs.update(part)
+        return sorted(srcs)
 
     # -- break conditions (console BreakConditionsProvider surface,
     # reference DefaultGraph.scala:417-427 addCondition/removeCondition,
