@@ -12,10 +12,14 @@ round is pure Ray Data:
    block, then ONE hash exchange merges candidates with the same
    kernel per partition (the ``first_event_per_key`` shape — never a
    per-component ``map_groups``).
-2. **Contraction** — the selected edges form a graph on components;
-   merged labels come from the engine's OWN min-label connected
-   components over that (small, at-least-halving) pair graph, with
-   parallelism derived from the pair count.
+2. **Contraction** — every component's chosen edge defines a parent
+   pointer (a pseudo-forest with exactly one mutual pair per tree);
+   the mutual pair breaks to the smaller id and pointer doubling
+   (Shiloach–Vishkin star contraction, public literature) converges
+   each component to its root label in O(log V) rounds. A plain
+   min-label CC here would need O(diameter) supersteps — the merge
+   graph of a sorted-weight path IS an O(V) chain, and a capped run
+   under-contracts and re-picks already-selected tree edges.
 3. **Relabel** — edge endpoints map old→new component through a
    byte-capped ``broadcast_join`` (``hash_join`` co-partition fallback
    above the cap); self edges drop, so the working edge set shrinks
@@ -53,56 +57,138 @@ def _argmin_rows(tbl: pa.Table) -> pa.Table:
     return tbl.take(pa.array(order[first], pa.int64()))
 
 
-def _cc_mapping(pairs_mat, workdir: str):
-    """(a, b) component-merge pairs → full (comp, new_label) mapping via
-    the engine's ConnectedComponents (min-label propagation), CC
-    parallelism derived from the pair count exactly like
-    ``dedup.duplicate_ids_from_pairs``."""
-    from signal_collect_ray import EngineConfig, Graph
-    from signal_collect_ray.algorithms import ConnectedComponents
-    from signal_collect_ray.engine_resident import ResidentEngine
-    from signal_collect_ray.functions.dedup import _pair_graph_parallelism
+# (comp, parent) tables below this do the pointer doubling as one
+# driver-side numpy loop; above it every doubling round is one
+# co-partitioned hash self-join (tests force the join path via cap=0)
+_LABEL_BROADCAST_LIMIT = 64 << 20  # bytes (≈4M components)
 
-    n_pairs = pairs_mat.count()
-    P, W = _pair_graph_parallelism(n_pairs)
 
-    def to_sym(tbl: pa.Table) -> pa.Table:
-        a = tbl.column("a").to_numpy(zero_copy_only=False)
-        b = tbl.column("b").to_numpy(zero_copy_only=False)
+def _component_labels(selected, num_partitions: int):
+    """Borůvka star contraction via pointer doubling (Shiloach–Vishkin,
+    public literature). ``selected`` holds exactly one chosen edge per
+    component (comp, cu, cv, …); parent(comp) = the other endpoint.
+    The parent graph is a pseudo-forest whose only cycles are the
+    mutual min-pairs — each breaks to the smaller id, then
+    ``parent := parent[parent]`` converges every component to its tree
+    root in ≤ log2(V) rounds. Returns a (comp, new_label) Dataset.
+
+    Chosen over an engine CC run because the merge graph's diameter is
+    O(V) in the worst case (a path with monotone weights chains every
+    merge), where min-label propagation needs O(V) supersteps — pointer
+    doubling is O(log V) regardless of chain length."""
+    import ray.data as rd
+
+    def to_parent(tbl: pa.Table) -> pa.Table:
+        comp = tbl.column("comp").to_numpy(zero_copy_only=False)
+        cu = tbl.column("cu").to_numpy(zero_copy_only=False)
+        cv = tbl.column("cv").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "comp": pa.array(comp, pa.int64()),
+                "parent": pa.array(
+                    np.where(comp == cu, cv, cu).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    g = Graph.build(
-        pairs_mat.map_batches(to_sym, batch_format="pyarrow"),
-        f"{workdir}/merge_graph",
-        num_partitions=P,
-        dedup=True,
-    )
-    eng = ResidentEngine(
-        EngineConfig(num_partitions=P, eps=1e-9, max_supersteps=64),
-        num_workers=W,
-    )
-    info = eng.run(
-        g,
-        ConnectedComponents(),
-        run_dir=f"{workdir}/merge_cc",
-        resume=False,
-        checkpoint_interval=100,
-    )
+    parents = selected.map_batches(
+        to_parent, batch_format="pyarrow"
+    ).materialize()
+    size = parents.size_bytes() or 0
 
-    def shape(tbl: pa.Table) -> pa.Table:
+    if size <= _LABEL_BROADCAST_LIMIT:
+        tbl = pa.concat_tables(
+            parents.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        comp = tbl.column("comp").to_numpy(zero_copy_only=False)
+        par = tbl.column("parent").to_numpy(zero_copy_only=False)
+        order = np.argsort(comp, kind="stable")
+        comp, par = comp[order], par[order]
+        # every parent is itself a chooser (it has ≥1 incident edge),
+        # so searchsorted always hits
+        pidx = np.searchsorted(comp, par)
+        n = len(comp)
+        mutual = pidx[pidx] == np.arange(n)
+        root = np.searchsorted(comp, np.minimum(comp, par))
+        pidx = np.where(mutual, root, pidx)
+        while True:
+            nxt = pidx[pidx]
+            if np.array_equal(nxt, pidx):
+                break
+            pidx = nxt
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "comp": pa.array(comp, pa.int64()),
+                    "new_label": pa.array(comp[pidx], pa.int64()),
+                }
+            )
+        )
+
+    # join path: grandparent via one co-partitioned hash self-join per
+    # doubling round — the (comp, parent) table at least halves every
+    # Borůvka round, so this stays ≤ log2(V) small exchanges
+    from signal_collect_ray.functions.joins import hash_join
+
+    def _with_grand(par_ds):
+        right = par_ds.map_batches(
+            lambda t: pa.table(
+                {"parent": t.column("comp"), "_grand": t.column("parent")}
+            ),
+            batch_format="pyarrow",
+        )
+        return hash_join(
+            par_ds, right, on="parent", how="inner",
+            num_partitions=num_partitions,
+        )
+
+    def _break_cycles(tbl: pa.Table) -> pa.Table:
+        comp = tbl.column("comp").to_numpy(zero_copy_only=False)
+        par = tbl.column("parent").to_numpy(zero_copy_only=False)
+        grand = tbl.column("_grand").to_numpy(zero_copy_only=False)
+        mutual = grand == comp
+        newp = np.where(mutual, np.minimum(comp, par), par)
         return pa.table(
             {
-                "comp": tbl.column("vid"),
-                "new_label": tbl.column("state").cast(pa.int64()),
+                "comp": pa.array(comp, pa.int64()),
+                "parent": pa.array(newp.astype(np.int64), pa.int64()),
             }
         )
 
-    return info.final_state_ds().map_batches(shape, batch_format="pyarrow")
+    parents = (
+        _with_grand(parents)
+        .map_batches(_break_cycles, batch_format="pyarrow")
+        .materialize()
+    )
+    for _ in range(64):
+        joined = _with_grand(parents).materialize()
+
+        def changed(tbl: pa.Table) -> pa.Table:
+            p = tbl.column("parent").to_numpy(zero_copy_only=False)
+            g = tbl.column("_grand").to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([int((p != g).sum())], pa.int64())})
+
+        n_changed = sum(
+            r["n"]
+            for r in joined.map_batches(
+                changed, batch_format="pyarrow"
+            ).take_all()
+        )
+        if n_changed == 0:
+            break
+        parents = joined.map_batches(
+            lambda t: pa.table(
+                {"comp": t.column("comp"), "parent": t.column("_grand")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return parents.map_batches(
+        lambda t: pa.table(
+            {"comp": t.column("comp"), "new_label": t.column("parent")}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # mapping sizes below this broadcast; above, the tagged-union
@@ -155,7 +241,9 @@ def minimum_spanning_forest(
     weight). Parallel edges keep the minimum weight; self loops drop.
     Returns the forest as a Dataset (u, v, weight) — exactly
     ``n_vertices − n_components`` edges, equal to Kruskal's forest
-    under the (weight, u, v) edge order."""
+    under the (weight, u, v) edge order. ``workdir`` is kept for
+    call-site compatibility (the pointer-doubling contraction needs no
+    scratch storage)."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -265,13 +353,7 @@ def minimum_spanning_forest(
         )
         forest_parts.append(picked)
 
-        pairs = selected.map_batches(
-            lambda t: pa.table(
-                {"a": t.column("cu"), "b": t.column("cv")}
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        mapping = _cc_mapping(pairs, f"{workdir}/round{len(forest_parts)}")
+        mapping = _component_labels(selected, num_partitions)
 
         relabeled = _relabel(cur, mapping, "cu", num_partitions)
         relabeled = _relabel(relabeled, mapping, "cv", num_partitions)

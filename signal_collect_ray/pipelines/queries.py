@@ -4250,6 +4250,181 @@ def q_mst_forest(sf_dir: str):
     )
 
 
+def _custkeys_dense_n(sf_dir: str) -> int:
+    """Customer-key count for the planted graph fixtures, asserting the
+    dense 0..N−1 layout the SQL mirrors rely on (the same documented
+    precondition style as the <2^32 id note on _SKEW_SQL)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n = ds.count()
+    assert ds.max("c_custkey") == n - 1, "customer keys not dense 0..N-1"
+    return n
+
+
+def _customer_keys_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+
+
+def q_mst_planted(sf_dir: str):
+    """Boruvka MSF under a FULL-equality oracle on a planted fixture:
+    the graph is a weight-1 path over the (dense) customer keys plus
+    weight-100 chords (k, k+3) — the unique MSF is exactly the path, so
+    the oracle is pure SQL arithmetic (LEAD over the key order). The
+    fixture's round-1 merge graph is an O(V) chain: the case where the
+    pointer-doubling contraction must converge in O(log V) where a
+    superstep-capped label propagation would under-contract and emit
+    duplicate forest rows. General MSF equality to a Kruskal union-find
+    oracle under the (w, u, v) total order stays pinned in
+    tests/test_mst.py; this query puts the same invariant under the
+    driver's exact-hash gate."""
+    from signal_collect_ray.algorithms.mst import minimum_spanning_forest
+
+    n = _custkeys_dense_n(sf_dir)
+
+    def fixture(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pk = k[k + 1 <= n - 1]
+        ck = k[k + 3 <= n - 1]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([pk, ck]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([pk + 1, ck + 3]), pa.int64()
+                ),
+                "weight": pa.array(
+                    np.concatenate(
+                        [np.ones(len(pk)), np.full(len(ck), 100.0)]
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return minimum_spanning_forest(
+        _customer_keys_ds(sf_dir).map_batches(fixture, batch_format="pyarrow"),
+        _work_dir(sf_dir, "mst_planted"),
+        num_partitions=_P,
+    )
+
+
+_MST_PLANTED_SQL = (
+    "SELECT c_custkey AS u, c_custkey + 1 AS v, CAST(1.0 AS DOUBLE) AS weight "
+    "FROM customer WHERE c_custkey + 1 <= (SELECT MAX(c_custkey) FROM customer)"
+)
+
+
+def q_betweenness_planted(sf_dir: str):
+    """EXACT Brandes betweenness (all sources) under a FULL-equality
+    oracle: the graph is the symmetric 4-ary heap tree over the dense
+    customer keys (parent (v−1)//4), where every shortest path is
+    unique and the ordered-pair flow through each vertex has the
+    closed form (n−1)(n−2) − Σ_child s(s−1) − r(r−1) with r the
+    rest-of-tree size — pure subtree arithmetic the SQL recomputes via
+    one recursive ancestor walk. Exercises the full Brandes dependency
+    accumulation (sigma, level order, delta folds) bit-for-bit; the
+    sampled variant over the derived graph stays the rows-only
+    betweenness_sampled probe."""
+    from signal_collect_ray.algorithms.betweenness import betweenness_sampled
+    from signal_collect_ray.graph import Graph
+
+    _custkeys_dense_n(sf_dir)
+
+    def tree(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        child = k[k > 0]
+        par = (child - 1) // 4
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([par, child]), pa.int64()),
+                "dst": pa.array(np.concatenate([child, par]), pa.int64()),
+            }
+        )
+
+    g = Graph.build(
+        _customer_keys_ds(sf_dir).map_batches(tree, batch_format="pyarrow"),
+        _work_dir(sf_dir, "bet_planted"),
+        num_partitions=_P,
+    )
+    return betweenness_sampled(g, sample_mod=1)
+
+
+_BET_PLANTED_SQL = (
+    "WITH RECURSIVE up AS ("
+    "SELECT c_custkey AS v, c_custkey AS node FROM customer "
+    "UNION ALL "
+    "SELECT v, (node - 1) // 4 FROM up WHERE node > 0), "
+    "sub AS (SELECT node, COUNT(*) AS size FROM up GROUP BY node), "
+    "csz AS (SELECT (node - 1) // 4 AS p, SUM(size) AS ssum, "
+    "SUM(size * (size - 1)) AS s2 FROM sub WHERE node > 0 GROUP BY 1), "
+    "n AS (SELECT COUNT(*) AS n FROM customer) "
+    "SELECT c_custkey AS vid, ROUND(CAST("
+    "(n.n - 1) * (n.n - 2) - COALESCE(c.s2, 0) "
+    "- (n.n - 1 - COALESCE(c.ssum, 0)) * (n.n - 2 - COALESCE(c.ssum, 0)) "
+    "AS DOUBLE), 6) AS betweenness "
+    "FROM customer CROSS JOIN n LEFT JOIN csz c ON c.p = c_custkey"
+)
+
+
+def q_louvain_planted(sf_dir: str):
+    """One-level Louvain under a FULL-equality oracle on a planted
+    fixture: disjoint 10-cliques over the dense customer keys
+    (clique = vid // 10). Modularity-greedy moves must collapse each
+    clique to ONE community and can never merge disconnected cliques,
+    so the normalized labeling (community := min member vid) is pure
+    SQL window arithmetic. The derived-graph run stays the rows-only
+    louvain_communities probe (iterative greedy fixed point)."""
+    from ray.data.aggregate import Min
+
+    from signal_collect_ray.algorithms.modularity import louvain_one_level
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
+    n = _custkeys_dense_n(sf_dir)
+
+    def cliques(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        base = (k // 10) * 10
+        dst = base[:, None] + np.arange(10, dtype=np.int64)[None, :]
+        src = np.repeat(k, 10)
+        dst = dst.ravel()
+        keep = (dst != src) & (dst < n)
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    lab = louvain_one_level(
+        _customer_keys_ds(sf_dir).map_batches(cliques, batch_format="pyarrow"),
+        rounds=6,
+        num_partitions=16,
+    )
+    mins = lab.groupby("label").aggregate(Min("vid", alias_name="community"))
+    return capped_broadcast_join(lab, mins, on="label").select_columns(
+        ["vid", "community"]
+    )
+
+
+_LOUVAIN_PLANTED_SQL = (
+    "SELECT c_custkey AS vid, "
+    "MIN(c_custkey) OVER (PARTITION BY c_custkey // 10) AS community "
+    "FROM customer"
+)
+
+
 def q_bm25_top_docs(sf_dir: str):
     """BM25 retrieval: top-10 documents for the fixed query
     ('merge', 'window', 'hash') — functions.text.bm25_top_docs, zero
@@ -10529,12 +10704,18 @@ def queries():
         "knn_ivf_vec0_top5": q_knn_ivf_vec0_top5,
         "pagerank_async": q_pagerank_async,
         "betweenness_sampled": q_betweenness,
+        "mst_planted": q_mst_planted,
+        "betweenness_planted": q_betweenness_planted,
+        "louvain_planted": q_louvain_planted,
     }
 
 
 def oracle_sql():
     return {
         "graph_edges": _E_SQL,
+        "mst_planted": _MST_PLANTED_SQL,
+        "betweenness_planted": _BET_PLANTED_SQL,
+        "louvain_planted": _LOUVAIN_PLANTED_SQL,
         "graph_update_events": _E_UPD_SQL,
         "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (

@@ -49,7 +49,14 @@ def _run(edges, tmp_path, num_partitions=4):
         str(tmp_path),
         num_partitions=num_partitions,
     )
-    return {(r["u"], r["v"], r["weight"]) for r in ds.take_all()}
+    rows = ds.take_all()
+    out = {(r["u"], r["v"], r["weight"]) for r in rows}
+    # the forest is an edge SET — duplicate rows (the pre-pointer-doubling
+    # under-contraction bug: a partially merged component re-picks an
+    # already-selected tree edge next round) are a failure even when the
+    # set compare would mask them
+    assert len(rows) == len(out), "duplicate forest rows"
+    return out
 
 
 def test_mst_hand_triangle(tmp_path):
@@ -104,3 +111,34 @@ def test_mst_random_vs_kruskal(tmp_path):
             comps[find(u)] = find(v)
     n_comp = len({find(x) for x in verts})
     assert len(got) == len(verts) - n_comp
+
+
+def test_mst_monotone_chain(tmp_path):
+    # strictly increasing weights along a path: every vertex's min edge
+    # points to its predecessor, so the round-1 merge graph is ONE
+    # O(V)-long parent chain — the case where a superstep-capped
+    # min-label CC under-contracts (duplicating forest rows) and
+    # pointer doubling must converge in O(log V)
+    m = 257
+    edges = [(i, i + 1, float(i + 1)) for i in range(m - 1)]
+    got = _run(edges, tmp_path)
+    assert got == {(i, i + 1, float(i + 1)) for i in range(m - 1)}
+
+
+def test_mst_join_fallback_matches_broadcast(tmp_path, monkeypatch):
+    # cap=0 forces the co-partitioned hash-self-join doubling path;
+    # result must be bit-identical to the broadcast-path Kruskal forest
+    from signal_collect_ray.algorithms import mst as mst_mod
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b), float(w))
+        for a, b, w in zip(
+            rng.integers(0, 30, 80),
+            rng.integers(0, 30, 80),
+            rng.integers(1, 6, 80),
+        )
+    ]
+    monkeypatch.setattr(mst_mod, "_LABEL_BROADCAST_LIMIT", 0)
+    got = _run(edges, tmp_path)
+    assert got == _kruskal(edges)
