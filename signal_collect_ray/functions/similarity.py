@@ -840,15 +840,21 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     sample_size: int = 65536,
     tol: float = 1e-7,
+    init: str = "sample",
 ):
     """Full-corpus Euclidean k-means (Lloyd 1982, public literature) —
     unlike ``train_ivf_centroids`` (sample-trained coarse quantizer)
     every iteration scans ALL rows: one ``map_batches`` pass emits a
     (k×d sums, k counts, inertia) partial per block (vectorized argmin
     over a broadcast centroid matrix), the driver folds k×d floats.
-    Init is a seeded draw from a bounded sample. Empty clusters keep
-    their previous centroid. Stops early when the max centroid shift
-    drops below ``tol``.
+    ``init="sample"`` is a seeded draw from a bounded sample;
+    ``init="maximin"`` is the deterministic Gonzalez farthest-point
+    sweep over the same sample (start at row 0, repeatedly take the
+    point farthest from its nearest chosen centroid, ties to the
+    lower index) — on well-separated data it provably places one seed
+    per cluster, which the planted-fixture oracle relies on. Empty
+    clusters keep their previous centroid. Stops early when the max
+    centroid shift drops below ``tol``.
 
     Returns ``(centroids, assignments_ds, inertia)`` where
     ``assignments_ds`` is a Dataset ``(id_col, cluster)`` from one
@@ -858,9 +864,20 @@ def kmeans_lloyd(
     ds = ds.select_columns([id_col, emb_col]).materialize()
     rows = ds.select_columns([emb_col]).limit(sample_size).take_all()
     m = np.array([r[emb_col] for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
     k = min(k, len(m))
-    C = m[rng.choice(len(m), k, replace=False)].copy()
+    if init == "maximin":
+        picks = [0]
+        d2min = ((m - m[0]) ** 2).sum(axis=1)
+        while len(picks) < k:
+            nxt = int(np.argmax(d2min))  # argmax ties → lowest index
+            picks.append(nxt)
+            d2min = np.minimum(d2min, ((m - m[nxt]) ** 2).sum(axis=1))
+        C = m[picks].copy()
+    elif init == "sample":
+        rng = np.random.default_rng(seed)
+        C = m[rng.choice(len(m), k, replace=False)].copy()
+    else:
+        raise ValueError(f"init must be sample|maximin, got {init!r}")
     inertia = float("inf")
 
     def _partials(cref):

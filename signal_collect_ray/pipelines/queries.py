@@ -4425,6 +4425,114 @@ _LOUVAIN_PLANTED_SQL = (
 )
 
 
+def _planted_blobs_ds(sf_dir: str, n: int):
+    """8 well-separated Gaussian-free blobs in R^8 derived from the
+    customer keys: x(vid) = 100·e_{vid%8} + 0.01·((vid·7)%5)·e_{(vid%8+1)%8}.
+    Inter-blob distance ≈ 141 ≫ intra-blob spread ≤ 0.04, so nearest-
+    centroid assignment equals vid % 8 for ANY centroid set with one
+    seed per blob."""
+
+    def blobs(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = (k % 8).astype(np.int64)
+        x = np.zeros((len(k), 8), dtype=np.float64)
+        x[np.arange(len(k)), b] = 100.0
+        x[np.arange(len(k)), (b + 1) % 8] = 0.01 * ((k * 7) % 5)
+        return pa.table(
+            {
+                "vec_id": pa.array(k, pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float64())),
+            }
+        )
+
+    return _customer_keys_ds(sf_dir).map_batches(
+        blobs, batch_format="pyarrow"
+    )
+
+
+def q_kmeans_planted(sf_dir: str):
+    """Lloyd k-means under a FULL-equality oracle on a planted fixture:
+    8 well-separated blobs (centers 100·e_b, intra spread ≤ 0.04), with
+    the deterministic Gonzalez maximin init — farthest-point seeding
+    provably lands one seed per blob, after which nearest-centroid
+    assignment IS the blob id at every Lloyd iteration. Labels
+    normalize to the min vec_id per cluster, so the oracle is a SQL
+    window min over vid % 8. The full-corpus seeded-init run stays the
+    rows-only kmeans_clusters probe."""
+    from ray.data.aggregate import Min
+
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+    from signal_collect_ray.functions.similarity import kmeans_lloyd
+
+    n = _custkeys_dense_n(sf_dir)
+    _C, assign_ds, _j = kmeans_lloyd(
+        _planted_blobs_ds(sf_dir, n), k=8, iters=10, init="maximin"
+    )
+    mins = assign_ds.groupby("cluster").aggregate(
+        Min("vec_id", alias_name="cluster_min")
+    )
+    out = capped_broadcast_join(assign_ds, mins, on="cluster")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.column("vec_id"), "cluster": t.column("cluster_min")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_KMEANS_PLANTED_SQL = (
+    "SELECT c_custkey AS vec_id, "
+    "MIN(c_custkey) OVER (PARTITION BY c_custkey % 8) AS cluster "
+    "FROM customer"
+)
+
+
+def q_pca_planted(sf_dir: str):
+    """Distributed power-iteration PCA under a FULL-equality oracle on
+    a rank-1 planted fixture: x(vid) = t·e_3 with integer
+    t = (vid % 17) − 8. Every quantity in the iteration stays EXACTLY
+    on the e_3 axis (zero columns produce exact float zeros, c/|c| is
+    ±1.0 exactly), so the converged component is bit-for-bit e_3, the
+    sign convention makes it +e_3, and the projection is the integer t
+    itself — the oracle recomputes t in pure SQL arithmetic. Exercises
+    the mean partials, the covariance matvec exchange, normalization,
+    sign fix, and the projection pass end-to-end with no float-parity
+    hazard (the ADVICE knn class). The real-embedding run stays the
+    rows-only pca_projection probe."""
+    from signal_collect_ray.functions.similarity import (
+        pca_project,
+        pca_top_component,
+    )
+
+    n = _custkeys_dense_n(sf_dir)
+
+    def rank1(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = (k % 17) - 8
+        x = np.zeros((len(k), 8), dtype=np.float64)
+        x[:, 3] = t.astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": pa.array(k, pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float64())),
+            }
+        )
+
+    emb = _customer_keys_ds(sf_dir).map_batches(rank1, batch_format="pyarrow")
+    v, _lam, _n = pca_top_component(emb, iters=50)
+    return pca_project(emb, v)
+
+
+_PCA_PLANTED_SQL = (
+    "SELECT c_custkey AS vec_id, "
+    "CAST((c_custkey % 17) - 8 AS DOUBLE) AS pc1 FROM customer"
+)
+
+
 def q_bm25_top_docs(sf_dir: str):
     """BM25 retrieval: top-10 documents for the fixed query
     ('merge', 'window', 'hash') — functions.text.bm25_top_docs, zero
@@ -10707,6 +10815,8 @@ def queries():
         "mst_planted": q_mst_planted,
         "betweenness_planted": q_betweenness_planted,
         "louvain_planted": q_louvain_planted,
+        "kmeans_planted": q_kmeans_planted,
+        "pca_planted": q_pca_planted,
     }
 
 
@@ -10716,6 +10826,8 @@ def oracle_sql():
         "mst_planted": _MST_PLANTED_SQL,
         "betweenness_planted": _BET_PLANTED_SQL,
         "louvain_planted": _LOUVAIN_PLANTED_SQL,
+        "kmeans_planted": _KMEANS_PLANTED_SQL,
+        "pca_planted": _PCA_PLANTED_SQL,
         "graph_update_events": _E_UPD_SQL,
         "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (

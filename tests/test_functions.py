@@ -1564,6 +1564,33 @@ def test_kmeans_lloyd_blobs():
     assert abs(inertia - d2.min(axis=1).sum()) / inertia < 1e-6
 
 
+def test_kmeans_maximin_init_one_seed_per_blob():
+    # Gonzalez farthest-point seeding: on well-separated blobs the k
+    # seeds land one per blob DETERMINISTICALLY (no rng), so Lloyd
+    # recovers the planted partition from iteration 1 — the invariant
+    # the kmeans_planted oracle query relies on
+    from signal_collect_ray.functions.similarity import kmeans_lloyd
+
+    n, k = 200, 8
+    vid = np.arange(n)
+    b = vid % k
+    x = np.zeros((n, k))
+    x[np.arange(n), b] = 100.0
+    x[np.arange(n), (b + 1) % k] = 0.01 * ((vid * 7) % 5)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(vid, pa.int64()),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float64()))})
+    ).repartition(4)
+    C, assign_ds, _ = kmeans_lloyd(ds, k=k, iters=5, init="maximin")
+    got = {r["vec_id"]: r["cluster"] for r in assign_ds.take_all()}
+    labels = np.array([got[i] for i in range(n)])
+    for t in range(k):
+        assert len(set(labels[b == t])) == 1
+    assert len({labels[b == t][0] for t in range(k)}) == k
+    # each centroid sits inside one blob (coordinate ≈ 100 on one axis)
+    assert sorted(np.argmax(C, axis=1)) == list(range(k))
+
+
 def test_bigram_logprob_semantics():
     from signal_collect_ray.functions.text import bigram_logprob
 
