@@ -4533,6 +4533,51 @@ _PCA_PLANTED_SQL = (
 )
 
 
+def q_node2vec_planted(sf_dir: str):
+    """Second-order node2vec walks under a FULL-equality oracle on a
+    planted fixture: a directed cycle over the dense customer keys.
+    Every vertex has out-degree 1, so whatever the rejection sampler
+    draws the accepted step is forced — the trace is pure modular
+    arithmetic ((start + step) % n) and the oracle pins the whole
+    distributed machinery (chunked proposals, prev-shard judging,
+    partition routing, trace assembly) bit-for-bit. The biased-walk
+    SEMANTICS (acceptance probabilities, attempt order) stay pinned
+    against the sequential simulator in tests/test_walks_n2v.py; the
+    derived-graph run stays the rows-only node2vec_walks probe."""
+    from signal_collect_ray.algorithms.walks import node2vec_walks
+    from signal_collect_ray.graph import Graph
+
+    n = _custkeys_dense_n(sf_dir)
+
+    def cycle(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "src": pa.array(k, pa.int64()),
+                "dst": pa.array((k + 1) % n, pa.int64()),
+            }
+        )
+
+    g = Graph.build(
+        _customer_keys_ds(sf_dir).map_batches(cycle, batch_format="pyarrow"),
+        _work_dir(sf_dir, "n2v_planted"),
+        num_partitions=_P,
+    )
+    return node2vec_walks(g, walk_len=6, p=0.5, q=2.0, seed=11, start_mod=4)
+
+
+_N2V_PLANTED_SQL = (
+    "WITH n AS (SELECT COUNT(*) AS n FROM customer) "
+    "SELECT c_custkey AS walk_id, s.step AS step, "
+    "(c_custkey + s.step) % n.n AS vid "
+    "FROM customer CROSS JOIN n, "
+    "LATERAL (SELECT unnest(range(0, 7)) AS step) s "
+    "WHERE c_custkey % 4 = 0"
+)
+
+
 def q_bm25_top_docs(sf_dir: str):
     """BM25 retrieval: top-10 documents for the fixed query
     ('merge', 'window', 'hash') — functions.text.bm25_top_docs, zero
@@ -10817,6 +10862,7 @@ def queries():
         "louvain_planted": q_louvain_planted,
         "kmeans_planted": q_kmeans_planted,
         "pca_planted": q_pca_planted,
+        "node2vec_planted": q_node2vec_planted,
     }
 
 
@@ -10828,6 +10874,7 @@ def oracle_sql():
         "louvain_planted": _LOUVAIN_PLANTED_SQL,
         "kmeans_planted": _KMEANS_PLANTED_SQL,
         "pca_planted": _PCA_PLANTED_SQL,
+        "node2vec_planted": _N2V_PLANTED_SQL,
         "graph_update_events": _E_UPD_SQL,
         "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (
