@@ -1026,6 +1026,7 @@ def semdedup(
     max_partners: int | None = 64,
     verify_chunk: int = 1024,
     all_pairs_cap: int = 4096,
+    init: str = "sample",
 ):
     """SemDeDup (Abbas et al. 2023, public literature): semantic
     dedup by clustering THEN exact in-cluster cosine — the
@@ -1054,6 +1055,7 @@ def semdedup(
         seed=seed,
         emb_col=emb_col,
         id_col=id_col,
+        init=init,
     )
     cref = ray.put(C)
 

@@ -4533,6 +4533,38 @@ _PCA_PLANTED_SQL = (
 )
 
 
+def q_semdedup_planted(sf_dir: str):
+    """SemDeDup end-to-end (k-means buckets → exact in-cluster cosine →
+    engine-CC closure → min-id representative) under a FULL-equality
+    oracle: on the 8-blob fixture every same-blob pair has cosine
+    ≥ 0.999996 and every cross-blob pair ≤ 0.05, so at threshold 0.5
+    each blob collapses to ONE duplicate cluster — on BOTH verifier
+    paths (all-pairs keeps consecutive-id chains connected; the
+    degenerate min-link path links every member to the bucket min) —
+    and the drop set is exactly "all but the min vid per vid % 8",
+    pure SQL window arithmetic. Maximin init makes cluster = blob
+    deterministic. The real-embedding run stays the rows-only
+    semdedup_drops probe."""
+    from signal_collect_ray.functions.similarity import semdedup
+
+    n = _custkeys_dense_n(sf_dir)
+    _pairs, drops = semdedup(
+        _planted_blobs_ds(sf_dir, n),
+        _work_dir(sf_dir, "semdedup_planted"),
+        k=8,
+        threshold=0.5,
+        init="maximin",
+    )
+    return drops
+
+
+_SEMDEDUP_PLANTED_SQL = (
+    "SELECT c_custkey AS id FROM ("
+    "SELECT c_custkey, MIN(c_custkey) OVER (PARTITION BY c_custkey % 8) AS m "
+    "FROM customer) WHERE c_custkey <> m"
+)
+
+
 def q_node2vec_planted(sf_dir: str):
     """Second-order node2vec walks under a FULL-equality oracle on a
     planted fixture: a directed cycle over the dense customer keys.
@@ -10863,6 +10895,7 @@ def queries():
         "kmeans_planted": q_kmeans_planted,
         "pca_planted": q_pca_planted,
         "node2vec_planted": q_node2vec_planted,
+        "semdedup_planted": q_semdedup_planted,
     }
 
 
@@ -10875,6 +10908,7 @@ def oracle_sql():
         "kmeans_planted": _KMEANS_PLANTED_SQL,
         "pca_planted": _PCA_PLANTED_SQL,
         "node2vec_planted": _N2V_PLANTED_SQL,
+        "semdedup_planted": _SEMDEDUP_PLANTED_SQL,
         "graph_update_events": _E_UPD_SQL,
         "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (
