@@ -4426,20 +4426,29 @@ _LOUVAIN_PLANTED_SQL = (
 
 
 def _planted_blobs_ds(sf_dir: str, n: int):
-    """8 well-separated Gaussian-free blobs in R^8 derived from the
-    customer keys: x(vid) = 100·e_{vid%8} + 0.01·((vid·7)%5)·e_{(vid%8+1)%8}.
-    Inter-blob distance ≈ 141 ≫ intra-blob spread ≤ 0.04, so nearest-
-    centroid assignment equals vid % 8 for ANY centroid set with one
-    seed per blob."""
+    """8 well-separated blobs in R^8 derived from the customer keys:
+    x(vid) = 100·e_{vid%8} + j(vid)·e_{(vid%8+1)%8} with a UNIQUE tiny
+    jitter j(vid) = 1e-4·vid — except vids {0, 8, 16, 24, 32}, which
+    get j = 0 and are therefore five bit-identical copies of 100·e_0.
+    Properties the planted oracles rely on: inter-blob distance ≈ 141
+    ≫ intra-blob spread (nearest-centroid assignment = vid % 8 for any
+    one-seed-per-blob centroid set); every same-blob cosine ≥ 0.999
+    and cross-blob ≤ 0.05; all cosines to vec 0 are DISTINCT floats
+    except the five exact copies at exactly 1.0 — so any top-5 search
+    that scores the copies returns exactly {0, 8, 16, 24, 32} with no
+    tie ambiguity, and exact-copy bucketing (identical LSH codes,
+    identical IVF cells) guarantees the copies are always candidates."""
 
     def blobs(tbl: pa.Table) -> pa.Table:
         k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
         b = (k % 8).astype(np.int64)
+        j = 1e-4 * k
+        j[(k % 8 == 0) & (k <= 32)] = 0.0
         x = np.zeros((len(k), 8), dtype=np.float64)
         x[np.arange(len(k)), b] = 100.0
-        x[np.arange(len(k)), (b + 1) % 8] = 0.01 * ((k * 7) % 5)
+        x[np.arange(len(k)), (b + 1) % 8] = j
         return pa.table(
             {
                 "vec_id": pa.array(k, pa.int64()),
@@ -4530,6 +4539,70 @@ def q_pca_planted(sf_dir: str):
 _PCA_PLANTED_SQL = (
     "SELECT c_custkey AS vec_id, "
     "CAST((c_custkey % 17) - 8 AS DOUBLE) AS pc1 FROM customer"
+)
+
+
+def q_knn_ivf_planted(sf_dir: str):
+    """IVF ANN under a FULL-equality oracle: the blob fixture carries
+    five exact copies of 100·e_0 (vids 0,8,16,24,32) and every other
+    cosine to vec 0 is a strictly smaller distinct float, so the top-5
+    is forced with no tie ambiguity. Centroids are the known blob axes
+    (passed precomputed — the supported quantizer-reuse path), so cell
+    assignment and probe pruning are deterministic: cell 0 holds all
+    copies, any second probed cell only contributes ≈0-scores. The
+    real-embedding run stays the rows-only knn_ivf_vec0_top5 probe
+    (recall pinned vs brute force in tests)."""
+    from signal_collect_ray.functions.similarity import knn_ivf
+
+    n = _custkeys_dense_n(sf_dir)
+    q0 = np.zeros((1, 8))
+    q0[0, 0] = 100.0
+    out = knn_ivf(
+        _planted_blobs_ds(sf_dir, n),
+        q0,
+        k=5,
+        n_probe=2,
+        centroids=np.eye(8),
+    ).take_all()
+    return pa.table(
+        {
+            "id": pa.array([r["id"] for r in out], pa.int64()),
+            "score": pa.array(
+                [round(r["score"], 4) for r in out], pa.float64()
+            ),
+        }
+    )
+
+
+def q_knn_lsh_planted(sf_dir: str):
+    """Random-hyperplane LSH ANN under a FULL-equality oracle: the five
+    exact copies of the query vector share its EXACT bucket code in
+    every table (bit-identical inputs hash identically), so they are
+    always candidates; exact re-ranking then forces top-5 =
+    {0,8,16,24,32} at score 1.0 regardless of which other blob-0
+    members land in the bucket. The real-embedding run stays the
+    rows-only knn_lsh_vec0_top5 probe."""
+    from signal_collect_ray.functions.similarity import knn_lsh
+
+    n = _custkeys_dense_n(sf_dir)
+    q0 = np.zeros((1, 8))
+    q0[0, 0] = 100.0
+    out = knn_lsh(
+        _planted_blobs_ds(sf_dir, n), q0, k=5, n_planes=8, n_tables=8
+    ).take_all()
+    return pa.table(
+        {
+            "id": pa.array([r["id"] for r in out], pa.int64()),
+            "score": pa.array(
+                [round(r["score"], 4) for r in out], pa.float64()
+            ),
+        }
+    )
+
+
+_KNN_PLANTED_SQL = (
+    "SELECT c_custkey AS id, CAST(1.0 AS DOUBLE) AS score FROM customer "
+    "WHERE c_custkey % 8 = 0 AND c_custkey <= 32"
 )
 
 
@@ -10896,6 +10969,8 @@ def queries():
         "pca_planted": q_pca_planted,
         "node2vec_planted": q_node2vec_planted,
         "semdedup_planted": q_semdedup_planted,
+        "knn_ivf_planted": q_knn_ivf_planted,
+        "knn_lsh_planted": q_knn_lsh_planted,
     }
 
 
@@ -10909,6 +10984,8 @@ def oracle_sql():
         "pca_planted": _PCA_PLANTED_SQL,
         "node2vec_planted": _N2V_PLANTED_SQL,
         "semdedup_planted": _SEMDEDUP_PLANTED_SQL,
+        "knn_ivf_planted": _KNN_PLANTED_SQL,
+        "knn_lsh_planted": _KNN_PLANTED_SQL,
         "graph_update_events": _E_UPD_SQL,
         "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (
