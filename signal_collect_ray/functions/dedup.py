@@ -428,27 +428,27 @@ def _pair_graph_parallelism(n_pairs: int) -> tuple[int, int]:
     return P, W
 
 
-def duplicate_ids_from_pairs(pairs_ds, workdir: str):
-    """Verified near-duplicate pairs → ids to DROP, with transitive
-    closure: connected components over the pair graph (the engine's own
-    ConnectedComponents — min-label propagation), keep each cluster's
-    min id. A~B, B~C therefore keeps exactly {A}, not {A, C}.
+# min-label CC needs O(diameter) supersteps; the engine stops at
+# quiescence, so this cap is a runaway guard, NOT an expected bound —
+# a 64-cap silently under-converged on >64-hop duplicate chains,
+# leaving extra representatives per chain (same defect class as the
+# MST under-contraction fixed by pointer doubling)
+_PAIR_CC_MAX_SUPERSTEPS = 4096
 
-    Returns a Dataset with one ``id`` column (the non-representative
-    cluster members). The pair graph only contains docs with a verified
-    near-dup, but on boilerplate-heavy corpora that can still be huge —
-    CC parallelism scales with the pair count
-    (``_pair_graph_parallelism``)."""
-    import ray.data as rd
 
+def pair_cc_labels(pairs_mat, workdir: str):
+    """(id_a, id_b) pair table → the full (id, label) mapping with
+    label = each connected component's MIN id, via the engine's own
+    ConnectedComponents over the symmetrized pair graph. CC parallelism
+    scales with the pair count (``_pair_graph_parallelism``); the
+    superstep cap is a generous runaway guard (the engine stops at
+    quiescence after ~diameter rounds). Shared by the dedup closures
+    and entity resolution."""
     from signal_collect_ray import EngineConfig, Graph
     from signal_collect_ray.algorithms import ConnectedComponents
     from signal_collect_ray.engine_resident import ResidentEngine
 
-    pairs_mat = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
     n_pairs = pairs_mat.count()
-    if n_pairs == 0:
-        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
     P, W = _pair_graph_parallelism(n_pairs)
 
     def to_sym_edges(tbl: pa.Table) -> pa.Table:
@@ -468,21 +468,51 @@ def duplicate_ids_from_pairs(pairs_ds, workdir: str):
         dedup=True,
     )
     eng = ResidentEngine(
-        EngineConfig(num_partitions=P, eps=1e-9, max_supersteps=64),
+        EngineConfig(
+            num_partitions=P, eps=1e-9,
+            max_supersteps=_PAIR_CC_MAX_SUPERSTEPS,
+        ),
         num_workers=W,
     )
     info = eng.run(
         g, ConnectedComponents(), run_dir=f"{workdir}/pair_cc", resume=False,
-        checkpoint_interval=100,
+        checkpoint_interval=_PAIR_CC_MAX_SUPERSTEPS + 1,
     )
 
+    def shape(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": tbl.column("vid"),
+                "label": tbl.column("state").cast(pa.int64()),
+            }
+        )
+
+    return info.final_state_ds().map_batches(shape, batch_format="pyarrow")
+
+
+def duplicate_ids_from_pairs(pairs_ds, workdir: str):
+    """Verified near-duplicate pairs → ids to DROP, with transitive
+    closure: connected components over the pair graph
+    (``pair_cc_labels``), keep each cluster's min id. A~B, B~C
+    therefore keeps exactly {A}, not {A, C}.
+
+    Returns a Dataset with one ``id`` column (the non-representative
+    cluster members)."""
+    import ray.data as rd
+
+    pairs_mat = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    if pairs_mat.count() == 0:
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+
     def non_min(tbl: pa.Table) -> pa.Table:
-        vid = tbl.column("vid").to_numpy(zero_copy_only=False)
-        lab = tbl.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = tbl.column("id").to_numpy(zero_copy_only=False)
+        lab = tbl.column("label").to_numpy(zero_copy_only=False)
         keep = np.flatnonzero(vid != lab)
         return pa.table({"id": pa.array(vid[keep], pa.int64())})
 
-    return info.final_state_ds().map_batches(non_min, batch_format="pyarrow")
+    return pair_cc_labels(pairs_mat, workdir).map_batches(
+        non_min, batch_format="pyarrow"
+    )
 
 
 def drop_ids(ds, dupes_ds, id_col: str = "doc_id"):
@@ -1614,8 +1644,6 @@ def entity_resolve(
     ).materialize()
 
     # closure + canonical label via the engine's CC over the match graph
-    from signal_collect_ray.algorithms.mst import _cc_mapping
-
     if pairs.count() == 0:
         def identity(tbl: pa.Table) -> pa.Table:
             return pa.table(
@@ -1629,15 +1657,9 @@ def entity_resolve(
             identity, batch_format="pyarrow"
         )
 
-    mapping = _cc_mapping(
-        pairs.map_batches(
-            lambda t: pa.table({"a": t.column("id_a"), "b": t.column("id_b")}),
-            batch_format="pyarrow",
-        ).materialize(),
-        workdir,
-    ).map_batches(
+    mapping = pair_cc_labels(pairs, workdir).map_batches(
         lambda t: pa.table(
-            {"doc_id": t.column("comp"), "_ent": t.column("new_label")}
+            {"doc_id": t.column("id"), "_ent": t.column("label")}
         ),
         batch_format="pyarrow",
     )

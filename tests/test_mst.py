@@ -142,3 +142,28 @@ def test_mst_join_fallback_matches_broadcast(tmp_path, monkeypatch):
     monkeypatch.setattr(mst_mod, "_LABEL_BROADCAST_LIMIT", 0)
     got = _run(edges, tmp_path)
     assert got == _kruskal(edges)
+
+
+def test_pair_cc_closure_long_chain(tmp_path):
+    # a 97-hop duplicate chain: min-label CC needs ~97 supersteps, so a
+    # 64-capped run silently under-converges and keeps extra
+    # representatives — the raised runaway guard must close the whole
+    # chain to ONE representative (the min id)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import duplicate_ids_from_pairs
+
+    n = 98
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    drops = {r["id"] for r in duplicate_ids_from_pairs(
+        pairs, str(tmp_path)
+    ).take_all()}
+    assert drops == set(range(1, n))
