@@ -89,15 +89,24 @@ class _BackMark(ConnectedComponents):
         }
 
 
+# Reach propagation needs O(diameter) supersteps and the engine stops
+# at quiescence (empty frontier), so this cap is a runaway guard, NOT
+# an expected bound: the old 500-cap silently truncated the forward /
+# backward reach sets on >500-diameter graphs — a 520-cycle (one SCC)
+# came back as 520 singletons. Pinned in tests/test_scc.py.
+_REACH_MAX_SUPERSTEPS = 65536
+
+
 def _run(graph, algo, run_dir, num_partitions):
     eng = ResidentEngine(
         EngineConfig(
-            num_partitions=num_partitions, eps=0.0, max_supersteps=500
+            num_partitions=num_partitions, eps=0.0,
+            max_supersteps=_REACH_MAX_SUPERSTEPS,
         ),
         num_workers=2,
     )
     return eng.run(graph, algo, run_dir=run_dir, resume=False,
-                   checkpoint_interval=100)
+                   checkpoint_interval=_REACH_MAX_SUPERSTEPS + 1)
 
 
 def _np_col(tbl: pa.Table, col: str) -> np.ndarray:

@@ -138,3 +138,28 @@ def test_scc_driver_holds_only_pivots(tmp_path, ray_session, monkeypatch):
     want = _tarjan(np.asarray(src), np.asarray(dst))
     assert got == want
     assert seen_pivot_sizes and all(s <= 4 for s in seen_pivot_sizes)
+
+
+def test_scc_long_cycle_single_component(tmp_path):
+    # a 520-cycle is ONE SCC but its reach propagation needs 520
+    # supersteps: the old 500-superstep cap silently truncated the
+    # forward/backward reach sets and returned 520 singletons — the
+    # quiescence-bounded guard must close the full cycle
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms.scc import scc_labels
+
+    m = 520
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(m), pa.int64()),
+                "dst": pa.array((np.arange(m) + 1) % m, pa.int64()),
+            }
+        )
+    )
+    out = scc_labels(edges, str(tmp_path), num_partitions=4).to_pandas()
+    assert out["scc"].nunique() == 1
+    assert len(out) == m
