@@ -4606,6 +4606,44 @@ _KNN_PLANTED_SQL = (
 )
 
 
+def q_scc_planted(sf_dir: str):
+    """Forward-backward SCC under a FULL-equality oracle on a planted
+    fixture: one directed cycle over the first min(N, 600) customer
+    keys — a single SCC whose reach propagation needs more supersteps
+    than the old 500-cap (which silently split it into singletons; see
+    algorithms/scc.py:_REACH_MAX_SUPERSTEPS), labeled by the component
+    min (vid 0). Pins the quiescence-bounded reach guard under the
+    driver's exact-hash gate; the derived-graph run stays the
+    recursive-CTE-oracled scc_labels query."""
+    from signal_collect_ray.algorithms.scc import scc_labels
+
+    n = min(_custkeys_dense_n(sf_dir), 600)
+
+    def cycle(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = k[k < n]
+        return pa.table(
+            {
+                "src": pa.array(k, pa.int64()),
+                "dst": pa.array((k + 1) % n, pa.int64()),
+            }
+        )
+
+    return scc_labels(
+        _customer_keys_ds(sf_dir).map_batches(cycle, batch_format="pyarrow"),
+        _work_dir(sf_dir, "scc_planted"),
+        num_partitions=4,
+    )
+
+
+_SCC_PLANTED_SQL = (
+    "SELECT c_custkey AS vid, CAST(0 AS BIGINT) AS scc FROM customer "
+    "WHERE c_custkey < LEAST((SELECT COUNT(*) FROM customer), 600)"
+)
+
+
 def q_semdedup_planted(sf_dir: str):
     """SemDeDup end-to-end (k-means buckets → exact in-cluster cosine →
     engine-CC closure → min-id representative) under a FULL-equality
@@ -10971,6 +11009,7 @@ def queries():
         "semdedup_planted": q_semdedup_planted,
         "knn_ivf_planted": q_knn_ivf_planted,
         "knn_lsh_planted": q_knn_lsh_planted,
+        "scc_planted": q_scc_planted,
     }
 
 
@@ -10986,6 +11025,7 @@ def oracle_sql():
         "semdedup_planted": _SEMDEDUP_PLANTED_SQL,
         "knn_ivf_planted": _KNN_PLANTED_SQL,
         "knn_lsh_planted": _KNN_PLANTED_SQL,
+        "scc_planted": _SCC_PLANTED_SQL,
         "graph_update_events": _E_UPD_SQL,
         "pagerank_updated_k4": _pr_sql(4, edges_sql=_E_UPD_SQL),
         "out_degrees": (

@@ -34,6 +34,7 @@ PLANTED = [
     "semdedup_planted",
     "knn_ivf_planted",
     "knn_lsh_planted",
+    "scc_planted",
 ]
 
 
