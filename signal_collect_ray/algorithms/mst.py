@@ -217,9 +217,15 @@ def _relabel(edges, mapping, col: str, num_partitions: int):
         )
 
     def finish(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         old = tbl.column(col).to_numpy(zero_copy_only=False)
-        new = tbl.column("_new").to_numpy(zero_copy_only=False)
-        out = np.where(np.isnan(new.astype(np.float64)), old, new)
+        newc = tbl.column("_new")
+        # null-mask via Arrow, NOT a float-NaN round trip: casting int64
+        # ids through float64 silently corrupts ids ≥ 2^53
+        miss = pc.is_null(newc).to_numpy(zero_copy_only=False)
+        new = pc.fill_null(newc, 0).to_numpy(zero_copy_only=False)
+        out = np.where(miss, old, new.astype(np.int64))
         cols = {
             n: tbl.column(n)
             for n in tbl.schema.names

@@ -1669,15 +1669,19 @@ def entity_resolve(
     )
 
     def finish(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        ent = tbl.column("_ent").to_numpy(zero_copy_only=False)
-        e = np.where(
-            np.isnan(ent.astype(np.float64)), did, ent
-        ).astype(np.int64)
+        entc = tbl.column("_ent")
+        # null-mask via Arrow, NOT a float-NaN round trip: casting int64
+        # ids through float64 silently corrupts ids ≥ 2^53
+        miss = pc.is_null(entc).to_numpy(zero_copy_only=False)
+        ent = pc.fill_null(entc, 0).to_numpy(zero_copy_only=False)
+        e = np.where(miss, did, ent.astype(np.int64))
         return pa.table(
             {
                 "doc_id": pa.array(did, pa.int64()),
-                "entity_id": pa.array(e, pa.int64()),
+                "entity_id": pa.array(e.astype(np.int64), pa.int64()),
             }
         )
 

@@ -167,3 +167,16 @@ def test_pair_cc_closure_long_chain(tmp_path):
         pairs, str(tmp_path)
     ).take_all()}
     assert drops == set(range(1, n))
+
+
+def test_mst_huge_ids_beyond_float53(tmp_path):
+    # ids above 2^53 are not float64-representable: the relabel's
+    # null-mask must come from Arrow, not a float-NaN round trip
+    base = 1 << 60
+    edges = [
+        (base, base + 1, 1.0),
+        (base + 1, base + 2, 2.0),
+        (base, base + 2, 3.0),
+    ]
+    got = _run(edges, tmp_path)
+    assert got == {(base, base + 1, 1.0), (base + 1, base + 2, 2.0)}
