@@ -161,27 +161,28 @@ def _component_labels(selected, num_partitions: int):
         .materialize()
     )
     for _ in range(64):
-        joined = _with_grand(parents).materialize()
-
-        def changed(tbl: pa.Table) -> pa.Table:
+        # one pass per doubling round: parent := grandparent plus a
+        # per-row changed flag; the convergence probe is then a tiny
+        # sum over the already-materialized blocks, not a second scan
+        def advance(tbl: pa.Table) -> pa.Table:
             p = tbl.column("parent").to_numpy(zero_copy_only=False)
             g = tbl.column("_grand").to_numpy(zero_copy_only=False)
-            return pa.table({"n": pa.array([int((p != g).sum())], pa.int64())})
+            return pa.table(
+                {
+                    "comp": tbl.column("comp"),
+                    "parent": tbl.column("_grand"),
+                    "_chg": pa.array((p != g).astype(np.int64), pa.int64()),
+                }
+            )
 
-        n_changed = sum(
-            r["n"]
-            for r in joined.map_batches(
-                changed, batch_format="pyarrow"
-            ).take_all()
+        upd = (
+            _with_grand(parents.select_columns(["comp", "parent"]))
+            .map_batches(advance, batch_format="pyarrow")
+            .materialize()
         )
-        if n_changed == 0:
+        parents = upd
+        if (upd.sum("_chg") or 0) == 0:
             break
-        parents = joined.map_batches(
-            lambda t: pa.table(
-                {"comp": t.column("comp"), "parent": t.column("_grand")}
-            ),
-            batch_format="pyarrow",
-        ).materialize()
 
     return parents.map_batches(
         lambda t: pa.table(
