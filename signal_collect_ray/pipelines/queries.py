@@ -2487,9 +2487,32 @@ def q_orders_by_nation(sf_dir: str):
     ).rename_columns({"n_nationkey": "c_nationkey"})
     j = broadcast_join(orders, cust, on="o_custkey")
     j = broadcast_join(j, nation, on="c_nationkey")
-    agg = j.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("cents", alias_name="revenue"),
+
+    def nation_partials(tbl: pa.Table) -> pa.Table:
+        # 25-key aggregation: per-block partials so the exchange moves
+        # blocks × 25 rows, not the whole fact stream (the full-stream
+        # groupby was the stage's dominant wall at sf0.1)
+        names = tbl.column("n_name").to_numpy(zero_copy_only=False)
+        cts = tbl.column("cents").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(names, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cts)
+        return pa.table(
+            {
+                "n_name": pa.array(uniq.astype(object), pa.string()),
+                "n_orders": pa.array(cnt, pa.int64()),
+                "cents": pa.array(acc, pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(nation_partials, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="revenue"),
+        )
     )
 
     def rnd(tbl: pa.Table) -> pa.Table:
@@ -2736,9 +2759,31 @@ def q_order_priority_lines(sf_dir: str):
         columns=["o_orderkey", "o_orderpriority"],
     ).rename_columns({"o_orderkey": "orderkey"})
     j = hash_join(li, orders, on="orderkey", how="inner")
-    agg = j.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lines"),
-        Sum("l_quantity", alias_name="sum_qty"),
+
+    def prio_partials(tbl: pa.Table) -> pa.Table:
+        # 5-key aggregation: per-block partials, tiny exchange (same
+        # idiom as orders_by_nation); quantities are integral so the
+        # per-block float sums stay exact in any order
+        pr = tbl.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pr, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        acc = np.bincount(inv, weights=qty, minlength=len(uniq))
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq.astype(object), pa.string()),
+                "n_lines": pa.array(cnt, pa.int64()),
+                "l_quantity": pa.array(acc, pa.float64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(prio_partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("l_quantity", alias_name="sum_qty"),
+        )
     )
 
     def rnd(tbl: pa.Table) -> pa.Table:
