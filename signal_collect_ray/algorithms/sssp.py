@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from signal_collect_ray.algorithm import Algorithm, StateDict
-from signal_collect_ray.util import segment_min
+from signal_collect_ray.util import segment_min, segment_starts
 
 
 class SSSP(Algorithm):
@@ -217,3 +217,114 @@ def shortest_path_tree(edges_ds, state_table, num_partitions: int = 32):
         )
 
     return cand.groupby("gpart").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Landmark BFS — k sources in ONE pass via byte-packed lane state
+# ---------------------------------------------------------------------------
+
+_LANE_INF = 255  # unreachable sentinel per 8-bit lane
+
+
+def _lanes(packed: np.ndarray) -> np.ndarray:
+    """View a packed int64 lane vector as an (n, 8) uint8 matrix
+    (little-endian lane j = byte j; internal layout only — outputs
+    unpack explicitly, so endianness never crosses the wire)."""
+    return packed.view(np.uint8).reshape(len(packed), 8)
+
+
+def _pack(lanes: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(lanes).view(np.int64).ravel()
+
+
+class LandmarkBFS(Algorithm):
+    """Unweighted BFS from up to 8 landmark sources SIMULTANEOUSLY —
+    the landmark-labeling / distance-sketch idiom (Das Sarma et al.
+    2010, public literature): at web scale one pass over the edges per
+    superstep serves all landmarks at once instead of k sequential SSSP
+    runs, so the superstep barrier cost is paid once.
+
+    State is one int64 packing 8 uint8 distance lanes (255 = not yet
+    reached); signal = per-lane saturating dist+1; fold = BYTEWISE min
+    — not an int64 scalar min, so this runs the engine's sparse combine
+    path (``dense_agg=None``). Per-lane min is monotone ⇒ fresh-only
+    frontier signaling is exact, and the combiner is idempotent under
+    re-application. Reference anchor: the SSSP pattern
+    (``examples/Sssp.scala:32-79``) widened to a vector lane state.
+    """
+
+    name = "landmark_bfs"
+    state_pa_type = pa.int64()
+    signal_fields = [("val", pa.int64())]
+    dense_agg = None
+
+    def __init__(self, landmarks):
+        self.landmarks = [int(x) for x in landmarks]
+        if len(self.landmarks) > 8:
+            raise ValueError("at most 8 landmark lanes per packed int64")
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        lanes = np.full((n, 8), _LANE_INF, dtype=np.uint8)
+        for lane, s in enumerate(self.landmarks):
+            lanes[vid == s, lane] = 0
+        state = _pack(lanes)
+        is_src = np.isin(vid, np.asarray(self.landmarks, np.int64))
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": is_src.copy(),
+            "residual": is_src.astype(np.float64),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        return {"val": sub["state"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        lanes = _lanes(expanded["val"].astype(np.int64, copy=True))
+        inc = np.minimum(lanes, _LANE_INF - 1) + 1  # saturating +1 hop
+        return {"val": _pack(inc)}
+
+    @staticmethod
+    def _byte_min_by_dst(dst, packed):
+        order = np.argsort(dst, kind="stable")
+        d, v = dst[order], packed[order]
+        starts = segment_starts(d)
+        if len(starts) == 0:
+            return d[:0], packed[:0]
+        lanes = _lanes(v.astype(np.int64, copy=True))
+        agg = np.minimum.reduceat(lanes, starts, axis=0)
+        return d[starts], _pack(agg)
+
+    def combine(self, dst, values):
+        d, v = self._byte_min_by_dst(dst, values["val"])
+        return d, {"val": v}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        state = prev["state"].copy()
+        if len(dst):
+            d, v = self._byte_min_by_dst(dst, sig["val"])
+            idx = self._align(prev["vid"], d)
+            merged = np.minimum(_lanes(state[idx].copy()), _lanes(v.copy()))
+            state[idx] = _pack(merged)
+        changed = state != prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }
+
+
+def unpack_landmark_table(state_table: pa.Table, landmarks) -> pa.Table:
+    """(vid, packed state) → (vid, d<l0>, d<l1>, …) with NULL for
+    unreachable lanes — the driver-facing distance-label table. Lanes
+    are float64 to schema-match the SQL BFS oracle's DOUBLE dist."""
+    vid = state_table.column("vid").to_numpy(zero_copy_only=False)
+    packed = state_table.column("state").to_numpy(zero_copy_only=False)
+    lanes = _lanes(packed.astype(np.int64, copy=True))
+    cols = {"vid": pa.array(vid, pa.int64())}
+    for lane, s in enumerate(int(x) for x in landmarks):
+        d = lanes[:, lane].astype(np.float64)
+        cols[f"d{s}"] = pa.array(d, pa.float64(), mask=(d >= _LANE_INF))
+    return pa.table(cols)

@@ -1166,6 +1166,29 @@ def _harmonic_sql() -> str:
     )
 
 
+def q_landmark_distances(sf_dir: str):
+    """Distance labels to the four pivot landmarks in ONE engine pass
+    (algorithms.sssp.LandmarkBFS, byte-packed lanes + bytewise-min
+    fold) — same distances as four SSSP runs, one superstep-barrier
+    bill. Columns d0/d16/d32/d48 (NULL = unreachable)."""
+    from signal_collect_ray.algorithms.sssp import (
+        LandmarkBFS,
+        unpack_landmark_table,
+    )
+
+    t = _state(sf_dir, LandmarkBFS(_HC_SOURCES), False, 50)
+    return unpack_landmark_table(t, _HC_SOURCES)
+
+
+def _landmark_sql() -> str:
+    a, b, c, d = (f"({_sssp_sql(_BFS_K, s)})" for s in _HC_SOURCES)
+    return (
+        f"SELECT a.vid, a.dist AS d0, b.dist AS d16, c.dist AS d32, "
+        f"d.dist AS d48 FROM {a} a JOIN {b} b USING (vid) "
+        f"JOIN {c} c USING (vid) JOIN {d} d USING (vid)"
+    )
+
+
 def _graph_weighted(sf_dir: str):
     from signal_collect_ray import Graph
 
@@ -10849,6 +10872,7 @@ def queries():
         "component_sizes": q_component_sizes,
         "sssp_from0": q_sssp_from0,
         "harmonic_closeness": q_harmonic_closeness,
+        "landmark_distances": q_landmark_distances,
         "sssp_weighted_from0": q_sssp_weighted_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "triangle_total": q_triangle_total,
@@ -11107,6 +11131,7 @@ def oracle_sql():
         ),
         "sssp_from0": _sssp_sql(_BFS_K),
         "harmonic_closeness": _harmonic_sql(),
+        "landmark_distances": _landmark_sql(),
         "sssp_weighted_from0": _ssspw_sql(12),
         "chinese_whispers_k1": _CW1_SQL,
         "triangle_total": _TRI_SQL_BASE

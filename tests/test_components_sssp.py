@@ -184,3 +184,41 @@ def test_bipartite_classification_mixed_components(tmp_path):
     want = _bipartite_oracle(src, dst, 23)
     assert got == want
     assert got[0] is True and got[10] is False and got[20] is True
+
+
+def test_landmark_bfs_equals_four_sssp_runs(tmp_path):
+    # one packed-lane LandmarkBFS pass == k independent SSSP runs, on a
+    # random-ish directed graph with an unreachable island (lane = 255)
+    from signal_collect_ray.algorithms.sssp import (
+        LandmarkBFS,
+        unpack_landmark_table,
+    )
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 40, 300).astype(np.int64)
+    dst = rng.randint(0, 40, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # island 50-51 unreachable from the landmarks
+    src = np.concatenate([src, [50]])
+    dst = np.concatenate([dst, [51]])
+    lands = [0, 5, 11, 50]
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=4)
+    info = _eng().run(
+        g, LandmarkBFS(lands), run_dir=str(tmp_path / "lm"), resume=False
+    )
+    got = unpack_landmark_table(info.state_table(), lands).to_pandas()
+    got = got.sort_values("vid").reset_index(drop=True)
+    for lane, s in enumerate(lands):
+        info_s = _eng().run(
+            g, SSSP(s), run_dir=str(tmp_path / f"s{s}"), resume=False
+        )
+        t = info_s.state_table()
+        vid = np.array(t.column("vid").to_pylist())
+        d = np.array(t.column("state").to_pylist())
+        order = np.argsort(vid)
+        want = d[order]
+        have = got[f"d{s}"].values
+        finite = np.isfinite(want)
+        assert (np.isnan(have) == ~finite).all()
+        assert (have[finite] == want[finite]).all()
