@@ -2711,6 +2711,68 @@ def _jaccard_sql() -> str:
     )
 
 
+# SimRank runs over a deterministically THINNED edge subset: the s2
+# double expansion costs Σ|O(u)|·|O(v)| over nonzero-s1 pairs, and the
+# derived 500-vertex graph only densifies with sf — the thinning keeps
+# the query (and its SQL mirror) at a fixed cost at every gate scale
+# while still exercising the full distributed pipeline. Pure integer
+# arithmetic (no hash) ⇒ trivially SQL-mirrorable.
+_SIMRANK_THIN_MOD = 8
+_SIMRANK_E_SQL = (
+    f"SELECT src, dst FROM ({_E_SQL}) "
+    f"WHERE (src * 31 + dst) % {_SIMRANK_THIN_MOD} = 0"
+)
+
+
+def q_simrank_top20(sf_dir: str):
+    """Top-20 pairs by 2-iteration SimRank (algorithms/simrank.py) over
+    the thinned derived edge set — integer micro-unit s1 quantization
+    keeps both sides bit-identical (no float-sum-order hazard)."""
+    from signal_collect_ray.algorithms.simrank import simrank_top_pairs
+
+    def thin(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        keep = (s * 31 + d) % _SIMRANK_THIN_MOD == 0
+        return pa.table(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "dst": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    edges = derived_edges_ds(sf_dir).map_batches(thin, batch_format="pyarrow")
+    return simrank_top_pairs(
+        edges, k=_COCITE_K, num_partitions=8, lookup_cap_bytes=_LOOKUP_CAP()
+    )
+
+
+def _simrank_sql() -> str:
+    return (
+        f"WITH e AS MATERIALIZED ({_SIMRANK_E_SQL}), "
+        "ind AS (SELECT dst AS vid, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY dst), "
+        "cc AS (SELECT a.dst AS ua, b.dst AS ub, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM e a "
+        "JOIN e b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2), "
+        "n1 AS (SELECT ua, ub, CAST(ROUND(750000.0 * cnt / "
+        "(da.deg * db.deg), 0) AS BIGINT) AS n FROM cc "
+        "JOIN ind da ON da.vid = ua JOIN ind db ON db.vid = ub), "
+        "n1o AS (SELECT ua AS u, ub AS v, n FROM n1 "
+        "UNION ALL SELECT ub, ua, n FROM n1 "
+        "UNION ALL SELECT DISTINCT src, src, 1000000 FROM e), "
+        "num AS (SELECT ea.dst AS a, eb.dst AS b, "
+        "CAST(SUM(n1o.n) AS BIGINT) AS s FROM n1o "
+        "JOIN e ea ON ea.src = n1o.u JOIN e eb ON eb.src = n1o.v "
+        "WHERE ea.dst < eb.dst GROUP BY 1, 2), "
+        "sc AS (SELECT a, b, ROUND(0.75 * s / "
+        "(1000000.0 * da.deg * db.deg), 6) AS simrank FROM num "
+        "JOIN ind da ON da.vid = a JOIN ind db ON db.vid = b) "
+        "SELECT a AS id_a, b AS id_b, simrank FROM sc "
+        f"ORDER BY simrank DESC, id_a ASC, id_b ASC LIMIT {_COCITE_K}"
+    )
+
+
 def q_salsa_k4(sf_dir: str):
     """4 SALSA rounds (degree-normalized HITS sibling) over the signed
     bidirected build; final L1 normalization of both vectors."""
@@ -10929,6 +10991,7 @@ def queries():
         "quality_percentiles": q_quality_percentiles,
         "cocitation_top20": q_cocitation_top20,
         "adamic_adar_top20": q_adamic_adar_top20,
+        "simrank_top20": q_simrank_top20,
         "jaccard_top20": q_jaccard_top20,
         "salsa_k4": q_salsa_k4,
         "coupling_top20": q_coupling_top20,
@@ -11217,6 +11280,7 @@ def oracle_sql():
         "quality_percentiles": _quality_pct_sql(),
         "cocitation_top20": _cocitation_sql(),
         "adamic_adar_top20": _adamic_adar_sql(),
+        "simrank_top20": _simrank_sql(),
         "jaccard_top20": _jaccard_sql(),
         "salsa_k4": _salsa_sql(4),
         "coupling_top20": _coupling_sql(),
