@@ -2244,6 +2244,140 @@ _MIS_SQL = (
 )
 
 
+def q_matching_validity(sf_dir: str):
+    """Maximal matching over the symmetric graph — deterministic
+    min-id proposal rounds (algorithms/matching.py). The per-vertex
+    partner assignment has no SQL mirror, but VALIDITY does (the
+    mis_validity pattern): partner pointers symmetric, every matched
+    pair backed by a real edge, no edge with both endpoints unmatched
+    (maximality), no vertex undecided. The edge checks run
+    distributedly (state broadcast once); the O(V) partner-symmetry
+    fold is driver-side like mis_validity's — fine at gate scale,
+    co-partitioned at 100 TB."""
+    import ray
+
+    from signal_collect_ray.algorithms.matching import MaximalMatching
+    from signal_collect_ray.util import isin_sorted
+
+    t = _state(sf_dir, MaximalMatching(), True, 200, tag="")
+    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    st = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid)
+    vid_s, st_s = vid[order], st[order]
+    # partner symmetry: state[state[v]] == v for every matched v
+    m = st_s >= 0
+    pos = np.searchsorted(vid_s, st_s[m])
+    pos_c = np.minimum(pos, len(vid_s) - 1)
+    found = (pos < len(vid_s)) & (vid_s[pos_c] == st_s[m])
+    sym = found & (st_s[pos_c] == vid_s[m])
+    asym = int((~sym).sum())
+    ref = ray.put((vid_s, st_s))
+
+    def checks(tbl: pa.Table) -> pa.Table:
+        vs, ss = ray.get(ref)
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        hs, ps = isin_sorted(vs, s)
+        hd, pd = isin_sorted(vs, d)
+        both_un = hs & hd & (ss[ps] < 0) & (ss[pd] < 0)
+        # matched-pair edges actually present: src's partner is dst
+        backed = hs & (ss[ps] == d)
+        return pa.table(
+            {
+                "viol": pa.array([int(both_un.sum())], pa.int64()),
+                "backed": pa.array([np.unique(s[backed])], pa.list_(pa.int64())),
+            }
+        )
+
+    g = _graph(sf_dir, True)
+    parts = g.edges_ds().map_batches(checks, batch_format="pyarrow").take_all()
+    both_unmatched_edges = sum(r["viol"] for r in parts)
+    backed = set()
+    for r in parts:
+        backed.update(int(x) for x in r["backed"])
+    matched_vs = {int(v) for v, s in zip(vid_s, st_s) if s >= 0}
+    unbacked = len(matched_vs - backed)
+    undecided = int((st_s <= -2).sum())
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(vid_s)], pa.int64()),
+            "asym_partner": pa.array([asym], pa.int64()),
+            "unbacked_partner": pa.array([unbacked], pa.int64()),
+            "both_unmatched_edges": pa.array([both_unmatched_edges], pa.int64()),
+            "undecided": pa.array([undecided], pa.int64()),
+        }
+    )
+
+
+_MATCHING_SQL = (
+    f"WITH e0 AS ({_E_SQL}), "
+    "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), "
+    "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+    "CAST(0 AS BIGINT) AS asym_partner, "
+    "CAST(0 AS BIGINT) AS unbacked_partner, "
+    "CAST(0 AS BIGINT) AS both_unmatched_edges, "
+    "CAST(0 AS BIGINT) AS undecided FROM v"
+)
+
+
+def q_matching_planted(sf_dir: str):
+    """Maximal matching under a FULL-equality oracle on a planted
+    fixture: disjoint edges (2i, 2i+1) over the dense customer keys.
+    An isolated edge leaves the handshake no choice — maximality forces
+    every pair to match — so the expected (vid, partner) table is pure
+    SQL arithmetic regardless of the protocol's hashed role draws."""
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms.matching import MaximalMatching
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    n2 = (min(_custkeys_dense_n(sf_dir), 900) // 2) * 2
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = k[k < n2]
+        return pa.table(
+            {
+                "src": pa.array(k, pa.int64()),
+                "dst": pa.array(k ^ 1, pa.int64()),
+            }
+        )
+
+    g = Graph.build(
+        _customer_keys_ds(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        _work_dir(sf_dir, "matching_planted"),
+        num_partitions=4,
+        dedup=True,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-6, max_supersteps=200)
+    )
+    info = eng.run(
+        g, MaximalMatching(), run_dir=_work_dir(sf_dir, "run_matching_planted"),
+        resume=False, checkpoint_interval=50,
+    )
+    t = info.state_table()
+    vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    st = t.column("state").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "vid": pa.array(vid, pa.int64()),
+            "partner": pa.array(st, pa.int64(), mask=(st < 0)),
+        }
+    )
+
+
+_MATCHING_PLANTED_SQL = (
+    "WITH n AS (SELECT (LEAST((SELECT COUNT(*) FROM customer), 900) // 2) * 2 "
+    "AS n2) "
+    "SELECT c_custkey AS vid, "
+    "CAST(xor(c_custkey, 1) AS BIGINT) AS partner "
+    "FROM customer, n WHERE c_custkey < n.n2"
+)
+
+
 _OUTLIER_Z = 3.0
 
 
@@ -11030,6 +11164,8 @@ def queries():
         "funnel_counts": q_funnel_counts,
         "scc_labels": q_scc_labels,
         "mis_validity": q_mis_validity,
+        "matching_validity": q_matching_validity,
+        "matching_planted": q_matching_planted,
         "ktruss5": q_ktruss5,
         "edge_reciprocity": q_edge_reciprocity,
         "orders_by_nation": q_orders_by_nation,
@@ -11316,6 +11452,8 @@ def oracle_sql():
         "funnel_counts": _funnel_sql(),
         "scc_labels": _SCC_SQL,
         "mis_validity": _MIS_SQL,
+        "matching_validity": _MATCHING_SQL,
+        "matching_planted": _MATCHING_PLANTED_SQL,
         "ktruss5": _ktruss_sql(),
         "edge_reciprocity": _RECIPROCITY_SQL,
         "orders_by_nation": _ORDERS_BY_NATION_SQL,
