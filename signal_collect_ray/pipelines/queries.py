@@ -4293,6 +4293,105 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped monthly promo revenue share: lineitem joined to
+    the part dimension (broadcast — the canonical small-side lookup),
+    per-block integer-unit partials (cents × discount-hundredths, the
+    pricing_summary money protocol), one tiny groupby on the month key.
+    promo_share is a single float expression over the two integer sums,
+    bit-identical to the SQL mirror."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        promo = pc.equal(tbl.column("p_type"), "PROMO")
+        return pa.table(
+            {
+                "l_partkey": tbl.column("p_partkey"),
+                "is_promo": promo.cast(pa.int8()),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    j = broadcast_join(
+        li, part.map_batches(flag, batch_format="pyarrow"), on="l_partkey"
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m_idx = d.astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + m_idx // 12) * 100 + (m_idx % 12 + 1)
+        ep = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        u = np.round(ep * 100.0).astype(np.int64) * np.round(
+            (1.0 - disc) * 100.0
+        ).astype(np.int64)
+        promo = tbl.column("is_promo").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keys, inv = np.unique(ym, return_inverse=True)
+        tot = np.zeros(len(keys), np.int64)
+        pro = np.zeros(len(keys), np.int64)
+        np.add.at(tot, inv, u)
+        np.add.at(pro, inv, u * promo)
+        return pa.table(
+            {
+                "ym": pa.array(keys, pa.int64()),
+                "pu": pa.array(pro, pa.int64()),
+                "tu": pa.array(tot, pa.int64()),
+            }
+        )
+
+    agg = j.map_batches(partial, batch_format="pyarrow").groupby("ym").aggregate(
+        Sum("pu", alias_name="pu"), Sum("tu", alias_name="tu")
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        pu = tbl.column("pu").to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = tbl.column("tu").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ym": tbl.column("ym"),
+                "promo_revenue": pa.array(
+                    _round_half_away(pu / 10000.0, 2), pa.float64()
+                ),
+                "total_revenue": pa.array(
+                    _round_half_away(tu / 10000.0, 2), pa.float64()
+                ),
+                "promo_share": pa.array(
+                    _round_half_away(100.0 * pu / tu, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+_PROMO_REVENUE_SQL = (
+    "WITH u AS (SELECT CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) "
+    "AS BIGINT) AS ym, "
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * "
+    "CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) AS units, "
+    "CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey), "
+    "s AS (SELECT ym, CAST(SUM(units * promo) AS BIGINT) AS pu, "
+    "CAST(SUM(units) AS BIGINT) AS tu FROM u GROUP BY ym) "
+    "SELECT ym, ROUND(pu / 10000.0, 2) AS promo_revenue, "
+    "ROUND(tu / 10000.0, 2) AS total_revenue, "
+    "ROUND(100.0 * pu / tu, 6) AS promo_share FROM s"
+)
+
+
 def q_lineitem_corr(sf_dir: str):
     """Pearson correlation of lineitem quantity vs extended price —
     one streaming pass of sufficient moments, no shuffle
@@ -11079,6 +11178,7 @@ def queries():
         "source_vocab_overlap": q_source_vocab_overlap,
         "triangle_list": q_triangle_list,
         "large_orders": q_large_orders,
+        "promo_revenue": q_promo_revenue,
         "returned_revenue_top20": q_returned_revenue_top20,
         "warc_roundtrip": q_warc_roundtrip,
         "doc_metrics_melted": q_doc_metrics_melted,
@@ -11343,6 +11443,7 @@ def oracle_sql():
         "triangle_list": _TRI_SQL_BASE
         + "SELECT u AS a, v AS b, w AS c FROM tri",
         "large_orders": _Q18_SQL,
+        "promo_revenue": _PROMO_REVENUE_SQL,
         "returned_revenue_top20": _Q10_SQL,
         "warc_roundtrip": "SELECT doc_id, COALESCE(text, '') AS text FROM documents",
         "doc_metrics_melted": _MELT_SQL,
