@@ -1097,3 +1097,221 @@ def semdedup(
     ).materialize()
     drops = duplicate_ids_from_pairs(pairs, workdir)
     return pairs, drops
+
+
+def dbscan_cosine(
+    embeddings_ds,
+    workdir: str,
+    threshold: float = 0.9,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 16,
+):
+    """DBSCAN over cosine similarity (Ester et al. 1996, public
+    literature) — density clustering with noise, the classic
+    complement to k-means/SemDeDup on embedding columns.
+
+    ε-neighborhood = cosine ≥ ``threshold``; a CORE point has ≥
+    ``min_pts`` points in its closed neighborhood (self included, the
+    standard convention); clusters are the connected components of the
+    core-core ε-graph (labeled by component min id via the engine's own
+    ConnectedComponents, ``dedup.pair_cc_labels``); a BORDER point
+    attaches to the minimum cluster label among its core ε-neighbors
+    (deterministic tie-break); everything else is NOISE (label −1).
+
+    Distribution shape: the ε-pair table comes from the exact all-pairs
+    kernel below the broadcast cap (``embedding_pairs_exact``) — swap in
+    the LSH-bucketed pair generator at scale, the downstream stages are
+    pair-table-agnostic; degree counting and border attachment are
+    per-block partials + one hash exchange; the core id set and the
+    core label map are sorted-array broadcasts (ray.put once), bounded
+    by the core count — the same gate-scale idiom as mis_validity, with
+    the co-partitioned join as the documented 100-TB fallback.
+
+    Returns a pyarrow Table (``id_col``, cluster:int64).
+    """
+    import ray
+
+    from signal_collect_ray.functions.dedup import pair_cc_labels
+    from signal_collect_ray.util import isin_sorted, part_of, segment_min
+
+    pairs = embedding_pairs_exact(
+        embeddings_ds, threshold, id_col=id_col, emb_col=emb_col
+    ).materialize()
+
+    # closed-neighborhood sizes: per-block partial counts, one exchange
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                tbl.column("id_a").to_numpy(zero_copy_only=False),
+                tbl.column("id_b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(u, num_partitions), pa.int32()),
+                "id": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_final(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, c = ids[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        tot = np.add.reduceat(c, starts)
+        return pa.table(
+            {
+                "id": pa.array(ids[starts], pa.int64()),
+                "deg": pa.array(tot, pa.int64()),
+            }
+        )
+
+    deg = (
+        pairs.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(deg_final, batch_format="pyarrow")
+    )
+    def core_only(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("deg").to_numpy(zero_copy_only=False)
+        keep = d >= (int(min_pts) - 1)  # closed neighborhood incl. self
+        return pa.table(
+            {"id": tbl.column("id").filter(pa.array(keep))}
+        )
+
+    core_ids = np.sort(
+        np.concatenate(
+            [
+                b.column("id").to_numpy(zero_copy_only=False)
+                for b in deg.map_batches(
+                    core_only, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    core_ref = ray.put(core_ids)
+
+    class _CorePairs:
+        __name__ = "_CorePairs"
+
+        def __init__(self, both: bool):
+            self.both = both
+            self._c = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._c is None:
+                self._c = ray.get(core_ref)
+            a = tbl.column("id_a").to_numpy(zero_copy_only=False)
+            b = tbl.column("id_b").to_numpy(zero_copy_only=False)
+            ha, _ = isin_sorted(self._c, a)
+            hb, _ = isin_sorted(self._c, b)
+            if self.both:
+                keep = ha & hb
+                return pa.table(
+                    {
+                        "id_a": pa.array(a[keep], pa.int64()),
+                        "id_b": pa.array(b[keep], pa.int64()),
+                    }
+                )
+            # exactly one side core → (border candidate, its core nbr)
+            keep = ha ^ hb
+            border = np.where(ha[keep], b[keep], a[keep])
+            corenb = np.where(ha[keep], a[keep], b[keep])
+            return pa.table(
+                {
+                    "gpart": pa.array(part_of(border, num_partitions), pa.int32()),
+                    "border": pa.array(border, pa.int64()),
+                    "corenb": pa.array(corenb, pa.int64()),
+                }
+            )
+
+    core_pairs = pairs.map_batches(
+        _CorePairs(True), batch_format="pyarrow"
+    ).materialize()
+    lab_parts = (
+        pair_cc_labels(core_pairs, f"{workdir}/dbscan_cc").take_all()
+        if core_pairs.count()
+        else []
+    )
+    lab_ids = np.array([r["id"] for r in lab_parts], np.int64)
+    lab_lab = np.array([r["label"] for r in lab_parts], np.int64)
+    order = np.argsort(lab_ids, kind="stable")
+    lab_ids, lab_lab = lab_ids[order], lab_lab[order]
+    # isolated cores (≥ min_pts neighbors, all of them border) form
+    # their own singleton clusters
+    iso = core_ids[~isin_sorted(lab_ids, core_ids)[0]]
+    lab_ids = np.concatenate([lab_ids, iso])
+    lab_lab = np.concatenate([lab_lab, iso])
+    order = np.argsort(lab_ids, kind="stable")
+    lab_ids, lab_lab = lab_ids[order], lab_lab[order]
+    lab_ref = ray.put((lab_ids, lab_lab))
+
+    class _BorderLabel:
+        __name__ = "_BorderLabel"
+
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = ray.get(lab_ref)
+            li, ll = self._m
+            border = tbl.column("border").to_numpy(zero_copy_only=False)
+            corenb = tbl.column("corenb").to_numpy(zero_copy_only=False)
+            hit, pos = isin_sorted(li, corenb)
+            b, lab = segment_min(border[hit], ll[pos[hit]])
+            return pa.table(
+                {
+                    "id": pa.array(b, pa.int64()),
+                    "label": pa.array(lab.astype(np.int64), pa.int64()),
+                }
+            )
+
+    border_lab = (
+        pairs.map_batches(_CorePairs(False), batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(_BorderLabel(), batch_format="pyarrow")
+    )
+    bparts = border_lab.take_all()
+    b_ids = np.sort(np.array([r["id"] for r in bparts], np.int64))
+    b_lab = np.array(
+        [r["label"] for r in sorted(bparts, key=lambda r: r["id"])], np.int64
+    )
+
+    b_ref = ray.put((b_ids, b_lab))
+
+    class _Assign:
+        __name__ = "_Assign"
+
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = (ray.get(lab_ref), ray.get(b_ref))
+            (li, ll), (bi, bl) = self._m
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            out = np.full(len(ids), -1, np.int64)
+            bhit, bpos = isin_sorted(bi, ids)
+            out[bhit] = bl[bpos[bhit]]
+            hit, pos = isin_sorted(li, ids)
+            out[hit] = ll[pos[hit]]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cluster": pa.array(out, pa.int64()),
+                }
+            )
+
+    out = embeddings_ds.select_columns([id_col]).map_batches(
+        _Assign(), batch_format="pyarrow"
+    )
+    tbls = [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None)]
+    return pa.concat_tables(tbls) if tbls else pa.table(
+        {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+    )

@@ -5039,6 +5039,79 @@ _SEMDEDUP_PLANTED_SQL = (
 )
 
 
+def q_dbscan_planted(sf_dir: str):
+    """Density clustering with noise (DBSCAN over cosine,
+    functions/similarity.dbscan_cosine) under a FULL-equality oracle:
+    the 8-blob fixture plus four planted OUTLIERS — the last four keys
+    get the mixed direction 100·(e_b − e_{b+1}), whose cosine to every
+    blob is ≤ 0.71 and to every other outlier ≤ 0 — so at ε-threshold
+    0.9 / minPts 3 each blob is one complete core component labeled by
+    its min id (= vid % 8) and the outliers are noise (−1): pure SQL
+    arithmetic. Exercises the whole distributed path (ε-pair kernel,
+    degree exchange, engine-CC closure, border/noise assignment)."""
+    from signal_collect_ray.functions.similarity import dbscan_cosine
+
+    n = _custkeys_dense_n(sf_dir)
+
+    def blobs_noise(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = (k % 8).astype(np.int64)
+        j = 1e-4 * k
+        j[(k % 8 == 0) & (k <= 32)] = 0.0
+        x = np.zeros((len(k), 8), dtype=np.float64)
+        x[np.arange(len(k)), b] = 100.0
+        x[np.arange(len(k)), (b + 1) % 8] = j
+        noise = k >= n - 4
+        x[noise] = 0.0
+        x[noise, b[noise]] = 100.0
+        x[noise, (b[noise] + 1) % 8] = -100.0
+        return pa.table(
+            {
+                "vec_id": pa.array(k, pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float64())),
+            }
+        )
+
+    return dbscan_cosine(
+        _customer_keys_ds(sf_dir).map_batches(
+            blobs_noise, batch_format="pyarrow"
+        ),
+        _work_dir(sf_dir, "dbscan_planted"),
+        threshold=0.9,
+        min_pts=3,
+    )
+
+
+_DBSCAN_PLANTED_SQL = (
+    "WITH n AS (SELECT COUNT(*) AS n FROM customer) "
+    "SELECT c_custkey AS vec_id, "
+    "CAST(CASE WHEN c_custkey >= n.n - 4 THEN -1 "
+    "ELSE c_custkey % 8 END AS BIGINT) AS cluster "
+    "FROM customer, n"
+)
+
+
+def q_dbscan_clusters(sf_dir: str):
+    """DBSCAN over the real embeddings table (cosine ε = 0.3, minPts 4).
+    Rows-only probe: an exact SQL mirror would re-derive the ε-pair
+    graph with DuckDB's own cosine — a different float expression whose
+    last-ulp disagreements at the threshold boundary are precisely the
+    nondeterministic-parity class ADVICE flagged on knn; the kernel is
+    pinned bit-exactly by the planted twin (dbscan_planted) instead."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import dbscan_cosine
+
+    return dbscan_cosine(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        _work_dir(sf_dir, "dbscan_real"),
+        threshold=0.3,
+        min_pts=4,
+    )
+
+
 def q_node2vec_planted(sf_dir: str):
     """Second-order node2vec walks under a FULL-equality oracle on a
     planted fixture: a directed cycle over the dense customer keys.
@@ -11375,6 +11448,8 @@ def queries():
         "pca_planted": q_pca_planted,
         "node2vec_planted": q_node2vec_planted,
         "semdedup_planted": q_semdedup_planted,
+        "dbscan_planted": q_dbscan_planted,
+        "dbscan_clusters": q_dbscan_clusters,
         "knn_ivf_planted": q_knn_ivf_planted,
         "knn_lsh_planted": q_knn_lsh_planted,
         "scc_planted": q_scc_planted,
@@ -11391,6 +11466,7 @@ def oracle_sql():
         "pca_planted": _PCA_PLANTED_SQL,
         "node2vec_planted": _N2V_PLANTED_SQL,
         "semdedup_planted": _SEMDEDUP_PLANTED_SQL,
+        "dbscan_planted": _DBSCAN_PLANTED_SQL,
         "knn_ivf_planted": _KNN_PLANTED_SQL,
         "knn_lsh_planted": _KNN_PLANTED_SQL,
         "scc_planted": _SCC_PLANTED_SQL,
