@@ -1067,6 +1067,49 @@ def q_kcore(sf_dir: str):
     return pa.table(cols)
 
 
+_CORENESS_ROUNDS = 16  # fixpoint measured at 8-9 rounds; extras idempotent
+
+
+def q_coreness(sf_dir: str):
+    """Full core decomposition — coreness per vertex via the h-index
+    fixpoint (algorithms/coreness.py), generalizing the fixed-k kcore
+    membership query to the whole onion in one engine run. All-integer,
+    so the unrolled SQL mirror is bit-exact; monotone + idempotent at
+    the fixpoint, so an R-round engine cap equals an R-round unroll
+    regardless of where either side converges."""
+    from signal_collect_ray.algorithms.coreness import Coreness
+
+    t = _state(sf_dir, Coreness(), True, _CORENESS_ROUNDS, eps=1e-9)
+    return pa.table(
+        {
+            "vid": t.column("vid"),
+            "coreness": t.column("state").cast(pa.int64()),
+        }
+    )
+
+
+def _coreness_sql(r: int) -> str:
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0)",
+        "h0 AS MATERIALIZED (SELECT src AS vid, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY src)",
+    ]
+    for i in range(1, r + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT t.dst AS vid, "
+            "CAST(MAX(LEAST(t.val, t.rn)) AS BIGINT) AS c FROM ("
+            f"SELECT e.dst, p.c AS val, ROW_NUMBER() OVER "
+            "(PARTITION BY e.dst ORDER BY p.c DESC) AS rn "
+            f"FROM e JOIN h{i-1} p ON p.vid = e.src) t GROUP BY t.dst)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, c AS coreness FROM h{r}"
+    )
+
+
 def q_ppr_k4(sf_dir: str):
     """4-step personalized PageRank from a 2-vertex seed set."""
     from signal_collect_ray.algorithms import PersonalizedPageRank
@@ -11235,6 +11278,7 @@ def queries():
         "pagerank_weighted_k4": q_pagerank_weighted_k4,
         "ppr_k4": q_ppr_k4,
         "kcore": q_kcore,
+        "coreness": q_coreness,
         "hits_k4": q_hits_k4,
         "connected_components": q_cc_labels,
         "component_sizes": q_component_sizes,
@@ -11498,6 +11542,7 @@ def oracle_sql():
         "pagerank_weighted_k4": _prw_sql(4),
         "ppr_k4": _ppr_sql(4),
         "kcore": _kcore_sql(),
+        "coreness": _coreness_sql(_CORENESS_ROUNDS),
         "connected_components": _cc_sql(_CC_K),
         "component_sizes": (
             f"WITH cc AS ({_cc_sql(_CC_K)}) "
