@@ -3599,7 +3599,18 @@ def q_hub_robustness(sf_dir: str):
 
     edges = derived_edges_ds(sf_dir)
     indeg = edges.groupby("dst").aggregate(Count(alias_name="d"))
-    rows = indeg.take_all()
+
+    def block_top10(tbl: pa.Table) -> pa.Table:
+        # per-block prune to the 10 best (d desc, dst asc) rows — the
+        # driver only ever sees O(blocks x 10) rows, not O(V)
+        if tbl.num_rows <= 10:
+            return tbl
+        d = tbl.column("d").to_numpy(zero_copy_only=False)
+        v = tbl.column("dst").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((v, -d))[:10]
+        return tbl.take(pa.array(np.sort(idx), pa.int64()))
+
+    rows = indeg.map_batches(block_top10, batch_format="pyarrow").take_all()
     # top-10 by (in-degree desc, vid asc) — deterministic
     hubs = {
         r["dst"]
@@ -10853,9 +10864,12 @@ def q_knn_label_consistency(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "label", "embedding"],
     )
+    # reference side: O(V*d) broadcast is inherent to exact all-pairs
+    # kNN (IVF bucketing is the documented scale path); the QUERY side
+    # stays a streaming map_batches over the parquet blocks rather than
+    # a driver-rebuilt from_items dataset
+    emb = emb_src
     rows = emb_src.take_all()
-    # one parquet scan: the query pass re-uses the materialized rows
-    emb = rd.from_items(rows)
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
