@@ -8500,6 +8500,415 @@ _REGIONAL_REVENUE_SQL = (
 )
 
 
+def _li_rev_units(columns):
+    """lineitem projected to exact integer 10^-4-dollar revenue units
+    (`rev`) plus the requested passthrough columns — the shared exact-sum
+    kernel of the TPC-H-shaped queries (order-independent distributed
+    sums; see q_regional_revenue for the rounding analysis)."""
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        units = np.round(p * 100.0).astype(np.int64) * np.round(
+            (1.0 - d) * 100.0
+        ).astype(np.int64)
+        out = {c: tbl.column(c) for c in columns}
+        out["rev"] = pa.array(units, pa.int64())
+        return pa.table(out)
+
+    return rev
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped bilateral trade volume: revenue per
+    (supplier-nation, customer-nation, ship-year) for cross-nation
+    shipments. Exercises the double-dimension-resolution join shape:
+    the supplier→nation chain broadcasts onto the fact stream BEFORE
+    the one big-big lineitem⨝orders exchange, the customer→nation
+    chain broadcasts after — exactly one shuffle end to end."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join, hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        t = _li_rev_units(["l_orderkey", "l_suppkey"])(tbl)
+        yr = pc.year(tbl.column("l_shipdate")).cast(pa.int64())
+        return t.append_column("yr", yr)
+
+    li = li.map_batches(proj, batch_format="pyarrow")
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).rename_columns({"s_suppkey": "l_suppkey"})
+    li = broadcast_join(li, supp, on="l_suppkey")
+    sn = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns({"n_nationkey": "s_nationkey", "n_name": "supp_nation"})
+    li = broadcast_join(li, sn, on="s_nationkey").select_columns(
+        ["l_orderkey", "rev", "yr", "supp_nation"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    j = hash_join(li, orders, on="l_orderkey")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).rename_columns({"c_custkey": "o_custkey"})
+    j = broadcast_join(j, cust, on="o_custkey")
+    cn = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns({"n_nationkey": "c_nationkey", "n_name": "cust_nation"})
+    j = broadcast_join(j, cn, on="c_nationkey")
+
+    def cross_only(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return tbl.filter(
+            pc2.invert(
+                pc2.equal(tbl.column("supp_nation"), tbl.column("cust_nation"))
+            )
+        )
+
+    agg = (
+        j.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "yr"])
+        .aggregate(Sum("rev", alias_name="units"))
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        units = tbl.column("units").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": tbl.column("supp_nation"),
+                "cust_nation": tbl.column("cust_nation"),
+                "yr": tbl.column("yr"),
+                "revenue": pa.array(
+                    _round_half_away(units / 10000.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_NATION_TRADE_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS yr,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND((1.0 - l.l_discount) * 100, 0) AS BIGINT))
+             / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: NATION_7 suppliers' yearly share
+    of revenue from ASIA-region customers. The conditional-partial
+    pattern — the share's numerator is a flag-masked copy of the exact
+    integer revenue column computed in the SAME pass, so one groupby
+    carries both sums and no second scan or join is needed."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join, hash_join
+
+    TARGET = "NATION_7"
+    REGION = "ASIA"
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _li_rev_units(["l_orderkey", "l_suppkey"]), batch_format="pyarrow"
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).rename_columns({"s_suppkey": "l_suppkey"})
+    li = broadcast_join(li, supp, on="l_suppkey")
+    sn = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns({"n_nationkey": "s_nationkey", "n_name": "supp_nation"})
+    li = broadcast_join(li, sn, on="s_nationkey")
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        rev = tbl.column("rev").to_numpy(zero_copy_only=False)
+        is_t = pc.equal(tbl.column("supp_nation"), TARGET).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "rev": tbl.column("rev"),
+                "rev_target": pa.array(
+                    np.where(is_t, rev, 0), pa.int64()
+                ),
+            }
+        )
+
+    li = li.map_batches(flag, batch_format="pyarrow")
+
+    def ord_proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("o_orderkey"),
+                "o_custkey": tbl.column("o_custkey"),
+                "yr": pc.year(tbl.column("o_orderdate")).cast(pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_proj, batch_format="pyarrow")
+    j = hash_join(li, orders, on="l_orderkey")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).rename_columns({"c_custkey": "o_custkey"})
+    j = broadcast_join(j, cust, on="o_custkey")
+    cn = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    ).rename_columns({"n_nationkey": "c_nationkey"})
+    j = broadcast_join(j, cn, on="c_nationkey")
+    reg = rd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).rename_columns({"r_regionkey": "n_regionkey"})
+    j = broadcast_join(j, reg, on="n_regionkey")
+
+    def in_region(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return tbl.filter(pc2.equal(tbl.column("r_name"), REGION))
+
+    agg = (
+        j.map_batches(in_region, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(
+            Sum("rev", alias_name="units"),
+            Sum("rev_target", alias_name="units_target"),
+        )
+    )
+
+    def share(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("units").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        ut = tbl.column("units_target").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "yr": tbl.column("yr"),
+                "mkt_share": pa.array(
+                    _round_half_away(ut / u, 6), pa.float64()
+                ),
+                "total_revenue": pa.array(
+                    _round_half_away(
+                        tbl.column("units").to_numpy(zero_copy_only=False)
+                        / 10000.0,
+                        2,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+_MARKET_SHARE_SQL = """
+WITH f AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(ROUND((1.0 - l.l_discount) * 100, 0) AS BIGINT) AS units,
+         CASE WHEN ns.n_name = 'NATION_7' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  WHERE r.r_name = 'ASIA')
+SELECT yr,
+       ROUND(CAST(SUM(units * is_target) AS DOUBLE)
+             / CAST(SUM(units) AS DOUBLE), 6) AS mkt_share,
+       ROUND(SUM(units) / 10000.0, 2) AS total_revenue
+FROM f GROUP BY 1
+"""
+
+
+def q_part_revenue_share(sf_dir: str):
+    """TPC-H-Q11-shaped important parts: parts whose revenue exceeds
+    0.065% of GLOBAL revenue. The aggregate-broadcast-filter pattern:
+    the global total comes from tiny per-block partials (O(blocks)
+    rows to the driver, never the group table), and the HAVING filter
+    runs distributed over the grouped dataset against that broadcast
+    scalar — exact integer comparison, no float threshold wobble."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_li_rev_units(["l_partkey"]), batch_format="pyarrow")
+
+    def partial_total(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("rev").to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array([int(s.sum())], pa.int64())})
+
+    parts = li.map_batches(partial_total, batch_format="pyarrow").take_all()
+    total = sum(r["t"] for r in parts)
+
+    agg = li.groupby("l_partkey").aggregate(Sum("rev", alias_name="units"))
+
+    def having(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("units").to_numpy(zero_copy_only=False)
+        keep = u * 20000 > 13 * total  # units > 0.065% of total, exactly
+        t = tbl.filter(pa.array(keep))
+        uk = t.column("units").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "revenue": pa.array(
+                    _round_half_away(uk / 10000.0, 2), pa.float64()
+                ),
+                "share": pa.array(
+                    _round_half_away(uk / float(total), 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
+_PART_REVENUE_SHARE_SQL = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(ROUND((1.0 - l_discount) * 100, 0) AS BIGINT)) AS u
+  FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(u) AS tot FROM pr)
+SELECT l_partkey, ROUND(u / 10000.0, 2) AS revenue,
+       ROUND(CAST(u AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM pr, t WHERE u * 20000 > 13 * tot
+"""
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with maximum
+    revenue over H1-1996 shipments. Global-max-filter pattern: the max
+    comes from per-block partial maxima over the grouped dataset
+    (O(blocks) driver rows), the equality filter runs distributed, and
+    only the winners join the supplier dimension."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    lo = int(
+        (np.datetime64("1996-01-01") - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+    hi = int(
+        (np.datetime64("1996-07-01") - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def window(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (ts >= lo) & (ts < hi)
+        return _li_rev_units(["l_suppkey"])(tbl.filter(pa.array(keep)))
+
+    agg = (
+        li.map_batches(window, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="units"))
+    )
+
+    def partial_max(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("units").to_numpy(zero_copy_only=False)
+        m = int(u.max()) if len(u) else 0
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    parts = agg.map_batches(partial_max, batch_format="pyarrow").take_all()
+    best = max((r["m"] for r in parts), default=0)
+
+    def winners(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("units").to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array(u == best))
+        return pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "total_revenue": pa.array(
+                    _round_half_away(
+                        t.column("units").to_numpy(zero_copy_only=False)
+                        / 10000.0,
+                        2,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    win = agg.map_batches(winners, batch_format="pyarrow")
+    names = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    return broadcast_join(win, names, on="s_suppkey").select_columns(
+        ["s_suppkey", "s_name", "total_revenue"]
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(ROUND((1.0 - l_discount) * 100, 0) AS BIGINT)) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, ROUND(r.u / 10000.0, 2) AS total_revenue
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.u = (SELECT MAX(u) FROM r)
+"""
+
+
 def q_trending_event_types(sf_dir: str):
     """Top-3 event types per hour window by count (windowed grouped
     top-k, the trending-now operator): one (window, type) count
@@ -11429,6 +11838,10 @@ def queries():
         "source_dup_rates": q_source_dup_rates,
         "random_robustness": q_random_robustness,
         "regional_revenue": q_regional_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "part_revenue_share": q_part_revenue_share,
+        "top_supplier": q_top_supplier,
         "trending_event_types": q_trending_event_types,
         "dangling_mass": q_dangling_mass,
         "lang_token_rates": q_lang_token_rates,
@@ -11721,6 +12134,10 @@ def oracle_sql():
         "source_dup_rates": _SOURCE_DUP_SQL,
         "random_robustness": _random_robust_sql(_CC_K),
         "regional_revenue": _REGIONAL_REVENUE_SQL,
+        "nation_trade_volume": _NATION_TRADE_SQL,
+        "market_share": _MARKET_SHARE_SQL,
+        "part_revenue_share": _PART_REVENUE_SHARE_SQL,
+        "top_supplier": _TOP_SUPPLIER_SQL,
         "trending_event_types": _TRENDING_SQL,
         "dangling_mass": _dangling_sql(),
         "lang_token_rates": _LANG_TOKEN_RATES_SQL,

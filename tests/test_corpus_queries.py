@@ -62,6 +62,10 @@ NEW_QUERIES = [
     "doc_lang_mix",
     "vocab_coverage_curve",
     "pagerank_topk_stability",
+    "nation_trade_volume",
+    "market_share",
+    "part_revenue_share",
+    "top_supplier",
 ]
 
 
