@@ -91,3 +91,72 @@ class ChineseWhispers(Algorithm):
             "active": changed,
             "residual": changed.astype(np.float64),
         }
+
+
+class SeededLabelProp(Algorithm):
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, public
+    literature; vertex-centric formulation per the reference's
+    DataGraphVertex retention pattern, ``ChineseWhispersClustering.scala``).
+
+    Seeds (vid % 7 == 0) are CLAMPED to label vid % 5; every other
+    vertex starts unlabeled (-1) and each round adopts the majority
+    label among its neighbors' current labels (unlabeled neighbors
+    ignored, ties -> MIN label); with no labeled neighbor it keeps its
+    previous state. Collect needs every neighbor's latest label, not
+    just fresh deltas => ``always_signal=True`` (same reasoning as
+    ChineseWhispers above)."""
+
+    name = "seeded_labelprop"
+    state_pa_type = pa.int64()
+    signal_fields = [("label", pa.int64()), ("w", pa.float64())]
+    always_signal = True
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        v = vid.astype(np.int64)
+        state = np.where(v % 7 == 0, v % 5, -1).astype(np.int64)
+        n = len(v)
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": np.ones(n, dtype=bool),
+            "residual": np.ones(n),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        return {"label": sub["state"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        return {
+            "label": expanded["label"],
+            "w": np.ones(len(expanded["label"]), dtype=np.float64),
+        }
+
+    def combine(self, dst, values):
+        m = values["label"] >= 0  # unlabeled neighbors carry no vote
+        d, l, v = _sum_by_dst_label(dst[m], values["label"][m], values["w"][m])
+        return d, {"label": l, "w": v}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        state = prev["state"].copy()
+        if len(dst):
+            lab = sig.get("label", dst[:0].astype(np.int64))
+            w = sig.get("w", np.empty(0))
+            m = lab >= 0
+            d, l, c = _sum_by_dst_label(dst[m], lab[m], w[m])
+            if len(d):
+                order = np.lexsort((l, -c, d))
+                d2, l2 = d[order], l[order]
+                firsts = segment_starts(d2)
+                idx = self._align(prev["vid"], d2[firsts])
+                ok = idx >= 0
+                state[idx[ok]] = l2[firsts][ok]
+        v = prev["vid"]
+        seed = v % 7 == 0
+        state[seed] = v[seed] % 5  # clamp
+        changed = state != prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }

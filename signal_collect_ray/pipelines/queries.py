@@ -1273,6 +1273,51 @@ def q_chinese_whispers_k1(sf_dir: str):
     return pa.table({"vid": t.column("vid"), "label": t.column("state")})
 
 
+def q_seeded_labelprop_k3(sf_dir: str):
+    """Semi-supervised label propagation (Zhu & Ghahramani): clamped
+    seeds (vid%7==0 → label vid%5), 3 synchronous majority rounds over
+    the symmetrized link graph on the engine; unlabeled = -1. Oracle:
+    the same recurrence unrolled as a 3-level CTE chain."""
+    from signal_collect_ray.algorithms import SeededLabelProp
+
+    t = _state(sf_dir, SeededLabelProp(), True, 3, eps=0.0, tag="_slp3")
+    return pa.table({"vid": t.column("vid"), "label": t.column("state")})
+
+
+def _slp_sql(k: int) -> str:
+    """Unrolled seeded-label-propagation oracle: per round, each
+    non-seed takes the (count-majority, tie→min) label over labeled
+    neighbors, else keeps its previous label; seeds stay clamped."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
+        "v AS (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
+        "s0 AS (SELECT vid, CASE WHEN vid % 7 = 0 THEN vid % 5 END AS label FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS vid, s.label, COUNT(*) AS c "
+            f"FROM e JOIN s{i-1} s ON s.vid = e.src "
+            f"WHERE s.label IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT vid, label FROM ("
+            f"SELECT vid, label, ROW_NUMBER() OVER (PARTITION BY vid "
+            f"ORDER BY c DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT v0.vid, "
+            f"CASE WHEN v0.vid % 7 = 0 THEN v0.vid % 5 "
+            f"ELSE COALESCE(w.label, s.label) END AS label "
+            f"FROM v v0 JOIN s{i-1} s ON s.vid = v0.vid "
+            f"LEFT JOIN w{i} w ON w.vid = v0.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, CAST(COALESCE(label, -1) AS BIGINT) AS label FROM s{k}"
+    )
+
+
 def q_triangle_total(sf_dir: str):
     from signal_collect_ray.algorithms import total_triangles
 
@@ -11710,6 +11755,7 @@ def queries():
         "landmark_distances": q_landmark_distances,
         "sssp_weighted_from0": q_sssp_weighted_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
+        "seeded_labelprop_k3": q_seeded_labelprop_k3,
         "triangle_total": q_triangle_total,
         "rectangle_count": q_rectangle_count,
         "dag_layers": q_dag_layers,
@@ -11981,6 +12027,7 @@ def oracle_sql():
         "landmark_distances": _landmark_sql(),
         "sssp_weighted_from0": _ssspw_sql(12),
         "chinese_whispers_k1": _CW1_SQL,
+        "seeded_labelprop_k3": _slp_sql(3),
         "triangle_total": _TRI_SQL_BASE
         + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
         "rectangle_count": _RECT_SQL,

@@ -62,6 +62,7 @@ NEW_QUERIES = [
     "doc_lang_mix",
     "vocab_coverage_curve",
     "pagerank_topk_stability",
+    "seeded_labelprop_k3",
     "nation_trade_volume",
     "market_share",
     "part_revenue_share",

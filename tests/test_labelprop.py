@@ -60,3 +60,27 @@ def test_clique_collapses_to_min_label(tmp_path):
     info = eng.run(g, ChineseWhispers(), run_dir=str(tmp_path / "r"), resume=False)
     labels = set(info.state_table().column("state").to_pylist())
     assert labels == {0}
+
+
+def test_seeded_labelprop_clamps_and_majority(tmp_path):
+    """Planted path 0-7-14 plus a fan: seeds 0,7,14 (labels 0,2,4);
+    vertex 1 neighbors {0, 7, 14} -> 3-way count tie -> min label 0;
+    vertex 2 neighbors {7,3} -> label 2; vertex 3 picks 2's label up in
+    round 2; seeds never move."""
+    from signal_collect_ray.algorithms import SeededLabelProp
+
+    edges = [(0, 1), (7, 1), (14, 1), (7, 2), (3, 2)]
+    sym = edges + [(b, a) for a, b in edges]
+    src = np.array([a for a, _ in sym], dtype=np.int64)
+    dst = np.array([b for _, b in sym], dtype=np.int64)
+    g = Graph.from_edge_arrays(src, dst, str(tmp_path / "g"), num_partitions=2)
+    eng = SuperstepEngine(EngineConfig(num_partitions=2, max_supersteps=3))
+    info = eng.run(
+        g, SeededLabelProp(), run_dir=str(tmp_path / "r"), resume=False
+    )
+    t = info.state_table()
+    got = dict(zip(t.column("vid").to_pylist(), t.column("state").to_pylist()))
+    assert got[0] == 0 and got[7] == 2 and got[14] == 4  # clamped seeds
+    assert got[1] == 0  # 3-way tie -> min label
+    assert got[2] == 2  # majority over labeled neighbors only
+    assert got[3] == 2  # round 2: picks up 2's label via symmetry
