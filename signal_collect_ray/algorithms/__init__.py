@@ -9,6 +9,7 @@ from signal_collect_ray.algorithms.hits import EigenvectorCentrality, Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
 from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS
 from signal_collect_ray.algorithms.mis import MaximalIndependentSet
+from signal_collect_ray.algorithms.absorption import AbsorptionProb
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers, SeededLabelProp
 from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.cellular import GameOfLife, KCore, SchellingSegregation
@@ -53,6 +54,7 @@ __all__ = [
     "SSSP",
     "MultiSourceBFS",
     "MaximalIndependentSet",
+    "AbsorptionProb",
     "ChineseWhispers",
     "SeededLabelProp",
     "VertexColoring",

@@ -1318,6 +1318,85 @@ def _slp_sql(k: int) -> str:
     )
 
 
+def _graph_absorb(sf_dir: str):
+    """Reversed derived graph with edge weight 1/outdeg(original src):
+    the one-time build bakes the receiver-side degree into the edge so
+    AbsorptionProb's collect is a plain commutative signal sum (see
+    algorithms/absorption.py)."""
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray import Graph
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
+    key = (sf_dir, "absorb")
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        edges = derived_edges_ds(sf_dir)
+        outd = edges.groupby("src").aggregate(Count(alias_name="outd"))
+        j = capped_broadcast_join(edges, outd, on="src")
+
+        def rev(tbl: pa.Table) -> pa.Table:
+            d = tbl.column("outd").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            return pa.table(
+                {
+                    "src": tbl.column("dst"),
+                    "dst": tbl.column("src"),
+                    "weight": pa.array(1.0 / d, pa.float64()),
+                }
+            )
+
+        g = Graph.build(
+            j.map_batches(rev, batch_format="pyarrow"),
+            _work_dir(sf_dir, "graph_absorb"),
+            num_partitions=_P,
+        )
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def q_absorption_k4(sf_dir: str):
+    """Absorbing-random-walk hit probability: P(uniform walk from v
+    reaches the target set {vid%17==0} within 4 steps), engine-run on
+    the reversed weighted graph. Oracle: the recurrence unrolled as a
+    4-level CTE chain with the SAME h*(1/outd) expression the engine
+    evaluates."""
+    from signal_collect_ray.algorithms import AbsorptionProb
+
+    g = _graph_absorb(sf_dir)
+    eng = _engine(4, eps=0.0)
+    info = eng.run(
+        g, AbsorptionProb(), run_dir=_work_dir(sf_dir, "run_absorb"),
+        resume=False, checkpoint_interval=50,
+    )
+    return _round_state(info.state_table(), "absorb_p", 6)
+
+
+def _absorb_sql(k: int) -> str:
+    seed = "vid % 17 = 0"
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src)",
+        f"h0 AS (SELECT vid, CAST(CASE WHEN {seed} THEN 1.0 ELSE 0.0 END"
+        " AS DOUBLE) AS h FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT v.vid, "
+            f"CASE WHEN v.{seed} THEN 1.0 "
+            f"ELSE COALESCE(SUM(h{i-1}.h * (1.0 / od.outd)), 0.0) END AS h "
+            f"FROM v LEFT JOIN e ON e.src = v.vid "
+            f"LEFT JOIN h{i-1} ON h{i-1}.vid = e.dst "
+            f"LEFT JOIN od ON od.src = v.vid GROUP BY v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, ROUND(h, 6) AS absorb_p FROM h{k}"
+    )
+
+
 def q_triangle_total(sf_dir: str):
     from signal_collect_ray.algorithms import total_triangles
 
@@ -11756,6 +11835,7 @@ def queries():
         "sssp_weighted_from0": q_sssp_weighted_from0,
         "chinese_whispers_k1": q_chinese_whispers_k1,
         "seeded_labelprop_k3": q_seeded_labelprop_k3,
+        "absorption_k4": q_absorption_k4,
         "triangle_total": q_triangle_total,
         "rectangle_count": q_rectangle_count,
         "dag_layers": q_dag_layers,
@@ -12028,6 +12108,7 @@ def oracle_sql():
         "sssp_weighted_from0": _ssspw_sql(12),
         "chinese_whispers_k1": _CW1_SQL,
         "seeded_labelprop_k3": _slp_sql(3),
+        "absorption_k4": _absorb_sql(4),
         "triangle_total": _TRI_SQL_BASE
         + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
         "rectangle_count": _RECT_SQL,

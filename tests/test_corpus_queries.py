@@ -63,6 +63,7 @@ NEW_QUERIES = [
     "vocab_coverage_curve",
     "pagerank_topk_stability",
     "seeded_labelprop_k3",
+    "absorption_k4",
     "nation_trade_volume",
     "market_share",
     "part_revenue_share",
