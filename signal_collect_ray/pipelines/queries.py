@@ -7035,12 +7035,13 @@ FROM r GROUP BY 1, 2
 """
 
 
-def q_hll_estimates(sf_dir: str):
-    """The HyperLogLog ESTIMATE per event type, oracle-backed: the
-    register sum Σ2^-M is lifted to the exact integer Σ2^(53−M)
-    (arbitrary precision on the Ray side, HUGEINT in SQL), so the only
-    float ops are the final alpha/division/ln — identical IEEE doubles
-    from identical literals on both sides; rounded to 3 digits."""
+_P_HLL = 12
+
+
+def _hll_regs_by_type(sf_dir: str) -> dict:
+    """Per-event-type max-merged HLL registers (m = 2^12): per-block
+    register partials over the event stream, fixed-size mergeable fold
+    on the driver (5 types x 4 KiB — O(types), never O(rows))."""
     import ray.data as rd
 
     from signal_collect_ray.functions.sketches import _hash_col, _registers
@@ -7049,8 +7050,7 @@ def q_hll_estimates(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "user_id"],
     )
-    P_HLL = 12
-    m = 1 << P_HLL
+    m = 1 << _P_HLL
 
     def partial(tbl: pa.Table) -> pa.Table:
         ets = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
@@ -7059,7 +7059,7 @@ def q_hll_estimates(sf_dir: str):
             sel = ets == et
             regs = _registers(
                 _hash_col(tbl.column("user_id").filter(pa.array(sel))),
-                P_HLL,
+                _P_HLL,
             )
             out_e.append(et)
             out_r.append(regs)
@@ -7081,21 +7081,76 @@ def q_hll_estimates(sf_dir: str):
         ):
             cur = merged.setdefault(et, np.zeros(m, dtype=np.uint8))
             np.maximum(cur, np.asarray(r, dtype=np.uint8), out=cur)
+    return merged
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet estimate with linear-counting fallback — exact-integer
+    register sum so the only float ops are alpha/division/ln (identical
+    IEEE doubles from identical literals in the SQL mirror)."""
+    m = 1 << _P_HLL
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    s_int = sum(1 << (53 - int(v)) for v in regs)  # exact
+    e = alpha * m * m * float(2**53) / float(s_int)
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def q_hll_estimates(sf_dir: str):
+    """The HyperLogLog ESTIMATE per event type, oracle-backed: the
+    register sum Σ2^-M is lifted to the exact integer Σ2^(53−M)
+    (arbitrary precision on the Ray side, HUGEINT in SQL), so the only
+    float ops are the final alpha/division/ln — identical IEEE doubles
+    from identical literals on both sides; rounded to 3 digits."""
+    merged = _hll_regs_by_type(sf_dir)
     out_e, out_est = [], []
     for et in sorted(merged):
-        regs = merged[et]
-        s_int = sum(1 << (53 - int(v)) for v in regs)  # exact
-        e = alpha * m * m * float(2**53) / float(s_int)
-        zeros = int((regs == 0).sum())
-        if e <= 2.5 * m and zeros > 0:
-            e = m * np.log(m / zeros)
         out_e.append(et)
-        out_est.append(round(float(e), 3))
+        out_est.append(round(_hll_estimate(merged[et]), 3))
     return pa.table(
         {
             "event_type": pa.array(out_e, pa.string()),
             "estimate": pa.array(out_est, pa.float64()),
+        }
+    )
+
+
+def q_hll_set_ops(sf_dir: str):
+    """HLL SET ALGEBRA per event-type pair: |A|, |B|, |A∪B| from the
+    register-wise MAX merge (the sketch's lossless union), |A∩B| by
+    inclusion–exclusion — the mergeable-sketch answer to 'how much do
+    two 100-TB partitions overlap' without ever co-locating them.
+    Registers are the same bit-exact mix64 family as hll_registers;
+    estimates the same exact-integer fold as hll_estimates."""
+    merged = _hll_regs_by_type(sf_dir)
+    types = sorted(merged)
+    cols = {k: [] for k in (
+        "type_a", "type_b", "est_a", "est_b", "est_union",
+        "est_intersection",
+    )}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ea = _hll_estimate(merged[a])
+            eb = _hll_estimate(merged[b])
+            eu = _hll_estimate(np.maximum(merged[a], merged[b]))
+            cols["type_a"].append(a)
+            cols["type_b"].append(b)
+            cols["est_a"].append(round(ea, 3))
+            cols["est_b"].append(round(eb, 3))
+            cols["est_union"].append(round(eu, 3))
+            cols["est_intersection"].append(round(ea + eb - eu, 3))
+    return pa.table(
+        {
+            "type_a": pa.array(cols["type_a"], pa.string()),
+            "type_b": pa.array(cols["type_b"], pa.string()),
+            "est_a": pa.array(cols["est_a"], pa.float64()),
+            "est_b": pa.array(cols["est_b"], pa.float64()),
+            "est_union": pa.array(cols["est_union"], pa.float64()),
+            "est_intersection": pa.array(
+                cols["est_intersection"], pa.float64()
+            ),
         }
     )
 
@@ -7118,6 +7173,50 @@ est AS (SELECT event_type, zeros,
 SELECT event_type,
        ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
              THEN 4096 * ln(4096.0 / zeros) ELSE e END, 3) AS estimate
+FROM est
+"""
+
+_HLL_SETOPS_SQL = f"""
+WITH regs AS ({_HLL_REG_SQL}),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM types a JOIN types b ON a.event_type < b.event_type),
+spine AS (SELECT p.ta, p.tb, CAST(i.i AS BIGINT) AS idx
+          FROM pairs p CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) i),
+fr AS (SELECT s.ta, s.tb,
+       COALESCE(ra.rho, 0) AS rho_a, COALESCE(rb.rho, 0) AS rho_b,
+       GREATEST(COALESCE(ra.rho, 0), COALESCE(rb.rho, 0)) AS rho_u
+       FROM spine s
+       LEFT JOIN regs ra ON ra.event_type = s.ta AND ra.idx = s.idx
+       LEFT JOIN regs rb ON rb.event_type = s.tb AND rb.idx = s.idx),
+agg AS (SELECT ta, tb,
+        SUM(CAST(POW(2, 53 - rho_a) AS HUGEINT)) AS sa,
+        COUNT(*) FILTER (rho_a = 0) AS za,
+        SUM(CAST(POW(2, 53 - rho_b) AS HUGEINT)) AS sb,
+        COUNT(*) FILTER (rho_b = 0) AS zb,
+        SUM(CAST(POW(2, 53 - rho_u) AS HUGEINT)) AS su,
+        COUNT(*) FILTER (rho_u = 0) AS zu
+        FROM fr GROUP BY 1, 2),
+raw AS (SELECT ta, tb, za, zb, zu,
+        (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+        * CAST(POW(2, 53) AS DOUBLE) / CAST(sa AS DOUBLE) AS ra,
+        (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+        * CAST(POW(2, 53) AS DOUBLE) / CAST(sb AS DOUBLE) AS rb,
+        (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+        * CAST(POW(2, 53) AS DOUBLE) / CAST(su AS DOUBLE) AS ru
+        FROM agg),
+est AS (SELECT ta, tb,
+        CASE WHEN ra <= 2.5 * 4096 AND za > 0
+             THEN 4096 * ln(4096.0 / za) ELSE ra END AS ea,
+        CASE WHEN rb <= 2.5 * 4096 AND zb > 0
+             THEN 4096 * ln(4096.0 / zb) ELSE rb END AS eb,
+        CASE WHEN ru <= 2.5 * 4096 AND zu > 0
+             THEN 4096 * ln(4096.0 / zu) ELSE ru END AS eu
+        FROM raw)
+SELECT ta AS type_a, tb AS type_b,
+       ROUND(ea, 3) AS est_a, ROUND(eb, 3) AS est_b,
+       ROUND(eu, 3) AS est_union,
+       ROUND(ea + eb - eu, 3) AS est_intersection
 FROM est
 """
 
@@ -11860,6 +11959,7 @@ def queries():
         "hll_registers": q_hll_registers,
         "rmat_edges_oracle": q_rmat_edges_oracle,
         "hll_estimates": q_hll_estimates,
+        "hll_set_ops": q_hll_set_ops,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_clustering_coefficient,
         "largest_components": q_largest_components,
@@ -12135,6 +12235,7 @@ def oracle_sql():
         "hll_registers": _HLL_REG_SQL,
         "rmat_edges_oracle": _rmat_sql(),
         "hll_estimates": _HLL_EST_SQL,
+        "hll_set_ops": _HLL_SETOPS_SQL,
         "triangles_per_vertex": _TRI_SQL_BASE
         + (
             "SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM "

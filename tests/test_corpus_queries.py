@@ -64,6 +64,7 @@ NEW_QUERIES = [
     "pagerank_topk_stability",
     "seeded_labelprop_k3",
     "absorption_k4",
+    "hll_set_ops",
     "nation_trade_volume",
     "market_share",
     "part_revenue_share",
