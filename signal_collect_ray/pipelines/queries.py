@@ -4863,6 +4863,44 @@ _MST_PLANTED_SQL = (
 )
 
 
+def q_redirect_chains_planted(sf_dir: str):
+    """Redirect-chain resolution (algorithms/redirects.py pointer
+    doubling) under a FULL-equality oracle: the planted functional
+    graph chains v→v+1 inside blocks of 50 (block tails and the last
+    key self-point), so every url's final destination is pure SQL
+    arithmetic. 6 doubling rounds cover the 49-hop worst case
+    (2^6 ≥ 49); each round is one co-partitioned hash self-join."""
+    from signal_collect_ray.algorithms.redirects import resolve_redirects
+
+    n = _custkeys_dense_n(sf_dir)
+
+    def fixture(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nxt = np.where((k % 50 == 49) | (k == n - 1), k, k + 1)
+        return pa.table(
+            {
+                "vid": pa.array(k, pa.int64()),
+                "next": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    return resolve_redirects(
+        _customer_keys_ds(sf_dir).map_batches(fixture, batch_format="pyarrow"),
+        rounds=6,
+        num_partitions=_P,
+    )
+
+
+_REDIRECT_PLANTED_SQL = """
+SELECT c_custkey AS vid,
+       CAST(LEAST((c_custkey // 50) * 50 + 49,
+                  (SELECT COUNT(*) FROM customer) - 1) AS BIGINT) AS final
+FROM customer
+"""
+
+
 def q_betweenness_planted(sf_dir: str):
     """EXACT Brandes betweenness (all sources) under a FULL-equality
     oracle: the graph is the symmetric 4-ary heap tree over the dense
@@ -12139,6 +12177,7 @@ def queries():
         "pagerank_async": q_pagerank_async,
         "betweenness_sampled": q_betweenness,
         "mst_planted": q_mst_planted,
+        "redirect_chains_planted": q_redirect_chains_planted,
         "betweenness_planted": q_betweenness_planted,
         "louvain_planted": q_louvain_planted,
         "kmeans_planted": q_kmeans_planted,
@@ -12157,6 +12196,7 @@ def oracle_sql():
     return {
         "graph_edges": _E_SQL,
         "mst_planted": _MST_PLANTED_SQL,
+        "redirect_chains_planted": _REDIRECT_PLANTED_SQL,
         "betweenness_planted": _BET_PLANTED_SQL,
         "louvain_planted": _LOUVAIN_PLANTED_SQL,
         "kmeans_planted": _KMEANS_PLANTED_SQL,

@@ -65,6 +65,7 @@ NEW_QUERIES = [
     "seeded_labelprop_k3",
     "absorption_k4",
     "hll_set_ops",
+    "redirect_chains_planted",
     "nation_trade_volume",
     "market_share",
     "part_revenue_share",
