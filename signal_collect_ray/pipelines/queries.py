@@ -1974,6 +1974,89 @@ SELECT bg, n FROM c ORDER BY n DESC, bg ASC LIMIT {_BIGRAM_K}
 """
 
 
+def q_zipf_slope(sf_dir: str):
+    """Zipf power-law slope per source: least-squares slope of ln(freq)
+    on ln(rank) over the top-100 tokens (rank by count desc, token asc)
+    — the corpus-health diagnostic that flags template/boilerplate
+    sources (slope near 0) vs natural text (near -1). Per-block
+    (source, token) partial counts → ONE groupby exchange →
+    grouped_top_k bounds everything downstream to 100 rows/source →
+    per-source closed-form slope, identical expression to the SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+    from signal_collect_ray.functions.text import _RE2_NONSPACE_RE
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, t in zip(
+            tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            # RE2-exact tokenization — must match the oracle's \S+
+            for w in _RE2_NONSPACE_RE.findall((t or "").lower()):
+                k = (s, w)
+                agg[k] = agg.get(k, 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in agg], pa.string()),
+                "tok": pa.array([k[1] for k in agg], pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    freq = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(Sum("n", alias_name="c"))
+    )
+    top = grouped_top_k(freq, "source", "c", "tok", 100, descending=True)
+
+    def slope(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = tbl.column("tok").to_numpy(zero_copy_only=False)
+        _, tcode = np.unique(toks.astype(str), return_inverse=True)
+        order = np.lexsort((tcode, -c))
+        y = np.log(c[order].astype(np.float64))
+        x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+        n = float(len(c))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxy, sxx = float((x * y).sum()), float((x * x).sum())
+        sl = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pa.table(
+            {
+                "source": pa.array(
+                    [tbl.column("source").to_pylist()[0]], pa.string()
+                ),
+                "zipf_slope": pa.array(
+                    [_round_half_away(np.array([sl]), 6)[0]], pa.float64()
+                ),
+            }
+        )
+
+    return top.groupby("source").map_groups(slope, batch_format="pyarrow")
+
+
+_ZIPF_SQL = r"""
+WITH w AS (SELECT source,
+           unnest(regexp_extract_all(lower(COALESCE(text, '')), '\S+')) AS tok
+           FROM documents),
+f AS (SELECT source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+r AS (SELECT source, c, ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY c DESC, tok ASC) AS rnk FROM f),
+t AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM r WHERE rnk <= 100)
+SELECT source,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+FROM t GROUP BY 1
+"""
+
+
 def q_doc_entropy(sf_dir: str):
     """Unigram word entropy per document (functions.text.EntropyScore)."""
     import ray.data as rd
@@ -12016,6 +12099,7 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "doc_entropy": q_doc_entropy,
+        "zipf_slope": q_zipf_slope,
         "doc_logprob": q_doc_logprob,
         "classifier_scores": q_classifier_scores,
         "top_bigrams": q_top_bigrams,
@@ -12321,6 +12405,7 @@ def oracle_sql():
         "doc_repetition": _REPETITION_SQL,
         "doc_chunks": _CHUNKS_SQL,
         "doc_entropy": _ENTROPY_SQL,
+        "zipf_slope": _ZIPF_SQL,
         "doc_logprob": _LOGPROB_SQL,
         "classifier_scores": _CLASSIFIER_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,

@@ -66,6 +66,7 @@ NEW_QUERIES = [
     "absorption_k4",
     "hll_set_ops",
     "redirect_chains_planted",
+    "zipf_slope",
     "nation_trade_volume",
     "market_share",
     "part_revenue_share",
