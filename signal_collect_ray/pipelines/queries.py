@@ -9253,6 +9253,508 @@ WHERE r.u = (SELECT MAX(u) FROM r)
 """
 
 
+def q_priority_returned_orders(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: 1996 orders having at least
+    one returned lineitem, counted per priority. The existence test is
+    the distinct-key semi-join idiom — lineitem dedups its returned
+    orderkeys per block BEFORE the exchange (the semi side never ships
+    duplicates), then hash_join(how='semi') co-partitions once; the
+    5-key count is a per-block partial + tiny fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    lo = int(
+        (np.datetime64("1996-01-01") - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+    hi = int(
+        (np.datetime64("1997-01-01") - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+
+    def win(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = tbl.filter(pa.array((ts >= lo) & (ts < hi)))
+        return pa.table(
+            {
+                "orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(win, batch_format="pyarrow")
+
+    def returned_keys(tbl: pa.Table) -> pa.Table:
+        rf = np.asarray(tbl.column("l_returnflag").to_pylist(), dtype=object)
+        ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"orderkey": pa.array(np.unique(ok[rf == "R"]), pa.int64())}
+        )
+
+    ret = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    ).map_batches(returned_keys, batch_format="pyarrow")
+    semi = hash_join(orders, ret, on="orderkey", how="semi")
+    return semi.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count")
+    )
+
+
+_PRIORITY_RETURNED_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped order-count distribution: how many customers
+    placed exactly k non-urgent orders, INCLUDING the zero bucket. The
+    left-outer-join-then-histogram shape without the outer join: the
+    per-custkey counts and the count-of-counts are two tiny grouped
+    folds, and the zero bucket is arithmetic — total customers minus
+    Σ custdist — so no customer row ever crosses the wire."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def nonurgent(tbl: pa.Table) -> pa.Table:
+        pr = np.asarray(
+            tbl.column("o_orderpriority").to_pylist(), dtype=object
+        )
+        t = tbl.filter(pa.array(pr != "1-URGENT"))
+        return pa.table({"o_custkey": t.column("o_custkey")})
+
+    per_cust = (
+        orders.map_batches(nonurgent, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+    dist = (
+        per_cust.groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .take_all()
+    )  # O(distinct order counts) — a few dozen rows
+    n_cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).count()
+    n_with = sum(r["custdist"] for r in dist)
+    counts = [int(r["c_count"]) for r in dist]
+    dists = [int(r["custdist"]) for r in dist]
+    if n_cust - n_with > 0:
+        counts.append(0)
+        dists.append(int(n_cust - n_with))
+    return pa.table(
+        {
+            "c_count": pa.array(counts, pa.int64()),
+            "custdist": pa.array(dists, pa.int64()),
+        }
+    )
+
+
+_CUST_ORDER_DIST_SQL = """
+WITH c AS (SELECT o_custkey, COUNT(*) AS c_count FROM orders
+           WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT cu.c_custkey, COALESCE(c.c_count, 0) AS c_count
+      FROM customer cu LEFT JOIN c ON c.o_custkey = cu.c_custkey)
+GROUP BY 1
+"""
+
+
+def q_small_quantity_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated-average gate: yearly revenue from
+    Brand#1 lineitems whose quantity is below 20% of that part's own
+    average quantity. The correlated scalar subquery becomes a
+    two-pass shape over the same filtered stream: pass 1 folds exact
+    per-part (Σqty, n) partials, pass 2 re-joins them through the
+    capped-broadcast idiom and applies the gate as the INTEGER
+    predicate 5·q·n < Σqty (quantities are integral), so the oracle
+    can't diverge on a float-division boundary."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
+    brand_keys = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+
+    def brand_only(tbl: pa.Table) -> pa.Table:
+        b = np.asarray(tbl.column("p_brand").to_pylist(), dtype=object)
+        t = tbl.filter(pa.array(b == "Brand#1"))
+        return pa.table({"l_partkey": t.column("p_partkey")})
+
+    brand_keys = brand_keys.map_batches(brand_only, batch_format="pyarrow")
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        q = np.rint(
+            tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = np.rint(
+            tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": tbl.column("l_partkey"),
+                "q": pa.array(q, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(proj, batch_format="pyarrow")
+    li = capped_broadcast_join(
+        li, brand_keys, on="l_partkey", max_broadcast_bytes=_LOOKUP_CAP()
+    )
+
+    def qty_partial(tbl: pa.Table) -> pa.Table:
+        pk = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = tbl.column("q").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "sq": pa.array(
+                    np.bincount(inv, weights=q).astype(np.int64), pa.int64()
+                ),
+                "n": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    stats = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+    )
+    gated = capped_broadcast_join(
+        li, stats, on="l_partkey", max_broadcast_bytes=_LOOKUP_CAP()
+    )
+
+    def gate_sum(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("q").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        sq = tbl.column("sq").to_numpy(zero_copy_only=False)
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        keep = 5 * q * n < sq
+        return pa.table(
+            {"c": pa.array([int(cents[keep].sum())], pa.int64())}
+        )
+
+    parts = gated.map_batches(gate_sum, batch_format="pyarrow").take_all()
+    total = sum(int(r["c"]) for r in parts)
+    return pa.table(
+        {
+            "avg_yearly": pa.array(
+                [float(_round_half_away(total / 100.0 / 7.0, 2))],
+                pa.float64(),
+            )
+        }
+    )
+
+
+_SMALL_QTY_REV_SQL = """
+WITH b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+l AS (SELECT l_partkey, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem JOIN b ON b.p_partkey = l_partkey),
+s AS (SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS n FROM l GROUP BY 1)
+SELECT ROUND(SUM(l.cents) / 100.0 / 7.0, 2) AS avg_yearly
+FROM l JOIN s ON s.l_partkey = l.l_partkey
+WHERE 5 * l.q * s.n < s.sq
+"""
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped sole-blame analysis: for finalized orders with
+    ≥2 distinct suppliers where EXACTLY ONE supplier shipped late
+    (>60 days after the order date), count per supplier how often it
+    was that one — top 20. The multi-EXISTS/NOT-EXISTS pair becomes
+    one co-partitioned orderkey exchange: per-block dedup of
+    (order, supplier, late) triples, a hash-partitioned vectorized
+    group kernel (np.unique/reduceat per PARTITION, not per order),
+    and a per-supplier fold; supplier names broadcast at the end."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join, hash_join
+    from signal_collect_ray.util import part_of
+
+    late_us = int(np.timedelta64(60, "D") / np.timedelta64(1, "us"))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def li_proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": tbl.column("l_orderkey"),
+                "l_suppkey": tbl.column("l_suppkey"),
+                "ship_us": tbl.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+
+    def ord_proj(tbl: pa.Table) -> pa.Table:
+        st = np.asarray(
+            tbl.column("o_orderstatus").to_pylist(), dtype=object
+        )
+        t = tbl.filter(pa.array(st == "F"))
+        return pa.table(
+            {
+                "orderkey": t.column("o_orderkey"),
+                "odate_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).map_batches(ord_proj, batch_format="pyarrow")
+    j = hash_join(
+        li.map_batches(li_proj, batch_format="pyarrow"), orders, on="orderkey"
+    )
+
+    def triples(tbl: pa.Table) -> pa.Table:
+        ok = tbl.column("orderkey").to_numpy(zero_copy_only=False)
+        sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        late = (
+            tbl.column("ship_us").to_numpy(zero_copy_only=False)
+            > tbl.column("odate_us").to_numpy(zero_copy_only=False) + late_us
+        ).astype(np.int64)
+        trip = np.unique(np.stack([ok, sk, late], axis=1), axis=0)
+        return pa.table(
+            {
+                "__opart": pa.array(part_of(trip[:, 0], 64), pa.int32()),
+                "ok": pa.array(trip[:, 0], pa.int64()),
+                "sk": pa.array(trip[:, 1], pa.int64()),
+                "late": pa.array(trip[:, 2], pa.int64()),
+            }
+        )
+
+    def blame(tbl: pa.Table) -> pa.Table:
+        # one vectorized pass over the whole orderkey partition
+        trip = np.unique(
+            np.stack(
+                [
+                    tbl.column("ok").to_numpy(zero_copy_only=False),
+                    tbl.column("sk").to_numpy(zero_copy_only=False),
+                    tbl.column("late").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        # distinct (order, supplier) pairs and distinct late pairs
+        pairs = np.unique(trip[:, :2], axis=0)
+        lpairs = np.unique(trip[trip[:, 2] == 1][:, :2], axis=0)
+        oks, n_supp = np.unique(pairs[:, 0], return_counts=True)
+        loks, n_late = np.unique(lpairs[:, 0], return_counts=True)
+        multi = oks[n_supp >= 2]
+        sole = loks[n_late == 1]
+        good = np.intersect1d(multi, sole)
+        mask = np.isin(lpairs[:, 0], good)
+        winners = lpairs[mask][:, 1]
+        sks, cnt = np.unique(winners, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sks, pa.int64()),
+                "numwait": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_supp = (
+        j.map_batches(triples, batch_format="pyarrow")
+        .groupby("__opart")
+        .map_groups(blame, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    names = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    out = broadcast_join(per_supp, names, on="s_suppkey")
+    return (
+        out.select_columns(["s_name", "numwait"])
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(20)
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+WITH j AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'),
+p AS (SELECT DISTINCT ok, sk FROM j),
+ns AS (SELECT ok, COUNT(*) AS n FROM p GROUP BY 1),
+lp AS (SELECT DISTINCT ok, sk FROM j WHERE late),
+nl AS (SELECT ok, COUNT(*) AS nlate FROM lp GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lp JOIN ns USING (ok) JOIN nl USING (ok)
+JOIN supplier s ON s.s_suppkey = lp.sk
+WHERE ns.n >= 2 AND nl.nlate = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H-Q22-shaped anti-join under a global scalar: customers
+    whose balance beats the all-positive-balance average yet placed no
+    order in the final year, grouped by nation. The global average is
+    two exact integers (Σcents, n) folded from per-block partials and
+    applied as the integer predicate cents·n > Σcents (no float
+    division on the filter boundary); the NOT-EXISTS is the dedup-then
+    -hash_join(how='anti') idiom on recent orderer keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cents_proj(tbl: pa.Table) -> pa.Table:
+        c = np.rint(
+            tbl.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": tbl.column("c_custkey"),
+                "c_nationkey": tbl.column("c_nationkey"),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    cc = cust.map_batches(cents_proj, batch_format="pyarrow")
+
+    def pos_partial(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cents").to_numpy(zero_copy_only=False)
+        pos = c[c > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = cc.map_batches(pos_partial, batch_format="pyarrow").take_all()
+    s_tot = sum(int(r["s"]) for r in parts)
+    n_tot = sum(int(r["n"]) for r in parts)
+
+    def rich(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cents").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(c * n_tot > s_tot))
+
+    lo = int(
+        (np.datetime64("2000-08-01") - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+
+    def recent_keys(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"custkey": pa.array(np.unique(ck[ts >= lo]), pa.int64())}
+        )
+
+    recent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(recent_keys, batch_format="pyarrow")
+    idle = hash_join(
+        cc.map_batches(rich, batch_format="pyarrow"),
+        recent,
+        on="custkey",
+        how="anti",
+    )
+
+    def nation_partial(tbl: pa.Table) -> pa.Table:
+        nk = tbl.column("c_nationkey").to_numpy(zero_copy_only=False)
+        c = tbl.column("cents").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uniq, pa.int64()),
+                "numcust": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": pa.array(
+                    np.bincount(inv, weights=c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        idle.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("cents", alias_name="cents"),
+        )
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": tbl.column("c_nationkey"),
+                "numcust": tbl.column("numcust"),
+                "totacctbal": pa.array(
+                    _round_half_away(c / 100.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_IDLE_RICH_SQL = """
+WITH s AS (SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS sc,
+                  COUNT(*) AS n
+           FROM customer
+           WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) > 0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS totacctbal
+FROM customer, s
+WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * s.n > s.sc
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY 1
+"""
+
+
 def q_trending_event_types(sf_dir: str):
     """Top-3 event types per hour window by count (windowed grouped
     top-k, the trending-now operator): one (window, type) count
@@ -12273,6 +12775,11 @@ def queries():
         "knn_ivf_planted": q_knn_ivf_planted,
         "knn_lsh_planted": q_knn_lsh_planted,
         "scc_planted": q_scc_planted,
+        "priority_returned_orders": q_priority_returned_orders,
+        "customer_order_distribution": q_customer_order_distribution,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_rich_customers": q_idle_rich_customers,
     }
 
 
@@ -12492,6 +12999,11 @@ def oracle_sql():
         "market_share": _MARKET_SHARE_SQL,
         "part_revenue_share": _PART_REVENUE_SHARE_SQL,
         "top_supplier": _TOP_SUPPLIER_SQL,
+        "priority_returned_orders": _PRIORITY_RETURNED_SQL,
+        "customer_order_distribution": _CUST_ORDER_DIST_SQL,
+        "small_quantity_revenue": _SMALL_QTY_REV_SQL,
+        "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+        "idle_rich_customers": _IDLE_RICH_SQL,
         "trending_event_types": _TRENDING_SQL,
         "dangling_mass": _dangling_sql(),
         "lang_token_rates": _LANG_TOKEN_RATES_SQL,
