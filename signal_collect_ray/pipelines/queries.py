@@ -12534,6 +12534,782 @@ FROM o, UNNEST(range(o.off // {_PACK_L},
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-4 session-3 relational + streaming shapes: the remaining TPC-H
+# query skeletons the testdata schema can express (Q2/Q6/Q9/Q12/Q16/Q19/
+# Q20 analogues — no partsupp table and no l_shipmode column exist, so
+# Q2/Q9/Q16/Q20 substitute lineitem as the part–supplier relation and
+# l_linestatus as the ship-mode proxy; each docstring states the
+# substitution) plus a watermark/late-event streaming-semantics query.
+# All money/quantity accumulation is exact-integer per the
+# q_regional_revenue analysis; reference test-query provenance:
+# /root/reference/src/test/scala/com/signalcollect/features/
+# AggregationOperationsSpec.scala (aggregate shapes).
+# ---------------------------------------------------------------------------
+
+
+def _us_of(day: str) -> int:
+    """Microseconds since epoch for an ISO date string — the shared
+    timestamp-literal form of the shipdate-window queries."""
+    return int(
+        (np.datetime64(day) - np.datetime64("1970-01-01"))
+        / np.timedelta64(1, "us")
+    )
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-flavored forecast revenue: pure scan-filter-aggregate,
+    no join, no shuffle — each block reduces to ONE int64 partial
+    (exact 10^-4-dollar units), the driver folds O(blocks) scalars.
+    The discount predicate compares integer cents on both sides so an
+    IEEE artifact in `0.05 <= d` can never disagree with the oracle."""
+    import ray.data as rd
+
+    lo, hi = _us_of("1995-01-01"), _us_of("1997-01-01")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        q = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = np.round(d * 100.0).astype(np.int64)
+        keep = (ts >= lo) & (ts < hi) & (dc >= 5) & (dc <= 7) & (q < 24)
+        units = int(
+            (np.round(p[keep] * 100.0).astype(np.int64) * dc[keep]).sum()
+        )
+        return pa.table({"units": pa.array([units], pa.int64())})
+
+    units = li.map_batches(partial, batch_format="pyarrow").sum("units")
+    rev = float(_round_half_away(np.array([units / 10000.0]), 2)[0])
+    return pa.table({"forecast_revenue": pa.array([rev], pa.float64())})
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+       * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 10000.0, 2)
+       AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+_Q19_BRANCHES = (
+    ("Brand#12", 15, 1, 21),
+    ("Brand#23", 25, 10, 30),
+    ("Brand#34", 35, 20, 40),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-flavored disjunctive-predicate revenue: lineitem ⨝
+    part (dimension broadcast, one searchsorted lookup per batch) under
+    an OR of three (brand, size-range, quantity-range) conjunctions —
+    the shape that defeats naive predicate pushdown. Each block reduces
+    to one exact-int partial; output is a single revenue scalar."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).rename_columns({"p_partkey": "l_partkey"})
+    j = broadcast_join(li, part, on="l_partkey")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        sz = tbl.column("p_size").to_numpy(zero_copy_only=False)
+        brand = tbl.column("p_brand")
+        keep = np.zeros(len(q), dtype=bool)
+        for b, max_sz, q_lo, q_hi in _Q19_BRANCHES:
+            bm = pc.equal(brand, b).combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            keep |= bm & (sz >= 1) & (sz <= max_sz) & (q >= q_lo) & (q <= q_hi)
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        units = int(
+            (
+                np.round(p * 100.0).astype(np.int64)
+                * np.round((1.0 - d) * 100.0).astype(np.int64)
+            ).sum()
+        )
+        return pa.table({"units": pa.array([units], pa.int64())})
+
+    units = j.map_batches(partial, batch_format="pyarrow").sum("units")
+    rev = float(_round_half_away(np.array([units / 10000.0]), 2)[0])
+    return pa.table({"revenue": pa.array([rev], pa.float64())})
+
+
+_Q19_SQL = """
+SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+       * CAST(ROUND((1.0 - l.l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2)
+       AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_nation_profit(sf_dir: str):
+    """TPC-H-Q9-flavored profit by (supplier nation, ship year) over
+    parts named like '%red%'. No partsupp table exists in this schema,
+    so supply cost is proxied as 10% of p_retailprice — the JOIN SHAPE
+    (fact ⨝ part ⨝ supplier ⨝ nation, two dimension broadcasts after an
+    inner dimension filter) is the point. profit accumulates in exact
+    10^-4-dollar int64 units: price_cents·(100−disc_cents) −
+    qty·retail_cents·10; per-block Arrow group_by pre-combines the
+    ≤ nations×years keys before the single tiny exchange."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).filter(lambda r: "red" in r["p_name"])
+
+    def part_proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": tbl.column("p_partkey"),
+                "retail_cents": pa.array(
+                    np.round(
+                        tbl.column("p_retailprice").to_numpy(
+                            zero_copy_only=False
+                        )
+                        * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    part = part.map_batches(part_proj, batch_format="pyarrow")
+    j = broadcast_join(li, part, on="l_partkey")
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).rename_columns({"s_suppkey": "l_suppkey"})
+    j = broadcast_join(j, supp, on="l_suppkey")
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns({"n_nationkey": "s_nationkey"})
+    j = broadcast_join(j, nation, on="s_nationkey")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = tbl.column("l_discount").to_numpy(zero_copy_only=False)
+        q = np.round(
+            tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        rc = tbl.column("retail_cents").to_numpy(zero_copy_only=False)
+        dc = np.round(d * 100.0).astype(np.int64)
+        amount = (
+            np.round(p * 100.0).astype(np.int64) * (100 - dc) - q * rc * 10
+        )
+        yr = pc.year(tbl.column("l_shipdate")).cast(pa.int64())
+        t = pa.table(
+            {
+                "n_name": tbl.column("n_name"),
+                "yr": yr,
+                "amount": pa.array(amount, pa.int64()),
+            }
+        )
+        return t.group_by(["n_name", "yr"]).aggregate([("amount", "sum")]) \
+            .rename_columns(["n_name", "yr", "amount"])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "yr"])
+        .aggregate(Sum("amount", alias_name="units"))
+    )
+
+    def rnd(tbl: pa.Table) -> pa.Table:
+        units = tbl.column("units").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": tbl.column("n_name"),
+                "yr": tbl.column("yr"),
+                "profit": pa.array(
+                    _round_half_away(units / 10000.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_Q9_SQL = """
+SELECT n.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS yr,
+  ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+        * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+        - CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+        * CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT) * 10)
+        / 10000.0, 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-flavored min-cost supplier per part (size 15, region
+    EUROPE). No partsupp table exists, so the observed min
+    l_extendedprice per (part, supplier) in lineitem stands in for
+    ps_supplycost — the SHAPE is Q2's: restrict the part and supplier
+    dimensions, aggregate offers, then pick each part's min-price
+    supplier (ties → smallest suppkey). Both dimension filters are
+    broadcast membership lookups; offers pre-combine per block with
+    segment_min before ONE hash exchange on partkey."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of, segment_min
+
+    # dimension chain: suppliers in EUROPE (tiny — nation⨝region on the
+    # driver is O(dim) by construction)
+    supp = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    nation = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "nation.parquet")
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    region = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "region.parquet")
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    eu_rk = region.column("r_regionkey").to_numpy(zero_copy_only=False)[
+        np.array(region.column("r_name").to_pylist()) == "EUROPE"
+    ]
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+    eu_nk = nk[
+        np.isin(
+            nation.column("n_regionkey").to_numpy(zero_copy_only=False), eu_rk
+        )
+    ]
+    sk_all = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    eu_mask = np.isin(
+        supp.column("s_nationkey").to_numpy(zero_copy_only=False), eu_nk
+    )
+    eu_sk = np.sort(sk_all[eu_mask].astype(np.int64))
+    name_of = dict(
+        zip(
+            sk_all[eu_mask].tolist(),
+            [supp.column("s_name").to_pylist()[i]
+             for i in np.flatnonzero(eu_mask)],
+        )
+    )
+
+    pk15 = np.sort(
+        pa.concat_tables(
+            rd.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_size"],
+            )
+            .filter(lambda r: r["p_size"] == 15)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    pk_ref = ray.put(pk15)
+    sk_ref = ray.put(eu_sk)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    n_parts = 32
+
+    def offers(tbl: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        sks = ray.get(sk_ref)
+        pk = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pi = np.searchsorted(pks, pk)
+        pi[pi >= len(pks)] = 0
+        si = np.searchsorted(sks, sk)
+        si[si >= len(sks)] = 0
+        keep = (pks[pi] == pk) & (sks[si] == sk)
+        pk, sk = pk[keep], sk[keep]
+        price = np.round(
+            tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        # composite (pk, sk) key for the per-block pre-combine; suppkeys
+        # fit 20 bits at any realistic supplier count — asserted so a
+        # larger deployment fails loudly rather than aliasing keys
+        assert sk.max(initial=0) < (1 << 20) and pk.max(initial=0) < (1 << 43)
+        comp = (pk << 20) | sk
+        ck, cv = segment_min(comp, price)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(ck >> 20, n_parts), pa.int32()),
+                "comp": pa.array(ck, pa.int64()),
+                "price": pa.array(cv, pa.int64()),
+            }
+        )
+
+    def best(tbl: pa.Table) -> pa.Table:
+        comp = tbl.column("comp").to_numpy(zero_copy_only=False)
+        price = tbl.column("price").to_numpy(zero_copy_only=False)
+        ck, cv = segment_min(comp, price)  # fold cross-block duplicates
+        pk, sk = ck >> 20, ck & ((1 << 20) - 1)
+        # per part: min price, tie-break min suppkey
+        order = np.lexsort((sk, cv, pk))
+        pk, sk, cv = pk[order], sk[order], cv[order]
+        first = np.ones(len(pk), dtype=bool)
+        first[1:] = pk[1:] != pk[:-1]
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[first], pa.int64()),
+                "s_suppkey": pa.array(sk[first], pa.int64()),
+                "price": pa.array(cv[first], pa.int64()),
+            }
+        )
+
+    out = (
+        li.map_batches(offers, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(best, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    sk = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "p_partkey": t.column("p_partkey"),
+            "s_suppkey": t.column("s_suppkey"),
+            "s_name": pa.array(
+                [name_of[int(s)] for s in sk], pa.string()
+            ),
+            "min_price": pa.array(
+                t.column("price").to_numpy(zero_copy_only=False) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+         MIN(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2),
+best AS (SELECT pk, sk, price,
+         ROW_NUMBER() OVER (PARTITION BY pk ORDER BY price, sk) AS rn
+         FROM offers)
+SELECT b.pk AS p_partkey, b.sk AS s_suppkey, s.s_name,
+       ROUND(b.price / 100.0, 2) AS min_price
+FROM best b JOIN supplier s ON s.s_suppkey = b.sk WHERE b.rn = 1
+"""
+
+
+_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-flavored distinct-supplier counts per (brand, type,
+    size), lineitem standing in for partsupp, excluding negative-balance
+    suppliers (the NOT IN shape, a tiny broadcast exclusion set). The
+    scale move: every block first collapses to its DISTINCT
+    (brand,type,size,suppkey) rows with one vectorized Arrow group_by —
+    the exchange then carries near-|groups| rows, not |lineitem|; the
+    per-group distinct count is an np.unique over one group."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).filter(
+        lambda r: r["p_brand"] != "Brand#45"
+        and r["p_type"] != "PROMO"
+        and r["p_size"] in _Q16_SIZES
+    ).rename_columns({"p_partkey": "l_partkey"})
+    j = broadcast_join(li, part, on="l_partkey")
+
+    bad_batches = list(
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_acctbal"],
+        )
+        .filter(lambda r: r["s_acctbal"] < 0)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    bad = (
+        np.sort(
+            pa.concat_tables(bad_batches)
+            .column("s_suppkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if bad_batches
+        else np.empty(0, dtype=np.int64)
+    )
+    bad_ref = ray.put(bad)
+
+    def distinct(tbl: pa.Table) -> pa.Table:
+        b = ray.get(bad_ref)
+        sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(b):
+            i = np.searchsorted(b, sk)
+            i[i >= len(b)] = 0
+            t = tbl.filter(pa.array(b[i] != sk))
+        else:
+            t = tbl
+        t = t.select(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        )
+        return t.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).aggregate([])
+
+    def count_group(tbl: pa.Table) -> pa.Table:
+        sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": tbl.column("p_brand").slice(0, 1),
+                "p_type": tbl.column("p_type").slice(0, 1),
+                "p_size": tbl.column("p_size").slice(0, 1).cast(pa.int64()),
+                "supplier_cnt": pa.array(
+                    [len(np.unique(sk))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        j.map_batches(distinct, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+_Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+  AND p.p_size IN {_Q16_SIZES}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+_Q20_MIN_QTY = 100
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H-Q20-flavored heavy suppliers of 'small%'-named parts:
+    suppliers whose 1995–1997 shipped quantity of those parts exceeds a
+    threshold (availqty doesn't exist in this schema, so shipped volume
+    replaces the stock predicate; the semi-join-then-threshold SHAPE is
+    Q20's). Part filter is a broadcast membership set; quantities are
+    exact int64; per-block segment_sum → one small suppkey exchange →
+    the tiny survivor set broadcasts into the supplier dimension."""
+    import ray
+    import ray.data as rd
+
+    from signal_collect_ray.functions.joins import broadcast_join
+    from signal_collect_ray.util import part_of, segment_sum
+
+    lo, hi = _us_of("1995-01-01"), _us_of("1998-01-01")
+
+    pk = np.sort(
+        pa.concat_tables(
+            rd.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_name"],
+            )
+            .filter(lambda r: r["p_name"].startswith("small"))
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    pk_ref = ray.put(pk)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        ts = tbl.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        p = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(pks, p)
+        i[i >= len(pks)] = 0
+        keep = (pks[i] == p) & (ts >= lo) & (ts < hi)
+        sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        q = np.round(
+            tbl.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        ).astype(np.int64)
+        kk, qq = segment_sum(sk, q)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(kk, 32), pa.int32()),
+                "s_suppkey": pa.array(kk, pa.int64()),
+                "qty": pa.array(qq, pa.int64()),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        kk, qq = segment_sum(
+            tbl.column("s_suppkey").to_numpy(zero_copy_only=False),
+            tbl.column("qty").to_numpy(zero_copy_only=False),
+        )
+        keep = qq > _Q20_MIN_QTY
+        return pa.table(
+            {
+                "s_suppkey": pa.array(kk[keep], pa.int64()),
+                "total_qty": pa.array(qq[keep], pa.int64()),
+            }
+        )
+
+    heavy = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    out = broadcast_join(supp, heavy, on="s_suppkey")
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    ).select(["s_suppkey", "s_name", "total_qty"])
+
+
+_Q20_SQL = f"""
+SELECT l.l_suppkey AS s_suppkey, s.s_name,
+       CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+       AS total_qty
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2 HAVING SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT))
+  > {_Q20_MIN_QTY}
+"""
+
+
+def q_linestatus_priority(sf_dir: str):
+    """TPC-H-Q12-flavored priority split per line status (the schema
+    has no l_shipmode, so l_linestatus is the two-valued proxy): 1996
+    shipments hash-join orders for o_orderpriority, each block reduces
+    to ≤2 (status, high, low) partial rows before the final
+    2-row groupby — the classic conditional-aggregation-after-join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import hash_join
+
+    lo, hi = _us_of("1996-01-01"), _us_of("1997-01-01")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+
+    def window(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (ts >= lo) & (ts < hi)
+        return tbl.filter(pa.array(keep)).select(
+            ["l_orderkey", "l_linestatus"]
+        )
+
+    li = li.map_batches(window, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    j = hash_join(li, orders, on="l_orderkey")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        prio = tbl.column("o_orderpriority")
+        high = pc.or_(
+            pc.equal(prio, "1-URGENT"), pc.equal(prio, "2-HIGH")
+        ).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "l_linestatus": tbl.column("l_linestatus"),
+                "high": pa.array(high, pa.int64()),
+                "low": pa.array(1 - high, pa.int64()),
+            }
+        )
+        return t.group_by(["l_linestatus"]).aggregate(
+            [("high", "sum"), ("low", "sum")]
+        ).rename_columns(["l_linestatus", "high", "low"])
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high", alias_name="high_count"),
+            Sum("low", alias_name="low_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+_LATE_LATENESS_US = 300 * 1_000_000
+
+
+def q_late_events(sf_dir: str):
+    """Watermark / late-data semantics over the event stream: arrival
+    order is modeled as a deterministic Knuth-hash permutation of
+    event_id (the table itself is time-ordered, so the permutation IS
+    the out-of-order replay); an event is LATE if its timestamp is more
+    than 300 s behind the per-user running-max watermark at its arrival.
+    One hash exchange on user_id, then a vectorized pandas grouped
+    cummax-shift per partition — integer-µs compares, so the oracle
+    window query agrees bit-for-bit. Precondition (asserted): event_id
+    < 2^32 so the permutation key can't overflow int64 on either side."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    n_parts = 32
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "gpart", pa.array(part_of(uid, n_parts), pa.int32())
+        )
+
+    def late_counts(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        assert eid.max(initial=0) < (1 << 32), "arrival permutation overflow"
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        arrival = (eid * 2654435761) % (1 << 32)
+        order = np.lexsort((eid, arrival, uid))
+        df = pd.DataFrame(
+            {"u": uid[order], "ts": ts[order]}
+        )
+        g = df.groupby("u", sort=False)
+        wm = g["ts"].cummax().groupby(df["u"], sort=False).shift(1)
+        late = (df["ts"] < wm - _LATE_LATENESS_US).to_numpy()
+        out = pd.DataFrame({"u": df["u"], "late": late.astype(np.int64)})
+        agg = out.groupby("u", sort=False).agg(
+            late_events=("late", "sum"), total_events=("late", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(agg["u"].to_numpy(), pa.int64()),
+                "late_events": pa.array(
+                    agg["late_events"].to_numpy(), pa.int64()
+                ),
+                "total_events": pa.array(
+                    agg["total_events"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(shard, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(late_counts, batch_format="pyarrow")
+        .select_columns(["user_id", "late_events", "total_events"])
+    )
+
+
+_LATE_SQL = """
+WITH w AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT user_id,
+  CAST(COUNT(*) FILTER (WHERE ts < wm - INTERVAL 300 SECOND) AS BIGINT)
+    AS late_events,
+  CAST(COUNT(*) AS BIGINT) AS total_events
+FROM w GROUP BY 1
+"""
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -12780,6 +13556,14 @@ def queries():
         "small_quantity_revenue": q_small_quantity_revenue,
         "waiting_suppliers": q_waiting_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
+        "forecast_revenue": q_forecast_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "nation_profit": q_nation_profit,
+        "min_cost_supplier": q_min_cost_supplier,
+        "part_supplier_counts": q_part_supplier_counts,
+        "excess_suppliers": q_excess_suppliers,
+        "linestatus_priority": q_linestatus_priority,
+        "late_events": q_late_events,
     }
 
 
@@ -13109,4 +13893,12 @@ def oracle_sql():
         "neighborhood_function": _hyperball_sql(_HB_SQL_ROUNDS),
         "simhash_md5_signatures": _simhash_md5_sig_sql(),
         "simhash_dedup_pairs_md5": _SIMHASH_MD5_PAIRS_SQL,
+        "forecast_revenue": _Q6_SQL,
+        "disjunctive_revenue": _Q19_SQL,
+        "nation_profit": _Q9_SQL,
+        "min_cost_supplier": _Q2_SQL,
+        "part_supplier_counts": _Q16_SQL,
+        "excess_suppliers": _Q20_SQL,
+        "linestatus_priority": _Q12_SQL,
+        "late_events": _LATE_SQL,
     }
