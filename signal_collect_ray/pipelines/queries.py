@@ -13310,6 +13310,502 @@ FROM w GROUP BY 1
 
 
 
+def q_four_cliques(sf_dir: str):
+    """Exact 4-clique count (algorithms/cliques.py four_clique_count):
+    degree-ordered orientation makes each clique a totally-ordered DAG,
+    each oriented triangle (u,v,w) contributes |N+(u)∩N+(v)∩N+(w)|
+    via one vectorized bitset AND + popcount per batch. Oracle: the
+    canonical 6-way self-join over the undirected edge set."""
+    from signal_collect_ray.algorithms.cliques import four_clique_count
+
+    n = four_clique_count(derived_edges_ds(sf_dir), num_partitions=32)
+    return pa.table({"four_cliques": pa.array([n], pa.int64())})
+
+
+_FOUR_CLIQUE_SQL = f"""
+WITH ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_E_SQL}))
+SELECT CAST(COUNT(*) AS BIGINT) AS four_cliques FROM ue e1
+JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+JOIN ue e4 ON e4.a = e1.a
+JOIN ue e5 ON e5.a = e1.b AND e5.b = e4.b
+JOIN ue e6 ON e6.a = e2.b AND e6.b = e4.b
+WHERE e4.b > e2.b
+"""
+
+
+_SPARSE_MOD = 20
+
+
+def _sparse_edges_ds(sf_dir: str):
+    """Deterministically hash-sampled (1/20) canonical undirected edges
+    of the derived graph — the dense 500-vertex query graph has no
+    triangle-free edges, so structure queries that need sparsity share
+    this thinned view (both sides express the identical predicate)."""
+    from signal_collect_ray.algorithms.triangles import _unique_undirected
+
+    uniq = _unique_undirected(derived_edges_ds(sf_dir))
+
+    def thin(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        h = (a * 2654435761 + b * 40503) % (1 << 32)
+        t = tbl.filter(pa.array(h % _SPARSE_MOD == 0))
+        return pa.table(
+            {"src": t.column("a"), "dst": t.column("b")}
+        )
+
+    return uniq.map_batches(thin, batch_format="pyarrow")
+
+
+def q_local_bridges(sf_dir: str):
+    """Granovetter local bridges — edges whose endpoints share NO
+    common neighbor (span > 2) — over the hash-thinned derived graph
+    (algorithms/cliques.py local_bridges, vectorized bitset AND per
+    batch). Oracle: NOT EXISTS wedge join on the same thinned edges."""
+    from signal_collect_ray.algorithms.cliques import local_bridges
+
+    out = local_bridges(_sparse_edges_ds(sf_dir), num_partitions=32)
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
+_LOCAL_BRIDGE_SQL = f"""
+WITH ue0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+             FROM ({_E_SQL})),
+se AS (SELECT a, b FROM ue0
+       WHERE ((a * 2654435761 + b * 40503) % 4294967296)
+             % {_SPARSE_MOD} = 0),
+nbr AS (SELECT a AS u, b AS v FROM se UNION ALL SELECT b, a FROM se)
+SELECT se.a, se.b FROM se WHERE NOT EXISTS (
+  SELECT 1 FROM nbr x JOIN nbr y ON x.v = y.v
+  WHERE x.u = se.a AND y.u = se.b)
+"""
+
+
+def q_nation_order_median(sf_dir: str):
+    """Exact distributed median order value per customer nation — the
+    counting-histogram selection shape: each block pre-aggregates
+    (nation, cents) counts with one Arrow group_by, ONE exchange on
+    nation carries only distinct-value histograms, and the k-th /
+    (k+1)-th selection walks the per-nation cumsum. No global sort, no
+    driver-held value vector."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import broadcast_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).rename_columns({"c_custkey": "o_custkey"})
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns({"n_nationkey": "c_nationkey"})
+    j = broadcast_join(
+        broadcast_join(orders, cust, on="o_custkey"),
+        nation,
+        on="c_nationkey",
+    )
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "n_name": tbl.column("n_name"),
+                "cents": pa.array(cents, pa.int64()),
+                "cnt": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["n_name", "cents"]).aggregate([("cnt", "sum")]) \
+            .rename_columns(["n_name", "cents", "cnt"])
+
+    counts = (
+        j.map_batches(hist, batch_format="pyarrow")
+        .groupby(["n_name", "cents"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def median_of(tbl: pa.Table) -> pa.Table:
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cents)
+        cents, n = cents[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        if total % 2:
+            med = float(cents[np.searchsorted(cum, total // 2 + 1)])
+        else:
+            lo = float(cents[np.searchsorted(cum, total // 2)])
+            hi = float(cents[np.searchsorted(cum, total // 2 + 1)])
+            med = (lo + hi) / 2.0
+        return pa.table(
+            {
+                "n_name": tbl.column("n_name").slice(0, 1),
+                "median_price": pa.array([med / 100.0], pa.float64()),
+            }
+        )
+
+    return counts.groupby("n_name").map_groups(
+        median_of, batch_format="pyarrow"
+    )
+
+
+_NATION_MEDIAN_SQL = """
+SELECT n.n_name,
+       MEDIAN(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0
+       AS median_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
+_TFIDF_SCALE = 1_000_000
+
+
+def q_tfidf_pair_dot(sf_dir: str):
+    """Top-20 document pairs by integer tf-idf dot product — the IR
+    pairwise-similarity shape kept EXACT by quantizing idf to int64
+    micro-units (tf · round(ln(N/df)·1e6)) so the distributed sum is
+    order-independent (the float-cosine rank-flip class from ADVICE r3
+    can't occur). Inverted-index pair generation: one exchange on term,
+    per-term pair partials pre-summed per partition, a second tiny
+    exchange on the pair key, per-block top-20 heaps folded on the
+    driver. df=1 terms prune early (they can't contribute to a pair)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.text import _RE2_NONSPACE_RE
+    from signal_collect_ray.util import part_of
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    n_docs = docs.count()
+
+    def term_counts(tbl: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, terms, cnts = [], [], []
+        for did, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            for t, c in Counter(
+                _RE2_NONSPACE_RE.findall(text or "")
+            ).items():
+                ids.append(did)
+                terms.append(t)
+                cnts.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(term_counts, batch_format="pyarrow")
+
+    def by_term(tbl: pa.Table) -> pa.Table:
+        import hashlib
+
+        terms = tbl.column("term").to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        t.encode(), digest_size=8
+                    ).digest(), "little"
+                ) >> 1
+                for t in terms
+            ],
+            dtype=np.int64,
+        )
+        return tbl.append_column(
+            "gpart", pa.array(part_of(h, 32), pa.int32())
+        )
+
+    def pair_partials(tbl: pa.Table) -> pa.Table:
+        """One term partition: per-term weights then all (a<b) pair
+        products, pre-summed per pair within the partition."""
+        t = tbl.select(["doc_id", "term", "c"]).sort_by("term")
+        terms = np.array(t.column("term").to_pylist())
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], terms[1:] != terms[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(terms)]])
+        pa_, pb_, pw_ = [], [], []
+        for s, e in zip(starts, ends):
+            df = e - s
+            if df < 2:
+                continue
+            idf = int(np.round(np.log(n_docs / df) * _TFIDF_SCALE))
+            if idf <= 0:
+                continue
+            w = c[s:e] * idf
+            d = ids[s:e]
+            o = np.argsort(d)
+            d, w = d[o], w[o]
+            ii, jj = np.triu_indices(df, k=1)
+            pa_.append(d[ii])
+            pb_.append(d[jj])
+            pw_.append(w[ii] * w[jj])
+        if not pa_:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        w = np.concatenate(pw_)
+        assert a.max(initial=0) < (1 << 31) and b.max(initial=0) < (1 << 31)
+        comp = (a << 31) | b
+        ck, cw = segment_sum_sorted(comp, w)
+        return pa.table(
+            {
+                "a": pa.array(ck >> 31, pa.int64()),
+                "b": pa.array(ck & ((1 << 31) - 1), pa.int64()),
+                "dot": pa.array(cw, pa.int64()),
+            }
+        )
+
+    from signal_collect_ray.util import segment_sum as segment_sum_sorted
+
+    pairs = (
+        tf.map_batches(by_term, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(pair_partials, batch_format="pyarrow")
+    )
+
+    def shard_pair(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "ppart", pa.array(part_of(a, 32), pa.int32())
+        )
+
+    def fold_topk(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        w = tbl.column("dot").to_numpy(zero_copy_only=False)
+        comp = (a << 31) | b
+        ck, cw = segment_sum_sorted(comp, w)
+        order = np.lexsort((ck & ((1 << 31) - 1), ck >> 31, -cw))[:20]
+        return pa.table(
+            {
+                "a": pa.array((ck >> 31)[order], pa.int64()),
+                "b": pa.array((ck & ((1 << 31) - 1))[order], pa.int64()),
+                "dot": pa.array(cw[order], pa.int64()),
+            }
+        )
+
+    folded = (
+        pairs.map_batches(shard_pair, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(fold_topk, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        list(folded.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    w = t.column("dot").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, -w))[:20]
+    return pa.table(
+        {
+            "a": pa.array(a[order], pa.int64()),
+            "b": pa.array(b[order], pa.int64()),
+            "dot": pa.array(w[order], pa.int64()),
+        }
+    )
+
+
+_TFIDF_PAIR_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+      tf.c * CAST(ROUND(LN(n.nd * 1.0 / df.df) * {_TFIDF_SCALE}, 0)
+                  AS BIGINT) AS wt
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df > 1
+        AND CAST(ROUND(LN(n.nd * 1.0 / df.df) * {_TFIDF_SCALE}, 0)
+                 AS BIGINT) > 0),
+pairs AS (SELECT w1.doc_id AS a, w2.doc_id AS b,
+          CAST(SUM(w1.wt * w2.wt) AS BIGINT) AS dot
+          FROM w w1 JOIN w w2 ON w1.term = w2.term
+                    AND w1.doc_id < w2.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, dot FROM pairs ORDER BY dot DESC, a, b LIMIT 20
+"""
+
+
+def q_trigram_backoff(sf_dir: str):
+    """Stupid-backoff trigram coverage of held-out documents against
+    the 80% training split: per test doc, how many of its trigrams hit
+    the train trigram set (hit3), back off to a train bigram (hit2 —
+    disjoint, since every train trigram implies its bigram), or back
+    off to a unigram (hit1). Counts, not log-probs, so the result is
+    integer-exact. Three hash_join SEMI joins on the n-gram key (big-
+    big co-partitioned, no broadcast vocabulary), then one tagged-union
+    groupby folds the four per-doc counters — the LM-scoring shape of
+    data-curation pipelines with none of the float flake."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.joins import hash_join
+    from signal_collect_ray.functions.text import _RE2_NONSPACE_RE
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    SEP = "\x1f"
+
+    def tri_rows(train: bool):
+        def fn(tbl: pa.Table) -> pa.Table:
+            ids, k3, k2, k1 = [], [], [], []
+            for did, text in zip(
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("text").to_pylist(),
+            ):
+                if (did % 5 < 4) != train:
+                    continue
+                ts = _RE2_NONSPACE_RE.findall(text or "")
+                for i in range(len(ts) - 2):
+                    ids.append(did)
+                    k3.append(ts[i] + SEP + ts[i + 1] + SEP + ts[i + 2])
+                    k2.append(ts[i + 1] + SEP + ts[i + 2])
+                    k1.append(ts[i + 2])
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "k3": pa.array(k3, pa.string()),
+                    "k2": pa.array(k2, pa.string()),
+                    "k1": pa.array(k1, pa.string()),
+                }
+            )
+
+        return fn
+
+    test = docs.map_batches(tri_rows(False), batch_format="pyarrow") \
+        .materialize()
+    train = docs.map_batches(tri_rows(True), batch_format="pyarrow") \
+        .materialize()
+
+    def count_per_doc(ds, col):
+        from ray.data.aggregate import Count
+
+        return ds.groupby("doc_id").aggregate(Count(alias_name=col))
+
+    def distinct_keys(col):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {col: tbl.column(col).unique()}
+            )
+
+        return fn
+
+    out_parts = [count_per_doc(test, "n_trigrams")]
+    for col, alias in (("k3", "hit3"), ("k2", "c2"), ("k1", "c1")):
+        keys = train.map_batches(distinct_keys(col), batch_format="pyarrow")
+        hits = hash_join(
+            test.select_columns(["doc_id", col]), keys, on=col, how="semi"
+        )
+        out_parts.append(count_per_doc(hits, alias))
+
+    def tag(i, col):
+        def fn(tbl: pa.Table) -> pa.Table:
+            n = len(tbl)
+            z = np.zeros(n, np.int64)
+            cols = {"doc_id": tbl.column("doc_id")}
+            for j, name in enumerate(["n_trigrams", "hit3", "c2", "c1"]):
+                cols[name] = (
+                    tbl.column(col) if j == i else pa.array(z, pa.int64())
+                )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = [
+        ds.map_batches(tag(i, col), batch_format="pyarrow")
+        for i, (ds, col) in enumerate(
+            zip(out_parts, ["n_trigrams", "hit3", "c2", "c1"])
+        )
+    ]
+    u = tagged[0].union(*tagged[1:])
+    agg = u.groupby("doc_id").aggregate(
+        Sum("n_trigrams", alias_name="n_tri"),
+        Sum("hit3", alias_name="h3"),
+        Sum("c2", alias_name="s2"),
+        Sum("c1", alias_name="s1"),
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        h3 = tbl.column("h3").to_numpy(zero_copy_only=False)
+        s2 = tbl.column("s2").to_numpy(zero_copy_only=False)
+        s1 = tbl.column("s1").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_trigrams": tbl.column("n_tri"),
+                "hit3": tbl.column("h3"),
+                "hit2": pa.array(s2 - h3, pa.int64()),
+                "hit1": pa.array(s1 - s2, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_TRIGRAM_BACKOFF_SQL = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+             FROM documents),
+pos AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS p
+        FROM tok),
+tri AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3 FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+tr3 AS (SELECT DISTINCT w1, w2, w3 FROM tri WHERE doc_id % 5 < 4),
+tr2 AS (SELECT DISTINCT w2, w3 FROM tri WHERE doc_id % 5 < 4),
+tr1 AS (SELECT DISTINCT w3 FROM tri WHERE doc_id % 5 < 4),
+test AS (SELECT * FROM tri WHERE doc_id % 5 = 4),
+m AS (SELECT t.doc_id,
+        CASE WHEN tr3.w1 IS NOT NULL THEN 1 ELSE 0 END AS h3,
+        CASE WHEN tr2.w2 IS NOT NULL THEN 1 ELSE 0 END AS h2,
+        CASE WHEN tr1.w3 IS NOT NULL THEN 1 ELSE 0 END AS h1
+      FROM test t
+      LEFT JOIN tr3 ON tr3.w1 = t.w1 AND tr3.w2 = t.w2 AND tr3.w3 = t.w3
+      LEFT JOIN tr2 ON tr2.w2 = t.w2 AND tr2.w3 = t.w3
+      LEFT JOIN tr1 ON tr1.w3 = t.w3)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(h3) AS BIGINT) AS hit3,
+       CAST(SUM((1 - h3) * h2) AS BIGINT) AS hit2,
+       CAST(SUM((1 - h2) * h1) AS BIGINT) AS hit1
+FROM m GROUP BY 1
+"""
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -13564,6 +14060,11 @@ def queries():
         "excess_suppliers": q_excess_suppliers,
         "linestatus_priority": q_linestatus_priority,
         "late_events": q_late_events,
+        "four_cliques": q_four_cliques,
+        "local_bridges": q_local_bridges,
+        "nation_order_median": q_nation_order_median,
+        "tfidf_pair_dot": q_tfidf_pair_dot,
+        "trigram_backoff": q_trigram_backoff,
     }
 
 
@@ -13901,4 +14402,9 @@ def oracle_sql():
         "excess_suppliers": _Q20_SQL,
         "linestatus_priority": _Q12_SQL,
         "late_events": _LATE_SQL,
+        "four_cliques": _FOUR_CLIQUE_SQL,
+        "local_bridges": _LOCAL_BRIDGE_SQL,
+        "nation_order_median": _NATION_MEDIAN_SQL,
+        "tfidf_pair_dot": _TFIDF_PAIR_SQL,
+        "trigram_backoff": _TRIGRAM_BACKOFF_SQL,
     }

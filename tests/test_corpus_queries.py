@@ -71,6 +71,19 @@ NEW_QUERIES = [
     "market_share",
     "part_revenue_share",
     "top_supplier",
+    "forecast_revenue",
+    "disjunctive_revenue",
+    "nation_profit",
+    "min_cost_supplier",
+    "part_supplier_counts",
+    "excess_suppliers",
+    "linestatus_priority",
+    "late_events",
+    "four_cliques",
+    "local_bridges",
+    "nation_order_median",
+    "tfidf_pair_dot",
+    "trigram_backoff",
 ]
 
 
