@@ -544,9 +544,9 @@ def _hits_sql(k: int) -> str:
     )
 
 
-def _sssp_sql(k: int, source: int = 0) -> str:
+def _sssp_sql(k: int, source: int = 0, edges_sql: Optional[str] = None) -> str:
     ctes = [
-        f"e AS MATERIALIZED ({_E_SQL})",
+        f"e AS MATERIALIZED ({edges_sql or _E_SQL})",
         "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
         f"d0 AS (SELECT vid, CASE WHEN vid = {source} THEN CAST(0 AS DOUBLE) "
         "ELSE CAST(1e18 AS DOUBLE) END AS d FROM v)",
@@ -13806,6 +13806,93 @@ FROM m GROUP BY 1
 
 
 
+# the click-add edge set unioned onto the base derived graph — the
+# add-only half of _E_UPD_SQL (removals break the monotone warm-start
+# argument the incremental queries rely on)
+_E_INCR_SQL = (
+    f"SELECT src, dst FROM ({_E_SQL}) "
+    f"UNION SELECT DISTINCT user_id % {V_GRAPH} AS src, "
+    f"(event_id * 7) % {V_GRAPH} AS dst FROM events "
+    f"WHERE event_type = 'click' "
+    f"AND user_id % {V_GRAPH} <> (event_id * 7) % {V_GRAPH}"
+)
+
+
+def _incremental_deltas(sf_dir: str, symmetric: bool):
+    """edge_deltas callback delivering the click-add edges ONCE at
+    superstep 3 — mid-run GraphEditor mutation (engine.py run:
+    edge_deltas), state migrates, new vertices algo.init."""
+    delivered = [False]
+
+    def deltas(step):
+        if not delivered[0] and step >= 3:
+            delivered[0] = True
+            adds = _event_edge_deltas(sf_dir, "click")
+            return {
+                "add_edges_ds": sym_edges(adds) if symmetric else adds
+            }
+        return None
+
+    return deltas
+
+
+def q_cc_incremental(sf_dir: str):
+    """INCREMENTAL connected components: start min-label propagation on
+    the base graph, inject the click-add edges MID-RUN at superstep 3
+    through the durable engine's edge_deltas path (graph rebuilt via
+    Graph.update, survivor state migrates, every vertex re-enqueued —
+    reference GraphEditor.scala:37-201 semantics), and continue to
+    quiescence. Min-label is monotone, so the warm-started fixpoint
+    equals cold CC of base ∪ adds — which is exactly what the oracle
+    computes. Complements cc_updated (cold restart on the mutated
+    graph): this drives the warm path."""
+    from signal_collect_ray import EngineConfig, SuperstepEngine
+    from signal_collect_ray.algorithms import ConnectedComponents
+
+    base = _graph(sf_dir, symmetric=True)
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=_P, eps=1e-6, max_supersteps=40)
+    )
+    info = eng.run(
+        base,
+        ConnectedComponents(),
+        run_dir=_work_dir(sf_dir, "run_cc_incr"),
+        resume=False,
+        edge_deltas=_incremental_deltas(sf_dir, symmetric=True),
+    )
+    t = info.state_table()
+    return pa.table({"vid": t.column("vid"), "label": t.column("state")})
+
+
+def q_sssp_incremental(sf_dir: str):
+    """INCREMENTAL SSSP from vertex 0: unweighted distances on the base
+    directed graph, click-add edges injected mid-run at superstep 3,
+    relaxation continues from the warm distances. Distance relaxation
+    is monotone non-increasing under edge additions, so the fixpoint
+    equals cold SSSP over base ∪ adds (the oracle's unrolled BFS)."""
+    from signal_collect_ray import EngineConfig, SuperstepEngine
+    from signal_collect_ray.algorithms import SSSP
+
+    base = _graph(sf_dir, symmetric=False)
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=_P, eps=1e-6, max_supersteps=40)
+    )
+    info = eng.run(
+        base,
+        SSSP(0),
+        run_dir=_work_dir(sf_dir, "run_sssp_incr"),
+        resume=False,
+        edge_deltas=_incremental_deltas(sf_dir, symmetric=False),
+    )
+    t = info.state_table()
+    d = t.column("state").to_numpy(zero_copy_only=False)
+    dist = [None if not np.isfinite(x) else float(x) for x in d]
+    return pa.table(
+        {"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())}
+    )
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14065,6 +14152,8 @@ def queries():
         "nation_order_median": q_nation_order_median,
         "tfidf_pair_dot": q_tfidf_pair_dot,
         "trigram_backoff": q_trigram_backoff,
+        "cc_incremental": q_cc_incremental,
+        "sssp_incremental": q_sssp_incremental,
     }
 
 
@@ -14407,4 +14496,6 @@ def oracle_sql():
         "nation_order_median": _NATION_MEDIAN_SQL,
         "tfidf_pair_dot": _TFIDF_PAIR_SQL,
         "trigram_backoff": _TRIGRAM_BACKOFF_SQL,
+        "cc_incremental": _cc_sql(_CC_K, edges_sql=_E_INCR_SQL),
+        "sssp_incremental": _sssp_sql(_BFS_K, edges_sql=_E_INCR_SQL),
     }

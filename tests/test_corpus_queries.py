@@ -84,6 +84,8 @@ NEW_QUERIES = [
     "nation_order_median",
     "tfidf_pair_dot",
     "trigram_backoff",
+    "cc_incremental",
+    "sssp_incremental",
 ]
 
 
