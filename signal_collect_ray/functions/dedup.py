@@ -1686,3 +1686,79 @@ def entity_resolve(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    docs_ds, id_col: str = "doc_id", shingle_k: int = 5,
+    threshold_num: int = 9, threshold_den: int = 10,
+):
+    """ASYMMETRIC shingle containment pairs: C(A→B) = |A∩B| / |A|
+    (Broder's containment — catches quotation/subset duplication that
+    symmetric Jaccard misses: a doc fully embedded in a 10× longer one
+    has J ≈ 0.1 but C = 1.0). Same inverted-index shape as
+    ``ngram_jaccard_pairs`` (one exchange over postings, one over
+    pairs, sizes broadcast); the survivor filter is INTEGER —
+    inter·den ≥ num·|side| — so the threshold can't float-flake, and
+    the reported containments are single divisions rounded half-away
+    (bit-identical to the oracle's ROUND)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    texts = docs_ds.select_columns([id_col, "text"])
+    postings = texts.map_batches(
+        _DistinctShingles(id_col, shingle_k), batch_format="pyarrow"
+    )
+    pairs = postings.groupby("gram").map_groups(
+        _GramPairs(), batch_format="pyarrow"
+    )
+    inter = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="inter"))
+
+    sizes_mat = texts.map_batches(
+        _ShingleSetSizes(id_col, shingle_k), batch_format="pyarrow"
+    ).materialize()
+    n_docs = sizes_mat.count()
+    if n_docs * 16 > NGRAM_SIZES_BYTES_LIMIT:
+        raise RuntimeError(
+            f"{n_docs} docs exceed the exact pipeline's size-map "
+            "broadcast budget — use dedup_minhash"
+        )
+    st = pa.concat_tables(ray.get(sizes_mat.to_arrow_refs()))
+    doc_ids = st.column("doc").to_numpy(zero_copy_only=False)
+    n_sh = st.column("n_shingles").to_numpy(zero_copy_only=False)
+    order = np.argsort(doc_ids)
+    sizes_ref = ray.put((doc_ids[order], n_sh[order].astype(np.int64)))
+    num, den = threshold_num, threshold_den
+
+    def containment(tbl: pa.Table) -> pa.Table:
+        keys, vals = ray.get(sizes_ref)
+        ia = tbl.column("id_a").to_numpy(zero_copy_only=False)
+        ib = tbl.column("id_b").to_numpy(zero_copy_only=False)
+        c = tbl.column("inter").to_numpy(zero_copy_only=False)
+        na = vals[np.searchsorted(keys, ia)]
+        nb = vals[np.searchsorted(keys, ib)]
+        keep = np.flatnonzero((c * den >= num * na) | (c * den >= num * nb))
+        ca = c[keep] / np.maximum(na[keep], 1)
+        cb = c[keep] / np.maximum(nb[keep], 1)
+        # positive-range half-away rounding (DuckDB ROUND)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "cont_a": pa.array(r6(ca), pa.float64()),
+                "cont_b": pa.array(r6(cb), pa.float64()),
+            }
+        )
+
+    out = inter.map_batches(containment, batch_format="pyarrow")
+    return pin_schema(
+        out,
+        pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("cont_a", pa.float64()),
+                ("cont_b", pa.float64()),
+            ]
+        ),
+    )

@@ -13893,6 +13893,187 @@ def q_sssp_incremental(sf_dir: str):
 
 
 
+_CRAWL_LIMIT = 1000
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness-bucketed crawl frontier: round-robin interleave
+    across hosts, highest-rank-first within each host — the schedule a
+    polite distributed crawler (one fetch per host per cycle) would
+    execute. rr = per-host rank position (ROW_NUMBER semantics over
+    rounded rank desc, vid asc), global order (rr, host, vid), top
+    1000. Per-host positions assign inside one hash exchange on host;
+    only rows with rr ≤ limit leave the tasks, so the driver folds a
+    ≤ hosts·limit bounded set."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    pr = q_pagerank_k4(sf_dir)
+    ds = rd.from_arrow(pr)
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        host = tbl.column("vid").to_numpy(zero_copy_only=False) % _HOST_MOD
+        return tbl.append_column(
+            "host", pa.array(host, pa.int64())
+        ).append_column("gpart", pa.array(part_of(host, 16), pa.int32()))
+
+    def positions(tbl: pa.Table) -> pa.Table:
+        host = tbl.column("host").to_numpy(zero_copy_only=False)
+        vid = tbl.column("vid").to_numpy(zero_copy_only=False)
+        rank = tbl.column("rank").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -rank, host))
+        h, v, r = host[order], vid[order], rank[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        rr = np.arange(len(h), dtype=np.int64) + 1
+        rr -= np.repeat(rr[starts] - 1, np.diff(np.append(starts, len(h))))
+        keep = rr <= _CRAWL_LIMIT
+        return pa.table(
+            {
+                "rr": pa.array(rr[keep], pa.int64()),
+                "host": pa.array(h[keep], pa.int64()),
+                "vid": pa.array(v[keep], pa.int64()),
+                "rank": pa.array(r[keep], pa.float64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(positions, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        list(folded.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    rr = t.column("rr").to_numpy(zero_copy_only=False)
+    host = t.column("host").to_numpy(zero_copy_only=False)
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, host, rr))[:_CRAWL_LIMIT]
+    return t.take(pa.array(order, pa.int64()))
+
+
+_CRAWL_SQL = f"""
+WITH pr AS MATERIALIZED ({{PR}}),
+s AS (SELECT vid % {_HOST_MOD} AS host, vid, rank,
+      CAST(ROW_NUMBER() OVER (PARTITION BY vid % {_HOST_MOD}
+           ORDER BY rank DESC, vid) AS BIGINT) AS rr
+      FROM pr)
+SELECT rr, host, vid, rank FROM s
+ORDER BY rr, host, vid LIMIT {_CRAWL_LIMIT}
+"""
+
+
+def q_host_edge_lift(sf_dir: str):
+    """Configuration-model lift per host pair: observed inter-host edge
+    count vs the degree-preserving null expectation dout(a)·din(b)/m —
+    the network-science 'which hosts link MORE than chance' question.
+    obs/dout/din fold as exact int64 partials (per-block Arrow group_by
+    pre-combine, one exchange); lift is ONE float division per output
+    row rounded half-away, so ranking is deterministic. Top-20 by
+    (lift desc, ha, hb) over the ≤ hosts² bounded pair set."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    edges = derived_edges_ds(sf_dir).select_columns(["src", "dst"])
+
+    def hp(tbl: pa.Table) -> pa.Table:
+        ha = tbl.column("src").to_numpy(zero_copy_only=False) % _HOST_MOD
+        hb = tbl.column("dst").to_numpy(zero_copy_only=False) % _HOST_MOD
+        t = pa.table(
+            {
+                "ha": pa.array(ha, pa.int64()),
+                "hb": pa.array(hb, pa.int64()),
+                "obs": pa.array(np.ones(len(ha), np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["ha", "hb"]).aggregate([("obs", "sum")]) \
+            .rename_columns(["ha", "hb", "obs"])
+
+    obs = (
+        edges.map_batches(hp, batch_format="pyarrow")
+        .groupby(["ha", "hb"])
+        .aggregate(Sum("obs", alias_name="obs"))
+    )
+    t = pa.concat_tables(
+        list(obs.iter_batches(batch_format="pyarrow", batch_size=None))
+    )  # ≤ hosts² rows by construction
+    ha = t.column("ha").to_numpy(zero_copy_only=False)
+    hb = t.column("hb").to_numpy(zero_copy_only=False)
+    o = t.column("obs").to_numpy(zero_copy_only=False)
+    m = int(o.sum())
+    dout = np.zeros(_HOST_MOD, np.int64)
+    np.add.at(dout, ha, o)
+    din = np.zeros(_HOST_MOD, np.int64)
+    np.add.at(din, hb, o)
+    lift = _round_half_away(
+        (o * m).astype(np.float64) / (dout[ha] * din[hb]).astype(np.float64),
+        6,
+    )
+    order = np.lexsort((hb, ha, -lift))[:20]
+    return pa.table(
+        {
+            "ha": pa.array(ha[order], pa.int64()),
+            "hb": pa.array(hb[order], pa.int64()),
+            "obs": pa.array(o[order], pa.int64()),
+            "lift": pa.array(lift[order], pa.float64()),
+        }
+    )
+
+
+_HOST_LIFT_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+hp AS (SELECT src % {_HOST_MOD} AS ha, dst % {_HOST_MOD} AS hb,
+       CAST(COUNT(*) AS BIGINT) AS obs FROM e GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+dh AS (SELECT src % {_HOST_MOD} AS h, CAST(COUNT(*) AS BIGINT) AS dout
+       FROM e GROUP BY 1),
+di AS (SELECT dst % {_HOST_MOD} AS h, CAST(COUNT(*) AS BIGINT) AS din
+       FROM e GROUP BY 1)
+SELECT hp.ha, hp.hb, hp.obs,
+       ROUND((hp.obs * tot.m) * 1.0 / (dh.dout * di.din), 6) AS lift
+FROM hp, tot
+JOIN dh ON dh.h = hp.ha JOIN di ON di.h = hp.hb
+ORDER BY lift DESC, ha, hb LIMIT 20
+"""
+
+
+def q_ngram_containment_pairs(sf_dir: str):
+    """Asymmetric word-5-gram containment pairs at C ≥ 0.9 in either
+    direction (functions/dedup.py ngram_containment_pairs) — the
+    subset-duplication detector symmetric Jaccard misses."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import ngram_containment_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ngram_containment_pairs(ds, shingle_k=5)
+
+
+_CONTAINMENT_SQL = """
+WITH docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(
+  trim(lower(COALESCE(text, ''))), '\\s+') AS w FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, array_to_string(w, ' ') AS s FROM docs WHERE len(w) < 5
+  UNION ALL
+  SELECT d.doc_id, array_to_string(d.w[i.i:i.i+4], ' ') AS s
+  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.w) - 3)) AS i) i
+  WHERE len(d.w) >= 5),
+shs AS MATERIALIZED (SELECT doc_id, list(DISTINCT s) AS S
+                     FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      len(list_intersect(a.S, b.S)) AS inter,
+      len(a.S) AS na, len(b.S) AS nb
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, ROUND(inter * 1.0 / na, 6) AS cont_a,
+       ROUND(inter * 1.0 / nb, 6) AS cont_b
+FROM p WHERE inter * 10 >= 9 * na OR inter * 10 >= 9 * nb
+"""
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14154,6 +14335,9 @@ def queries():
         "trigram_backoff": q_trigram_backoff,
         "cc_incremental": q_cc_incremental,
         "sssp_incremental": q_sssp_incremental,
+        "crawl_schedule": q_crawl_schedule,
+        "host_edge_lift": q_host_edge_lift,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
     }
 
 
@@ -14498,4 +14682,7 @@ def oracle_sql():
         "trigram_backoff": _TRIGRAM_BACKOFF_SQL,
         "cc_incremental": _cc_sql(_CC_K, edges_sql=_E_INCR_SQL),
         "sssp_incremental": _sssp_sql(_BFS_K, edges_sql=_E_INCR_SQL),
+        "crawl_schedule": _CRAWL_SQL.replace("{PR}", _pr_sql(4)),
+        "host_edge_lift": _HOST_LIFT_SQL,
+        "ngram_containment_pairs": _CONTAINMENT_SQL,
     }

@@ -86,6 +86,9 @@ NEW_QUERIES = [
     "trigram_backoff",
     "cc_incremental",
     "sssp_incremental",
+    "crawl_schedule",
+    "host_edge_lift",
+    "ngram_containment_pairs",
 ]
 
 
