@@ -14074,6 +14074,207 @@ FROM p WHERE inter * 10 >= 9 * na OR inter * 10 >= 9 * nb
 
 
 
+_SEED_SET = (0, 7, 13, 42)
+
+
+def q_nearest_seed(sf_dir: str):
+    """Distance to the nearest trusted seed (TrustRank-style seed-
+    proximity feature): one MultiSourceBFS engine run over the directed
+    derived graph — the multi-seed frontier costs the same as one BFS,
+    not |seeds| of them. Oracle: the unrolled BFS CTE seeded on the
+    set."""
+    from signal_collect_ray.algorithms import MultiSourceBFS
+
+    t = _state(
+        sf_dir, MultiSourceBFS(_SEED_SET), False, 50, tag="_seed"
+    )
+    d = t.column("state").to_numpy(zero_copy_only=False)
+    dist = [None if not np.isfinite(x) else float(x) for x in d]
+    return pa.table(
+        {"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())}
+    )
+
+
+def _msbfs_sql(k: int, sources) -> str:
+    srcs = ", ".join(str(s) for s in sources)
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"d0 AS (SELECT vid, CASE WHEN vid IN ({srcs}) THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(1e18 AS DOUBLE) END AS d FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT v.vid, LEAST(own.d, "
+            "COALESCE(MIN(nb.d + 1.0), 1e18)) AS d "
+            f"FROM v JOIN d{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN d{i-1} nb ON nb.vid = e.src GROUP BY v.vid, own.d)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, CASE WHEN d >= 1e17 THEN NULL ELSE d END AS dist "
+        f"FROM d{k}"
+    )
+
+
+# MATCH_RECOGNIZE-style pattern over each user's event-type sequence:
+# click (view)* purchase — non-overlapping leftmost matches, identical
+# semantics in Python re and RE2 regexp_extract_all
+_CEP_PATTERN = "cv*p"
+_CEP_CODE = {"click": "c", "view": "v", "purchase": "p", "error": "e"}
+
+
+def q_event_pattern_matches(sf_dir: str):
+    """Complex-event pattern matching (MATCH_RECOGNIZE shape): per
+    user, count non-overlapping 'click (view)* purchase' runs in the
+    arrival-ordered event-type sequence. One hash exchange on user_id;
+    the per-user kernel encodes types to single chars and counts with
+    one compiled regex — leftmost non-overlapping semantics are
+    identical between Python re and the oracle's RE2
+    regexp_extract_all, and counts are integers, so parity is exact."""
+    import re
+
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "gpart", pa.array(part_of(uid, 32), pa.int32())
+        )
+
+    pat = re.compile(_CEP_PATTERN)
+
+    def count_matches(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type").to_pylist()
+        order = np.lexsort((eid, uid))
+        uids, codes = [], []
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[order][1:] != uid[order][:-1]])
+        )
+        bounds = np.append(starts, len(order))
+        out_u, out_n = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seq = "".join(
+                _CEP_CODE.get(et[i], "x") for i in order[s:e]
+            )
+            out_u.append(int(uid[order[s]]))
+            out_n.append(len(pat.findall(seq)))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_matches": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(shard, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(count_matches, batch_format="pyarrow")
+        .select_columns(["user_id", "n_matches"])
+    )
+
+
+_CEP_SQL = f"""
+WITH s AS (SELECT user_id, string_agg(CASE event_type
+    WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e' ELSE 'x' END,
+    '' ORDER BY event_id) AS seq FROM events GROUP BY 1)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS BIGINT)
+       AS n_matches
+FROM s
+"""
+
+
+def q_event_path_trigrams(sf_dir: str):
+    """Top-20 three-step event paths (t1→t2→t3) across all users — the
+    clickstream path-analysis shape: per-user LEAD(1)/LEAD(2) alignment
+    inside one hash exchange, per-block Arrow pre-combine over the
+    ≤ |types|³ path keys, one tiny final groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import part_of
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "gpart", pa.array(part_of(uid, 32), pa.int32())
+        )
+
+    def paths(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.array(tbl.column("event_type").to_pylist())
+        order = np.lexsort((eid, uid))
+        u, t = uid[order], et[order]
+        same2 = u[:-2] == u[2:] if len(u) > 2 else np.array([], bool)
+        t1 = t[:-2][same2]
+        t2 = t[1:-1][same2]
+        t3 = t[2:][same2]
+        tab = pa.table(
+            {
+                "t1": pa.array(t1, pa.string()),
+                "t2": pa.array(t2, pa.string()),
+                "t3": pa.array(t3, pa.string()),
+                "n": pa.array(np.ones(len(t1), np.int64), pa.int64()),
+            }
+        )
+        return tab.group_by(["t1", "t2", "t3"]).aggregate([("n", "sum")]) \
+            .rename_columns(["t1", "t2", "t3", "n"])
+
+    agg = (
+        ev.map_batches(shard, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(paths, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.concat_tables(
+        list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    )  # ≤ |types|³ rows
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    t1 = np.array(t.column("t1").to_pylist())
+    t2 = np.array(t.column("t2").to_pylist())
+    t3 = np.array(t.column("t3").to_pylist())
+    order = np.lexsort((t3, t2, t1, -n))[:20]
+    return pa.table(
+        {
+            "t1": pa.array(t1[order], pa.string()),
+            "t2": pa.array(t2[order], pa.string()),
+            "t3": pa.array(t3[order], pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
+_PATH3_SQL = """
+WITH o AS (SELECT user_id, event_type,
+  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+  LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t3
+  FROM events)
+SELECT event_type AS t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, 1, 2, 3 LIMIT 20
+"""
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14338,6 +14539,9 @@ def queries():
         "crawl_schedule": q_crawl_schedule,
         "host_edge_lift": q_host_edge_lift,
         "ngram_containment_pairs": q_ngram_containment_pairs,
+        "nearest_seed": q_nearest_seed,
+        "event_pattern_matches": q_event_pattern_matches,
+        "event_path_trigrams": q_event_path_trigrams,
     }
 
 
@@ -14685,4 +14889,7 @@ def oracle_sql():
         "crawl_schedule": _CRAWL_SQL.replace("{PR}", _pr_sql(4)),
         "host_edge_lift": _HOST_LIFT_SQL,
         "ngram_containment_pairs": _CONTAINMENT_SQL,
+        "nearest_seed": _msbfs_sql(_BFS_K, _SEED_SET),
+        "event_pattern_matches": _CEP_SQL,
+        "event_path_trigrams": _PATH3_SQL,
     }

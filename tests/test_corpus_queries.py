@@ -89,6 +89,9 @@ NEW_QUERIES = [
     "crawl_schedule",
     "host_edge_lift",
     "ngram_containment_pairs",
+    "nearest_seed",
+    "event_pattern_matches",
+    "event_path_trigrams",
 ]
 
 
