@@ -78,6 +78,33 @@ class Algorithm:
     #: their warm start with the default False.
     fresh_state_on_mutation: bool = False
 
+    #: Pregel-style per-superstep GLOBAL AGGREGATOR (reference parity:
+    #: ``AggregationOperation.scala:27-59``'s worker-partial/coordinator-
+    #: merge shape, but fed BACK into the computation each superstep —
+    #: the aggregator channel Pregel exposes and plain Signal/Collect
+    #: reads only between executions). When True the durable engine
+    #: computes ``global_partial`` over every state shard it writes
+    #: (piggybacked on the collect metrics rows — no extra pass), folds
+    #: the partials with ``reduce_global``, records the value in the
+    #: step manifest (JSON-serializable ⇒ resume-safe), and assigns
+    #: ``self.global_value`` before constructing the NEXT superstep's
+    #: stages, so signal/collect see the PREVIOUS step's aggregate —
+    #: exactly the dangling-mass term of textbook PageRank. Durable
+    #: engine only (like ``edge_deltas``).
+    has_global: bool = False
+    #: The reduced aggregate of the previous superstep's state (None at
+    #: superstep 1 only if the engine didn't compute an init value).
+    global_value = None
+
+    def global_partial(self, sub: StateDict):
+        """Per-partition partial over one written state shard (keys:
+        vid/out_degree/sum_out_weight/state/last/active)."""
+        raise NotImplementedError
+
+    def reduce_global(self, partials: list):
+        """Fold the per-partition partials (driver side, O(partitions))."""
+        raise NotImplementedError
+
     #: Dense scatter aggregation (resident executor fast path): "sum" or
     #: "min" when the per-edge signal is a single value combined with a
     #: commutative monoid — aggregation becomes bincount/minimum.at over

@@ -1,5 +1,6 @@
 from signal_collect_ray.algorithms.pagerank import (
     KatzCentrality,
+    DanglingPageRank,
     PageRank,
     PersonalizedPageRank,
     TeleportWeightedPageRank,
@@ -43,6 +44,7 @@ from signal_collect_ray.algorithms.triangles import (
 )
 
 __all__ = [
+    "DanglingPageRank",
     "PageRank",
     "PersonalizedPageRank",
     "TeleportWeightedPageRank",

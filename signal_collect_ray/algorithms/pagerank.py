@@ -169,3 +169,90 @@ class KatzCentrality(PageRank):
     def src_values(self, sub: StateDict) -> StateDict:
         # attenuated adjacency: no division by sum_out_weight
         return {"rate": sub["state"] - sub["last"]}
+
+
+class DanglingPageRank(Algorithm):
+    """Textbook PageRank WITH dangling-mass redistribution — the term
+    the reference's formulation (PageRank.scala:31-70) and the plain
+    :class:`PageRank` above drop: each iteration the rank mass sitting
+    on zero-out-degree vertices is redistributed uniformly,
+
+        r_{k+1}(v) = (1−d) + d · (Σ_in r_k(u)/outd(u) + D_k/N),
+        D_k = Σ_{outd(u)=0} r_k(u).
+
+    D_k is the engine's per-superstep GLOBAL AGGREGATOR
+    (``Algorithm.has_global``): partials piggyback on the collect
+    metrics rows, the driver folds them into the step manifest, and the
+    next superstep's stages read ``global_value`` — one scalar per
+    superstep, no extra pass, resume-safe. Power-iteration form (full
+    rates, every vertex active every step) rather than the delta form:
+    the uniform D_k/N term touches every vertex each round, so there is
+    no sparsity to exploit and deltas would force tracking two globals.
+    Run with ``eps=0.0`` + a steps limit, on the durable engine only.
+    """
+
+    name = "dangling_pagerank"
+    state_pa_type = pa.float64()
+    signal_fields = [("val", pa.float64())]
+    dense_agg = "sum"
+    dense_identity = 0.0
+    dense_dtype = np.float64
+    has_global = True
+    fresh_state_on_mutation = True
+
+    def __init__(self, n_vertices: int, damping: float = 0.85):
+        self.n = float(n_vertices)
+        self.damping = damping
+        self.baseline = 1.0 - damping
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        return {
+            "state": np.full(n, self.baseline),
+            "last": np.zeros(n),
+            "active": np.ones(n, dtype=bool),
+            "residual": np.ones(n),
+        }
+
+    def global_partial(self, sub: StateDict) -> float:
+        outd = np.asarray(sub["out_degree"])
+        return float(np.asarray(sub["state"])[outd == 0].sum())
+
+    def reduce_global(self, partials: list) -> float:
+        return float(np.sum(partials))
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        sow = np.asarray(sub["sum_out_weight"])
+        rate = np.divide(
+            sub["state"], sow, out=np.zeros_like(sub["state"]),
+            where=sow > 0,
+        )
+        return {"rate": rate}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        return {"val": expanded["rate"] * weight}
+
+    def combine(self, dst, values):
+        d, v = segment_sum(dst, values["val"])
+        return d, {"val": v}
+
+    def _step(self, prev: StateDict, inc: np.ndarray) -> StateDict:
+        gv = float(self.global_value or 0.0)
+        state = self.baseline + self.damping * (inc + gv / self.n)
+        residual = np.abs(state - prev["state"])
+        return {
+            "state": state,
+            "last": prev["state"].copy(),
+            "active": np.ones(len(state), dtype=bool),
+            "residual": residual,
+        }
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        inc = np.zeros(len(prev["vid"]))
+        if len(dst):
+            idx = self._align(prev["vid"], dst)
+            inc[idx] = sig["val"]
+        return self._step(prev, inc)
+
+    def collect_dense(self, prev, inc, signal_threshold):
+        return self._step(prev, np.asarray(inc, dtype=np.float64))

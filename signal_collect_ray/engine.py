@@ -113,6 +113,20 @@ class _InitStage:
             if self.algo.always_signal
             else st["active"].astype(bool)
         )
+        gpartial = (
+            float(
+                self.algo.global_partial(
+                    dict(
+                        st,
+                        vid=d["vid"],
+                        out_degree=d["out_degree"],
+                        sum_out_weight=d["sum_out_weight"],
+                    )
+                )
+            )
+            if self.algo.has_global
+            else 0.0
+        )
         return pa.table(
             {
                 "part": pa.array([p], pa.int32()),
@@ -124,6 +138,7 @@ class _InitStage:
                 ),
                 "signal_rows_in": pa.array([0], pa.int64()),
                 "undeliverable": pa.array([0], pa.int64()),
+                "gpartial": pa.array([gpartial], pa.float64()),
             }
         )
 
@@ -326,6 +341,15 @@ def _migrate_shard(new_vfile: str, prev_dir: str, algo: Algorithm, out_dir: str)
         "edges_traversed": 0,
         "signal_rows_in": 0,
         "undeliverable": 0,
+        "gpartial": (
+            float(
+                algo.global_partial(
+                    dict(st, vid=vid, out_degree=outd, sum_out_weight=sumw)
+                )
+            )
+            if algo.has_global
+            else 0.0
+        ),
     }
 
 
@@ -477,6 +501,20 @@ class CollectStage:
             else st["active"].astype(bool)
         )
         edges_next = int(prev["out_degree"][send_mask].sum())
+        gpartial = (
+            float(
+                algo.global_partial(
+                    dict(
+                        st,
+                        vid=prev["vid"],
+                        out_degree=prev["out_degree"],
+                        sum_out_weight=prev["sum_out_weight"],
+                    )
+                )
+            )
+            if algo.has_global
+            else 0.0
+        )
         return self._metrics(
             p,
             len(prev["vid"]),
@@ -486,11 +524,13 @@ class CollectStage:
             n_sig_rows,
             undeliverable,
             collect_s=time.perf_counter() - t_start,
+            gpartial=gpartial,
         )
 
     @staticmethod
     def _metrics(
-        p, n_v, n_act, res, edges_next, sig_rows, undeliv, collect_s=0.0
+        p, n_v, n_act, res, edges_next, sig_rows, undeliv, collect_s=0.0,
+        gpartial=0.0,
     ) -> pa.Table:
         return pa.table(
             {
@@ -502,6 +542,7 @@ class CollectStage:
                 "signal_rows_in": pa.array([sig_rows], pa.int64()),
                 "undeliverable": pa.array([undeliv], pa.int64()),
                 "collect_s": pa.array([collect_s], pa.float64()),
+                "gpartial": pa.array([gpartial], pa.float64()),
             }
         )
 
@@ -726,6 +767,7 @@ class SuperstepEngine:
                 .take_all()
             )
             manifest = self._manifest(0, rows, lineage_base, prev_step=None)
+            self._reduce_global(algo, manifest)
             self._write_manifest(tmp0, self._step_dir(run_dir, 0), manifest)
             per_step = [manifest]
             start_k = 0
@@ -770,6 +812,7 @@ class SuperstepEngine:
                 ]
             )
             manifest = self._manifest(k_new, rows, lineage_base, prev_step=k_new - 1)
+            self._reduce_global(algo, manifest)
             manifest["mutation"] = True
             self._write_manifest(step_tmp, self._step_dir(run_dir, k_new), manifest)
             per_step.append(manifest)
@@ -822,6 +865,10 @@ class SuperstepEngine:
                     continue
             k += 1
             ts = time.monotonic()
+            if algo.has_global:
+                # previous step's aggregate, visible to this step's
+                # signal/collect (stages capture algo at construction)
+                algo.global_value = last.get("global_value")
             prev_dir = self._step_dir(run_dir, k - 1)
             step_tmp = os.path.join(run_dir, f".tmp-step={k:05d}")
             if os.path.exists(step_tmp):
@@ -915,12 +962,16 @@ class SuperstepEngine:
                             "edges_traversed": 0,
                             "signal_rows_in": 0,
                             "undeliverable": 0,
+                            # dormant shard = unchanged state ⇒ its
+                            # global partial carries forward verbatim
+                            "gpartial": m.get("gpartial", 0.0),
                         }
                     )
             manifest = self._manifest(
                 k, metrics_rows, lineage_base, prev_step=k - 1,
                 wall_s=time.monotonic() - ts,
             )
+            self._reduce_global(algo, manifest)
             self._write_manifest(step_tmp, self._step_dir(run_dir, k), manifest)
             per_step.append(manifest)
             last = manifest
@@ -968,6 +1019,15 @@ class SuperstepEngine:
         )
 
     @staticmethod
+    def _reduce_global(algo: Algorithm, manifest: dict) -> None:
+        """Fold the per-partition aggregator partials into the manifest
+        (JSON-serialized with the checkpoint ⇒ resume restores it)."""
+        if algo.has_global:
+            manifest["global_value"] = algo.reduce_global(
+                [p["gpartial"] for p in manifest["parts"]]
+            )
+
+    @staticmethod
     def _is_converged(manifest: dict, eps: float, k: int) -> bool:
         if k == 0:
             return False
@@ -987,6 +1047,7 @@ class SuperstepEngine:
                     "undeliverable": int(r["undeliverable"]),
                     "signal_s": float(r.get("signal_s", 0.0) or 0.0),
                     "collect_s": float(r.get("collect_s", 0.0) or 0.0),
+                    "gpartial": float(r.get("gpartial", 0.0) or 0.0),
                 }
                 for r in rows
             ),

@@ -479,6 +479,12 @@ class AsyncEngine:
                 "— the async executor binds CSR blocks at start; run the "
                 "durable SuperstepEngine"
             )
+        if algo.has_global:
+            raise NotImplementedError(
+                f"{algo.name} uses the per-superstep global aggregator "
+                "(has_global) — a superstep-synchronized value has no "
+                "async meaning; run the durable SuperstepEngine"
+            )
         cfg = self.config
         threshold = (
             cfg.signal_threshold if signal_threshold is None else signal_threshold

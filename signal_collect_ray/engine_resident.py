@@ -612,6 +612,12 @@ class ResidentEngine:
                 "— the resident executor binds CSR blocks at start; run "
                 "the durable SuperstepEngine"
             )
+        if algo.has_global:
+            raise NotImplementedError(
+                f"{algo.name} uses the per-superstep global aggregator "
+                "(has_global) — implemented on the durable SuperstepEngine "
+                "(the value rides its checkpoint manifests); run that"
+            )
         if graph.meta.get("n_dangling", 0):
             raise NotImplementedError(
                 f"graph has {graph.meta['n_dangling']} edges to missing "

@@ -14275,6 +14275,60 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, 1, 2, 3 LIMIT 20
 
 
 
+def _dangling_pr_sql(k: int) -> str:
+    """Unrolled dangling-mass PageRank oracle: per round a scalar CTE
+    sums the zero-out-degree mass, mirroring the engine's per-superstep
+    global aggregator."""
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd "
+        "FROM e GROUP BY src)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM v)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"g{i-1} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS d "
+            f"FROM r{i-1} WHERE vid NOT IN (SELECT src FROM e))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, "
+            f"0.15 + 0.85 * (COALESCE(SUM(r{i-1}.r / od.outd), 0) "
+            f"+ (SELECT d FROM g{i-1}) / (SELECT nv FROM n)) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + \
+        f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+
+
+def q_dangling_pagerank_k4(sf_dir: str):
+    """4-step TEXTBOOK PageRank with dangling-mass redistribution
+    (algorithms/pagerank.py DanglingPageRank) — drives the engine's new
+    per-superstep global-aggregator channel end-to-end: D_k partials
+    piggyback on collect metrics, fold into the step manifest, and feed
+    the next superstep's uniform D_k/N term. Durable engine (the
+    aggregate rides its checkpoint manifests, so a resumed run
+    continues with the right scalar)."""
+    from signal_collect_ray import EngineConfig, SuperstepEngine
+    from signal_collect_ray.algorithms import DanglingPageRank
+
+    g = _graph(sf_dir)
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=_P, eps=0.0, max_supersteps=4)
+    )
+    info = eng.run(
+        g,
+        DanglingPageRank(g.num_vertices),
+        run_dir=_work_dir(sf_dir, "run_pr_dangling_k4"),
+        resume=False,
+    )
+    return _round_state(info.state_table(), "rank", 6)
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14542,6 +14596,7 @@ def queries():
         "nearest_seed": q_nearest_seed,
         "event_pattern_matches": q_event_pattern_matches,
         "event_path_trigrams": q_event_path_trigrams,
+        "dangling_pagerank_k4": q_dangling_pagerank_k4,
     }
 
 
@@ -14892,4 +14947,5 @@ def oracle_sql():
         "nearest_seed": _msbfs_sql(_BFS_K, _SEED_SET),
         "event_pattern_matches": _CEP_SQL,
         "event_path_trigrams": _PATH3_SQL,
+        "dangling_pagerank_k4": _dangling_pr_sql(4),
     }

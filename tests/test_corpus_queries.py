@@ -92,6 +92,7 @@ NEW_QUERIES = [
     "nearest_seed",
     "event_pattern_matches",
     "event_path_trigrams",
+    "dangling_pagerank_k4",
 ]
 
 
