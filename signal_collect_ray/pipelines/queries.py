@@ -13472,6 +13472,7 @@ GROUP BY 1
 
 
 _TFIDF_SCALE = 1_000_000
+_TFIDF_MAX_DF_FRAC = 0.2
 
 
 def q_tfidf_pair_dot(sf_dir: str):
@@ -13482,7 +13483,10 @@ def q_tfidf_pair_dot(sf_dir: str):
     can't occur). Inverted-index pair generation: one exchange on term,
     per-term pair partials pre-summed per partition, a second tiny
     exchange on the pair key, per-block top-20 heaps folded on the
-    driver. df=1 terms prune early (they can't contribute to a pair)."""
+    driver. df=1 terms prune early (they can't contribute to a pair),
+    and ubiquitous terms (df > 20% of the corpus) are dropped on BOTH
+    sides — classic df-based stopword pruning, and the scale guard: a
+    term in every doc otherwise emits O(N²) pair partials."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -13548,10 +13552,11 @@ def q_tfidf_pair_dot(sf_dir: str):
             np.concatenate([[True], terms[1:] != terms[:-1]])
         )
         ends = np.concatenate([starts[1:], [len(terms)]])
+        max_df = max(2, int(n_docs * _TFIDF_MAX_DF_FRAC))
         pa_, pb_, pw_ = [], [], []
         for s, e in zip(starts, ends):
             df = e - s
-            if df < 2:
+            if df < 2 or df > max_df:
                 continue
             idf = int(np.round(np.log(n_docs / df) * _TFIDF_SCALE))
             if idf <= 0:
@@ -13647,6 +13652,8 @@ w AS (SELECT tf.doc_id, tf.term,
                   AS BIGINT) AS wt
       FROM tf JOIN df USING (term) CROSS JOIN n
       WHERE df.df > 1
+        AND df.df <= GREATEST(2, CAST(FLOOR(n.nd * {_TFIDF_MAX_DF_FRAC})
+                                      AS BIGINT))
         AND CAST(ROUND(LN(n.nd * 1.0 / df.df) * {_TFIDF_SCALE}, 0)
                  AS BIGINT) > 0),
 pairs AS (SELECT w1.doc_id AS a, w2.doc_id AS b,
