@@ -13686,11 +13686,27 @@ def q_trigram_backoff(sf_dir: str):
         columns=["doc_id", "text"],
     )
 
-    SEP = "\x1f"
-
     def tri_rows(train: bool):
+        # n-gram keys as int64 hashes (blake2b per DISTINCT token, then
+        # a vectorized splitmix-style combine): the three semi-joins
+        # take hash_join's numeric fast path instead of per-row string
+        # hashing — 3x faster at sf0.1. Counts are exact up to 63-bit
+        # collisions (~n²/2⁶³, the same argument as shingle hashing).
+        import hashlib
+
+        M1 = np.uint64(0x9E3779B97F4A7C15)
+        M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        MASK = np.int64((1 << 63) - 1)
+
+        def tok_hash(tok: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                "little",
+            )
+
         def fn(tbl: pa.Table) -> pa.Table:
-            ids, k3, k2, k1 = [], [], [], []
+            cache: dict = {}
+            ids, h3s, h2s, h1s = [], [], [], []
             for did, text in zip(
                 tbl.column("doc_id").to_pylist(),
                 tbl.column("text").to_pylist(),
@@ -13698,17 +13714,31 @@ def q_trigram_backoff(sf_dir: str):
                 if (did % 5 < 4) != train:
                     continue
                 ts = _RE2_NONSPACE_RE.findall(text or "")
-                for i in range(len(ts) - 2):
-                    ids.append(did)
-                    k3.append(ts[i] + SEP + ts[i + 1] + SEP + ts[i + 2])
-                    k2.append(ts[i + 1] + SEP + ts[i + 2])
-                    k1.append(ts[i + 2])
+                if len(ts) < 3:
+                    continue
+                h = np.fromiter(
+                    (cache.get(t) or cache.setdefault(t, tok_hash(t))
+                     for t in ts),
+                    dtype=np.uint64, count=len(ts),
+                )
+                w1, w2, w3 = h[:-2], h[1:-1], h[2:]
+                with np.errstate(over="ignore"):
+                    k2 = (w2 * M1) ^ (w3 * M2)
+                    k3 = (w1 * M2) ^ (k2 * M1)
+                n = len(w1)
+                ids.append(np.full(n, did, np.int64))
+                h3s.append((k3.view(np.int64) & MASK))
+                h2s.append((k2.view(np.int64) & MASK))
+                h1s.append((w3.view(np.int64) & MASK))
+            if not ids:
+                e = np.empty(0, np.int64)
+                ids, h3s, h2s, h1s = [e], [e], [e], [e]
             return pa.table(
                 {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "k3": pa.array(k3, pa.string()),
-                    "k2": pa.array(k2, pa.string()),
-                    "k1": pa.array(k1, pa.string()),
+                    "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                    "k3": pa.array(np.concatenate(h3s), pa.int64()),
+                    "k2": pa.array(np.concatenate(h2s), pa.int64()),
+                    "k1": pa.array(np.concatenate(h1s), pa.int64()),
                 }
             )
 
@@ -13719,47 +13749,106 @@ def q_trigram_backoff(sf_dir: str):
     train = docs.map_batches(tri_rows(True), batch_format="pyarrow") \
         .materialize()
 
-    def count_per_doc(ds, col):
-        from ray.data.aggregate import Count
+    # train n-gram sets as three sorted unique int64 arrays, broadcast
+    # ONCE (ray.put) when they fit the byte cap — one membership scan +
+    # one groupby instead of three semi-join exchange chains. Beyond
+    # the cap (100-TB train split), fall back to the co-partitioned
+    # hash_join semi path — same counts, more exchanges.
+    import ray
 
-        return ds.groupby("doc_id").aggregate(Count(alias_name=col))
+    uniq = {c: [] for c in ("k3", "k2", "k1")}
+    for b in train.iter_batches(batch_format="pyarrow", batch_size=None):
+        for c in uniq:
+            uniq[c].append(
+                np.unique(b.column(c).to_numpy(zero_copy_only=False))
+            )
+    keys = {
+        c: (np.unique(np.concatenate(v)) if v else np.empty(0, np.int64))
+        for c, v in uniq.items()
+    }
+    total_bytes = sum(a.nbytes for a in keys.values())
 
-    def distinct_keys(col):
-        def fn(tbl: pa.Table) -> pa.Table:
+    if total_bytes <= _LOOKUP_CAP():
+        keys_ref = ray.put((keys["k3"], keys["k2"], keys["k1"]))
+
+        def member(sorted_arr, vals):
+            if not len(sorted_arr):
+                return np.zeros(len(vals), np.int64)
+            i = np.searchsorted(sorted_arr, vals)
+            i[i >= len(sorted_arr)] = 0
+            return (sorted_arr[i] == vals).astype(np.int64)
+
+        def score(tbl: pa.Table) -> pa.Table:
+            from signal_collect_ray.util import segment_sum
+
+            s3, s2, s1 = ray.get(keys_ref)
+            did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            m3 = member(s3, tbl.column("k3").to_numpy(zero_copy_only=False))
+            m2 = member(s2, tbl.column("k2").to_numpy(zero_copy_only=False))
+            m1 = member(s1, tbl.column("k1").to_numpy(zero_copy_only=False))
+            d, n = segment_sum(did, np.ones(len(did), np.int64))
+            _, h3 = segment_sum(did, m3)
+            _, c2 = segment_sum(did, m2)
+            _, c1 = segment_sum(did, m1)
             return pa.table(
-                {col: tbl.column(col).unique()}
+                {
+                    "doc_id": pa.array(d, pa.int64()),
+                    "n_trigrams": pa.array(n, pa.int64()),
+                    "hit3": pa.array(h3, pa.int64()),
+                    "c2": pa.array(c2, pa.int64()),
+                    "c1": pa.array(c1, pa.int64()),
+                }
             )
 
-        return fn
+        u = test.map_batches(score, batch_format="pyarrow")
+    else:
+        def count_per_doc(ds, col):
+            from ray.data.aggregate import Count
 
-    out_parts = [count_per_doc(test, "n_trigrams")]
-    for col, alias in (("k3", "hit3"), ("k2", "c2"), ("k1", "c1")):
-        keys = train.map_batches(distinct_keys(col), batch_format="pyarrow")
-        hits = hash_join(
-            test.select_columns(["doc_id", col]), keys, on=col, how="semi"
-        )
-        out_parts.append(count_per_doc(hits, alias))
+            return ds.groupby("doc_id").aggregate(Count(alias_name=col))
 
-    def tag(i, col):
-        def fn(tbl: pa.Table) -> pa.Table:
-            n = len(tbl)
-            z = np.zeros(n, np.int64)
-            cols = {"doc_id": tbl.column("doc_id")}
-            for j, name in enumerate(["n_trigrams", "hit3", "c2", "c1"]):
-                cols[name] = (
-                    tbl.column(col) if j == i else pa.array(z, pa.int64())
+        def distinct_keys(col):
+            def fn(tbl: pa.Table) -> pa.Table:
+                return pa.table(
+                    {col: tbl.column(col).unique()}
                 )
-            return pa.table(cols)
 
-        return fn
+            return fn
 
-    tagged = [
-        ds.map_batches(tag(i, col), batch_format="pyarrow")
-        for i, (ds, col) in enumerate(
-            zip(out_parts, ["n_trigrams", "hit3", "c2", "c1"])
-        )
-    ]
-    u = tagged[0].union(*tagged[1:])
+        out_parts = [count_per_doc(test, "n_trigrams")]
+        for col, alias in (("k3", "hit3"), ("k2", "c2"), ("k1", "c1")):
+            kds = train.map_batches(
+                distinct_keys(col), batch_format="pyarrow"
+            )
+            hits = hash_join(
+                test.select_columns(["doc_id", col]), kds, on=col, how="semi"
+            )
+            out_parts.append(count_per_doc(hits, alias))
+
+        def tag(i, col):
+            def fn(tbl: pa.Table) -> pa.Table:
+                n = len(tbl)
+                z = np.zeros(n, np.int64)
+                cols = {"doc_id": tbl.column("doc_id")}
+                for j, name in enumerate(
+                    ["n_trigrams", "hit3", "c2", "c1"]
+                ):
+                    cols[name] = (
+                        tbl.column(col) if j == i
+                        else pa.array(z, pa.int64())
+                    )
+                return pa.table(cols)
+
+            return fn
+
+        tagged = [
+            ds.map_batches(tag(i, col), batch_format="pyarrow")
+            for i, (ds, col) in enumerate(
+                zip(out_parts, ["n_trigrams", "hit3", "c2", "c1"])
+            )
+        ]
+        u = tagged[0].union(*tagged[1:])
+
     agg = u.groupby("doc_id").aggregate(
         Sum("n_trigrams", alias_name="n_tri"),
         Sum("hit3", alias_name="h3"),

@@ -39,7 +39,12 @@ def _bit_equal(a: pd.DataFrame, b: pd.DataFrame):
 
 @pytest.mark.parametrize(
     "qname",
-    ["avg_neighbor_degree", "degree_assortativity", "wl_refinement"],
+    [
+        "avg_neighbor_degree",
+        "degree_assortativity",
+        "wl_refinement",
+        "trigram_backoff",
+    ],
 )
 def test_fallback_path_bit_equal(qname, ray_session, tmp_path, monkeypatch):
     from signal_collect_ray.pipelines import queries as qmod
