@@ -14425,6 +14425,206 @@ def q_dangling_pagerank_k4(sf_dir: str):
 
 
 
+def q_source_quality_calibration(sf_dir: str):
+    """Cross-source score calibration: each document's PERCENT_RANK of
+    its (rounded) quality score WITHIN its source — the histogram-
+    equalization step a mixture builder applies before comparing
+    quality across crawls with different score distributions. Scores
+    round to 6dp BEFORE ranking (both sides — ulp-safe), ranks come
+    from a per-source counting pass inside one hash exchange on
+    source, and the final value is a single division rounded 6dp."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import QualityScore
+    from signal_collect_ray.util import part_of
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        import hashlib
+
+        src = tbl.column("source").to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "little",
+                ) >> 1
+                for s in src
+            ],
+            dtype=np.int64,
+        )
+        q = np.round(tbl.column("quality").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "gpart": pa.array(part_of(h, 16), pa.int32()),
+                "doc_id": tbl.column("doc_id"),
+                "source": tbl.column("source"),
+                "q": pa.array(q, pa.float64()),
+            }
+        )
+
+    def prank(tbl: pa.Table) -> pa.Table:
+        src = np.array(tbl.column("source").to_pylist())
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        q = tbl.column("q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, q, src))
+        s, d, qq = src[order], did[order], q[order]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        bounds = np.append(starts, len(s))
+        pr = np.zeros(len(s))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            n = hi - lo
+            if n > 1:
+                seg = qq[lo:hi]
+                smaller = np.searchsorted(seg, seg, side="left")
+                pr[lo:hi] = smaller / (n - 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "source": pa.array(s, pa.string()),
+                "pr": pa.array(np.round(pr, 6), pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(QualityScore(), batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(prank, batch_format="pyarrow")
+        .select_columns(["doc_id", "source", "pr"])
+    )
+
+
+_CALIB_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+s AS (SELECT d.source, q.doc_id, q.quality
+      FROM q JOIN documents d ON d.doc_id = q.doc_id)
+SELECT doc_id, source,
+       ROUND(PERCENT_RANK() OVER
+             (PARTITION BY source ORDER BY quality), 6) AS pr
+FROM s
+"""
+
+
+def q_event_ohlc(sf_dir: str):
+    """OHLC resampling bars per (event_type, day) — open/close are
+    SELECTIONS by min/max arrival (event_id), high/low are float
+    min/max comparisons: no arithmetic on the values at all, so parity
+    is bit-trivial. Per-block partial bars (one candidate row per
+    group per block) → one tiny exchange → final argmin/argmax merge."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.array(tbl.column("event_type").to_pylist())
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        day = (
+            ts.astype("datetime64[us]").astype("datetime64[D]").astype(str)
+        )
+        key = np.char.add(np.char.add(et, "\x1f"), day)
+        order = np.lexsort((eid, key))
+        k, e, v = key[order], eid[order], val[order]
+        et_s, day_s = et[order], day[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        bounds = np.append(starts, len(k))
+        rows = {c: [] for c in (
+            "event_type", "day", "min_eid", "open", "max_eid", "close",
+            "high", "low", "n",
+        )}
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            seg = v[lo:hi]
+            rows["event_type"].append(et_s[lo])
+            rows["day"].append(day_s[lo])
+            rows["min_eid"].append(int(e[lo]))
+            rows["open"].append(float(seg[0]))
+            rows["max_eid"].append(int(e[hi - 1]))
+            rows["close"].append(float(seg[-1]))
+            rows["high"].append(float(seg.max()))
+            rows["low"].append(float(seg.min()))
+            rows["n"].append(hi - lo)
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "day": pa.array(rows["day"], pa.string()),
+                "min_eid": pa.array(rows["min_eid"], pa.int64()),
+                "open": pa.array(rows["open"], pa.float64()),
+                "max_eid": pa.array(rows["max_eid"], pa.int64()),
+                "close": pa.array(rows["close"], pa.float64()),
+                "high": pa.array(rows["high"], pa.float64()),
+                "low": pa.array(rows["low"], pa.float64()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        et = np.array(tbl.column("event_type").to_pylist())
+        day = np.array(tbl.column("day").to_pylist())
+        mn = tbl.column("min_eid").to_numpy(zero_copy_only=False)
+        mx = tbl.column("max_eid").to_numpy(zero_copy_only=False)
+        op = tbl.column("open").to_numpy(zero_copy_only=False)
+        cl = tbl.column("close").to_numpy(zero_copy_only=False)
+        hi_ = tbl.column("high").to_numpy(zero_copy_only=False)
+        lo_ = tbl.column("low").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(et, "\x1f"), day)
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        bounds = np.append(starts, len(k))
+        out = {c: [] for c in (
+            "event_type", "day", "open", "high", "low", "close", "n",
+        )}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            i_open = idx[np.argmin(mn[idx])]
+            i_close = idx[np.argmax(mx[idx])]
+            out["event_type"].append(et[idx[0]])
+            out["day"].append(day[idx[0]])
+            out["open"].append(float(op[i_open]))
+            out["close"].append(float(cl[i_close]))
+            out["high"].append(float(hi_[idx].max()))
+            out["low"].append(float(lo_[idx].min()))
+            out["n"].append(int(n[idx].sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "day": pa.array(out["day"], pa.string()),
+                "open": pa.array(out["open"], pa.float64()),
+                "high": pa.array(out["high"], pa.float64()),
+                "low": pa.array(out["low"], pa.float64()),
+                "close": pa.array(out["close"], pa.float64()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+_OHLC_SQL = """
+SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       arg_min(value, event_id) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       arg_max(value, event_id) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14693,6 +14893,8 @@ def queries():
         "event_pattern_matches": q_event_pattern_matches,
         "event_path_trigrams": q_event_path_trigrams,
         "dangling_pagerank_k4": q_dangling_pagerank_k4,
+        "source_quality_calibration": q_source_quality_calibration,
+        "event_ohlc": q_event_ohlc,
     }
 
 
@@ -15044,4 +15246,6 @@ def oracle_sql():
         "event_pattern_matches": _CEP_SQL,
         "event_path_trigrams": _PATH3_SQL,
         "dangling_pagerank_k4": _dangling_pr_sql(4),
+        "source_quality_calibration": _CALIB_SQL,
+        "event_ohlc": _OHLC_SQL,
     }

@@ -93,6 +93,8 @@ NEW_QUERIES = [
     "event_pattern_matches",
     "event_path_trigrams",
     "dangling_pagerank_k4",
+    "source_quality_calibration",
+    "event_ohlc",
 ]
 
 
