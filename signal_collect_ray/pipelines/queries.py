@@ -14625,6 +14625,95 @@ FROM events GROUP BY 1, 2
 
 
 
+_GSTOP_THRESHOLD = 250.0
+_GSTOP_KMAX = 8
+
+
+def q_pagerank_global_stop(sf_dir: str):
+    """PageRank under GLOBAL TERMINATION DETECTION (reference
+    ExecutionConfiguration.scala:147-180): stop as soon as the global
+    rank sum crosses 250 (SumStatesTermination, checked every
+    superstep — the two-phase worker-partial/coordinator-reduce shape).
+    Emits (supersteps, rank_sum) so the oracle independently derives
+    WHICH round first crosses the bound from its own unrolled chain —
+    a wrong check interval or off-by-one stop shows up as a different
+    superstep count."""
+    from signal_collect_ray import EngineConfig, SuperstepEngine
+    from signal_collect_ray.algorithm import SumStatesTermination
+    from signal_collect_ray.algorithms import PageRank
+
+    g = _graph(sf_dir)
+    eng = SuperstepEngine(
+        EngineConfig(
+            num_partitions=_P, eps=0.0, max_supersteps=_GSTOP_KMAX,
+            signal_threshold=0.0,
+        )
+    )
+    info = eng.run(
+        g,
+        PageRank(),
+        run_dir=_work_dir(sf_dir, "run_pr_gstop"),
+        resume=False,
+        global_termination=SumStatesTermination(_GSTOP_THRESHOLD, interval=1),
+    )
+    t = info.state_table()
+    s = float(t.column("state").to_numpy(zero_copy_only=False).sum())
+    return pa.table(
+        {
+            "supersteps": pa.array([int(info.supersteps)], pa.int64()),
+            "rank_sum": pa.array([round(s, 4)], pa.float64()),
+        }
+    )
+
+
+def _pr_global_stop_sql(threshold: float, kmax: int) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd "
+        "FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, kmax + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, "
+            f"0.15 + 0.85 * COALESCE(SUM(r{i-1}.r / od.outd), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+    ctes.append(
+        "sums AS (SELECT "
+        + ", ".join(
+            f"(SELECT SUM(r) FROM r{k}) AS s{k}"
+            for k in range(1, kmax + 1)
+        )
+        + ")"
+    )
+    case_k = (
+        "CASE "
+        + " ".join(
+            f"WHEN s{k} >= {threshold} THEN {k}"
+            for k in range(1, kmax + 1)
+        )
+        + f" ELSE {kmax} END"
+    )
+    case_s = (
+        "CASE "
+        + " ".join(
+            f"WHEN s{k} >= {threshold} THEN s{k}"
+            for k in range(1, kmax + 1)
+        )
+        + f" ELSE s{kmax} END"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT CAST({case_k} AS BIGINT) AS supersteps, "
+        f"ROUND({case_s}, 4) AS rank_sum FROM sums"
+    )
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14895,6 +14984,7 @@ def queries():
         "dangling_pagerank_k4": q_dangling_pagerank_k4,
         "source_quality_calibration": q_source_quality_calibration,
         "event_ohlc": q_event_ohlc,
+        "pagerank_global_stop": q_pagerank_global_stop,
     }
 
 
@@ -15248,4 +15338,7 @@ def oracle_sql():
         "dangling_pagerank_k4": _dangling_pr_sql(4),
         "source_quality_calibration": _CALIB_SQL,
         "event_ohlc": _OHLC_SQL,
+        "pagerank_global_stop": _pr_global_stop_sql(
+            _GSTOP_THRESHOLD, _GSTOP_KMAX
+        ),
     }

@@ -95,6 +95,7 @@ NEW_QUERIES = [
     "dangling_pagerank_k4",
     "source_quality_calibration",
     "event_ohlc",
+    "pagerank_global_stop",
 ]
 
 
