@@ -14714,6 +14714,37 @@ def _pr_global_stop_sql(threshold: float, kmax: int) -> str:
 
 
 
+def q_triad_motifs(sf_dir: str):
+    """Directed closed-triad census (algorithms/cliques.py
+    triad_census): 3-cycles vs transitive (feed-forward) triads — the
+    motif signature that separates hierarchy from circularity in a web
+    graph. One bitset AND + popcount pair per edge batch; cycles are
+    triple-counted by construction and divided exactly."""
+    from signal_collect_ray.algorithms.cliques import triad_census
+
+    cyc, tr = triad_census(derived_edges_ds(sf_dir), num_partitions=32)
+    return pa.table(
+        {
+            "cyclic": pa.array([cyc], pa.int64()),
+            "transitive": pa.array([tr], pa.int64()),
+        }
+    )
+
+
+_TRIAD_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL})
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e ab
+   JOIN e bc ON bc.src = ab.dst
+   JOIN e ca ON ca.src = bc.dst AND ca.dst = ab.src
+   WHERE ab.src < ab.dst AND ab.src < bc.dst) AS cyclic,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e ab
+   JOIN e bc ON bc.src = ab.dst
+   JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst) AS transitive
+"""
+
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -14985,6 +15016,7 @@ def queries():
         "source_quality_calibration": q_source_quality_calibration,
         "event_ohlc": q_event_ohlc,
         "pagerank_global_stop": q_pagerank_global_stop,
+        "triad_motifs": q_triad_motifs,
     }
 
 
@@ -15341,4 +15373,5 @@ def oracle_sql():
         "pagerank_global_stop": _pr_global_stop_sql(
             _GSTOP_THRESHOLD, _GSTOP_KMAX
         ),
+        "triad_motifs": _TRIAD_SQL,
     }

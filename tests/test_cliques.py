@@ -77,3 +77,25 @@ def test_four_cliques_empty_and_k4():
     assert four_clique_count(_edges_ds(k4[:, 0], k4[:, 1])) == 1
     k5 = np.array(list(combinations(range(5), 2)), dtype=np.int64)
     assert four_clique_count(_edges_ds(k5[:, 0], k5[:, 1])) == 5
+
+
+def test_triad_census_matches_bruteforce():
+    from signal_collect_ray.algorithms.cliques import triad_census
+
+    for seed, n, m in [(7, 15, 60), (8, 25, 120)]:
+        src, dst = _random_graph(n, m, seed)
+        de = set(zip(src.tolist(), dst.tolist()))
+        cyc = sum(
+            1
+            for a, b in de
+            for c in range(n)
+            if a < b and a < c and (b, c) in de and (c, a) in de
+        )
+        trans = sum(
+            1
+            for a, b in de
+            for c in range(n)
+            if (b, c) in de and (a, c) in de
+        )
+        got_cyc, got_trans = triad_census(_edges_ds(src, dst))
+        assert (got_cyc, got_trans) == (cyc, trans), (seed,)

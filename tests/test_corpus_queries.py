@@ -96,6 +96,7 @@ NEW_QUERIES = [
     "source_quality_calibration",
     "event_ohlc",
     "pagerank_global_stop",
+    "triad_motifs",
 ]
 
 
