@@ -14,6 +14,7 @@ from signal_collect_ray.algorithms.absorption import AbsorptionProb
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers, SeededLabelProp
 from signal_collect_ray.algorithms.coloring import VertexColoring
 from signal_collect_ray.algorithms.cellular import GameOfLife, KCore, SchellingSegregation
+from signal_collect_ray.algorithms.densest import DensestPeel, peel_profile
 from signal_collect_ray.algorithms.tokens import TokenDiffusion
 from signal_collect_ray.algorithms.sudoku import Sudoku
 from signal_collect_ray.algorithms.hamiltonian import simple_paths, best_paths
@@ -62,6 +63,8 @@ __all__ = [
     "VertexColoring",
     "GameOfLife",
     "KCore",
+    "DensestPeel",
+    "peel_profile",
     "SchellingSegregation",
     "TokenDiffusion",
     "Sudoku",

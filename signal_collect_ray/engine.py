@@ -53,6 +53,14 @@ from signal_collect_ray.util import expand_ranges, isin_sorted, part_of
 _BASE_STATE_COLS = ["part", "vid", "out_degree", "sum_out_weight"]
 
 
+def _dump_gpartial(val) -> str:
+    """Per-superstep global-aggregator partials ride the collect metrics
+    rows as JSON strings, so an algorithm may aggregate STRUCTURED
+    values (pairs, dicts), not just one scalar — numpy scalars coerce
+    via default=float."""
+    return json.dumps(val, default=float)
+
+
 def _to_np_dict(tbl: pa.Table) -> StateDict:
     return {
         name: tbl.column(name).combine_chunks().to_numpy(zero_copy_only=False)
@@ -114,7 +122,7 @@ class _InitStage:
             else st["active"].astype(bool)
         )
         gpartial = (
-            float(
+            _dump_gpartial(
                 self.algo.global_partial(
                     dict(
                         st,
@@ -125,7 +133,7 @@ class _InitStage:
                 )
             )
             if self.algo.has_global
-            else 0.0
+            else ""
         )
         return pa.table(
             {
@@ -138,7 +146,7 @@ class _InitStage:
                 ),
                 "signal_rows_in": pa.array([0], pa.int64()),
                 "undeliverable": pa.array([0], pa.int64()),
-                "gpartial": pa.array([gpartial], pa.float64()),
+                "gpartial": pa.array([gpartial], pa.string()),
             }
         )
 
@@ -342,13 +350,13 @@ def _migrate_shard(new_vfile: str, prev_dir: str, algo: Algorithm, out_dir: str)
         "signal_rows_in": 0,
         "undeliverable": 0,
         "gpartial": (
-            float(
+            _dump_gpartial(
                 algo.global_partial(
                     dict(st, vid=vid, out_degree=outd, sum_out_weight=sumw)
                 )
             )
             if algo.has_global
-            else 0.0
+            else ""
         ),
     }
 
@@ -502,7 +510,7 @@ class CollectStage:
         )
         edges_next = int(prev["out_degree"][send_mask].sum())
         gpartial = (
-            float(
+            _dump_gpartial(
                 algo.global_partial(
                     dict(
                         st,
@@ -513,7 +521,7 @@ class CollectStage:
                 )
             )
             if algo.has_global
-            else 0.0
+            else ""
         )
         return self._metrics(
             p,
@@ -530,7 +538,7 @@ class CollectStage:
     @staticmethod
     def _metrics(
         p, n_v, n_act, res, edges_next, sig_rows, undeliv, collect_s=0.0,
-        gpartial=0.0,
+        gpartial="",
     ) -> pa.Table:
         return pa.table(
             {
@@ -542,7 +550,7 @@ class CollectStage:
                 "signal_rows_in": pa.array([sig_rows], pa.int64()),
                 "undeliverable": pa.array([undeliv], pa.int64()),
                 "collect_s": pa.array([collect_s], pa.float64()),
-                "gpartial": pa.array([gpartial], pa.float64()),
+                "gpartial": pa.array([gpartial], pa.string()),
             }
         )
 
@@ -964,7 +972,7 @@ class SuperstepEngine:
                             "undeliverable": 0,
                             # dormant shard = unchanged state ⇒ its
                             # global partial carries forward verbatim
-                            "gpartial": m.get("gpartial", 0.0),
+                            "gpartial": m.get("gpartial", ""),
                         }
                     )
             manifest = self._manifest(
@@ -1024,7 +1032,11 @@ class SuperstepEngine:
         (JSON-serialized with the checkpoint ⇒ resume restores it)."""
         if algo.has_global:
             manifest["global_value"] = algo.reduce_global(
-                [p["gpartial"] for p in manifest["parts"]]
+                [
+                    json.loads(p["gpartial"])
+                    for p in manifest["parts"]
+                    if p.get("gpartial")
+                ]
             )
 
     @staticmethod
@@ -1047,7 +1059,7 @@ class SuperstepEngine:
                     "undeliverable": int(r["undeliverable"]),
                     "signal_s": float(r.get("signal_s", 0.0) or 0.0),
                     "collect_s": float(r.get("collect_s", 0.0) or 0.0),
-                    "gpartial": float(r.get("gpartial", 0.0) or 0.0),
+                    "gpartial": str(r.get("gpartial", "") or ""),
                 }
                 for r in rows
             ),

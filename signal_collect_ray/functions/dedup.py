@@ -1762,3 +1762,211 @@ def ngram_containment_pairs(
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# longest duplicated n-gram span (exact substring dedup, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" — the
+# duplicate-span primitive, here at word granularity)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# RE2-exact \S+ (ASCII whitespace only) so the DuckDB oracle's
+# regexp_extract_all(lower(text), '\S+') tokenizes identically
+_RE2_TOKEN = _re.compile(r"[^ \t\n\f\r]+")
+
+
+class _GramHashRows:
+    """Per-batch: all length-L word-gram rolling hashes per document,
+    deduped within the document (each doc is one input row, so the
+    emitted (h, doc) pairs are globally unique)."""
+
+    __name__ = "_GramHashRows"
+
+    def __init__(self, length: int, num_partitions: int):
+        self.length = int(length)
+        self.num_partitions = num_partitions
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        L = self.length
+        hs, ds = [], []
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            words = _RE2_TOKEN.findall((t or "").lower())
+            if len(words) < L:
+                continue
+            h = np.unique(_poly_windows(_word_hashes(words), L))
+            hs.append(h)
+            ds.append(np.full(len(h), ids[i], dtype=np.int64))
+        if not hs:
+            h = np.array([], dtype=np.uint64)
+            d = np.array([], dtype=np.int64)
+        else:
+            h, d = np.concatenate(hs), np.concatenate(ds)
+        return pa.table(
+            {
+                "gpart": pa.array(
+                    (h % np.uint64(self.num_partitions)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+
+def _any_dup_gram(docs_ds, length: int, num_partitions: int) -> bool:
+    """True iff some length-L gram hash occurs in ≥2 distinct docs."""
+    from ray.data.aggregate import Sum
+
+    def dups(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        n = 0
+        if len(h):
+            hs = np.sort(h)
+            starts = segment_starts(hs)
+            n = int((np.diff(np.append(starts, len(hs))) >= 2).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    part = (
+        docs_ds.map_batches(
+            _GramHashRows(length, num_partitions), batch_format="pyarrow"
+        )
+        .groupby("gpart")
+        .map_groups(dups, batch_format="pyarrow")
+    )
+    row = part.aggregate(Sum("n", alias_name="n"))
+    return bool(row and row["n"])
+
+
+class _GramStringRows:
+    """Per-batch: the actual length-L gram STRINGS per document (dedup
+    within doc) — only run once, at the final confirmed length."""
+
+    __name__ = "_GramStringRows"
+
+    def __init__(self, length: int, num_partitions: int):
+        self.length = int(length)
+        self.num_partitions = num_partitions
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        L = self.length
+        grams, docs = [], []
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            words = _RE2_TOKEN.findall((t or "").lower())
+            if len(words) < L:
+                continue
+            seen = {
+                " ".join(words[j : j + L]) for j in range(len(words) - L + 1)
+            }
+            grams.extend(seen)
+            docs.extend([int(ids[i])] * len(seen))
+        parts = np.array(
+            [_hash64(g) % self.num_partitions for g in grams], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "gpart": pa.array(parts, pa.int32()),
+                "ngram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+            }
+        )
+
+
+def longest_duplicated_ngram(
+    docs_ds, cap: int = 128, num_partitions: int = 64
+) -> pa.Table:
+    """The longest word n-gram (ASCII-whitespace tokens of lowercased
+    text) shared by ≥2 distinct documents: rows (length, ngram, n_docs)
+    for EVERY maximal-length duplicated gram, sorted by ngram.
+
+    Search is doubling + binary search on the span length (O(log cap)
+    full passes, each O(total words) rolling-hash work — never the
+    O(words × cap) all-lengths blowup the small-scale SQL oracle runs);
+    the final length is CONFIRMED with actual gram strings (one more
+    pass), so a rolling-hash collision can inflate a probe but never
+    the result — on a false positive the confirm pass comes back empty
+    and the search resumes downward. Duplicate-span detection at word
+    granularity after Lee et al. 2022 (arXiv:2107.06499)."""
+    docs_ds = docs_ds.materialize()
+
+    def confirmed(length: int) -> pa.Table:
+        def fold(tbl: pa.Table) -> pa.Table:
+            order = pa.compute.sort_indices(tbl.column("ngram"))
+            g = tbl.column("ngram").take(order).to_pylist()
+            uniq, counts = [], []
+            prev, c = None, 0
+            for s in g:
+                if s == prev:
+                    c += 1
+                else:
+                    if prev is not None and c >= 2:
+                        uniq.append(prev)
+                        counts.append(c)
+                    prev, c = s, 1
+            if prev is not None and c >= 2:
+                uniq.append(prev)
+                counts.append(c)
+            return pa.table(
+                {
+                    "length": pa.array(
+                        np.full(len(uniq), length, dtype=np.int64), pa.int64()
+                    ),
+                    "ngram": pa.array(uniq, pa.string()),
+                    "n_docs": pa.array(np.array(counts, dtype=np.int64), pa.int64()),
+                }
+            )
+
+        out = (
+            docs_ds.map_batches(
+                _GramStringRows(length, num_partitions), batch_format="pyarrow"
+            )
+            .groupby("gpart")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        t = pa.concat_tables(batches) if batches else _EMPTY_SPAN
+        if not t.num_rows:
+            return _EMPTY_SPAN
+        return t.sort_by("ngram")
+
+    # doubling phase
+    if not _any_dup_gram(docs_ds, 1, num_partitions):
+        return _EMPTY_SPAN
+    lo = 1
+    hi = None
+    L = 2
+    while L <= cap:
+        if _any_dup_gram(docs_ds, L, num_partitions):
+            lo = L
+            L *= 2
+        else:
+            hi = L
+            break
+    if hi is None:
+        hi = cap + 1
+    # binary search on (lo, hi): lo always dup-positive, hi negative
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if _any_dup_gram(docs_ds, mid, num_partitions):
+            lo = mid
+        else:
+            hi = mid
+    # string confirmation (collision guard): walk down on empty
+    while lo >= 1:
+        t = confirmed(lo)
+        if t.num_rows:
+            return t
+        lo -= 1
+    return _EMPTY_SPAN
+
+
+_EMPTY_SPAN = pa.table(
+    {
+        "length": pa.array([], pa.int64()),
+        "ngram": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+    }
+)

@@ -14745,6 +14745,175 @@ SELECT
 
 
 
+def q_diamond_count(sf_dir: str):
+    """Total diamonds (two triangles sharing an edge — K4 minus an
+    edge, counted per shared edge as Σ_e C(t_e, 2)): the 4-node motif
+    that measures triangle CLUSTERING beyond the triad census. Built on
+    the degree-oriented triangle listing: explode each triangle into
+    its 3 canonical edges with per-batch pre-combined counts, one hash
+    exchange on the edge key, per-group integer C(t,2) fold
+    (algorithms/triangles.py diamond_count)."""
+    from signal_collect_ray.algorithms.triangles import diamond_count
+
+    d = diamond_count(derived_edges_ds(sf_dir), num_partitions=32)
+    return pa.table({"diamonds": pa.array([d], pa.int64())})
+
+
+_DIAMOND_SQL = f"""
+{_TRI_SQL_BASE},
+te AS (SELECT u AS a, v AS b FROM tri
+       UNION ALL SELECT u, w FROM tri
+       UNION ALL SELECT v, w FROM tri),
+c AS (SELECT a, b, COUNT(*) AS t FROM te GROUP BY a, b)
+SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS diamonds FROM c
+"""
+
+
+_DUP_SPAN_CAP = 128  # > the max document word count at every sf
+
+
+def q_longest_dup_span(sf_dir: str):
+    """Longest duplicated word n-gram across documents (exact
+    substring-dedup primitive after Lee et al. 2022): every
+    maximal-length gram shared by ≥2 docs, with its document count.
+    Ray side searches by doubling + binary probes on rolling hashes
+    (O(log cap) passes of O(total words) each) and confirms with
+    actual strings; the sf-scale oracle materializes all lengths
+    (functions/dedup.py longest_duplicated_ngram)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import longest_duplicated_ngram
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return longest_duplicated_ngram(docs, cap=_DUP_SPAN_CAP)
+
+
+_DUP_SPAN_SQL = f"""
+WITH w AS (SELECT doc_id,
+           regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS ws
+           FROM documents),
+ls AS (SELECT unnest(range(1, {_DUP_SPAN_CAP} + 1)) AS l),
+wl AS (SELECT doc_id, ws, l FROM w, ls WHERE len(ws) >= l),
+g AS (SELECT doc_id, l AS len,
+      array_to_string(ws[i.i : i.i + l - 1], ' ') AS ng
+      FROM wl, LATERAL (SELECT unnest(range(1, len(ws) - l + 2)) AS i) i),
+d AS (SELECT DISTINCT len, ng, doc_id FROM g),
+c AS (SELECT len, ng, COUNT(*) AS n_docs FROM d
+      GROUP BY len, ng HAVING COUNT(*) >= 2),
+mx AS (SELECT MAX(len) AS m FROM c)
+SELECT CAST(len AS BIGINT) AS length, ng AS ngram,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM c, mx WHERE len = mx.m
+"""
+
+
+_DENSEST_ROUNDS = 12
+
+
+def q_densest_subgraph(sf_dir: str):
+    """Parallel Charikar densest-subgraph peel (Bahmani et al. 2012)
+    over the symmetric graph: each round removes every vertex whose
+    alive-degree · V ≤ 2E (exact integer average threshold), driven by
+    the durable engine's per-superstep STRUCTURED global-aggregator
+    channel ([2E_r, V_r] folds ride the collect metrics as JSON) on a
+    measure/peel 2-superstep cadence (algorithms/densest.py). Output is
+    the full peel trajectory — one row per round with the alive set's
+    exact size, edge count, density, and the best-density flag — so the
+    oracle pins every round, not just the argmax. Driver state is
+    O(rounds) scalars from the step manifests; rounds past the
+    empty-set fixpoint are (0, 0) on both sides."""
+    from signal_collect_ray import EngineConfig, SuperstepEngine
+    from signal_collect_ray.algorithms import DensestPeel, peel_profile
+
+    g = _graph(sf_dir, symmetric=True)
+    eng = SuperstepEngine(
+        EngineConfig(
+            num_partitions=_P,
+            eps=0.0,
+            max_supersteps=2 * _DENSEST_ROUNDS + 1,
+        )
+    )
+    info = eng.run(
+        g, DensestPeel(), run_dir=_work_dir(sf_dir, "run_densest"), resume=False
+    )
+    prof = peel_profile(info, _DENSEST_ROUNDS)
+    best = None  # (round, V, E); challenger wins iff e·V_best > E_best·v
+    for r, v, e in prof:
+        if v > 0 and (best is None or e * best[1] > best[2] * v):
+            best = (r, v, e)
+    dens = [
+        float(_round_half_away(np.array([e / v]), 6)[0]) if v else 0.0
+        for _, v, e in prof
+    ]
+    return pa.table(
+        {
+            "peel_round": pa.array([r for r, _, _ in prof], pa.int64()),
+            "n_vertices": pa.array([v for _, v, _ in prof], pa.int64()),
+            "n_edges": pa.array([e for _, _, e in prof], pa.int64()),
+            "density": pa.array(dens, pa.float64()),
+            "is_best": pa.array(
+                [1 if best and r == best[0] else 0 for r, _, _ in prof],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _densest_sql(rounds: int) -> str:
+    """Unrolled peel mirror: all-integer degree/threshold comparisons,
+    so every round of the trajectory is bit-exact."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_E_SQL})",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0)",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "a0 AS (SELECT vid, 1 AS al FROM v)",
+    ]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT v.vid, a.al, "
+            f"CAST(COALESCE(SUM(n.al), 0) AS BIGINT) AS deg "
+            f"FROM v JOIN a{r} a ON a.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN a{r} n ON n.vid = e.src "
+            f"GROUP BY v.vid, a.al)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT "
+            f"CAST(COALESCE(SUM(CASE WHEN al = 1 THEN deg END), 0) AS BIGINT)"
+            f" AS twoe, "
+            f"CAST(COALESCE(SUM(al), 0) AS BIGINT) AS nv FROM d{r})"
+        )
+        if r < rounds:
+            ctes.append(
+                f"a{r+1} AS MATERIALIZED (SELECT d.vid, "
+                f"CASE WHEN d.al = 1 AND d.deg * s.nv > s.twoe "
+                f"THEN 1 ELSE 0 END AS al FROM d{r} d, s{r} s)"
+            )
+    stats = " UNION ALL ".join(
+        f"SELECT {r} AS peel_round, nv AS n_vertices, twoe // 2 AS n_edges "
+        f"FROM s{r}"
+        for r in range(rounds + 1)
+    )
+    ctes.append(f"stats AS MATERIALIZED ({stats})")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT CAST(s.peel_round AS BIGINT) AS peel_round, "
+        "s.n_vertices, s.n_edges, "
+        "CASE WHEN s.n_vertices = 0 THEN 0.0 "
+        "ELSE ROUND(s.n_edges * 1.0 / s.n_vertices, 6) END AS density, "
+        "CAST(CASE WHEN s.n_vertices > 0 AND NOT EXISTS ("
+        "SELECT 1 FROM stats t WHERE t.n_vertices > 0 AND "
+        "(t.n_edges * s.n_vertices > s.n_edges * t.n_vertices OR "
+        "(t.n_edges * s.n_vertices = s.n_edges * t.n_vertices "
+        "AND t.peel_round < s.peel_round))) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_best FROM stats s"
+    )
+
+
 def queries():
     return {
         "graph_edges": q_graph_edges,
@@ -15017,6 +15186,9 @@ def queries():
         "event_ohlc": q_event_ohlc,
         "pagerank_global_stop": q_pagerank_global_stop,
         "triad_motifs": q_triad_motifs,
+        "diamond_count": q_diamond_count,
+        "longest_dup_span": q_longest_dup_span,
+        "densest_subgraph": q_densest_subgraph,
     }
 
 
@@ -15374,4 +15546,7 @@ def oracle_sql():
             _GSTOP_THRESHOLD, _GSTOP_KMAX
         ),
         "triad_motifs": _TRIAD_SQL,
+        "diamond_count": _DIAMOND_SQL,
+        "longest_dup_span": _DUP_SPAN_SQL,
+        "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
     }

@@ -1,0 +1,173 @@
+"""Diamond count, densest-subgraph peel, and longest duplicated n-gram
+span vs brute-force oracles on randomized inputs."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from signal_collect_ray.algorithms.triangles import diamond_count
+from signal_collect_ray.functions.dedup import longest_duplicated_ngram
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+
+
+def _brute_diamonds(src, dst):
+    und = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_edge = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            per_edge[(a, b)] = per_edge.get((a, b), 0) + 1
+    return sum(t * (t - 1) // 2 for t in per_edge.values())
+
+
+def test_diamond_count_random():
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    assert diamond_count(_edges_ds(src, dst), num_partitions=8) == _brute_diamonds(
+        src, dst
+    )
+
+
+def test_diamond_count_k4():
+    # K4 contains exactly 3 diamonds (each of the 3 "missing-edge" picks
+    # counted per shared edge: every edge lies in 2 triangles → C(2,2)=1
+    # per edge × 6 edges... per-edge t_e = 2 for all 6 edges → 6·1 = 3·2
+    src, dst = zip(*itertools.combinations(range(4), 2))
+    got = diamond_count(_edges_ds(list(src), list(dst)), num_partitions=4)
+    assert got == _brute_diamonds(src, dst) == 6
+
+
+def _brute_peel(src, dst):
+    und = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    alive = {v for e in und for v in e}
+    prof = []
+    while True:
+        edges = [(a, b) for a, b in und if a in alive and b in alive]
+        e_cnt, v_cnt = len(edges), len(alive)
+        prof.append((v_cnt, e_cnt))
+        if not alive:
+            break
+        deg = {v: 0 for v in alive}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        peel = {v for v in alive if deg[v] * v_cnt <= 2 * e_cnt}
+        if not peel:
+            break
+        alive -= peel
+    return prof
+
+
+def test_densest_peel_engine_matches_brute(tmp_path):
+    from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+    from signal_collect_ray.algorithms import DensestPeel, peel_profile
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(0, 30, 200)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    sym = pa.table(
+        {
+            "src": pa.array(
+                np.concatenate([src, dst]).astype(np.int64), pa.int64()
+            ),
+            "dst": pa.array(
+                np.concatenate([dst, src]).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+    g = Graph.build(
+        rd.from_arrow(sym), str(tmp_path / "g"), num_partitions=4, dedup=True
+    )
+    rounds = 10
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=4, eps=0.0, max_supersteps=2 * rounds + 1)
+    )
+    info = eng.run(
+        g, DensestPeel(), run_dir=str(tmp_path / "run"), resume=False
+    )
+    got = peel_profile(info, rounds)
+    want = _brute_peel(src, dst)
+    for r, v, e in got:
+        wv, we = want[r] if r < len(want) else want[-1]
+        assert (v, e) == (wv, we), (r, v, e, wv, we)
+
+
+def test_longest_dup_span_planted():
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "prefix alpha beta gamma delta epsilon zeta other words here",
+        "unrelated text with no overlap at all whatsoever",
+        "single alpha token shared",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    t = longest_duplicated_ngram(ds, cap=32, num_partitions=4)
+    assert t.num_rows == 1
+    assert t.column("length")[0].as_py() == 6
+    assert (
+        t.column("ngram")[0].as_py() == "alpha beta gamma delta epsilon zeta"
+    )
+    assert t.column("n_docs")[0].as_py() == 2
+
+
+def test_longest_dup_span_no_dups():
+    texts = ["aa bb cc", "dd ee ff", "gg hh ii"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    t = longest_duplicated_ngram(ds, cap=8, num_partitions=2)
+    assert t.num_rows == 0
+    assert t.column_names == ["length", "ngram", "n_docs"]
+
+
+def test_longest_dup_span_identical_docs():
+    txt = "the same exact document body repeated verbatim twice over"
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20], pa.int64()),
+                "text": pa.array([txt, txt], pa.string()),
+            }
+        )
+    )
+    t = longest_duplicated_ngram(ds, cap=32, num_partitions=2)
+    assert t.num_rows == 1
+    assert t.column("length")[0].as_py() == len(txt.split())
+    assert t.column("n_docs")[0].as_py() == 2
