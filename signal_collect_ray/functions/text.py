@@ -1470,3 +1470,83 @@ def source_vocab_overlap(docs_ds, num_partitions: int = 32):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank extractive summarization (Mihalcea & Tarau 2004)
+# ---------------------------------------------------------------------------
+
+class TextRankSummary:
+    """Per-document TextRank over fixed word-chunks: chunk the document
+    into ``chunk_words``-word windows, weight every chunk pair by the
+    number of DISTINCT shared words (integer), and run ``iters``
+    damped-PageRank iterations over the weighted chunk graph
+    (r = 0.15 + 0.85 Σ_j w_ij · r_j / Σ_k w_jk). Emits each document's
+    top-ranked chunk — the extractive one-chunk summary.
+
+    Documents are independent rows, so the whole computation is one
+    embarrassing-parallel ``map_batches`` pass (no shuffle at all);
+    per-doc graphs are ≤ ⌈words/chunk_words⌉ nodes, so the dense
+    matmul is trivially small. Weights and weight sums are exact
+    integers; only the rank recursion is float, rounded half-away at 6
+    digits like every iterative oracle in this repo."""
+
+    __name__ = "TextRankSummary"
+
+    def __init__(self, chunk_words: int = 10, iters: int = 4):
+        self.C = int(chunk_words)
+        self.iters = int(iters)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_doc, out_chunk, out_score, out_n = [], [], [], []
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            words = _RE2_NONSPACE_RE.findall((t or "").lower())
+            if not words:
+                continue
+            sets = [
+                set(words[k : k + self.C])
+                for k in range(0, len(words), self.C)
+            ]
+            n = len(sets)
+            W = np.zeros((n, n))
+            for a in range(n):
+                for b in range(a + 1, n):
+                    w = len(sets[a] & sets[b])
+                    W[a, b] = W[b, a] = w
+            sw = W.sum(axis=1)  # exact: float sums of small ints
+            M = np.divide(
+                W, sw[None, :], out=np.zeros_like(W), where=sw[None, :] > 0
+            )
+            r = np.full(n, 0.15)
+            for _ in range(self.iters):
+                r = 0.15 + 0.85 * (M @ r)
+            score = _round_half_away_text(r, 6)
+            best = int(np.lexsort((np.arange(n), -score))[0])
+            out_doc.append(int(ids[i]))
+            out_chunk.append(best + 1)  # 1-based like the SQL mirror
+            out_score.append(float(score[best]))
+            out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "best_chunk": pa.array(out_chunk, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+                "n_chunks": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def _round_half_away_text(x: np.ndarray, digits: int) -> np.ndarray:
+    """DuckDB ROUND semantics (half away from zero); np.round is
+    half-to-even."""
+    f = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+def textrank_summaries(docs_ds, chunk_words: int = 10, iters: int = 4):
+    """Dataset (doc_id, best_chunk, score, n_chunks) — the top TextRank
+    chunk per document. One map_batches pass, no exchange."""
+    return docs_ds.map_batches(
+        TextRankSummary(chunk_words, iters), batch_format="pyarrow"
+    )

@@ -14809,6 +14809,65 @@ FROM c, mx WHERE len = mx.m
 """
 
 
+def q_textrank_summary(sf_dir: str):
+    """Per-document TextRank extractive summary (Mihalcea & Tarau
+    2004): 10-word chunks, pair weights = distinct shared words, 4
+    damped iterations over the chunk graph, top chunk per doc
+    (functions/text.py TextRankSummary). Embarrassingly parallel — one
+    map_batches pass, zero exchanges; weights/sums exact integers,
+    ranks rounded half-away at 6dp like every iterative oracle."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import textrank_summaries
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return textrank_summaries(docs, chunk_words=10, iters=4)
+
+
+def _textrank_sql(chunk_words: int = 10, iters: int = 4) -> str:
+    head = f"""
+WITH w AS (SELECT doc_id,
+  regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS ws FROM documents),
+c AS (SELECT doc_id, i AS cidx, ws[(i-1)*{chunk_words}+1 : i*{chunk_words}] AS cw
+      FROM w, LATERAL (SELECT unnest(range(1,
+        CAST(ceil(len(ws) / {chunk_words}.0) AS BIGINT) + 1)) AS i) t
+      WHERE len(ws) > 0),
+cl AS (SELECT doc_id, cidx FROM c),
+cw AS (SELECT DISTINCT doc_id, cidx, unnest(cw) AS word FROM c),
+p AS (SELECT a.doc_id, a.cidx AS i, b.cidx AS j,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM cw a JOIN cw b ON a.doc_id = b.doc_id AND a.word = b.word
+        AND a.cidx <> b.cidx
+      GROUP BY 1, 2, 3),
+sw AS (SELECT doc_id, i, SUM(w) AS sw FROM p GROUP BY 1, 2),
+r0 AS (SELECT doc_id, cidx, CAST(0.15 AS DOUBLE) AS r FROM cl),
+"""
+    iters_sql = ", ".join(
+        f"""r{k} AS MATERIALIZED (SELECT cl.doc_id, cl.cidx,
+  0.15 + 0.85 * COALESCE(SUM(rp.r * p.w / sw.sw), 0) AS r
+  FROM cl LEFT JOIN p ON p.doc_id = cl.doc_id AND p.i = cl.cidx
+  LEFT JOIN r{k-1} rp ON rp.doc_id = p.doc_id AND rp.cidx = p.j
+  LEFT JOIN sw ON sw.doc_id = p.doc_id AND sw.i = p.j
+  GROUP BY cl.doc_id, cl.cidx)"""
+        for k in range(1, iters + 1)
+    )
+    return (
+        head
+        + iters_sql
+        + f""",
+n AS (SELECT doc_id, COUNT(*) AS n_chunks FROM cl GROUP BY doc_id),
+sel AS (SELECT doc_id, cidx, ROUND(r, 6) AS score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY ROUND(r, 6) DESC, cidx) AS rn FROM r{iters})
+SELECT s.doc_id, CAST(s.cidx AS BIGINT) AS best_chunk, s.score,
+       CAST(n.n_chunks AS BIGINT) AS n_chunks
+FROM sel s JOIN n USING (doc_id) WHERE s.rn = 1
+"""
+    )
+
+
 _DENSEST_ROUNDS = 12
 
 
@@ -15189,6 +15248,7 @@ def queries():
         "diamond_count": q_diamond_count,
         "longest_dup_span": q_longest_dup_span,
         "densest_subgraph": q_densest_subgraph,
+        "textrank_summary": q_textrank_summary,
     }
 
 
@@ -15549,4 +15609,5 @@ def oracle_sql():
         "diamond_count": _DIAMOND_SQL,
         "longest_dup_span": _DUP_SPAN_SQL,
         "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
+        "textrank_summary": _textrank_sql(10, 4),
     }

@@ -171,3 +171,50 @@ def test_longest_dup_span_identical_docs():
     assert t.num_rows == 1
     assert t.column("length")[0].as_py() == len(txt.split())
     assert t.column("n_docs")[0].as_py() == 2
+
+
+def test_textrank_isolated_chunks_all_baseline():
+    # no shared words between chunks → all ranks 0.15 → best = chunk 1
+    from signal_collect_ray.functions.text import textrank_summaries
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f g h i j k l m n o p q r s t"], pa.string()
+                ),
+            }
+        )
+    )
+    t = pa.concat_tables(
+        list(
+            textrank_summaries(ds).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    assert t.num_rows == 1
+    assert t.column("best_chunk")[0].as_py() == 1
+    assert t.column("score")[0].as_py() == 0.15
+    assert t.column("n_chunks")[0].as_py() == 2
+
+
+def test_textrank_shared_words_promote_chunk():
+    # chunk 2 shares words with both 1 and 3; 1 and 3 share nothing
+    from signal_collect_ray.functions.text import TextRankSummary
+
+    txt = (
+        "alpha beta gamma delta epsilon one two three four five "
+        "alpha beta gamma aaa bbb ccc ddd eee six seven "
+        "aaa bbb ccc xxx yyy zzz www vvv uuu ttt"
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "text": pa.array([txt], pa.string()),
+        }
+    )
+    t = TextRankSummary(10, 4)(tbl)
+    assert t.column("best_chunk")[0].as_py() == 2
+    assert t.column("n_chunks")[0].as_py() == 3
