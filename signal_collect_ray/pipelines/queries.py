@@ -8418,6 +8418,74 @@ FROM c JOIN t USING (from_type)
 """
 
 
+_STATIONARY_ITERS = 16
+
+
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain:
+    the transition COUNTS come from the same one-exchange distributed
+    pipeline as event_transitions; the power iteration then runs on the
+    tiny (types × types) matrix — O(S²) driver algebra, S = distinct
+    event types. Dangling types (no outgoing transition) keep their
+    mass (self-loop closure), mirrored exactly in the oracle's
+    augmented edge relation. π₀ uniform, 16 iterations, ROUND 6 once."""
+    trans = q_event_transitions(sf_dir)
+    frm = np.asarray(trans.column("from_type").to_pylist())
+    to = np.asarray(trans.column("to_type").to_pylist())
+    n = trans.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    types = np.unique(np.concatenate([frm, to]))
+    S = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((S, S))
+    for f, t, c in zip(frm, to, n):
+        P[idx[f], idx[t]] = c
+    row = P.sum(axis=1)
+    dangling = row == 0
+    P = np.divide(P, row[:, None], out=np.zeros_like(P), where=row[:, None] > 0)
+    P[dangling, :] = np.eye(S)[dangling]
+    pi = np.full(S, 1.0 / S)
+    for _ in range(_STATIONARY_ITERS):
+        pi = pi @ P
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "pi": pa.array(_round_half_away(pi, 6), pa.float64()),
+        }
+    )
+
+
+def _stationary_sql(k: int) -> str:
+    ctes = [
+        "s AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events)",
+        "c AS (SELECT event_type AS from_type, nxt AS to_type, "
+        "COUNT(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)",
+        "t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)",
+        "st AS (SELECT from_type AS ty FROM c "
+        "UNION SELECT to_type FROM c)",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM st)",
+        # row-stochastic transition relation; dangling types self-loop
+        "pe AS (SELECT c.from_type AS a, c.to_type AS b, "
+        "c.n * 1.0 / t.tot AS w FROM c JOIN t USING (from_type) "
+        "UNION ALL SELECT st.ty, st.ty, 1.0 FROM st "
+        "WHERE st.ty NOT IN (SELECT from_type FROM t))",
+        "p0 AS (SELECT ty, 1.0 / ns.k AS pi FROM st, ns)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT st.ty, "
+            f"COALESCE(SUM(p{i-1}.pi * pe.w), 0) AS pi "
+            f"FROM st LEFT JOIN pe ON pe.b = st.ty "
+            f"LEFT JOIN p{i-1} ON p{i-1}.ty = pe.a GROUP BY st.ty)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT ty AS event_type, ROUND(pi, 6) AS pi FROM p{k}"
+    )
+
+
 def q_lang_source_matrix(sf_dir: str):
     """Corpus-composition contingency grid: observed count, expected
     count under independence (row·col/N) and the standardized Pearson
@@ -14868,6 +14936,87 @@ FROM sel s JOIN n USING (doc_id) WHERE s.rn = 1
     )
 
 
+_SPAM_SEEDS = (0, 7)  # the "trusted" seed set (shared with PPR)
+
+
+def q_spam_mass_k4(sf_dir: str):
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen 2004,
+    "Combating Web Spam with TrustRank" / Gyöngyi et al. 2006 spam
+    mass): 1 − TrustRank(v)/PageRank(v) where TrustRank teleports the
+    SAME total mass (0.15·V) uniformly onto the trusted seed set. A
+    page whose rank mostly arrives without a trusted path has spam
+    mass → 1; pages near seeds can go negative (whitelisted). Two
+    4-step engine runs (plain + TeleportWeightedPageRank with
+    indicator·V/|S| weights) on unrounded states; the ratio rounds at
+    6dp once."""
+    from signal_collect_ray.algorithms import PageRank
+    from signal_collect_ray.algorithms.pagerank import (
+        TeleportWeightedPageRank,
+    )
+
+    g = _graph(sf_dir)
+    factor = g.num_vertices / len(_SPAM_SEEDS)
+    pr_t = _state(sf_dir, PageRank(), False, 4, eps=0.0, tag="_k4")
+    alg = TeleportWeightedPageRank(
+        lambda v: np.where(np.isin(v, np.array(_SPAM_SEEDS)), factor, 0.0)
+    )
+    tr_t = _state(sf_dir, alg, False, 4, eps=0.0, tag="_spam_k4")
+    pr = pr_t.column("state").to_numpy(zero_copy_only=False)
+    tr = tr_t.column("state").to_numpy(zero_copy_only=False)
+    # state tables are vid-sorted; pin the invariant rather than assume
+    assert pr_t.column("vid").equals(tr_t.column("vid"))
+    mass = _round_half_away(1.0 - tr / pr, 6)
+    return pa.table(
+        {
+            "vid": pr_t.column("vid"),
+            "rank": pa.array(_round_half_away(pr, 6), pa.float64()),
+            "trust": pa.array(_round_half_away(tr, 6), pa.float64()),
+            "spam_mass": pa.array(mass, pa.float64()),
+        }
+    )
+
+
+def _spam_mass_sql(k: int) -> str:
+    srcs = ", ".join(str(s) for s in _SPAM_SEEDS)
+    n_seeds = len(_SPAM_SEEDS)
+    base = (
+        f"CASE WHEN vid IN ({srcs}) "
+        f"THEN 0.15 * (cnt.c / {n_seeds}.0) ELSE 0.0 END"
+    )
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM v)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd "
+        "FROM e GROUP BY src)",
+        "p0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+        f"t0 AS (SELECT vid, CAST({base} AS DOUBLE) AS r FROM v, cnt)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v.vid, 0.15 + 0.85 * "
+            f"COALESCE(SUM(p{i-1}.r / od.outd), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN p{i-1} ON p{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT v.vid, "
+            f"{base.replace('vid', 'v.vid')} + 0.85 * "
+            f"COALESCE(SUM(t{i-1}.r / od.outd), 0) AS r "
+            f"FROM v CROSS JOIN cnt LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN t{i-1} ON t{i-1}.vid = e.src "
+            f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid, cnt.c)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT p.vid, ROUND(p.r, 6) AS rank, ROUND(t.r, 6) AS trust, "
+        f"ROUND(1.0 - t.r / p.r, 6) AS spam_mass "
+        f"FROM p{k} p JOIN t{k} t ON t.vid = p.vid"
+    )
+
+
 _DENSEST_ROUNDS = 12
 
 
@@ -15249,6 +15398,8 @@ def queries():
         "longest_dup_span": q_longest_dup_span,
         "densest_subgraph": q_densest_subgraph,
         "textrank_summary": q_textrank_summary,
+        "spam_mass_k4": q_spam_mass_k4,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -15610,4 +15761,6 @@ def oracle_sql():
         "longest_dup_span": _DUP_SPAN_SQL,
         "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
         "textrank_summary": _textrank_sql(10, 4),
+        "spam_mass_k4": _spam_mass_sql(4),
+        "markov_stationary": _stationary_sql(_STATIONARY_ITERS),
     }
