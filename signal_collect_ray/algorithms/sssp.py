@@ -328,3 +328,79 @@ def unpack_landmark_table(state_table: pa.Table, landmarks) -> pa.Table:
         d = lanes[:, lane].astype(np.float64)
         cols[f"d{s}"] = pa.array(d, pa.float64(), mask=(d >= _LANE_INF))
     return pa.table(cols)
+
+
+class SPCount(Algorithm):
+    """Single-source shortest-path COUNTING (the σ of Brandes 2001
+    betweenness): state = (BFS level, number of distinct shortest
+    paths from the source). Level-synchronous BSP makes σ exact in one
+    pass — every vertex at level L receives ALL its σ contributions in
+    superstep L (its level-L−1 in-neighbors settled together at
+    superstep L−1), so (dist, σ) finalizes once and never changes:
+    monotone, and a fixed round unroll matches the engine wherever
+    either converges.
+
+    Two-field signal (d, s) with a custom min/conditional-sum combiner
+    (σ sums only over senders achieving the minimum d), so the sparse
+    exchange path is used; pure int64 end to end — bit-exact against
+    the unrolled SQL mirror. Packing: state = dist (sentinel 2^62 =
+    unreached), last = σ."""
+
+    name = "spcount"
+    state_pa_type = pa.int64()
+    signal_fields = [("d", pa.int64()), ("s", pa.int64())]
+    dense_agg = None
+
+    INF = np.int64(1) << np.int64(62)
+
+    def __init__(self, source_vid: int):
+        self.source = int(source_vid)
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        dist = np.full(n, self.INF, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.int64)
+        is_src = vid == self.source
+        dist[is_src] = 0
+        sigma[is_src] = 1
+        return {
+            "state": dist,
+            "last": sigma,
+            "active": is_src.copy(),
+            "residual": is_src.astype(np.float64),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        return {"d": sub["state"] + 1, "s": sub["last"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        return {"d": expanded["d"], "s": expanded["s"]}
+
+    def combine(self, dst, values):
+        d = np.asarray(values["d"], dtype=np.int64)
+        s = np.asarray(values["s"], dtype=np.int64)
+        order = np.lexsort((d, dst))
+        dst_s, d_s, s_s = dst[order], d[order], s[order]
+        starts = segment_starts(dst_s)
+        counts = np.diff(np.append(starts, len(dst_s)))
+        mins = d_s[starts]
+        mask = d_s == np.repeat(mins, counts)
+        sums = np.add.reduceat(np.where(mask, s_s, 0), starts)
+        return dst_s[starts], {"d": mins, "s": sums.astype(np.int64)}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        dist = prev["state"].copy()
+        sigma = prev["last"].copy()
+        changed = np.zeros(len(dist), dtype=bool)
+        if len(dst):
+            idx = self._align(prev["vid"], dst)
+            better = sig["d"] < dist[idx]
+            dist[idx[better]] = sig["d"][better]
+            sigma[idx[better]] = sig["s"][better]
+            changed[idx[better]] = True
+        return {
+            "state": dist,
+            "last": sigma,
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }

@@ -1171,6 +1171,73 @@ def q_sssp_from0(sf_dir: str):
     return pa.table({"vid": t.column("vid"), "dist": pa.array(dist, pa.float64())})
 
 
+def q_sp_counts_from0(sf_dir: str):
+    """Shortest-path counts from source 0 (Brandes σ): (vid, dist,
+    n_paths) for every vertex REACHABLE from 0. Level-synchronous
+    engine BFS with a two-field min/conditional-sum combiner
+    (algorithms/sssp.py SPCount) — all-integer, so the unrolled SQL
+    mirror is bit-exact."""
+    from signal_collect_ray.algorithms import SPCount
+
+    t = _state(sf_dir, SPCount(0), False, _BFS_K, eps=0.0)
+    dist = t.column("state").to_numpy(zero_copy_only=False)
+    sigma = t.column("last").to_numpy(zero_copy_only=False)
+    keep = dist < SPCount.INF
+    return pa.table(
+        {
+            "vid": pa.array(
+                t.column("vid").to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+            "dist": pa.array(dist[keep], pa.int64()),
+            "n_paths": pa.array(sigma[keep], pa.int64()),
+        }
+    )
+
+
+def _spcount_sql(k: int, source: int = 0) -> str:
+    """Unrolled BFS with path counting: per round, nd = 1 + min
+    neighbor level, ns = Σ σ over neighbors AT that minimum — exactly
+    the level-synchronous recurrence of SPCount (all-integer)."""
+    inf = 1 << 40
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"b0 AS (SELECT vid, CASE WHEN vid = {source} THEN 0 "
+        f"ELSE {inf} END AS dist, "
+        f"CASE WHEN vid = {source} THEN 1 ELSE 0 END AS sigma FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"MIN(nb.dist) + 1 AS nd FROM e "
+            f"JOIN b{i-1} nb ON nb.vid = e.src AND nb.dist < {inf} "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"CAST(SUM(nb.sigma) AS BIGINT) AS ns FROM e "
+            f"JOIN b{i-1} nb ON nb.vid = e.src "
+            f"JOIN m{i} m ON m.vid = e.dst AND nb.dist + 1 = m.nd "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT own.vid, "
+            f"CASE WHEN m.nd IS NOT NULL AND m.nd < own.dist "
+            f"THEN m.nd ELSE own.dist END AS dist, "
+            f"CASE WHEN m.nd IS NOT NULL AND m.nd < own.dist "
+            f"THEN s.ns ELSE own.sigma END AS sigma "
+            f"FROM b{i-1} own LEFT JOIN m{i} m ON m.vid = own.vid "
+            f"LEFT JOIN s{i} s ON s.vid = own.vid)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT CAST(vid AS BIGINT) AS vid, CAST(dist AS BIGINT) AS dist, "
+        f"sigma AS n_paths FROM b{k} WHERE dist < {inf}"
+    )
+
+
 _HC_SOURCES = (0, 16, 32, 48)
 
 
@@ -15400,6 +15467,7 @@ def queries():
         "textrank_summary": q_textrank_summary,
         "spam_mass_k4": q_spam_mass_k4,
         "markov_stationary": q_markov_stationary,
+        "sp_counts_from0": q_sp_counts_from0,
     }
 
 
@@ -15763,4 +15831,5 @@ def oracle_sql():
         "textrank_summary": _textrank_sql(10, 4),
         "spam_mass_k4": _spam_mass_sql(4),
         "markov_stationary": _stationary_sql(_STATIONARY_ITERS),
+        "sp_counts_from0": _spcount_sql(_BFS_K, 0),
     }

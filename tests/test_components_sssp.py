@@ -222,3 +222,67 @@ def test_landmark_bfs_equals_four_sssp_runs(tmp_path):
         finite = np.isfinite(want)
         assert (np.isnan(have) == ~finite).all()
         assert (have[finite] == want[finite]).all()
+
+
+def test_spcount_matches_brute(tmp_path):
+    """SPCount (dist, σ) equals brute-force BFS path counting on a
+    random directed graph."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+    from signal_collect_ray.algorithms import SPCount
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph.build(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})),
+        str(tmp_path / "g"),
+        num_partitions=4,
+        dedup=True,
+    )
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=4, eps=0.0, max_supersteps=30)
+    )
+    info = eng.run(
+        g, SPCount(int(src[0])), run_dir=str(tmp_path / "run"), resume=False
+    )
+    t = info.state_table()
+    got = {
+        int(v): (int(d), int(s))
+        for v, d, s in zip(
+            t.column("vid").to_pylist(),
+            t.column("state").to_pylist(),
+            t.column("last").to_pylist(),
+        )
+        if d < SPCount.INF
+    }
+    # brute: BFS levels + path counts over deduped edges
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        adj[int(a)].add(int(b))
+    s0 = int(src[0])
+    dist = {s0: 0}
+    sigma = collections.defaultdict(int)
+    sigma[s0] = 1
+    frontier = [s0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    nxt.append(w)
+        for u in frontier:
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        frontier = nxt
+    want = {v: (dist[v], sigma[v]) for v in dist}
+    assert got == want
