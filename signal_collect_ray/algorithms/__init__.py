@@ -8,7 +8,7 @@ from signal_collect_ray.algorithms.pagerank import (
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import EigenvectorCentrality, Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
-from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS, SPCount
+from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS, SPCount, EarliestArrival
 from signal_collect_ray.algorithms.mis import MaximalIndependentSet
 from signal_collect_ray.algorithms.absorption import AbsorptionProb
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers, SeededLabelProp
@@ -56,6 +56,7 @@ __all__ = [
     "ConnectedComponents",
     "SSSP",
     "SPCount",
+    "EarliestArrival",
     "MultiSourceBFS",
     "MaximalIndependentSet",
     "AbsorptionProb",

@@ -404,3 +404,31 @@ class SPCount(Algorithm):
             "active": changed,
             "residual": changed.astype(np.float64),
         }
+
+
+class EarliestArrival(SSSP):
+    """Time-respecting (temporal) reachability: edges carry a TIMESTAMP
+    as their weight, and an edge (u, v, t) extends a journey only if it
+    departs no earlier than u's arrival — arr(v) = min over such edges
+    of t (Wu et al. 2014 temporal-path semantics, public literature).
+    The min-fold is monotone (lowering arr(u) only grows the usable
+    edge set), so the frontier-only delta engine converges to the exact
+    earliest-arrival fixpoint and a fixed round unroll matches the SQL
+    mirror round for round. Timestamps are integer microseconds held in
+    float64 (< 2^53 ⇒ exact); the source starts at arrival ``t0``."""
+
+    name = "earliest_arrival"
+
+    def __init__(self, source_vid: int, t0: float = 0.0):
+        super().__init__(source_vid)
+        self.t0 = float(t0)
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        st = super().init(vid, out_degree, sum_out_weight)
+        st["state"][vid == self.source] = self.t0
+        st["last"] = st["state"].copy()
+        return st
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        # usable only when the edge departs at/after the src's arrival
+        return {"val": np.where(weight >= expanded["dist"], weight, np.inf)}

@@ -1238,6 +1238,95 @@ def _spcount_sql(k: int, source: int = 0) -> str:
     )
 
 
+_TEMPORAL_K = 12
+
+
+def q_temporal_reachability(sf_dir: str):
+    """Earliest-arrival temporal reachability (Wu et al. 2014) over the
+    event-derived TEMPORAL edge stream (user → clicked page, departure
+    = event timestamp): arr(v) = min t over edges (u,v,t) with
+    t ≥ arr(u), from source vertex 0 at t₀ = 0. Monotone min-fold on
+    the delta engine with per-edge timestamps as CSR weights
+    (algorithms/sssp.py EarliestArrival); integer-microsecond floats
+    are exact under 2^53, so the unrolled oracle is bit-exact."""
+    import ray.data as rd
+
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import EarliestArrival
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        src = uid % V_GRAPH
+        dst = (eid * 7) % V_GRAPH
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "weight": pa.array(ts[keep].astype(np.float64), pa.float64()),
+            }
+        )
+
+    g = Graph.build(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        _work_dir(sf_dir, "graph_temporal"),
+        num_partitions=_P,
+    )
+    from signal_collect_ray import EngineConfig
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=_P, eps=1e-6, max_supersteps=_TEMPORAL_K)
+    )
+    info = eng.run(
+        g,
+        EarliestArrival(0, t0=0.0),
+        run_dir=_work_dir(sf_dir, "run_temporal"),
+        resume=False,
+    )
+    t = info.state_table()
+    arr = t.column("state").to_numpy(zero_copy_only=False)
+    out = [None if not np.isfinite(x) else int(x) for x in arr]
+    return pa.table(
+        {"vid": t.column("vid"), "arrival_us": pa.array(out, pa.int64())}
+    )
+
+
+def _temporal_sql(k: int, source: int = 0) -> str:
+    inf = "1e30"
+    ctes = [
+        f"e AS MATERIALIZED (SELECT user_id % {V_GRAPH} AS src, "
+        f"(event_id * 7) % {V_GRAPH} AS dst, "
+        f"CAST(epoch_us(ts) AS DOUBLE) AS t FROM events "
+        f"WHERE (user_id % {V_GRAPH}) <> ((event_id * 7) % {V_GRAPH}))",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"a0 AS (SELECT vid, CASE WHEN vid = {source} "
+        f"THEN CAST(0 AS DOUBLE) ELSE {inf} END AS a FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.vid, LEAST(own.a, "
+            f"COALESCE(MIN(CASE WHEN e.t >= nb.a THEN e.t END), {inf})) AS a "
+            f"FROM v JOIN a{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN a{i-1} nb ON nb.vid = e.src "
+            f"GROUP BY v.vid, own.a)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT vid, CASE WHEN a >= 1e29 THEN NULL "
+        f"ELSE CAST(a AS BIGINT) END AS arrival_us FROM a{k}"
+    )
+
+
 _HC_SOURCES = (0, 16, 32, 48)
 
 
@@ -15468,6 +15557,7 @@ def queries():
         "spam_mass_k4": q_spam_mass_k4,
         "markov_stationary": q_markov_stationary,
         "sp_counts_from0": q_sp_counts_from0,
+        "temporal_reachability": q_temporal_reachability,
     }
 
 
@@ -15832,4 +15922,5 @@ def oracle_sql():
         "spam_mass_k4": _spam_mass_sql(4),
         "markov_stationary": _stationary_sql(_STATIONARY_ITERS),
         "sp_counts_from0": _spcount_sql(_BFS_K, 0),
+        "temporal_reachability": _temporal_sql(_TEMPORAL_K, 0),
     }

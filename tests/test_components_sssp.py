@@ -286,3 +286,65 @@ def test_spcount_matches_brute(tmp_path):
         frontier = nxt
     want = {v: (dist[v], sigma[v]) for v in dist}
     assert got == want
+
+
+def test_earliest_arrival_matches_brute(tmp_path):
+    """EarliestArrival equals brute-force temporal Dijkstra on random
+    timestamped edges."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph, SuperstepEngine
+    from signal_collect_ray.algorithms import EarliestArrival
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 25, 200).astype(np.int64)
+    dst = rng.integers(0, 25, 200).astype(np.int64)
+    t = rng.integers(10, 1000, 200).astype(np.float64)
+    keep = src != dst
+    src, dst, t = src[keep], dst[keep], t[keep]
+    g = Graph.build(
+        rd.from_arrow(
+            pa.table({"src": src, "dst": dst, "weight": t})
+        ),
+        str(tmp_path / "g"),
+        num_partitions=4,
+    )
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=40)
+    )
+    s0 = int(src[0])
+    info = eng.run(
+        g,
+        EarliestArrival(s0, t0=0.0),
+        run_dir=str(tmp_path / "run"),
+        resume=False,
+    )
+    st = info.state_table()
+    got = {
+        int(v): (float(a) if np.isfinite(a) else None)
+        for v, a in zip(
+            st.column("vid").to_pylist(), st.column("state").to_pylist()
+        )
+    }
+    # brute: label-correcting earliest arrival
+    arr = {int(v): np.inf for v in got}
+    arr[s0] = 0.0
+    pq_ = [(0.0, s0)]
+    adj = {}
+    for a, b, tt in zip(src, dst, t):
+        adj.setdefault(int(a), []).append((int(b), float(tt)))
+    while pq_:
+        a_u, u = heapq.heappop(pq_)
+        if a_u > arr[u]:
+            continue
+        for v, tt in adj.get(u, []):
+            if tt >= a_u and tt < arr[v]:
+                arr[v] = tt
+                heapq.heappush(pq_, (tt, v))
+    for v, a in got.items():
+        want = arr[v] if np.isfinite(arr[v]) else None
+        assert a == want, (v, a, want)
