@@ -103,7 +103,9 @@ def _brandes_from(s_idx: int, indptr, dst_idx, n: int) -> np.ndarray:
     return delta
 
 
-def betweenness_sampled(graph, sources=None, sample_mod: int = 1):
+def betweenness_sampled(
+    graph, sources=None, sample_mod: int = 1, round_half_away: bool = False
+):
     """Approximate betweenness from pivot ``sources`` (explicit vid
     list, or every vertex with ``vid % sample_mod == 0``). Returns a
     pyarrow Table (vid, betweenness) — the UNSCALED sum of pivot
@@ -143,9 +145,14 @@ def betweenness_sampled(graph, sources=None, sample_mod: int = 1):
     refs = [pivot.remote(int(s), indptr_ref, dst_ref) for s in pos]
     for r in refs:
         total += ray.get(r)
+    if round_half_away:
+        f = 10.0 ** 6
+        rounded = np.sign(total) * np.floor(np.abs(total) * f + 0.5) / f
+    else:
+        rounded = np.round(total, 6)
     return pa.table(
         {
             "vid": pa.array(vids, pa.int64()),
-            "betweenness": pa.array(np.round(total, 6), pa.float64()),
+            "betweenness": pa.array(rounded, pa.float64()),
         }
     )

@@ -1327,6 +1327,98 @@ def _temporal_sql(k: int, source: int = 0) -> str:
     )
 
 
+_BTW_PIVOTS = (0, 16, 32, 48)
+_BTW_K = 8  # 2x the max pivot eccentricity observed across sf tiers
+
+
+def q_betweenness_pivots(sf_dir: str):
+    """EXACT Brandes betweenness restricted to a fixed 4-pivot source
+    set (the oracle-gated sibling of the rows-only sampled query):
+    per-pivot forward σ counting + deepest-first dependency
+    accumulation (algorithms/betweenness.py), summed over pivots and
+    rounded half-away at 6dp. The oracle unrolls BOTH passes per pivot
+    — the forward (dist, σ) recurrence and the level-descending δ
+    recurrence — so every path count and every dependency is pinned."""
+    from signal_collect_ray.algorithms.betweenness import betweenness_sampled
+
+    return betweenness_sampled(
+        _graph(sf_dir), sources=_BTW_PIVOTS, round_half_away=True
+    )
+
+
+def _betweenness_pivots_sql(pivots, k: int) -> str:
+    inf = 1 << 40
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+    ]
+    finals = []
+    for p in pivots:
+        pre = f"p{p}_"
+        ctes.append(
+            f"{pre}b0 AS (SELECT vid, CASE WHEN vid = {p} THEN 0 "
+            f"ELSE {inf} END AS dist, "
+            f"CASE WHEN vid = {p} THEN 1 ELSE 0 END AS sigma FROM v)"
+        )
+        for i in range(1, k + 1):
+            ctes.append(
+                f"{pre}m{i} AS MATERIALIZED (SELECT e.dst AS vid, "
+                f"MIN(nb.dist) + 1 AS nd FROM e "
+                f"JOIN {pre}b{i-1} nb ON nb.vid = e.src AND nb.dist < {inf} "
+                f"GROUP BY e.dst)"
+            )
+            ctes.append(
+                f"{pre}s{i} AS MATERIALIZED (SELECT e.dst AS vid, "
+                f"CAST(SUM(nb.sigma) AS BIGINT) AS ns FROM e "
+                f"JOIN {pre}b{i-1} nb ON nb.vid = e.src "
+                f"JOIN {pre}m{i} m ON m.vid = e.dst AND nb.dist + 1 = m.nd "
+                f"GROUP BY e.dst)"
+            )
+            ctes.append(
+                f"{pre}b{i} AS MATERIALIZED (SELECT own.vid, "
+                f"CASE WHEN m.nd IS NOT NULL AND m.nd < own.dist "
+                f"THEN m.nd ELSE own.dist END AS dist, "
+                f"CASE WHEN m.nd IS NOT NULL AND m.nd < own.dist "
+                f"THEN s.ns ELSE own.sigma END AS sigma "
+                f"FROM {pre}b{i-1} own "
+                f"LEFT JOIN {pre}m{i} m ON m.vid = own.vid "
+                f"LEFT JOIN {pre}s{i} s ON s.vid = own.vid)"
+            )
+        ctes.append(
+            f"{pre}dl0 AS (SELECT vid, CAST(0 AS DOUBLE) AS delta "
+            f"FROM {pre}b{k})"
+        )
+        for i in range(1, k + 1):
+            lvl = k - i
+            ctes.append(
+                f"{pre}dl{i} AS MATERIALIZED (SELECT f.vid, "
+                f"CASE WHEN f.dist = {lvl} THEN COALESCE(agg.s, 0) "
+                f"ELSE dp.delta END AS delta "
+                f"FROM {pre}b{k} f "
+                f"JOIN {pre}dl{i-1} dp ON dp.vid = f.vid "
+                f"LEFT JOIN (SELECT e.src AS vid, "
+                f"SUM((fa.sigma * 1.0 / fb.sigma) * (1 + dq.delta)) AS s "
+                f"FROM e "
+                f"JOIN {pre}b{k} fa ON fa.vid = e.src AND fa.dist = {lvl} "
+                f"JOIN {pre}b{k} fb ON fb.vid = e.dst "
+                f"AND fb.dist = {lvl + 1} "
+                f"JOIN {pre}dl{i-1} dq ON dq.vid = e.dst "
+                f"GROUP BY e.src) agg ON agg.vid = f.vid)"
+            )
+        finals.append(
+            f"(SELECT vid, CASE WHEN vid = {p} THEN 0.0 ELSE delta END "
+            f"AS delta FROM {pre}dl{k})"
+        )
+    union = " UNION ALL ".join(finals)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", alld AS ({union}) "
+        "SELECT vid, ROUND(SUM(delta), 6) AS betweenness "
+        "FROM alld GROUP BY vid"
+    )
+
+
 _HC_SOURCES = (0, 16, 32, 48)
 
 
@@ -15558,6 +15650,7 @@ def queries():
         "markov_stationary": q_markov_stationary,
         "sp_counts_from0": q_sp_counts_from0,
         "temporal_reachability": q_temporal_reachability,
+        "betweenness_pivots": q_betweenness_pivots,
     }
 
 
@@ -15923,4 +16016,5 @@ def oracle_sql():
         "markov_stationary": _stationary_sql(_STATIONARY_ITERS),
         "sp_counts_from0": _spcount_sql(_BFS_K, 0),
         "temporal_reachability": _temporal_sql(_TEMPORAL_K, 0),
+        "betweenness_pivots": _betweenness_pivots_sql(_BTW_PIVOTS, _BTW_K),
     }
