@@ -122,12 +122,16 @@ def peel_profile(info, rounds: int):
     """Per-round (peel_round, n_vertices, n_edges) from a DensestPeel
     run's step manifests: measure superstep 2r+1 folds the exact
     [2E_r, V_r] of alive set A_r. Rounds past engine convergence (the
-    set peels to empty) are (0, 0)."""
+    set peels to empty) are (0, 0). Manifests are keyed by their
+    superstep number, so a RESUMED run (whose ``per_step`` starts at
+    the resume point) reports its post-resume rounds correctly; rounds
+    checkpointed before the resume are absent and come back (0, 0)."""
+    by_step = {m.get("superstep"): m for m in info.per_step}
     out = []
     for r in range(rounds + 1):
-        k = 2 * r + 1
-        if k < len(info.per_step):
-            g = info.per_step[k].get("global_value") or [0, 0]
+        m = by_step.get(2 * r + 1)
+        if m is not None:
+            g = m.get("global_value") or [0, 0]
             out.append((r, int(g[1]), int(g[0]) // 2))
         else:
             out.append((r, 0, 0))

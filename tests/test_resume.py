@@ -164,3 +164,57 @@ def test_checkpoint_retention(tmp_path, ray_session):
         )
         assert info2.supersteps == 8
         assert len(steps_on_disk(rd_)) == 2
+
+
+def test_densest_peel_resume_structured_global(tmp_path):
+    """Interrupt a DensestPeel run mid-peel and resume: the STRUCTURED
+    [2E, V] global aggregates must carry through the manifest JSON so
+    the resumed run's full peel trajectory equals the uninterrupted
+    one's (resume restores algo.global_value from the last manifest)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.algorithms import DensestPeel, peel_profile
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 24, 160).astype(np.int64)
+    dst = rng.integers(0, 24, 160).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    sym_src = np.concatenate([src, dst])
+    sym_dst = np.concatenate([dst, src])
+    g = Graph.build(
+        rd.from_arrow(pa.table({"src": sym_src, "dst": sym_dst})),
+        str(tmp_path / "g"),
+        num_partitions=4,
+        dedup=True,
+    )
+    rounds = 8
+    eng = SuperstepEngine(
+        EngineConfig(num_partitions=4, eps=0.0, max_supersteps=2 * rounds + 1)
+    )
+    full = eng.run(
+        g, DensestPeel(), run_dir=str(tmp_path / "full"), resume=False
+    )
+    part = eng.run(
+        g,
+        DensestPeel(),
+        run_dir=str(tmp_path / "res"),
+        resume=False,
+        max_supersteps=5,  # stop right after a measure step
+    )
+    assert part.termination_reason == "StepsLimitReached"
+    resumed = eng.run(
+        g, DensestPeel(), run_dir=str(tmp_path / "res"), resume=True
+    )
+    # bit-identical final state: alive flags AND last-measured degrees
+    a, b = full.state_table(), resumed.state_table()
+    assert a.column("vid").to_pylist() == b.column("vid").to_pylist()
+    assert a.column("state").to_pylist() == b.column("state").to_pylist()
+    assert a.column("last").to_pylist() == b.column("last").to_pylist()
+    # post-resume rounds (r >= 2, supersteps > 5) carry the same exact
+    # [2E, V] trajectory — the structured global survived the manifest
+    fp = peel_profile(full, rounds)
+    rp = peel_profile(resumed, rounds)
+    assert rp[3:] == fp[3:]
+    assert any(v > 0 for _, v, _ in rp[3:4]) or fp[3][1] == 0
