@@ -105,8 +105,8 @@ class Algorithm:
         """Fold the per-partition partials (driver side, O(partitions))."""
         raise NotImplementedError
 
-    #: Dense scatter aggregation (resident executor fast path): "sum" or
-    #: "min" when the per-edge signal is a single value combined with a
+    #: Dense scatter aggregation (resident executor fast path): "sum",
+    #: "min" or "max" when the per-edge signal is a single value combined with a
     #: commutative monoid — aggregation becomes bincount/minimum.at over
     #: the global dense vertex index (no sorting in the superstep hot
     #: path) and the exchange ships dense per-partition vectors. None →

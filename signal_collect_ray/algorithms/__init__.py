@@ -8,7 +8,7 @@ from signal_collect_ray.algorithms.pagerank import (
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import EigenvectorCentrality, Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
-from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS, SPCount, EarliestArrival
+from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS, SPCount, EarliestArrival, LatestDeparture
 from signal_collect_ray.algorithms.mis import MaximalIndependentSet
 from signal_collect_ray.algorithms.absorption import AbsorptionProb
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers, SeededLabelProp
@@ -57,6 +57,7 @@ __all__ = [
     "SSSP",
     "SPCount",
     "EarliestArrival",
+    "LatestDeparture",
     "MultiSourceBFS",
     "MaximalIndependentSet",
     "AbsorptionProb",

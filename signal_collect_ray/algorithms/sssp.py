@@ -432,3 +432,76 @@ class EarliestArrival(SSSP):
     def edge_values(self, expanded: StateDict, weight) -> StateDict:
         # usable only when the edge departs at/after the src's arrival
         return {"val": np.where(weight >= expanded["dist"], weight, np.inf)}
+
+
+class LatestDeparture(Algorithm):
+    """Reverse temporal reachability: the LATEST time one can leave
+    vertex v and still reach the TARGET by the deadline (Wu et al.
+    2014 latest-departure paths). Runs on the REVERSED timestamped
+    graph with a max-fold: dep(v) = max over original edges (v, u, t)
+    with t ≤ dep(u) of t, target initialized to the deadline. Monotone
+    (raising dep(u) only grows the usable edge set), frontier-only;
+    integer-microsecond floats exact under 2^53. Feed edges REVERSED
+    (dst→src) so the CSR signal direction follows the propagation."""
+
+    name = "latest_departure"
+    state_pa_type = pa.float64()
+    signal_fields = [("val", pa.float64())]
+    dense_agg = "max"
+    dense_identity = -np.inf
+    dense_dtype = np.float64
+
+    def __init__(self, target_vid: int, deadline: float):
+        self.target = int(target_vid)
+        self.deadline = float(deadline)
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        state = np.full(n, -np.inf)
+        is_t = vid == self.target
+        state[is_t] = self.deadline
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": is_t.copy(),
+            "residual": is_t.astype(np.float64),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        return {"dep": sub["state"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        # reversed edge (u → v) with original departure time t = weight:
+        # usable when it arrives (t) no later than u's departure bound
+        return {"val": np.where(weight <= expanded["dep"], weight, -np.inf)}
+
+    def combine(self, dst, values):
+        order = np.lexsort((values["val"], dst))
+        d = dst[order]
+        v = values["val"][order]
+        starts = segment_starts(d)
+        ends = np.append(starts[1:], len(d)) - 1
+        return d[starts], {"val": v[ends]}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        state = prev["state"].copy()
+        if len(dst):
+            idx = self._align(prev["vid"], dst)
+            state[idx] = np.maximum(state[idx], sig["val"])
+        changed = state > prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }
+
+    def collect_dense(self, prev, inc, signal_threshold):
+        state = np.maximum(prev["state"], inc)
+        changed = state > prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }

@@ -205,6 +205,8 @@ class _Worker:
                 )
             if is_sum:
                 total += np.bincount(gidx, weights=vals, minlength=self.V)
+            elif algo.dense_agg == "max":
+                np.maximum.at(total, gidx, vals.astype(algo.dense_dtype))
             else:
                 np.minimum.at(total, gidx, vals.astype(algo.dense_dtype))
         if total is None:
@@ -305,6 +307,8 @@ class _Worker:
                     acc[p] = arr.copy()
                 elif is_sum:
                     np.add(cur, arr, out=cur)
+                elif algo.dense_agg == "max":
+                    np.maximum(cur, arr, out=cur)
                 else:
                     np.minimum(cur, arr, out=cur)
         self._undeliverable = 0

@@ -1327,6 +1327,101 @@ def _temporal_sql(k: int, source: int = 0) -> str:
     )
 
 
+_LD_TARGET = 7  # page vertex (event_id=1 → 7·1 mod V) — always present
+_LD_DEADLINE = float(2**52)  # past any epoch-µs timestamp; exact float
+
+
+def q_latest_departure(sf_dir: str):
+    """Reverse temporal reachability: latest time one can LEAVE each
+    vertex and still reach the target page by the (unbounded) deadline
+    — the dual of temporal_reachability, a max-fold over REVERSED
+    timestamped edges (algorithms/sssp.py LatestDeparture). A crawl /
+    influence question: 'until when could a session still have routed
+    into this page'. Integer-µs floats exact under 2^53."""
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import LatestDeparture
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def rev_edges(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        src = uid % V_GRAPH
+        dst = (eid * 7) % V_GRAPH
+        keep = src != dst
+        # REVERSED: propagation flows target → predecessors
+        return pa.table(
+            {
+                "src": pa.array(dst[keep], pa.int64()),
+                "dst": pa.array(src[keep], pa.int64()),
+                "weight": pa.array(ts[keep].astype(np.float64), pa.float64()),
+            }
+        )
+
+    g = Graph.build(
+        ds.map_batches(rev_edges, batch_format="pyarrow"),
+        _work_dir(sf_dir, "graph_temporal_rev"),
+        num_partitions=_P,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=_P, eps=1e-6, max_supersteps=_TEMPORAL_K)
+    )
+    info = eng.run(
+        g,
+        LatestDeparture(_LD_TARGET, _LD_DEADLINE),
+        run_dir=_work_dir(sf_dir, "run_temporal_rev"),
+        resume=False,
+    )
+    t = info.state_table()
+    dep = t.column("state").to_numpy(zero_copy_only=False)
+    out = [
+        None
+        if not np.isfinite(x)
+        else (None if int(x) == int(_LD_DEADLINE) else int(x))
+        for x in dep
+    ]
+    # the target itself reports NULL (deadline sentinel), like the SQL
+    return pa.table(
+        {"vid": t.column("vid"), "departure_us": pa.array(out, pa.int64())}
+    )
+
+
+def _latest_departure_sql(k: int, target: int, deadline: float) -> str:
+    ninf = "-1e30"
+    dl = int(deadline)
+    ctes = [
+        f"e AS MATERIALIZED (SELECT user_id % {V_GRAPH} AS src, "
+        f"(event_id * 7) % {V_GRAPH} AS dst, "
+        f"CAST(epoch_us(ts) AS DOUBLE) AS t FROM events "
+        f"WHERE (user_id % {V_GRAPH}) <> ((event_id * 7) % {V_GRAPH}))",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"a0 AS (SELECT vid, CASE WHEN vid = {target} "
+        f"THEN CAST({dl} AS DOUBLE) ELSE {ninf} END AS a FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.vid, GREATEST(own.a, "
+            f"COALESCE(MAX(CASE WHEN e.t <= nb.a THEN e.t END), {ninf})) AS a "
+            f"FROM v JOIN a{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.src = v.vid "
+            f"LEFT JOIN a{i-1} nb ON nb.vid = e.dst "
+            f"GROUP BY v.vid, own.a)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT vid, CASE WHEN a <= -1e29 OR a >= {dl} THEN NULL "
+        f"ELSE CAST(a AS BIGINT) END AS departure_us FROM a{k}"
+    )
+
+
 _BTW_PIVOTS = (0, 16, 32, 48)
 _BTW_K = 8  # 2x the max pivot eccentricity observed across sf tiers
 
@@ -15651,6 +15746,7 @@ def queries():
         "sp_counts_from0": q_sp_counts_from0,
         "temporal_reachability": q_temporal_reachability,
         "betweenness_pivots": q_betweenness_pivots,
+        "latest_departure": q_latest_departure,
     }
 
 
@@ -16017,4 +16113,7 @@ def oracle_sql():
         "sp_counts_from0": _spcount_sql(_BFS_K, 0),
         "temporal_reachability": _temporal_sql(_TEMPORAL_K, 0),
         "betweenness_pivots": _betweenness_pivots_sql(_BTW_PIVOTS, _BTW_K),
+        "latest_departure": _latest_departure_sql(
+            _TEMPORAL_K, _LD_TARGET, _LD_DEADLINE
+        ),
     }

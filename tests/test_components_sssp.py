@@ -348,3 +348,55 @@ def test_earliest_arrival_matches_brute(tmp_path):
     for v, a in got.items():
         want = arr[v] if np.isfinite(arr[v]) else None
         assert a == want, (v, a, want)
+
+
+def test_latest_departure_matches_brute(tmp_path):
+    """LatestDeparture (reversed max-fold) equals a brute fixpoint."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import LatestDeparture
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 25, 200).astype(np.int64)
+    dst = rng.integers(0, 25, 200).astype(np.int64)
+    t = rng.integers(10, 1000, 200).astype(np.float64)
+    keep = src != dst
+    src, dst, t = src[keep], dst[keep], t[keep]
+    target, deadline = int(dst[0]), 1e6
+    g = Graph.build(
+        rd.from_arrow(pa.table({"src": dst, "dst": src, "weight": t})),
+        str(tmp_path / "g"),
+        num_partitions=4,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=40)
+    )
+    info = eng.run(
+        g,
+        LatestDeparture(target, deadline),
+        run_dir=str(tmp_path / "run"),
+        resume=False,
+    )
+    st = info.state_table()
+    got = {
+        int(v): a
+        for v, a in zip(
+            st.column("vid").to_pylist(), st.column("state").to_pylist()
+        )
+    }
+    dep = np.full(26, -np.inf)
+    dep[target] = deadline
+    for _ in range(30):
+        usable = t <= dep[dst]
+        np.maximum.at(dep, src[usable], t[usable])
+        dep[target] = deadline
+    for v, a in got.items():
+        want = dep[v]
+        if np.isfinite(want):
+            assert a == want, (v, a, want)
+        else:
+            assert not np.isfinite(a), (v, a)
