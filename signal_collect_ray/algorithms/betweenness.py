@@ -156,3 +156,103 @@ def betweenness_sampled(
             "betweenness": pa.array(rounded, pa.float64()),
         }
     )
+
+
+def _brandes_edges_from(s_idx: int, indptr, dst_idx, n: int) -> np.ndarray:
+    """One pivot's PER-EDGE dependency vector (Girvan-Newman edge
+    betweenness contribution): for each CSR edge slot (v → w) on a
+    shortest path, σ_v/σ_w · (1 + δ_w). Same two passes as
+    ``_brandes_from``; the reverse pass scatters into edge slots."""
+    sigma = np.zeros(n)
+    dist = np.full(n, -1, np.int64)
+    sigma[s_idx] = 1.0
+    dist[s_idx] = 0
+    levels = [np.array([s_idx], np.int64)]
+    frontier = levels[0]
+    d = 0
+    while len(frontier):
+        counts = indptr[frontier + 1] - indptr[frontier]
+        eidx = expand_ranges(indptr[frontier], counts)
+        if not len(eidx):
+            break
+        tgt = dst_idx[eidx]
+        src_rep = np.repeat(frontier, counts)
+        new_mask = dist[tgt] == -1
+        if new_mask.any():
+            dist[tgt[new_mask]] = d + 1
+        on_sp = dist[tgt] == d + 1
+        np.add.at(sigma, tgt[on_sp], sigma[src_rep[on_sp]])
+        frontier = np.unique(tgt[new_mask]) if new_mask.any() else np.empty(
+            0, np.int64
+        )
+        if len(frontier):
+            levels.append(frontier)
+        d += 1
+    delta = np.zeros(n)
+    edge_dep = np.zeros(len(dst_idx))
+    for lvl in reversed(levels):
+        counts = indptr[lvl + 1] - indptr[lvl]
+        eidx = expand_ranges(indptr[lvl], counts)
+        if not len(eidx):
+            continue
+        tgt = dst_idx[eidx]
+        src_rep = np.repeat(lvl, counts)
+        on_sp = dist[tgt] == dist[src_rep] + 1
+        contrib = np.zeros(len(eidx))
+        contrib[on_sp] = (
+            sigma[src_rep[on_sp]] / sigma[tgt[on_sp]]
+        ) * (1.0 + delta[tgt[on_sp]])
+        edge_dep[eidx] += contrib
+        np.add.at(delta, src_rep, contrib)
+    return edge_dep
+
+
+def edge_betweenness_pivots(graph, sources, top_k: int = 20):
+    """Girvan-Newman edge betweenness restricted to a pivot source set:
+    Σ over pivots of per-edge shortest-path dependencies, top-k edges
+    by (rounded score DESC, src, dst). Same broadcast-CSR pivot fan-out
+    as betweenness_sampled — per-pivot work is an independent Ray task
+    reading the CSR zero-copy from the object store."""
+    import pyarrow as pa
+    import ray
+
+    csr_refs = graph.csr_refs()
+
+    @ray.remote
+    def prep(*csrs):
+        return _dense_csr(list(csrs))
+
+    vids, indptr, dst_idx = ray.get(
+        prep.remote(*[csr_refs[q] for q in sorted(csr_refs)])
+    )
+    n = len(vids)
+    src_list = np.asarray(sources, dtype=np.int64)
+    pos = np.searchsorted(vids, src_list)
+    pos = pos[(pos < n) & (vids[np.minimum(pos, n - 1)] == src_list)]
+
+    indptr_ref = ray.put(indptr)
+    dst_ref = ray.put(dst_idx)
+
+    @ray.remote
+    def pivot(s_idx, indptr_a, dst_a):
+        return _brandes_edges_from(int(s_idx), indptr_a, dst_a, n)
+
+    total = np.zeros(len(dst_idx))
+    for r in [pivot.remote(int(s), indptr_ref, dst_ref) for s in pos]:
+        total += ray.get(r)
+    # CSR slot -> (src vid, dst vid)
+    deg = np.diff(indptr)
+    esrc = vids[np.repeat(np.arange(n), deg)]
+    edst = vids[dst_idx]
+    f = 10.0 ** 6
+    bet = np.sign(total) * np.floor(np.abs(total) * f + 0.5) / f
+    keep = bet > 0
+    esrc, edst, bet = esrc[keep], edst[keep], bet[keep]
+    order = np.lexsort((edst, esrc, -bet))[:top_k]
+    return pa.table(
+        {
+            "src": pa.array(esrc[order], pa.int64()),
+            "dst": pa.array(edst[order], pa.int64()),
+            "betweenness": pa.array(bet[order], pa.float64()),
+        }
+    )

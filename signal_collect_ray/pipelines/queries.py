@@ -1422,6 +1422,278 @@ def _latest_departure_sql(k: int, target: int, deadline: float) -> str:
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup with a QUALITY retention policy: normalized-text
+    duplicate groups keep the HIGHEST-quality member (tie → min
+    doc_id) instead of blindly the min id — the curation-grade variant
+    of doc_dedup_exact. One hash exchange; quality is computed inside
+    the same pass (functions/text.py QualityScore)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.dedup import _ExactKey
+    from signal_collect_ray.functions.text import QualityScore
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    keyed = docs.map_batches(QualityScore(), batch_format="pyarrow").map_batches(
+        _ExactKey(), batch_format="pyarrow"
+    )
+
+    def best(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        q = np.round(
+            tbl.column("quality").to_numpy(zero_copy_only=False), 6
+        )
+        i = int(np.lexsort((ids, -q))[0])
+        return pa.table(
+            {
+                "doc_id": pa.array([int(ids[i])], pa.int64()),
+                "quality": pa.array([float(q[i])], pa.float64()),
+            }
+        )
+
+    return (
+        keyed.groupby("content_hash")
+        .map_groups(best, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality"])
+    )
+
+
+def q_page_revisit_rate(sf_dir: str):
+    """Per-page revisit behavior over the temporal click edges: total
+    visits, distinct visitors, and the revisit fraction
+    Σ(v_up − 1)/Σ v_up — the engagement-vs-discovery signal a crawler
+    uses for recrawl scheduling. Two pre-combined exchanges: (user,
+    page) visit counts, then per-page fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def pair_counts(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        page = (eid * 7) % V_GRAPH
+        user = uid % V_GRAPH
+        keep = user != page
+        code = user[keep] * np.int64(V_GRAPH) + page[keep]
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "user": pa.array(uc // V_GRAPH, pa.int64()),
+                "page": pa.array(uc % V_GRAPH, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["user", "page"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    from signal_collect_ray.util import segment_starts
+
+    def per_page(tbl: pa.Table) -> pa.Table:
+        page = tbl.column("page").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(page, kind="stable")
+        page, n = page[order], n[order]
+        starts = segment_starts(page)
+        visits = np.add.reduceat(n, starts)
+        visitors = np.diff(np.append(starts, len(page)))
+        revisits = visits - visitors
+        return pa.table(
+            {
+                "page": pa.array(page[starts], pa.int64()),
+                "visits": pa.array(visits.astype(np.int64), pa.int64()),
+                "visitors": pa.array(visitors.astype(np.int64), pa.int64()),
+                "revisit_rate": pa.array(
+                    np.round(revisits / visits, 6), pa.float64()
+                ),
+            }
+        )
+
+    from signal_collect_ray.util import part_of as part_of_np
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "ppart",
+            pa.array(
+                part_of_np(tbl.column("page").to_numpy(zero_copy_only=False), 16),
+                pa.int32(),
+            ),
+        )
+
+    return (
+        pairs.map_batches(shard, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(per_page, batch_format="pyarrow")
+    )
+
+
+_REVISIT_SQL = f"""
+WITH p AS (SELECT user_id % {V_GRAPH} AS u, (event_id * 7) % {V_GRAPH} AS pg,
+           COUNT(*) AS n FROM events
+           WHERE (user_id % {V_GRAPH}) <> ((event_id * 7) % {V_GRAPH})
+           GROUP BY 1, 2)
+SELECT pg AS page, CAST(SUM(n) AS BIGINT) AS visits,
+       CAST(COUNT(*) AS BIGINT) AS visitors,
+       ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS revisit_rate
+FROM p GROUP BY pg
+"""
+
+
+def q_user_burstiness(sf_dir: str):
+    """Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of each
+    user's inter-event gaps (≥ 3 events ⇒ ≥ 2 gaps): B → −1 periodic,
+    0 Poisson, → 1 bursty. Gap moments are EXACT integers (Python-int
+    Σg and Σg² per user, immune to the 2^63 overflow of µs²), cast to
+    double once — the same expression the oracle computes from HUGEINT
+    sums, so both sides round identically."""
+    import ray.data as rd
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array(
+                    part_of(
+                        tbl.column("user_id").to_numpy(zero_copy_only=False),
+                        16,
+                    ),
+                    pa.int32(),
+                ),
+                "user_id": tbl.column("user_id"),
+                "ts_us": pa.array(
+                    tbl.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": tbl.column("event_id"),
+            }
+        )
+
+    from signal_collect_ray.util import segment_starts
+
+    def burst(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        same = u[1:] == u[:-1]
+        gu, g = u[1:][same], (t[1:] - t[:-1])[same]
+        starts = segment_starts(gu)
+        ends = np.append(starts[1:], len(gu))
+        users, bs = [], []
+        for a, b in zip(starts, ends):
+            if b - a < 2:
+                continue
+            gaps = [int(x) for x in g[a:b]]
+            n = len(gaps)
+            s1, s2 = sum(gaps), sum(x * x for x in gaps)
+            m = s1 / n
+            var = s2 / n - m * m
+            sd = float(np.sqrt(max(var, 0.0)))
+            users.append(int(gu[a]))
+            bs.append(round((sd - m) / (sd + m), 6) if sd + m > 0 else 0.0)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "burstiness": pa.array(bs, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(burst, batch_format="pyarrow")
+    )
+
+
+_BURSTINESS_SQL = """
+WITH s AS (SELECT user_id, ts,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap FROM events),
+g AS (SELECT user_id, gap FROM s WHERE gap IS NOT NULL),
+m AS (SELECT user_id, COUNT(*) AS n, SUM(gap) AS s1,
+      SUM(CAST(gap AS HUGEINT) * gap) AS s2 FROM g GROUP BY user_id HAVING COUNT(*) >= 2),
+x AS (SELECT user_id, CAST(s1 AS DOUBLE) / n AS mu,
+      SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0)) AS sd
+      FROM m)
+SELECT user_id, CASE WHEN sd + mu > 0
+       THEN ROUND((sd - mu) / (sd + mu), 6) ELSE 0.0 END AS burstiness
+FROM x
+"""
+
+
+_MIX_TARGET = 10_000
+
+
+def q_mixture_allocation(sf_dir: str):
+    """Hamilton (largest-remainder) apportionment of a fixed sample
+    budget across language buckets by document counts — the integer
+    allocation step a mixture builder runs after choosing weights:
+    base = ⌊N·c/C⌋ exactly (integer division), the N − Σbase leftover
+    seats go to the largest remainders N·c mod C (tie → lang order).
+    All-integer, bit-exact; the distributed part is the count groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+        )
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    langs = sorted(r["lang"] for r in counts)
+    c = {r["lang"]: int(r["count()"]) for r in counts}
+    total = sum(c.values())
+    base = {l: (_MIX_TARGET * c[l]) // total for l in langs}
+    rem = {l: (_MIX_TARGET * c[l]) % total for l in langs}
+    left = _MIX_TARGET - sum(base.values())
+    for l in sorted(langs, key=lambda l: (-rem[l], l))[:left]:
+        base[l] += 1
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "docs": pa.array([c[l] for l in langs], pa.int64()),
+            "alloc": pa.array([base[l] for l in langs], pa.int64()),
+        }
+    )
+
+
+_MIX_ALLOC_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS docs FROM documents GROUP BY lang),
+t AS (SELECT SUM(docs) AS total FROM c),
+q AS (SELECT lang, docs, ({_MIX_TARGET} * docs) // t.total AS base,
+      ({_MIX_TARGET} * docs) % t.total AS rem FROM c, t),
+l AS (SELECT {_MIX_TARGET} - SUM(base) AS left_ FROM q),
+r AS (SELECT lang, docs, base, rem,
+      ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM q)
+SELECT lang, CAST(docs AS BIGINT) AS docs,
+       CAST(base + CASE WHEN rk <= l.left_ THEN 1 ELSE 0 END AS BIGINT)
+       AS alloc
+FROM r, l
+"""
+
+
 _BTW_PIVOTS = (0, 16, 32, 48)
 _BTW_K = 8  # 2x the max pivot eccentricity observed across sf tiers
 
@@ -1511,6 +1783,50 @@ def _betweenness_pivots_sql(pivots, k: int) -> str:
         + f", alld AS ({union}) "
         "SELECT vid, ROUND(SUM(delta), 6) AS betweenness "
         "FROM alld GROUP BY vid"
+    )
+
+
+def q_edge_betweenness_top20(sf_dir: str):
+    """Girvan-Newman EDGE betweenness from the fixed pivot set: per
+    shortest-path-DAG edge σ_v/σ_w·(1+δ_w) summed over pivots, top-20
+    by (rounded score, src, dst) — the community-splitting edge ranking
+    (algorithms/betweenness.py edge_betweenness_pivots). The oracle
+    reuses the per-pivot forward/backward unrolls and emits each edge's
+    contribution at its source's BFS level."""
+    from signal_collect_ray.algorithms.betweenness import (
+        edge_betweenness_pivots,
+    )
+
+    return edge_betweenness_pivots(
+        _graph(sf_dir), sources=_BTW_PIVOTS, top_k=20
+    )
+
+
+def _edge_betweenness_sql(pivots, k: int, top_k: int = 20) -> str:
+    base = _betweenness_pivots_sql(pivots, k)
+    # keep the CTE chain, swap the final SELECT for per-edge sums
+    ctes = base[: base.rindex(", alld AS ")]
+    pieces = []
+    for p in pivots:
+        pre = f"p{p}_"
+        for i in range(1, k + 1):
+            lvl = k - i
+            pieces.append(
+                f"SELECT e.src, e.dst, "
+                f"(fa.sigma * 1.0 / fb.sigma) * (1 + dq.delta) AS c "
+                f"FROM e "
+                f"JOIN {pre}b{k} fa ON fa.vid = e.src AND fa.dist = {lvl} "
+                f"JOIN {pre}b{k} fb ON fb.vid = e.dst "
+                f"AND fb.dist = {lvl + 1} "
+                f"JOIN {pre}dl{i-1} dq ON dq.vid = e.dst"
+            )
+    union = " UNION ALL ".join(pieces)
+    return (
+        ctes
+        + f", ec AS ({union}) "
+        "SELECT src, dst, ROUND(SUM(c), 6) AS betweenness FROM ec "
+        "GROUP BY src, dst HAVING ROUND(SUM(c), 6) > 0 "
+        f"ORDER BY betweenness DESC, src, dst LIMIT {top_k}"
     )
 
 
@@ -6868,6 +7184,18 @@ _QUALITY_SQL = (
     "+ LEAST(GREATEST(1.0 - abs(mean_wlen - 5.0) / 5.0, 0), 1) * 0.2, 6) "
     "AS quality FROM g"
 )
+
+_DEDUP_BEST_SQL = (
+    f"WITH q AS ({_QUALITY_SQL}), "
+    "k AS (SELECT doc_id, "
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS key "
+    "FROM documents), "
+    "r AS (SELECT k.doc_id, q.quality, ROW_NUMBER() OVER ("
+    "PARTITION BY k.key ORDER BY q.quality DESC, k.doc_id) AS rn "
+    "FROM k JOIN q USING (doc_id)) "
+    "SELECT doc_id, quality FROM r WHERE rn = 1"
+)
+
 
 # same features, n_chars kept in the output — the skyline query's base
 _QUALITY_SQL_INNER = _QUALITY_SQL.replace(
@@ -15747,6 +16075,11 @@ def queries():
         "temporal_reachability": q_temporal_reachability,
         "betweenness_pivots": q_betweenness_pivots,
         "latest_departure": q_latest_departure,
+        "edge_betweenness_top20": q_edge_betweenness_top20,
+        "dedup_keep_best": q_dedup_keep_best,
+        "page_revisit_rate": q_page_revisit_rate,
+        "user_burstiness": q_user_burstiness,
+        "mixture_allocation": q_mixture_allocation,
     }
 
 
@@ -16116,4 +16449,9 @@ def oracle_sql():
         "latest_departure": _latest_departure_sql(
             _TEMPORAL_K, _LD_TARGET, _LD_DEADLINE
         ),
+        "edge_betweenness_top20": _edge_betweenness_sql(_BTW_PIVOTS, _BTW_K),
+        "dedup_keep_best": _DEDUP_BEST_SQL,
+        "page_revisit_rate": _REVISIT_SQL,
+        "user_burstiness": _BURSTINESS_SQL,
+        "mixture_allocation": _MIX_ALLOC_SQL,
     }
