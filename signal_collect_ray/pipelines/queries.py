@@ -1694,6 +1694,206 @@ FROM r, l
 """
 
 
+_WILSON_Z = 1.96
+
+
+def q_page_ctr_wilson(sf_dir: str):
+    """Wilson-lower-bound CTR ranking per page (click vs view events):
+    the ranking-under-small-sample-uncertainty idiom — a page with 2/2
+    clicks ranks below one with 80/100. k = clicks, n = clicks+views;
+    bound = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n),
+    z = 1.96. One pre-combined (page, type) count exchange; the bound
+    is the identical float expression on both sides, rounded 6dp.
+    Top-20 by (bound DESC, page)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "click") | (et == "view")
+        page = (eid[keep] * 7) % V_GRAPH
+        is_click = (et[keep] == "click").astype(np.int64)
+        code = page * 2 + is_click
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "page": pa.array(uc // 2, pa.int64()),
+                "is_click": pa.array(uc % 2, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["page", "is_click"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    agg: Dict[int, list] = {}
+    for r in rows:
+        c = agg.setdefault(int(r["page"]), [0, 0])
+        c[int(r["is_click"])] = int(r["n"])
+    pages = sorted(agg)
+    out = []
+    z = _WILSON_Z
+    for p in pages:
+        views, clicks = agg[p][0], agg[p][1]
+        n = views + clicks
+        if n == 0:
+            continue
+        ph = clicks / n
+        bound = (
+            ph
+            + z * z / (2 * n)
+            - z * np.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n))
+        ) / (1 + z * z / n)
+        out.append((p, clicks, n, round(float(bound), 6)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    out = out[:20]
+    return pa.table(
+        {
+            "page": pa.array([x[0] for x in out], pa.int64()),
+            "clicks": pa.array([x[1] for x in out], pa.int64()),
+            "n": pa.array([x[2] for x in out], pa.int64()),
+            "wilson_lb": pa.array([x[3] for x in out], pa.float64()),
+        }
+    )
+
+
+_CTR_WILSON_SQL = f"""
+WITH c AS (SELECT (event_id * 7) % {V_GRAPH} AS page,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           COUNT(*) AS n FROM events
+           WHERE event_type IN ('click', 'view') GROUP BY 1),
+w AS (SELECT page, clicks, n,
+      clicks * 1.0 / n AS ph FROM c WHERE n > 0)
+SELECT page, CAST(clicks AS BIGINT) AS clicks, CAST(n AS BIGINT) AS n,
+       ROUND((ph + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+        - {_WILSON_Z} * SQRT(ph * (1 - ph) / n
+          + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+       / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lb
+FROM w
+ORDER BY (ph + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+        - {_WILSON_Z} * SQRT(ph * (1 - ph) / n
+          + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+       / (1 + {_WILSON_Z} * {_WILSON_Z} / n) DESC, page
+LIMIT 20
+"""
+
+
+_COVISIT_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def q_covisitation_top20(sf_dir: str):
+    """Session co-visitation ('people also viewed'): unordered page
+    pairs hit by the SAME user within a 30-minute window, counted over
+    event pairs (i before j, ties by event_id), top-20 by (count DESC,
+    page_a, page_b). One exchange on user; per-user two-pointer window
+    expansion (vectorized searchsorted + range expansion), so the work
+    is O(Σ pairs-in-window), never O(events²) across users."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import expand_ranges, part_of, segment_starts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(part_of(uid, 16), pa.int32()),
+                "user_id": tbl.column("user_id"),
+                "ts_us": pa.array(
+                    tbl.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": tbl.column("event_id"),
+            }
+        )
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t, e = uid[order], ts[order], eid[order]
+        page = (e * 7) % V_GRAPH
+        codes = []
+        starts = segment_starts(u) if len(u) else np.array([], np.int64)
+        ends = np.append(starts[1:], len(u))
+        for a, b in zip(starts, ends):
+            tt, pg = t[a:b], page[a:b]
+            hi = np.searchsorted(tt, tt + _COVISIT_WINDOW_US, side="right")
+            lo = np.arange(1, len(tt) + 1)
+            cnt = hi - lo
+            if not cnt.sum():
+                continue
+            i_rep = np.repeat(np.arange(len(tt)), cnt)
+            j_idx = expand_ranges(lo, cnt)
+            pa_, pb_ = pg[i_rep], pg[j_idx]
+            keep = pa_ != pb_
+            a_ = np.minimum(pa_[keep], pb_[keep])
+            b_ = np.maximum(pa_[keep], pb_[keep])
+            codes.append(a_ * np.int64(V_GRAPH) + b_)
+        if codes:
+            code = np.concatenate(codes)
+            uc, n = np.unique(code, return_counts=True)
+        else:
+            uc = np.array([], np.int64)
+            n = np.array([], np.int64)
+        return pa.table(
+            {
+                "page_a": pa.array(uc // V_GRAPH, pa.int64()),
+                "page_b": pa.array(uc % V_GRAPH, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["page_a", "page_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-int(r["n"]), int(r["page_a"]), int(r["page_b"])))
+    rows = rows[:20]
+    return pa.table(
+        {
+            "page_a": pa.array([int(r["page_a"]) for r in rows], pa.int64()),
+            "page_b": pa.array([int(r["page_b"]) for r in rows], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+_COVISIT_SQL = f"""
+WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+           (event_id * 7) % {V_GRAPH} AS pg FROM events),
+p AS (SELECT LEAST(a.pg, b.pg) AS page_a, GREATEST(a.pg, b.pg) AS page_b
+      FROM s a JOIN s b ON a.user_id = b.user_id
+      AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+      AND b.t <= a.t + {_COVISIT_WINDOW_US}
+      WHERE a.pg <> b.pg)
+SELECT page_a, page_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, page_a, page_b LIMIT 20
+"""
+
+
 _BTW_PIVOTS = (0, 16, 32, 48)
 _BTW_K = 8  # 2x the max pivot eccentricity observed across sf tiers
 
@@ -16080,6 +16280,8 @@ def queries():
         "page_revisit_rate": q_page_revisit_rate,
         "user_burstiness": q_user_burstiness,
         "mixture_allocation": q_mixture_allocation,
+        "page_ctr_wilson": q_page_ctr_wilson,
+        "covisitation_top20": q_covisitation_top20,
     }
 
 
@@ -16454,4 +16656,6 @@ def oracle_sql():
         "page_revisit_rate": _REVISIT_SQL,
         "user_burstiness": _BURSTINESS_SQL,
         "mixture_allocation": _MIX_ALLOC_SQL,
+        "page_ctr_wilson": _CTR_WILSON_SQL,
+        "covisitation_top20": _COVISIT_SQL,
     }
