@@ -8,7 +8,7 @@ from signal_collect_ray.algorithms.pagerank import (
 from signal_collect_ray.algorithms.crawl import CrawlingPageRank
 from signal_collect_ray.algorithms.hits import EigenvectorCentrality, Hits
 from signal_collect_ray.algorithms.components import ConnectedComponents
-from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS, SPCount, EarliestArrival, LatestDeparture
+from signal_collect_ray.algorithms.sssp import SSSP, MultiSourceBFS, SPCount, EarliestArrival, LatestDeparture, WidestPath
 from signal_collect_ray.algorithms.mis import MaximalIndependentSet
 from signal_collect_ray.algorithms.absorption import AbsorptionProb
 from signal_collect_ray.algorithms.labelprop import ChineseWhispers, SeededLabelProp
@@ -58,6 +58,7 @@ __all__ = [
     "SPCount",
     "EarliestArrival",
     "LatestDeparture",
+    "WidestPath",
     "MultiSourceBFS",
     "MaximalIndependentSet",
     "AbsorptionProb",

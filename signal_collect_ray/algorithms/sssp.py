@@ -505,3 +505,71 @@ class LatestDeparture(Algorithm):
             "active": changed,
             "residual": changed.astype(np.float64),
         }
+
+
+class WidestPath(Algorithm):
+    """Widest (maximum-bottleneck) path from a source over weighted
+    edges — the (max, min) semiring sibling of SSSP's (min, +):
+    cap(v) = max over in-edges (u, v, w) of min(cap(u), w), source
+    capacity +inf. The classic network-capacity / best-route-quality
+    primitive; monotone non-decreasing, frontier-only delta engine with
+    the dense max fast path. Integer-valued weights stay exact in
+    float64, so the unrolled SQL mirror is bit-exact."""
+
+    name = "widest_path"
+    state_pa_type = pa.float64()
+    signal_fields = [("val", pa.float64())]
+    dense_agg = "max"
+    dense_identity = -np.inf
+    dense_dtype = np.float64
+
+    def __init__(self, source_vid: int):
+        self.source = int(source_vid)
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        state = np.full(n, -np.inf)
+        is_src = vid == self.source
+        state[is_src] = np.inf
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": is_src.copy(),
+            "residual": is_src.astype(np.float64),
+        }
+
+    def src_values(self, sub: StateDict) -> StateDict:
+        return {"cap": sub["state"]}
+
+    def edge_values(self, expanded: StateDict, weight) -> StateDict:
+        return {"val": np.minimum(expanded["cap"], weight)}
+
+    def combine(self, dst, values):
+        order = np.lexsort((values["val"], dst))
+        d, v = dst[order], values["val"][order]
+        starts = segment_starts(d)
+        ends = np.append(starts[1:], len(d)) - 1
+        return d[starts], {"val": v[ends]}
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        state = prev["state"].copy()
+        if len(dst):
+            idx = self._align(prev["vid"], dst)
+            state[idx] = np.maximum(state[idx], sig["val"])
+        changed = state > prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }
+
+    def collect_dense(self, prev, inc, signal_threshold):
+        state = np.maximum(prev["state"], inc)
+        changed = state > prev["state"]
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": changed,
+            "residual": changed.astype(np.float64),
+        }

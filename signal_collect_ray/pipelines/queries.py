@@ -1694,6 +1694,191 @@ FROM r, l
 """
 
 
+def q_widest_path_from0(sf_dir: str):
+    """Maximum-bottleneck ('widest') path capacity from vertex 0 over
+    the multiplicity-weighted graph — the (max, min) semiring on the
+    delta engine (algorithms/sssp.py WidestPath, dense max fast path).
+    Integer weights exact in float64; unreachable → NULL."""
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import WidestPath
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    g = _graph_weighted(sf_dir)
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=_P, eps=1e-9, max_supersteps=_BFS_K)
+    )
+    info = eng.run(
+        g,
+        WidestPath(0),
+        run_dir=_work_dir(sf_dir, "run_widest"),
+        resume=False,
+    )
+    t = info.state_table()
+    cap = t.column("state").to_numpy(zero_copy_only=False)
+    out = [
+        None if not np.isfinite(x) else float(x) for x in cap
+    ]
+    return pa.table(
+        {"vid": t.column("vid"), "capacity": pa.array(out, pa.float64())}
+    )
+
+
+def _widest_sql(k: int, source: int = 0) -> str:
+    ninf = "-1e18"
+    ctes = [
+        f"e AS MATERIALIZED ({_EW_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"c0 AS (SELECT vid, CASE WHEN vid = {source} "
+        f"THEN CAST(1e18 AS DOUBLE) ELSE {ninf} END AS c FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT v.vid, GREATEST(own.c, "
+            f"COALESCE(MAX(LEAST(nb.c, e.weight)), {ninf})) AS c "
+            f"FROM v JOIN c{i-1} own ON own.vid = v.vid "
+            f"LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN c{i-1} nb ON nb.vid = e.src "
+            f"GROUP BY v.vid, own.c)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT vid, CASE WHEN c <= -1e17 THEN NULL "
+        f"WHEN c >= 1e17 THEN NULL ELSE c END AS capacity FROM c{k}"
+    )
+
+
+def q_conversion_latency(sf_dir: str):
+    """Per-user signup→purchase conversion latency (first signup to
+    first purchase AFTER it): min-fold per (user, type) in one
+    pre-combined exchange, then a tiny per-user join. Users who never
+    convert are absent. All-integer microseconds."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "signup") | (et == "purchase")
+        sub = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "event_type": sub.column("event_type"),
+                "ts_us": pa.array(
+                    sub.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("ts_us", alias_name="first_us"))
+        .take_all()
+    )
+    sign = {}
+    for r in firsts:
+        if r["event_type"] == "signup":
+            sign[int(r["user_id"])] = int(r["first_us"])
+    # first purchase AT/AFTER the first signup needs a second bounded
+    # pass (the global min purchase may precede signup)
+    sref = sign
+
+    def purch_after(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        uid, ts = uid[keep], ts[keep]
+        ok = np.array(
+            [u in sref and t >= sref[u] for u, t in zip(uid, ts)], dtype=bool
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[ok], pa.int64()),
+                "ts_us": pa.array(ts[ok], pa.int64()),
+            }
+        )
+
+    purch = (
+        ds.map_batches(purch_after, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_us", alias_name="first_purchase"))
+        .take_all()
+    )
+    rows = sorted(
+        (int(r["user_id"]), int(r["first_purchase"]) - sign[int(r["user_id"])])
+        for r in purch
+    )
+    return pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "latency_us": pa.array([l for _, l in rows], pa.int64()),
+        }
+    )
+
+
+_CONVERSION_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1 FROM events e
+      JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY e.user_id)
+SELECT s.user_id, CAST(p.t1 - s.t0 AS BIGINT) AS latency_us
+FROM s JOIN p USING (user_id)
+"""
+
+
+def q_degree_powerlaw_alpha(sf_dir: str):
+    """Hill maximum-likelihood power-law exponent of the in-degree
+    distribution: α = 1 + n / Σ ln(d / d_min) over vertices with
+    in-degree ≥ d_min = 2 (ln of the 1-degree mass is 0 and carries no
+    information, so the standard estimator conditions on d ≥ d_min).
+    Per-block partial (n, Σln) fold — one tiny exchange."""
+    ds = q_in_degrees(sf_dir)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("in_degree").to_numpy(zero_copy_only=False)
+        d = d[d >= 2]
+        return pa.table(
+            {
+                "n": pa.array([int(len(d))], pa.int64()),
+                "s": pa.array(
+                    [float(np.log(d / 2.0).sum())], pa.float64()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    s = sum(float(r["s"]) for r in rows)
+    alpha = 1.0 + n / s if s > 0 else float("nan")
+    return pa.table(
+        {
+            "n_tail": pa.array([n], pa.int64()),
+            "alpha": pa.array([round(alpha, 6)], pa.float64()),
+        }
+    )
+
+
+_POWERLAW_SQL = f"""
+WITH e AS ({_E_SQL}),
+d AS (SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(LN(deg / 2.0)) AS s
+      FROM d WHERE deg >= 2)
+SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
+"""
+
+
 _WILSON_Z = 1.96
 
 
@@ -16282,6 +16467,9 @@ def queries():
         "mixture_allocation": q_mixture_allocation,
         "page_ctr_wilson": q_page_ctr_wilson,
         "covisitation_top20": q_covisitation_top20,
+        "widest_path_from0": q_widest_path_from0,
+        "conversion_latency": q_conversion_latency,
+        "degree_powerlaw_alpha": q_degree_powerlaw_alpha,
     }
 
 
@@ -16658,4 +16846,7 @@ def oracle_sql():
         "mixture_allocation": _MIX_ALLOC_SQL,
         "page_ctr_wilson": _CTR_WILSON_SQL,
         "covisitation_top20": _COVISIT_SQL,
+        "widest_path_from0": _widest_sql(_BFS_K, 0),
+        "conversion_latency": _CONVERSION_SQL,
+        "degree_powerlaw_alpha": _POWERLAW_SQL,
     }

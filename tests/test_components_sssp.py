@@ -400,3 +400,67 @@ def test_latest_departure_matches_brute(tmp_path):
             assert a == want, (v, a, want)
         else:
             assert not np.isfinite(a), (v, a)
+
+
+def test_widest_path_matches_brute(tmp_path):
+    """WidestPath (max-min semiring) equals brute Dijkstra-style
+    bottleneck search."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray import EngineConfig, Graph
+    from signal_collect_ray.algorithms import WidestPath
+    from signal_collect_ray.engine_resident import ResidentEngine
+
+    rng = np.random.default_rng(53)
+    src = rng.integers(0, 25, 200).astype(np.int64)
+    dst = rng.integers(0, 25, 200).astype(np.int64)
+    w = rng.integers(1, 50, 200).astype(np.float64)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    g = Graph.build(
+        rd.from_arrow(pa.table({"src": src, "dst": dst, "weight": w})),
+        str(tmp_path / "g"),
+        num_partitions=4,
+    )
+    eng = ResidentEngine(
+        EngineConfig(num_partitions=4, eps=1e-9, max_supersteps=40)
+    )
+    s0 = int(src[0])
+    info = eng.run(
+        g, WidestPath(s0), run_dir=str(tmp_path / "run"), resume=False
+    )
+    st = info.state_table()
+    got = {
+        int(v): a
+        for v, a in zip(
+            st.column("vid").to_pylist(), st.column("state").to_pylist()
+        )
+    }
+    cap = {int(v): -np.inf for v in got}
+    cap[s0] = np.inf
+    pq_ = [(-np.inf, s0)]  # max-heap by negative capacity
+    adj = {}
+    for a, b, ww in zip(src, dst, w):
+        adj.setdefault(int(a), []).append((int(b), float(ww)))
+    heapq.heapify(pq_)
+    pq_ = [(-cap[s0], s0)]
+    while pq_:
+        negc, u = heapq.heappop(pq_)
+        c = -negc
+        if c < cap[u]:
+            continue
+        for v, ww in adj.get(u, []):
+            nc = min(c, ww)
+            if nc > cap[v]:
+                cap[v] = nc
+                heapq.heappush(pq_, (-nc, v))
+    for v, a in got.items():
+        want = cap[v]
+        if np.isfinite(want):
+            assert a == want, (v, a, want)
+        else:
+            assert not np.isfinite(a) or a == want, (v, a, want)
