@@ -1550,3 +1550,118 @@ def textrank_summaries(docs_ds, chunk_words: int = 10, iters: int = 4):
     return docs_ds.map_batches(
         TextRankSummary(chunk_words, iters), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — first K merges
+# ---------------------------------------------------------------------------
+
+def bpe_merges(docs_ds, k: int = 8, subs: int = 4) -> "pa.Table":
+    """The first ``k`` byte-pair-encoding merge operations learned from
+    the corpus (Sennrich, Haddow & Birch 2016 — the tokenizer-training
+    primitive): per round, the most frequent adjacent token pair
+    (ties → lexicographic) is merged corpus-wide.
+
+    Distributed shape: ONE word-count exchange builds the (word
+    frequency) vocabulary; each round is then O(|vocab|) map_batches
+    work — pair counting emits per-batch partial sums over the bounded
+    pair domain, the argmax folds on the driver (O(distinct pairs)),
+    and the merge applies as a broadcast string replace. The token
+    string representation ``' t1 t2 … '`` with single-space separators
+    makes the merge a PLAIN string replace; it is applied ``subs``
+    times (fixed point for any word ≤ 2^subs tokens), with identical
+    left-to-right non-overlap semantics in Python str.replace and the
+    oracle's nested SQL replace()."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def word_counts(tbl: pa.Table) -> pa.Table:
+        wc: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            wc.update(_WORD_RE.findall((t or "").lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(wc.keys()), pa.string()),
+                "freq": pa.array(
+                    np.fromiter(wc.values(), dtype=np.int64, count=len(wc)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    vocab = (
+        docs_ds.map_batches(word_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+    )
+
+    def to_tokens(tbl: pa.Table) -> pa.Table:
+        words = tbl.column("word").to_pylist()
+        return pa.table(
+            {
+                "s": pa.array(
+                    [" " + " ".join(w) + " " for w in words], pa.string()
+                ),
+                "freq": tbl.column("freq"),
+            }
+        )
+
+    vocab = vocab.map_batches(to_tokens, batch_format="pyarrow").materialize()
+
+    merges = []
+    for step in range(1, k + 1):
+
+        def pair_partial(tbl: pa.Table) -> pa.Table:
+            pc: Counter = Counter()
+            freqs = tbl.column("freq").to_numpy(zero_copy_only=False)
+            for i, s in enumerate(tbl.column("s").to_pylist()):
+                ts = s.split()
+                n = int(freqs[i])
+                for a, b in zip(ts, ts[1:]):
+                    pc[(a, b)] += n
+            ls, rs = zip(*pc.keys()) if pc else ((), ())
+            return pa.table(
+                {
+                    "l": pa.array(list(ls), pa.string()),
+                    "r": pa.array(list(rs), pa.string()),
+                    "n": pa.array(list(pc.values()), pa.int64()),
+                }
+            )
+
+        rows = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        if not rows:
+            break
+        best = min(rows, key=lambda x: (-int(x["n"]), x["l"], x["r"]))
+        l, r, n = best["l"], best["r"], int(best["n"])
+        merges.append((step, l, r, n))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+
+        def apply(tbl: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            out = []
+            for s in tbl.column("s").to_pylist():
+                for _ in range(subs):
+                    s2 = s.replace(pat, rep)
+                    if s2 == s:
+                        break
+                    s = s2
+                out.append(s)
+            return pa.table(
+                {"s": pa.array(out, pa.string()), "freq": tbl.column("freq")}
+            )
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "n": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )

@@ -1879,6 +1879,70 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+_BPE_K = 8
+_BPE_SUBS = 4
+
+
+def q_bpe_merges(sf_dir: str):
+    """First 8 BPE merge operations learned from the corpus (Sennrich
+    et al. 2016) — the tokenizer-training primitive: per round, the
+    most frequent adjacent token pair merges corpus-wide
+    (functions/text.py bpe_merges; one word-count exchange + K
+    O(|vocab|) rounds). Oracle: the full K-round recurrence unrolled —
+    pair counts, argmax with lexicographic ties, and the nested
+    left-to-right string replace — all integer/string exact."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import bpe_merges
+
+    return bpe_merges(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        ),
+        k=_BPE_K,
+        subs=_BPE_SUBS,
+    )
+
+
+def _bpe_sql(k: int, subs: int) -> str:
+    ctes = [
+        "wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq "
+        "FROM (SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), "
+        "'[a-z]+')) AS word FROM documents) GROUP BY word)",
+        "v0 AS MATERIALIZED (SELECT ' ' || "
+        "array_to_string(str_split(word, ''), ' ') || ' ' AS s, freq "
+        "FROM wc)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"pc{i} AS MATERIALIZED (SELECT t[j.j] AS l, t[j.j+1] AS r, "
+            f"CAST(SUM(freq) AS BIGINT) AS n FROM "
+            f"(SELECT str_split(trim(s), ' ') AS t, freq FROM v{i-1}) x, "
+            f"LATERAL (SELECT unnest(range(1, len(t))) AS j) j "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r, n FROM pc{i} "
+            f"ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        rep = "s"
+        for _ in range(subs):
+            rep = (
+                f"replace({rep}, ' ' || b.l || ' ' || b.r || ' ', "
+                f"' ' || b.l || b.r || ' ')"
+            )
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT {rep} AS s, freq "
+            f"FROM v{i-1}, b{i} b)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS \"left\", r AS \"right\", n "
+        f"FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + union
+
+
 _WILSON_Z = 1.96
 
 
@@ -16470,6 +16534,7 @@ def queries():
         "widest_path_from0": q_widest_path_from0,
         "conversion_latency": q_conversion_latency,
         "degree_powerlaw_alpha": q_degree_powerlaw_alpha,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -16849,4 +16914,5 @@ def oracle_sql():
         "widest_path_from0": _widest_sql(_BFS_K, 0),
         "conversion_latency": _CONVERSION_SQL,
         "degree_powerlaw_alpha": _POWERLAW_SQL,
+        "bpe_merges": _bpe_sql(_BPE_K, _BPE_SUBS),
     }

@@ -190,3 +190,28 @@ def test_round_half_away_matches_duckdb():
         assert got == want, (x, got, want)
 
     inner()
+
+
+def test_bpe_merges_tiny_corpus():
+    """First merges on a hand-computable corpus: 'low low lower' has
+    'l o' (3 occurrences) as the top pair, ties broken lexicographically."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import bpe_merges
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"text": pa.array(["low low lower", "lowest low"], pa.string())}
+        )
+    )
+    t = bpe_merges(ds, k=3)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["n"])
+        for r in t.to_pylist()
+    ]
+    # 'low' x3, 'lower' x1, 'lowest' x1 → pairs: (l,o)=5, (o,w)=5 →
+    # tie breaks to (l,o); then (lo,w)=5; then (low,e)=2
+    assert got[0] == (1, "l", "o", 5)
+    assert got[1] == (2, "lo", "w", 5)
+    assert got[2] == (3, "low", "e", 2)
