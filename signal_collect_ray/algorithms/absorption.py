@@ -76,3 +76,42 @@ class AbsorptionProb(Algorithm):
             "active": residual > signal_threshold,
             "residual": residual,
         }
+
+
+class HittingTime(AbsorptionProb):
+    """Truncated expected hitting time to the target set (Doyle & Snell
+    random-walk theory): ``h_0 = 0``; ``h_{i+1}(v) = 0`` for targets,
+    else ``1 + (1/outdeg(v)) Σ_{v→u} h_i(u)`` — the k-step iterate of
+    the standard linear system, converging from below (walks not yet
+    absorbed contribute their elapsed steps). Same reversed-weighted
+    snapshot shape as :class:`AbsorptionProb` (weights 1/outdeg_orig
+    baked into the reversed edge table); dangling vertices contribute
+    1 + 0 per the empty sum."""
+
+    name = "hitting_time"
+
+    def init(self, vid, out_degree, sum_out_weight) -> StateDict:
+        n = len(vid)
+        state = np.zeros(n)
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": np.ones(n, dtype=bool),
+            "residual": np.ones(n),
+        }
+
+    def collect(self, prev, dst, sig, signal_threshold) -> StateDict:
+        vid = prev["vid"]
+        state = np.ones(len(vid))
+        if len(dst):
+            idx = self._align(vid, dst)
+            ok = idx >= 0
+            state[idx[ok]] += sig["val"][ok]
+        state[self._seed(vid)] = 0.0
+        residual = np.abs(state - prev["state"])
+        return {
+            "state": state,
+            "last": state.copy(),
+            "active": residual > signal_threshold,
+            "residual": residual,
+        }

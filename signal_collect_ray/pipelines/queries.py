@@ -2505,6 +2505,51 @@ def _absorb_sql(k: int) -> str:
     )
 
 
+_HIT_K = 8
+
+
+def q_hitting_time_k8(sf_dir: str):
+    """Truncated expected hitting time to the {vid%17==0} target set —
+    the expected-steps companion of absorption_k4's hit probability:
+    the 8-step iterate of h = 1 + P·h (targets clamped to 0), engine-
+    run on the same reversed 1/outdeg-weighted graph
+    (algorithms/absorption.py HittingTime)."""
+    from signal_collect_ray.algorithms.absorption import HittingTime
+
+    g = _graph_absorb(sf_dir)
+    eng = _engine(_HIT_K, eps=0.0)
+    info = eng.run(
+        g, HittingTime(), run_dir=_work_dir(sf_dir, "run_hitting"),
+        resume=False, checkpoint_interval=50,
+    )
+    return _round_state(info.state_table(), "hit_time", 6)
+
+
+def _hitting_sql(k: int) -> str:
+    seed = "vid % 17 = 0"
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd "
+        "FROM e GROUP BY src)",
+        "h0 AS (SELECT vid, CAST(0.0 AS DOUBLE) AS h FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT v.vid, "
+            f"CASE WHEN v.{seed} THEN 0.0 "
+            f"ELSE 1.0 + COALESCE(SUM(h{i-1}.h * (1.0 / od.outd)), 0.0) "
+            f"END AS h "
+            f"FROM v LEFT JOIN e ON e.src = v.vid "
+            f"LEFT JOIN h{i-1} ON h{i-1}.vid = e.dst "
+            f"LEFT JOIN od ON od.src = v.vid GROUP BY v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, ROUND(h, 6) AS hit_time FROM h{k}"
+    )
+
+
 def q_triangle_total(sf_dir: str):
     from signal_collect_ray.algorithms import total_triangles
 
@@ -16535,6 +16580,7 @@ def queries():
         "conversion_latency": q_conversion_latency,
         "degree_powerlaw_alpha": q_degree_powerlaw_alpha,
         "bpe_merges": q_bpe_merges,
+        "hitting_time_k8": q_hitting_time_k8,
     }
 
 
@@ -16915,4 +16961,5 @@ def oracle_sql():
         "conversion_latency": _CONVERSION_SQL,
         "degree_powerlaw_alpha": _POWERLAW_SQL,
         "bpe_merges": _bpe_sql(_BPE_K, _BPE_SUBS),
+        "hitting_time_k8": _hitting_sql(_HIT_K),
     }
