@@ -1665,3 +1665,103 @@ def bpe_merges(docs_ds, k: int = 8, subs: int = 4) -> "pa.Table":
             "n": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+def rake_keywords(docs_ds, top_k: int = 20, max_len: int = 4):
+    """Rapid Automatic Keyword Extraction: candidate phrases are
+    maximal stopword-free word runs (capped at ``max_len`` words);
+    word score = deg/freq where freq counts phrase occurrences
+    containing the word and deg additionally credits each co-occurring
+    phrase word (deg += phrase length per occurrence); phrase score =
+    Σ word scores. Top-k phrases by (rounded score DESC, phrase ASC)
+    with occurrence counts.
+
+    Distributed shape: one tokenizing pass emits per-batch PARTIAL
+    word stats and phrase counts, folded in a single (kind, key)
+    groupby; the final scoring join runs on the driver over the folded
+    tables (O(vocab + distinct phrases) — fine for any corpus whose
+    keyword table fits one machine; heavy_hitters is the documented
+    sketch path beyond that, as for vocab_coverage_curve)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partials(tbl: pa.Table):
+        wfreq: Counter = Counter()
+        wdeg: Counter = Counter()
+        pcount: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            words = _WORD_RE.findall((t or "").lower())
+            run: list = []
+            runs = []
+            for w in words:
+                if w in _STOPWORDS:
+                    if run:
+                        runs.append(run)
+                        run = []
+                else:
+                    run.append(w)
+            if run:
+                runs.append(run)
+            for r in runs:
+                if len(r) > max_len:
+                    continue
+                pcount[" ".join(r)] += 1
+                for w in r:
+                    wfreq[w] += 1
+                    wdeg[w] += len(r)
+        return wfreq, wdeg, pcount
+
+    class _Stats:
+        __name__ = "_Stats"
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            wfreq, wdeg, pcount = partials(tbl)
+            words = list(wfreq)
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        ["w"] * len(words) + ["p"] * len(pcount), pa.string()
+                    ),
+                    "key": pa.array(words + list(pcount), pa.string()),
+                    "freq": pa.array(
+                        [wfreq[w] for w in words] + list(pcount.values()),
+                        pa.int64(),
+                    ),
+                    "deg": pa.array(
+                        [wdeg[w] for w in words] + [0] * len(pcount),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    stats = (
+        docs_ds.map_batches(_Stats(), batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("freq", alias_name="freq"), Sum("deg", alias_name="deg"))
+        .take_all()
+    )
+    wscore = {}
+    phrases = {}
+    for r in stats:
+        if r["kind"] == "w":
+            wscore[r["key"]] = int(r["deg"]) / int(r["freq"])
+        else:
+            phrases[r["key"]] = int(r["freq"])
+    out = []
+    for p, n in phrases.items():
+        score = round(sum(wscore[w] for w in p.split()), 6)
+        out.append((p, n, score))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    out = out[:top_k]
+    return pa.table(
+        {
+            "phrase": pa.array([x[0] for x in out], pa.string()),
+            "n": pa.array([x[1] for x in out], pa.int64()),
+            "score": pa.array([x[2] for x in out], pa.float64()),
+        }
+    )

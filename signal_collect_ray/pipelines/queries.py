@@ -1879,6 +1879,59 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+_RAKE_STOP_SQL = (
+    "['the','and','of','a','to','in','is','it','that','for','on','as',"
+    "'with','was','at','by','an','be','this','are','or']"
+)
+
+
+def q_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+    candidate phrases (≤ 4 words), word score deg/freq, phrase score
+    Σ word scores, top-20 (functions/text.py rake_keywords — one
+    tokenize pass + one (kind, key) groupby fold)."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import rake_keywords
+
+    return rake_keywords(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        ),
+        top_k=20,
+        max_len=4,
+    )
+
+
+_RAKE_SQL = f"""
+WITH w AS (SELECT doc_id,
+  regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, i.i AS pos, ws[i.i] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i),
+ns AS (SELECT doc_id, pos, word FROM tok
+       WHERE word NOT IN (SELECT unnest({_RAKE_STOP_SQL}))),
+g AS (SELECT doc_id, pos, word,
+      pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM ns),
+runs AS (SELECT doc_id, grp,
+         array_to_string(array_agg(word ORDER BY pos), ' ') AS phrase,
+         COUNT(*) AS plen FROM g GROUP BY doc_id, grp),
+pr AS (SELECT phrase, plen FROM runs WHERE plen <= 4),
+pc AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY phrase),
+pw AS (SELECT phrase, plen, unnest(str_split(phrase, ' ')) AS word FROM pr),
+wstat AS (SELECT word, COUNT(*) AS freq, SUM(plen) AS deg
+          FROM pw GROUP BY word),
+sc AS (SELECT d.phrase, SUM(s.deg * 1.0 / s.freq) AS sc
+       FROM (SELECT DISTINCT phrase FROM pr) d,
+       LATERAL (SELECT unnest(str_split(d.phrase, ' ')) AS word) u
+       JOIN wstat s ON s.word = u.word GROUP BY d.phrase)
+SELECT sc.phrase, pc.n, ROUND(sc.sc, 6) AS score
+FROM sc JOIN pc USING (phrase)
+ORDER BY ROUND(sc.sc, 6) DESC, sc.phrase LIMIT 20
+"""
+
+
 _BPE_K = 8
 _BPE_SUBS = 4
 
@@ -16581,6 +16634,7 @@ def queries():
         "degree_powerlaw_alpha": q_degree_powerlaw_alpha,
         "bpe_merges": q_bpe_merges,
         "hitting_time_k8": q_hitting_time_k8,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -16962,4 +17016,5 @@ def oracle_sql():
         "degree_powerlaw_alpha": _POWERLAW_SQL,
         "bpe_merges": _bpe_sql(_BPE_K, _BPE_SUBS),
         "hitting_time_k8": _hitting_sql(_HIT_K),
+        "rake_keywords": _RAKE_SQL,
     }
