@@ -1879,6 +1879,188 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+_KANON_K = 5
+
+
+def q_k_anonymity_risk(sf_dir: str):
+    """k-anonymity audit over the event log: equivalence classes on
+    the quasi-identifier triple (event_type, hour-of-day, value
+    decade); rows in classes smaller than k = 5 are re-identifiable.
+    Per-type risky/total counts — the privacy screen run before
+    releasing behavioral data. One pre-combined groupby on the quasi
+    key; all-integer."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def quasi(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) % 24
+        dec = np.floor(val / 10.0).astype(np.int64)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "hour": pa.array(hour.astype(np.int64), pa.int64()),
+                "decade": pa.array(dec, pa.int64()),
+                "n": pa.array(np.ones(len(et), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    classes = (
+        ds.map_batches(quasi, batch_format="pyarrow")
+        .groupby(["event_type", "hour", "decade"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    agg: Dict[str, list] = {}
+    for r in classes:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        n = int(r["n"])
+        a[1] += n
+        if n < _KANON_K:
+            a[0] += n
+    types = sorted(agg)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "risky_rows": pa.array([agg[t][0] for t in types], pa.int64()),
+            "total_rows": pa.array([agg[t][1] for t in types], pa.int64()),
+            "risk_rate": pa.array(
+                [round(agg[t][0] / agg[t][1], 6) for t in types],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_KANON_SQL = f"""
+WITH q AS (SELECT event_type,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           CAST(FLOOR(value / 10.0) AS BIGINT) AS decade,
+           COUNT(*) AS n FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+       AS risky_rows,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       ROUND(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) * 1.0
+             / SUM(n), 6) AS risk_rate
+FROM q GROUP BY event_type
+"""
+
+
+_FRESH_BUCKET_US = 30 * 24 * 3_600_000_000  # 30-day decay buckets
+
+
+def q_fresh_pagerank_k4(sf_dir: str):
+    """Freshness-decayed PageRank over the temporal click edges: each
+    event contributes weight 2^-bucket where bucket = age // 30 days
+    relative to the corpus's newest event — EXACT dyadic rationals, so
+    the weight sums are bit-exact on both sides — then 4 steps of
+    weighted PageRank (recency-biased authority, the recrawl-priority
+    signal). Weight aggregation is one (src, dst) groupby; the rank
+    recurrence matches pagerank_weighted's oracle shape."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms import PageRank
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    tmax = int(
+        ds.map_batches(
+            lambda tbl: pa.table(
+                {
+                    "m": pa.array(
+                        [
+                            int(
+                                tbl.column("ts")
+                                .cast(pa.int64())
+                                .to_numpy(zero_copy_only=False)
+                                .max()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Max("m", alias_name="m"))["m"]
+    )
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        src = uid % V_GRAPH
+        dst = (eid * 7) % V_GRAPH
+        keep = src != dst
+        bucket = (tmax - ts[keep]) // _FRESH_BUCKET_US
+        w = np.power(2.0, -bucket.astype(np.float64))
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    g = Graph.build(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        _work_dir(sf_dir, "graph_fresh"),
+        num_partitions=_P,
+        dedup="sum",
+    )
+    eng = _engine(4, eps=0.0)
+    info = eng.run(
+        g,
+        PageRank(),
+        run_dir=_work_dir(sf_dir, "run_fresh_pr"),
+        resume=False,
+        checkpoint_interval=50,
+    )
+    return _round_state(info.state_table(), "rank", 6)
+
+
+def _fresh_pr_sql(k: int) -> str:
+    ew = (
+        f"SELECT user_id % {V_GRAPH} AS src, "
+        f"(event_id * 7) % {V_GRAPH} AS dst, "
+        f"SUM(POWER(2.0, -(CAST((SELECT MAX(epoch_us(ts)) FROM events) "
+        f"- epoch_us(ts) AS BIGINT) // {_FRESH_BUCKET_US}))) AS weight "
+        f"FROM events "
+        f"WHERE (user_id % {V_GRAPH}) <> ((event_id * 7) % {V_GRAPH}) "
+        f"GROUP BY 1, 2"
+    )
+    ctes = [
+        f"e AS MATERIALIZED ({ew})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "sw AS (SELECT src, SUM(weight) AS sw FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, 0.15 + 0.85 * "
+            f"COALESCE(SUM(r{i-1}.r * e.weight / sw.sw), 0) AS r "
+            f"FROM v LEFT JOIN e ON e.dst = v.vid "
+            f"LEFT JOIN r{i-1} ON r{i-1}.vid = e.src "
+            f"LEFT JOIN sw ON sw.src = e.src GROUP BY v.vid)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
+    )
+
+
 _RAKE_STOP_SQL = (
     "['the','and','of','a','to','in','is','it','that','for','on','as',"
     "'with','was','at','by','an','be','this','are','or']"
@@ -16635,6 +16817,8 @@ def queries():
         "bpe_merges": q_bpe_merges,
         "hitting_time_k8": q_hitting_time_k8,
         "rake_keywords": q_rake_keywords,
+        "k_anonymity_risk": q_k_anonymity_risk,
+        "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
 
@@ -17017,4 +17201,6 @@ def oracle_sql():
         "bpe_merges": _bpe_sql(_BPE_K, _BPE_SUBS),
         "hitting_time_k8": _hitting_sql(_HIT_K),
         "rake_keywords": _RAKE_SQL,
+        "k_anonymity_risk": _KANON_SQL,
+        "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
