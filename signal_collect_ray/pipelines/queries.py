@@ -1879,6 +1879,136 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+_RIDGE_LAMBDA = 1  # integer ridge so the normal equations stay exact
+
+
+def q_ridge_price_model(sf_dir: str):
+    """Closed-form ridge regression fitted DISTRIBUTED: predict the
+    line price (cents) from quantity and discount (percent) via the
+    normal equations — per-block integer moment partials (n, Σq, Σd,
+    Σq², Σqd, Σd², Σy, Σqy, Σdy; quantities integral, 2-dp money as
+    exact cents), one tiny fold, then the 3×3 (XᵀX + λI)⁻¹Xᵀy solve by
+    integer adjugate/determinant in unbounded Python ints — bit-exact
+    against the oracle's HUGEINT arithmetic; the only floats are the
+    three final divisions, identical expressions on both sides."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        q = np.rint(
+            tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        d = np.rint(
+            tbl.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = np.rint(
+            tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        vals = [
+            len(q), q.sum(), d.sum(), (q * q).sum(), (q * d).sum(),
+            (d * d).sum(), y.sum(), (q * y).sum(), (d * y).sum(),
+        ]
+        return pa.table(
+            {
+                "k": pa.array(list(range(9)), pa.int64()),
+                "v": pa.array([int(x) for x in vals], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        li.map_batches(moments, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    m = {int(r["k"]): int(r["v"]) for r in rows}
+    n, sq, sd, sqq, sqd, sdd, sy, sqy, sdy = (m[i] for i in range(9))
+    lam = _RIDGE_LAMBDA
+    # A = X'X + lam*I (X columns: 1, quantity, discount%), b = X'y
+    a = [
+        [n + lam, sq, sd],
+        [sq, sqq + lam, sqd],
+        [sd, sqd, sdd + lam],
+    ]
+    b = [sy, sqy, sdy]
+    det = (
+        a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+        - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+        + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+    )
+    # Cramer numerators: replace column i with b
+    nums = []
+    for i in range(3):
+        c = [row[:] for row in a]
+        for r3 in range(3):
+            c[r3][i] = b[r3]
+        nums.append(
+            c[0][0] * (c[1][1] * c[2][2] - c[1][2] * c[2][1])
+            - c[0][1] * (c[1][0] * c[2][2] - c[1][2] * c[2][0])
+            + c[0][2] * (c[1][0] * c[2][1] - c[1][1] * c[2][0])
+        )
+    beta = [round(float(x) / float(det), 6) for x in nums]
+    return pa.table(
+        {
+            "coef": pa.array(
+                ["intercept_cents", "per_unit_cents", "per_discount_pct"],
+                pa.string(),
+            ),
+            "value": pa.array(beta, pa.float64()),
+        }
+    )
+
+
+_RIDGE_SQL = f"""
+WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+  SUM(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)) AS sq,
+  SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS HUGEINT)) AS sd,
+  SUM(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)
+    * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sqq,
+  SUM(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)
+    * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sqd,
+  SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS HUGEINT)
+    * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sdd,
+  SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT))
+    AS sy,
+  SUM(CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS HUGEINT)
+    * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sqy,
+  SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS HUGEINT)
+    * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sdy
+  FROM lineitem),
+a AS (SELECT n + {_RIDGE_LAMBDA} AS a00, sq AS a01, sd AS a02,
+      sq AS a10, sqq + {_RIDGE_LAMBDA} AS a11, sqd AS a12,
+      sd AS a20, sqd AS a21, sdd + {_RIDGE_LAMBDA} AS a22,
+      sy AS b0, sqy AS b1, sdy AS b2 FROM m),
+d AS (SELECT a00 * (a11 * a22 - a12 * a21)
+      - a01 * (a10 * a22 - a12 * a20)
+      + a02 * (a10 * a21 - a11 * a20) AS det,
+      b0 * (a11 * a22 - a12 * a21)
+      - a01 * (b1 * a22 - a12 * b2)
+      + a02 * (b1 * a21 - a11 * b2) AS n0,
+      a00 * (b1 * a22 - a12 * b2)
+      - b0 * (a10 * a22 - a12 * a20)
+      + a02 * (a10 * b2 - b1 * a20) AS n1,
+      a00 * (a11 * b2 - b1 * a21)
+      - a01 * (a10 * b2 - b1 * a20)
+      + b0 * (a10 * a21 - a11 * a20) AS n2
+      FROM a)
+SELECT 'intercept_cents' AS coef,
+       ROUND(CAST(n0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS value FROM d
+UNION ALL SELECT 'per_unit_cents',
+       ROUND(CAST(n1 AS DOUBLE) / CAST(det AS DOUBLE), 6) FROM d
+UNION ALL SELECT 'per_discount_pct',
+       ROUND(CAST(n2 AS DOUBLE) / CAST(det AS DOUBLE), 6) FROM d
+"""
+
+
 _KANON_K = 5
 
 
@@ -16818,6 +16948,7 @@ def queries():
         "hitting_time_k8": q_hitting_time_k8,
         "rake_keywords": q_rake_keywords,
         "k_anonymity_risk": q_k_anonymity_risk,
+        "ridge_price_model": q_ridge_price_model,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17202,5 +17333,6 @@ def oracle_sql():
         "hitting_time_k8": _hitting_sql(_HIT_K),
         "rake_keywords": _RAKE_SQL,
         "k_anonymity_risk": _KANON_SQL,
+        "ridge_price_model": _RIDGE_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
