@@ -1879,6 +1879,106 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+def q_event_value_mad(sf_dir: str):
+    """Robust spread per event type: exact MEDIAN and exact MEDIAN
+    ABSOLUTE DEVIATION of the 2-dp value column, via the same
+    counting-histogram selection as nation_order_median applied twice
+    — the second pass selects from the |cents − med_cents| histogram,
+    a pure relabeling of the first pass's histogram (no second scan of
+    the raw data). Even-count medians average the two middles (exact
+    .5 cents in float64). No global sort anywhere."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        order = np.lexsort((cents, et))
+        et, cents = et[order], cents[order]
+        changed = np.ones(len(et), dtype=bool)
+        if len(et) > 1:
+            changed[1:] = (et[1:] != et[:-1]) | (cents[1:] != cents[:-1])
+        starts = np.flatnonzero(changed)
+        cnt = np.diff(np.append(starts, len(et)))
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], pa.string()),
+                "cents": pa.array(cents[starts], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_t: Dict[str, list] = {}
+    for r in rows:
+        by_t.setdefault(r["event_type"], []).append(
+            (int(r["cents"]), int(r["cnt"]))
+        )
+
+    def _median(hist_pairs):
+        hist_pairs.sort()
+        n = sum(c for _, c in hist_pairs)
+        lo_rank, hi_rank = (n + 1) // 2, n // 2 + 1
+        run = 0
+        lo = hi = None
+        for v, c in hist_pairs:
+            run += c
+            if lo is None and run >= lo_rank:
+                lo = v
+            if hi is None and run >= hi_rank:
+                hi = v
+                break
+        return (lo + hi) / 2.0
+
+    types = sorted(by_t)
+    meds, mads = [], []
+    for t in types:
+        h = by_t[t]
+        med = _median(list(h))
+        med_cents = med  # may be x.5 for even counts
+        dev = {}
+        for v, c in h:
+            d = abs(v - med_cents)
+            # deviations from an x.5 median are themselves x.5 — scale
+            # by 2 to stay integral for the selection walk
+            dev[int(round(d * 2))] = dev.get(int(round(d * 2)), 0) + c
+        mad2 = _median(sorted(dev.items()))
+        meds.append(round(med / 100.0, 6))
+        mads.append(round(mad2 / 2.0 / 100.0, 6))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "median_value": pa.array(meds, pa.float64()),
+            "mad_value": pa.array(mads, pa.float64()),
+        }
+    )
+
+
+_MAD_SQL = """
+WITH c AS (SELECT event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+m AS (SELECT event_type, MEDIAN(cents) AS med FROM c GROUP BY event_type),
+d AS (SELECT c.event_type, ABS(c.cents - m.med) AS dev
+      FROM c JOIN m USING (event_type))
+SELECT m.event_type, ROUND(m.med / 100.0, 6) AS median_value,
+       ROUND(x.mad / 100.0, 6) AS mad_value
+FROM m JOIN (SELECT event_type, MEDIAN(dev) AS mad FROM d
+             GROUP BY event_type) x USING (event_type)
+"""
+
+
 _RIDGE_LAMBDA = 1  # integer ridge so the normal equations stay exact
 
 
@@ -16949,6 +17049,7 @@ def queries():
         "rake_keywords": q_rake_keywords,
         "k_anonymity_risk": q_k_anonymity_risk,
         "ridge_price_model": q_ridge_price_model,
+        "event_value_mad": q_event_value_mad,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17334,5 +17435,6 @@ def oracle_sql():
         "rake_keywords": _RAKE_SQL,
         "k_anonymity_risk": _KANON_SQL,
         "ridge_price_model": _RIDGE_SQL,
+        "event_value_mad": _MAD_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
