@@ -1879,6 +1879,109 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+_DAMP_ALT = 0.5
+
+
+def q_damping_sensitivity(sf_dir: str):
+    """PageRank damping-factor sensitivity: L1 distance and max
+    per-vertex shift between 4-step ranks at d = 0.85 vs d = 0.5 —
+    the robustness diagnostic run before trusting a centrality-based
+    ranking. Two engine runs on the shared graph; the distance folds
+    over the 6dp-rounded vectors so both sides quantize identically
+    before the norm."""
+    from signal_collect_ray.algorithms import PageRank
+
+    t85 = _state(sf_dir, PageRank(0.85), False, 4, eps=0.0, tag="_k4")
+    t50 = _state(
+        sf_dir, PageRank(_DAMP_ALT), False, 4, eps=0.0, tag="_d50_k4"
+    )
+    assert t85.column("vid").equals(t50.column("vid"))
+    a = np.round(t85.column("state").to_numpy(zero_copy_only=False), 6)
+    b = np.round(t50.column("state").to_numpy(zero_copy_only=False), 6)
+    d = np.abs(a - b)
+    return pa.table(
+        {
+            "l1_distance": pa.array([round(float(d.sum()), 6)], pa.float64()),
+            "max_shift": pa.array([round(float(d.max()), 6)], pa.float64()),
+        }
+    )
+
+
+def _damp_sens_sql(k: int) -> str:
+    def pr(damp: float, pre: str) -> list:
+        base = 1.0 - damp
+        ctes = [
+            f"{pre}r0 AS (SELECT vid, CAST({base} AS DOUBLE) AS r FROM v)",
+        ]
+        for i in range(1, k + 1):
+            ctes.append(
+                f"{pre}r{i} AS MATERIALIZED (SELECT v.vid, {base} + {damp} * "
+                f"COALESCE(SUM({pre}r{i-1}.r / od.outd), 0) AS r "
+                f"FROM v LEFT JOIN e ON e.dst = v.vid "
+                f"LEFT JOIN {pre}r{i-1} ON {pre}r{i-1}.vid = e.src "
+                f"LEFT JOIN od ON od.src = e.src GROUP BY v.vid)"
+            )
+        return ctes
+
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd "
+        "FROM e GROUP BY src)",
+    ]
+    ctes += pr(0.85, "a")
+    ctes += pr(_DAMP_ALT, "b")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", d AS (SELECT ABS(ROUND(a.r, 6) - ROUND(b.r, 6)) AS d "
+        f"FROM ar{k} a JOIN br{k} b ON b.vid = a.vid) "
+        "SELECT ROUND(SUM(d), 6) AS l1_distance, "
+        "ROUND(MAX(d), 6) AS max_shift FROM d"
+    )
+
+
+def q_rank_per_inlink(sf_dir: str):
+    """Rank-per-inlink spam signal: pages whose 4-step PageRank is
+    largest RELATIVE to their in-degree accumulate rank without
+    editorial links (redirect chains, tight loops) — top-20 by
+    (rounded ratio DESC, vid). Composes the rank state with the
+    in-degree fold; ratio of 6dp-rounded rank over the exact integer
+    degree."""
+    pr_t = q_pagerank_k4(sf_dir)
+    deg_rows = q_in_degrees(sf_dir).take_all()
+    deg = {int(r["vid"]): int(r["in_degree"]) for r in deg_rows}
+    vids = pr_t.column("vid").to_numpy(zero_copy_only=False)
+    rank = pr_t.column("rank").to_numpy(zero_copy_only=False)
+    out = []
+    for v, rk in zip(vids, rank):
+        d = deg.get(int(v), 0)
+        if d > 0:
+            out.append((int(v), d, round(float(rk) / d, 6)))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    out = out[:20]
+    return pa.table(
+        {
+            "vid": pa.array([x[0] for x in out], pa.int64()),
+            "in_degree": pa.array([x[1] for x in out], pa.int64()),
+            "rank_per_inlink": pa.array([x[2] for x in out], pa.float64()),
+        }
+    )
+
+
+def _rank_per_inlink_sql(k: int) -> str:
+    return (
+        f"WITH pr AS ({_pr_sql(k)}), "
+        f"e AS ({_E_SQL}), "
+        "d AS (SELECT dst AS vid, CAST(COUNT(*) AS BIGINT) AS in_degree "
+        "FROM e GROUP BY dst) "
+        "SELECT pr.vid, d.in_degree, "
+        "ROUND(pr.rank / d.in_degree, 6) AS rank_per_inlink "
+        "FROM pr JOIN d USING (vid) "
+        "ORDER BY ROUND(pr.rank / d.in_degree, 6) DESC, pr.vid LIMIT 20"
+    )
+
+
 def q_event_value_mad(sf_dir: str):
     """Robust spread per event type: exact MEDIAN and exact MEDIAN
     ABSOLUTE DEVIATION of the 2-dp value column, via the same
@@ -17050,6 +17153,8 @@ def queries():
         "k_anonymity_risk": q_k_anonymity_risk,
         "ridge_price_model": q_ridge_price_model,
         "event_value_mad": q_event_value_mad,
+        "damping_sensitivity": q_damping_sensitivity,
+        "rank_per_inlink": q_rank_per_inlink,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17436,5 +17541,7 @@ def oracle_sql():
         "k_anonymity_risk": _KANON_SQL,
         "ridge_price_model": _RIDGE_SQL,
         "event_value_mad": _MAD_SQL,
+        "damping_sensitivity": _damp_sens_sql(4),
+        "rank_per_inlink": _rank_per_inlink_sql(4),
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
