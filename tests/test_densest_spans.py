@@ -218,3 +218,99 @@ def test_textrank_shared_words_promote_chunk():
     t = TextRankSummary(10, 4)(tbl)
     assert t.column("best_chunk")[0].as_py() == 2
     assert t.column("n_chunks")[0].as_py() == 3
+
+
+def test_edge_betweenness_pivots_brute(tmp_path):
+    """edge_betweenness_pivots equals per-pivot brute Brandes edge
+    dependencies on a random digraph."""
+    import collections
+
+    from signal_collect_ray import Graph
+    from signal_collect_ray.algorithms.betweenness import (
+        edge_betweenness_pivots,
+    )
+
+    rng = np.random.default_rng(61)
+    src = rng.integers(0, 20, 120).astype(np.int64)
+    dst = rng.integers(0, 20, 120).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = sorted(set(zip(src.tolist(), dst.tolist())))
+    g = Graph.build(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        ),
+        str(tmp_path / "g"),
+        num_partitions=4,
+        dedup=True,
+    )
+    pivots = sorted({int(s) for s in src})[:3]
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_pivots(g, pivots, top_k=10 ** 6).to_pylist()
+    }
+    # brute per pivot
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    total = collections.defaultdict(float)
+    for s0 in pivots:
+        dist = {s0: 0}
+        sigma = collections.defaultdict(float)
+        sigma[s0] = 1.0
+        order = [s0]
+        frontier = [s0]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            for u in frontier:
+                for w in adj[u]:
+                    if dist.get(w) == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            order.extend(nxt)
+            frontier = nxt
+        delta = collections.defaultdict(float)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist.get(w) == dist[u] + 1:
+                    c = sigma[u] / sigma[w] * (1 + delta[w])
+                    total[(u, w)] += c
+                    delta[u] += c
+    for e, v in total.items():
+        f = 10.0 ** 6
+        want = np.sign(v) * np.floor(abs(v) * f + 0.5) / f
+        if want > 0:
+            assert got.get(e) == want, (e, got.get(e), want)
+
+
+def test_event_value_mad_brute():
+    """q_event_value_mad's histogram selection equals numpy median/MAD
+    on the raw sf0.001 events."""
+    import duckdb
+
+    from signal_collect_ray.pipelines.queries import q_event_value_mad
+
+    t = q_event_value_mad("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT event_type, ROUND(value * 100) AS cents FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    by_t = {}
+    for et, c in raw:
+        by_t.setdefault(et, []).append(c)
+    for r in t.to_pylist():
+        vals = np.array(sorted(by_t[r["event_type"]]))
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        assert r["median_value"] == round(med / 100.0, 6)
+        assert r["mad_value"] == round(mad / 100.0, 6)
