@@ -1879,6 +1879,82 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+def q_cusum_changepoints(sf_dir: str):
+    """CUSUM change-point detection over the daily event-count series
+    (Page 1954): S_t = max(0, S_{t-1} + x_t − μ − k) with allowance
+    k = μ/10 and decision threshold h = μ, computed EXACTLY via the
+    prefix-minimum reduction S_t = P_t − min_{j≤t} P_j in integers
+    scaled by 10·D (μ = A/D stays rational; no float drift ever) — the
+    sequential-analysis recurrence becomes two window folds. The
+    distributed part is the daily counting; the day series is O(days)
+    driver work, mirrored by SUM/MIN OVER windows in the oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        uc, n = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uc, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["day"]), int(r["n"]))
+        for r in ds.map_batches(daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    days = [d for d, _ in rows]
+    xs = [x for _, x in rows]
+    a, d_cnt = sum(xs), len(xs)
+    # scaled drift: 10*D*x − 11*A per day (μ + μ/10 subtracted)
+    prefix, pmin, out_s = 0, 0, []
+    for x in xs:
+        prefix += 10 * d_cnt * x - 11 * a
+        pmin = min(pmin, prefix)
+        out_s.append(prefix - pmin)  # ≥ 0, exact int
+    # S is in units of 1/(10D); threshold h = μ = A/D → scaled h = 10·A
+    flags = [1 if s > 10 * a else 0 for s in out_s]
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "n_events": pa.array(xs, pa.int64()),
+            "cusum": pa.array(
+                [round(s / (10.0 * d_cnt), 6) for s in out_s], pa.float64()
+            ),
+            "flagged": pa.array(flags, pa.int64()),
+        }
+    )
+
+
+_CUSUM_SQL = """
+WITH x AS (SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS a,
+      CAST(COUNT(*) AS BIGINT) AS d FROM x),
+p AS (SELECT x.day, x.n,
+      SUM(10 * t.d * x.n - 11 * t.a)
+        OVER (ORDER BY x.day ROWS UNBOUNDED PRECEDING) AS pre,
+      t.a AS a, t.d AS d FROM x, t),
+s AS (SELECT day, n, a, d,
+      pre - LEAST(0, MIN(pre) OVER (ORDER BY day
+        ROWS UNBOUNDED PRECEDING)) AS sv FROM p)
+SELECT day, n AS n_events,
+       ROUND(sv / (10.0 * d), 6) AS cusum,
+       CAST(CASE WHEN sv > 10 * a THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM s
+"""
+
+
 _DAMP_ALT = 0.5
 
 
@@ -17155,6 +17231,7 @@ def queries():
         "event_value_mad": q_event_value_mad,
         "damping_sensitivity": q_damping_sensitivity,
         "rank_per_inlink": q_rank_per_inlink,
+        "cusum_changepoints": q_cusum_changepoints,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17543,5 +17620,6 @@ def oracle_sql():
         "event_value_mad": _MAD_SQL,
         "damping_sensitivity": _damp_sens_sql(4),
         "rank_per_inlink": _rank_per_inlink_sql(4),
+        "cusum_changepoints": _CUSUM_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
