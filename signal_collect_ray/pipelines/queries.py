@@ -1879,6 +1879,125 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+def q_corpus_datasheet(sf_dir: str):
+    """One-pass corpus data card (the 'datasheet for datasets' summary
+    a release ships with): document and token counts, vocabulary size,
+    exact-duplicate count, language/source cardinalities, and mean
+    quality — per-block partials for every metric fold in a single
+    tagged exchange; dedup/vocab counts ride hash sets per block and a
+    distinct-count fold. All values exact (ints < 2^53 in the DOUBLE
+    value column; mean quality is the 6dp-rounded ratio of a 6dp-sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.dedup import _norm
+    from signal_collect_ray.functions.text import QualityScore
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    scored = docs.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def partials(tbl: pa.Table) -> pa.Table:
+        import re as _re
+
+        texts = tbl.column("text").to_pylist()
+        toks = sum(
+            len(_re.findall(r"[^ \t\n\f\r]+", (t or "").lower()))
+            for t in texts
+        )
+        words = set()
+        norms = []
+        for t in texts:
+            words.update(_re.findall(r"[a-z]+", (t or "").lower()))
+            norms.append(_norm(t or ""))
+        q = np.round(
+            tbl.column("quality").to_numpy(zero_copy_only=False), 6
+        )
+        kinds = (
+            ["n_docs", "n_tokens", "q_sum"]
+            + ["w"] * len(words)
+            + ["h"] * len(norms)
+            + ["l"] * len(tbl)
+            + ["s"] * len(tbl)
+        )
+        keys = (
+            ["", "", ""]
+            + sorted(words)
+            + norms
+            + tbl.column("lang").to_pylist()
+            + tbl.column("source").to_pylist()
+        )
+        vals = [float(len(tbl)), float(toks), float(q.sum())] + [0.0] * (
+            len(kinds) - 3
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "v": pa.array(vals, pa.float64()),
+            }
+        )
+
+    rows = (
+        scored.map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    scalars = {"n_docs": 0.0, "n_tokens": 0.0, "q_sum": 0.0}
+    card = {"w": 0, "h": 0, "l": 0, "s": 0}
+    for r in rows:
+        k = r["kind"]
+        if k in scalars:
+            scalars[k] += float(r["v"])
+        else:
+            card[k] += 1
+    n = scalars["n_docs"]
+    metrics = [
+        ("n_docs", n),
+        ("n_tokens", scalars["n_tokens"]),
+        ("vocab_size", float(card["w"])),
+        ("exact_dup_docs", n - card["h"]),
+        ("n_langs", float(card["l"])),
+        ("n_sources", float(card["s"])),
+        ("mean_quality", round(round(scalars["q_sum"], 6) / n, 6)),
+    ]
+    return pa.table(
+        {
+            "metric": pa.array([m for m, _ in metrics], pa.string()),
+            "value": pa.array([v for _, v in metrics], pa.float64()),
+        }
+    )
+
+
+_DATASHEET_SQL = f"""
+WITH q AS ({{QUALITY}}),
+base AS (SELECT d.doc_id, d.text, d.lang, d.source, q.quality
+         FROM documents d JOIN q USING (doc_id)),
+tok AS (SELECT SUM(len(regexp_extract_all(lower(COALESCE(text, '')),
+        '\\S+'))) AS n_tokens FROM base),
+w AS (SELECT COUNT(DISTINCT word) AS vocab FROM (SELECT
+      unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+      AS word FROM base)),
+h AS (SELECT COUNT(DISTINCT trim(regexp_replace(lower(text),
+      '\\s+', ' ', 'g'))) AS distinct_norm FROM base),
+agg AS (SELECT COUNT(*) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources,
+        ROUND(SUM(quality), 6) AS q_sum FROM base)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'n_tokens', CAST(tok.n_tokens AS DOUBLE) FROM tok
+UNION ALL SELECT 'vocab_size', CAST(w.vocab AS DOUBLE) FROM w
+UNION ALL SELECT 'exact_dup_docs',
+  CAST(agg.n_docs - h.distinct_norm AS DOUBLE) FROM agg, h
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
+"""
+
+
 def q_cusum_changepoints(sf_dir: str):
     """CUSUM change-point detection over the daily event-count series
     (Page 1954): S_t = max(0, S_{t-1} + x_t − μ − k) with allowance
@@ -17232,6 +17351,7 @@ def queries():
         "damping_sensitivity": q_damping_sensitivity,
         "rank_per_inlink": q_rank_per_inlink,
         "cusum_changepoints": q_cusum_changepoints,
+        "corpus_datasheet": q_corpus_datasheet,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17621,5 +17741,6 @@ def oracle_sql():
         "damping_sensitivity": _damp_sens_sql(4),
         "rank_per_inlink": _rank_per_inlink_sql(4),
         "cusum_changepoints": _CUSUM_SQL,
+        "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
