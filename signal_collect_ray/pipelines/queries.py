@@ -1879,6 +1879,180 @@ SELECT n AS n_tail, ROUND(1.0 + n / s, 6) AS alpha FROM t
 """
 
 
+def q_weekly_novel_ngrams(sf_dir: str):
+    """Corpus novelty over time: how many distinct word 5-grams are
+    FIRST SEEN in each week of the event stream — the
+    freshness-vs-repetition signal a continuously-crawled corpus is
+    monitored by. Documents are assigned to weeks round-robin by
+    doc_id (the synthetic docs carry no timestamp; the assignment is
+    deterministic and mirrored), 5-grams hash through the same
+    min-week groupby a 100-TB run would use — except the oracle keeps
+    the strings, so the Ray side does too (hashing is the documented
+    sketch path)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        import re as _re
+
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_g, out_w = [], []
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            words = _re.findall(r"[^ \t\n\f\r]+", (t or "").lower())
+            week = int(ids[i]) % 8
+            seen = {
+                " ".join(words[j : j + 5])
+                for j in range(len(words) - 4)
+            }
+            out_g.extend(seen)
+            out_w.extend([week] * len(seen))
+        return pa.table(
+            {
+                "ng": pa.array(out_g, pa.string()),
+                "week": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    first = (
+        docs.map_batches(grams, batch_format="pyarrow")
+        .groupby("ng")
+        .aggregate(Min("week", alias_name="first_week"))
+    )
+
+    def count_week(tbl: pa.Table) -> pa.Table:
+        w = tbl.column("first_week").to_numpy(zero_copy_only=False)
+        uc, n = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "week": pa.array(uc, pa.int64()),
+                "novel_ngrams": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        first.map_batches(count_week, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(Sum("novel_ngrams", alias_name="novel_ngrams"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["week"]))
+    return pa.table(
+        {
+            "week": pa.array([int(r["week"]) for r in rows], pa.int64()),
+            "novel_ngrams": pa.array(
+                [int(r["novel_ngrams"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+_NOVEL_SQL = """
+WITH w AS (SELECT doc_id, doc_id % 8 AS week,
+           regexp_extract_all(lower(COALESCE(text, '')), '\\S+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT week, doc_id,
+      array_to_string(ws[i.i : i.i + 4], ' ') AS ng
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) i
+      WHERE len(ws) >= 5),
+f AS (SELECT ng, MIN(week) AS first_week FROM g GROUP BY ng)
+SELECT first_week AS week, CAST(COUNT(*) AS BIGINT) AS novel_ngrams
+FROM f GROUP BY first_week
+"""
+
+
+def q_value_emd(sf_dir: str):
+    """EXACT 1-D earth mover's distance between the click and view
+    value distributions: in one dimension EMD(F, G) = ∫|F − G| dx,
+    computed over the merged cent-histogram support with CDFs
+    cross-scaled to integers (|F1·n2 − F2·n1| × gap stays integral
+    until one final division) — the distribution-shift test with zero
+    float drift. One (type, cents) pre-combined exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "click") | (et == "view")
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        is_click = (et[keep] == "click").astype(np.int64)
+        code = cents * 2 + is_click
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(uc // 2, pa.int64()),
+                "is_click": pa.array(uc % 2, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["cents", "is_click"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    h = {}
+    for r in rows:
+        c = h.setdefault(int(r["cents"]), [0, 0])
+        c[int(r["is_click"])] = int(r["n"])
+    xs = sorted(h)
+    n_view = sum(v for v, _ in h.values())
+    n_click = sum(c for _, c in h.values())
+    f1 = f2 = 0  # running counts (CDF numerators)
+    emd_scaled = 0  # Σ |F1·n2 − F2·n1| · gap, exact int
+    for i, x in enumerate(xs):
+        if i > 0:
+            emd_scaled += abs(f1 * n_view - f2 * n_click) * (x - xs[i - 1])
+        f1 += h[x][1]  # click
+        f2 += h[x][0]  # view
+    emd = round(emd_scaled / (n_click * n_view) / 100.0, 6)
+    return pa.table(
+        {
+            "n_click": pa.array([n_click], pa.int64()),
+            "n_view": pa.array([n_view], pa.int64()),
+            "emd_value": pa.array([emd], pa.float64()),
+        }
+    )
+
+
+_EMD_SQL = """
+WITH h AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+t AS (SELECT CAST(SUM(nc) AS HUGEINT) AS n_click,
+      CAST(SUM(nv) AS HUGEINT) AS n_view FROM h),
+c AS (SELECT cents,
+      CAST(SUM(nc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        AS HUGEINT) AS f1,
+      CAST(SUM(nv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        AS HUGEINT) AS f2,
+      LEAD(cents) OVER (ORDER BY cents) AS nxt FROM h),
+s AS (SELECT SUM(ABS(f1 * t.n_view - f2 * t.n_click)
+      * (nxt - cents)) AS es FROM c, t WHERE nxt IS NOT NULL)
+SELECT CAST(t.n_click AS BIGINT) AS n_click,
+       CAST(t.n_view AS BIGINT) AS n_view,
+       ROUND(CAST(s.es AS DOUBLE)
+             / CAST(t.n_click * t.n_view AS DOUBLE) / 100.0, 6)
+       AS emd_value
+FROM s, t
+"""
+
+
 def q_corpus_datasheet(sf_dir: str):
     """One-pass corpus data card (the 'datasheet for datasets' summary
     a release ships with): document and token counts, vocabulary size,
@@ -17352,6 +17526,8 @@ def queries():
         "rank_per_inlink": q_rank_per_inlink,
         "cusum_changepoints": q_cusum_changepoints,
         "corpus_datasheet": q_corpus_datasheet,
+        "weekly_novel_ngrams": q_weekly_novel_ngrams,
+        "value_emd": q_value_emd,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17742,5 +17918,7 @@ def oracle_sql():
         "rank_per_inlink": _rank_per_inlink_sql(4),
         "cusum_changepoints": _CUSUM_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
+        "weekly_novel_ngrams": _NOVEL_SQL,
+        "value_emd": _EMD_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
