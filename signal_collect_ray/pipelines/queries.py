@@ -2053,6 +2053,220 @@ FROM s, t
 """
 
 
+def q_value_ks(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions: D = max_x |F1(x) − F2(x)| over the merged
+    cent support, cross-scaled to integers (|F1·n2 − F2·n1| compared
+    exactly; the division happens once at the end), plus the smallest
+    cent location achieving the max. Same single histogram exchange as
+    value_emd."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "click") | (et == "view")
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        is_click = (et[keep] == "click").astype(np.int64)
+        code = cents * 2 + is_click
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(uc // 2, pa.int64()),
+                "is_click": pa.array(uc % 2, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["cents", "is_click"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    h: Dict[int, list] = {}
+    for r in rows:
+        c = h.setdefault(int(r["cents"]), [0, 0])
+        c[int(r["is_click"])] = int(r["n"])
+    xs = sorted(h)
+    n_view = sum(v for v, _ in h.values())
+    n_click = sum(c for _, c in h.values())
+    f1 = f2 = 0
+    best = (-1, None)  # (scaled gap, cents)
+    for x in xs:
+        f1 += h[x][1]
+        f2 += h[x][0]
+        gap = abs(f1 * n_view - f2 * n_click)
+        if gap > best[0]:
+            best = (gap, x)
+    d = round(best[0] / (n_click * n_view), 6)
+    return pa.table(
+        {
+            "ks_d": pa.array([d], pa.float64()),
+            "at_value": pa.array(
+                [round(best[1] / 100.0, 6)], pa.float64()
+            ),
+        }
+    )
+
+
+_KS_SQL = """
+WITH h AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+t AS (SELECT CAST(SUM(nc) AS HUGEINT) AS n_click,
+      CAST(SUM(nv) AS HUGEINT) AS n_view FROM h),
+c AS (SELECT cents,
+      ABS(CAST(SUM(nc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          AS HUGEINT) * t.n_view
+        - CAST(SUM(nv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          AS HUGEINT) * t.n_click) AS gap,
+      t.n_click * t.n_view AS denom FROM h, t)
+SELECT ROUND(CAST(gap AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS ks_d,
+       ROUND(cents / 100.0, 6) AS at_value
+FROM c ORDER BY gap DESC, cents LIMIT 1
+"""
+
+
+def q_embedding_auc(sf_dir: str):
+    """ROC AUC of 'cosine similarity to the label-0 centroid' as a
+    detector of label 0 — the Mann-Whitney rank-sum formulation with
+    exact midrank tie handling: scores quantize to 6dp on BOTH sides
+    before ranking (the ulp-tie discipline every ranking query here
+    follows), doubled midranks stay integral, and AUC = (R1 −
+    n1(n1+1)/2) / (n1·n2) is one exact division. The distributed work
+    is the centroid fold plus a per-batch score pass; the rank fold
+    walks the (score, label) histogram."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def cent_part(tbl: pa.Table) -> pa.Table:
+        lab = tbl.column("label").to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in
+             tbl.column("embedding").to_pylist()]
+        )
+        sel = mat[lab == 0]
+        s = sel.sum(axis=0) if len(sel) else np.zeros(mat.shape[1])
+        out = {"n": pa.array([int((lab == 0).sum())], pa.int64())}
+        for j, v in enumerate(s):
+            out[f"d{j}"] = pa.array([float(v)], pa.float64())
+        return pa.table(out)
+
+    parts = emb.map_batches(cent_part, batch_format="pyarrow").take_all()
+    dim = len(parts[0]) - 1
+    n0 = sum(int(r["n"]) for r in parts)
+    cent = np.array(
+        [sum(float(r[f"d{j}"]) for r in parts) for j in range(dim)]
+    )
+    cent = cent / n0
+    cn = cent / np.linalg.norm(cent)
+    cref = cn
+
+    def score(tbl: pa.Table) -> pa.Table:
+        lab = tbl.column("label").to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in
+             tbl.column("embedding").to_pylist()]
+        )
+        nrm = np.linalg.norm(mat, axis=1)
+        s = (mat @ cref) / nrm
+        sq = np.round(s * 1e6).astype(np.int64)  # 6dp quantized score
+        pos = (lab == 0).astype(np.int64)
+        code = sq * 2 + pos
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "sq": pa.array(
+                    np.where(uc >= 0, uc // 2, -((-uc + 1) // 2)),
+                    pa.int64(),
+                ),
+                "pos": pa.array(
+                    np.where(uc >= 0, uc % 2, (uc % 2 + 2) % 2), pa.int64()
+                ),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        emb.map_batches(score, batch_format="pyarrow")
+        .groupby(["sq", "pos"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    h2: Dict[int, list] = {}
+    for r in rows:
+        c = h2.setdefault(int(r["sq"]), [0, 0])
+        c[int(r["pos"])] += int(r["n"])
+    xs = sorted(h2)
+    rank2 = 0  # doubled rank cursor (2×ranks stay integral at midranks)
+    r1_2 = 0  # doubled rank sum of positives
+    n1 = n2 = 0
+    for x in xs:
+        neg, pos = h2[x][0], h2[x][1]
+        t = neg + pos
+        # doubled midrank of this tie group = 2·(prev + (t+1)/2)
+        mid2 = 2 * (rank2 // 2) + t + 1
+        r1_2 += pos * mid2
+        rank2 += 2 * t
+        n1 += pos
+        n2 += neg
+    auc = round((r1_2 - n1 * (n1 + 1)) / (2 * n1 * n2), 6)
+    return pa.table(
+        {
+            "n_pos": pa.array([n1], pa.int64()),
+            "n_neg": pa.array([n2], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
+_AUC_SQL = """
+WITH c AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+           AS e FROM embeddings WHERE label = 0),
+cent AS (SELECT i, SUM(e[i]) / (SELECT COUNT(*) FROM c) AS v
+         FROM c, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) i
+         GROUP BY i),
+cnorm AS (SELECT SQRT(SUM(v * v)) AS nrm FROM cent),
+s AS (SELECT vec_id, label,
+      CAST(ROUND(list_dot_product(
+        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        (SELECT list(v / cnorm.nrm ORDER BY i) FROM cent, cnorm))
+        / sqrt(list_dot_product(
+          list_transform(embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 1e6, 0)
+        AS BIGINT) AS sq
+      FROM embeddings),
+r AS (SELECT sq, label,
+      CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+        OVER () AS HUGEINT) AS n1,
+      CAST(SUM(CASE WHEN label <> 0 THEN 1 ELSE 0 END)
+        OVER () AS HUGEINT) AS n2,
+      CAST(2 * RANK() OVER (ORDER BY sq)
+        + COUNT(*) OVER (PARTITION BY sq) - 1 AS HUGEINT) AS mid2
+      FROM s)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_pos, CAST(MAX(n2) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(CASE WHEN label = 0 THEN mid2 ELSE 0 END)
+         - MAX(n1) * (MAX(n1) + 1) AS DOUBLE)
+         / CAST(2 * MAX(n1) * MAX(n2) AS DOUBLE), 6) AS auc
+FROM r
+"""
+
+
 def q_corpus_datasheet(sf_dir: str):
     """One-pass corpus data card (the 'datasheet for datasets' summary
     a release ships with): document and token counts, vocabulary size,
@@ -17528,6 +17742,8 @@ def queries():
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
+        "value_ks": q_value_ks,
+        "embedding_auc": q_embedding_auc,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
 
@@ -17920,5 +18136,7 @@ def oracle_sql():
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
+        "value_ks": _KS_SQL,
+        "embedding_auc": _AUC_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
