@@ -2053,6 +2053,76 @@ FROM s, t
 """
 
 
+def q_benford_deviation(sf_dir: str):
+    """Benford's-law forensic check on order totals: observed leading-
+    digit frequencies vs log10(1 + 1/d), per-digit counts (exact ints,
+    one tiny fold) and the mean absolute deviation statistic — the
+    fabricated-data screen auditors run. Digit extraction via string
+    of the cent amount (identical on both sides); only the final
+    probabilities are float."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def digits(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        first = np.array([int(str(c)[0]) for c in cents], dtype=np.int64)
+        keep = first >= 1
+        uc, n = np.unique(first[keep], return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(uc, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    cnt = {int(r["digit"]): int(r["n"]) for r in rows}
+    total = sum(cnt.values())
+    ds_, obs, exp, dev = [], [], [], []
+    for d in range(1, 10):
+        o = cnt.get(d, 0) / total
+        e = float(np.log10(1.0 + 1.0 / d))
+        ds_.append(d)
+        obs.append(round(o, 6))
+        exp.append(round(e, 6))
+        dev.append(round(abs(o - e), 6))
+    return pa.table(
+        {
+            "digit": pa.array(ds_, pa.int64()),
+            "observed": pa.array(obs, pa.float64()),
+            "benford": pa.array(exp, pa.float64()),
+            "abs_dev": pa.array(dev, pa.float64()),
+        }
+    )
+
+
+_BENFORD_SQL = """
+WITH c AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0)
+           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+n AS (SELECT digit, COUNT(*) AS n FROM c WHERE digit >= 1 GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM n),
+d AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT d.digit,
+       ROUND(COALESCE(n.n, 0) * 1.0 / t.total, 6) AS observed,
+       ROUND(LOG10(1.0 + 1.0 / d.digit), 6) AS benford,
+       ROUND(ABS(COALESCE(n.n, 0) * 1.0 / t.total
+             - LOG10(1.0 + 1.0 / d.digit)), 6) AS abs_dev
+FROM d LEFT JOIN n ON n.digit = d.digit, t
+"""
+
+
 def q_value_ks(sf_dir: str):
     """Two-sample Kolmogorov-Smirnov statistic between the click and
     view value distributions: D = max_x |F1(x) − F2(x)| over the merged
@@ -17743,6 +17813,7 @@ def queries():
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
         "value_ks": q_value_ks,
+        "benford_deviation": q_benford_deviation,
         "embedding_auc": q_embedding_auc,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
@@ -18137,6 +18208,7 @@ def oracle_sql():
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
         "value_ks": _KS_SQL,
+        "benford_deviation": _BENFORD_SQL,
         "embedding_auc": _AUC_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
