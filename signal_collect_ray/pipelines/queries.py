@@ -2053,6 +2053,118 @@ FROM s, t
 """
 
 
+_BOOT_B = 50
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), written as the
+# SAME literals on both sides so the weight branch is bit-identical
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def q_bootstrap_mean_ci(sf_dir: str):
+    """Deterministic Poissonized bootstrap 95% CI for the mean event
+    value (Efron; the online/streaming bootstrap of Oza & Russell):
+    each row's weight in replicate b is Poisson(1) drawn by inverting
+    the exact dyadic uniform mix64(event_id·1000 + b) >> 11 / 2^53 —
+    the same splitmix64 the HLL oracles already mirror bit-exactly —
+    so every replicate mean is a ratio of exact integer sums. One
+    pre-combined (replicate) exchange of B partial-sum rows per block;
+    CI = 2nd / 49th order statistics of the 50 replicate means."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import mix64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "value"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bs, sw, swx = [], [], []
+        for b in range(1, _BOOT_B + 1):
+            h = mix64((eid * 1000 + b).astype(np.uint64))
+            u = (h >> np.uint64(11)).astype(np.float64) / 9007199254740992.0
+            w = np.zeros(len(u), dtype=np.int64)
+            acc = np.zeros(len(u), dtype=bool)
+            for k, c in enumerate(_POIS_CUM):
+                hit = (~acc) & (u < c)
+                w[hit] = k
+                acc |= hit
+            w[~acc] = len(_POIS_CUM)
+            bs.append(b)
+            sw.append(int(w.sum()))
+            swx.append(int((w * cents).sum()))
+        return pa.table(
+            {
+                "b": pa.array(bs, pa.int64()),
+                "sw": pa.array(sw, pa.int64()),
+                "swx": pa.array(swx, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("sw", alias_name="sw"), Sum("swx", alias_name="swx"))
+        .take_all()
+    )
+    means = sorted(
+        round(int(r["swx"]) / int(r["sw"]) / 100.0, 6) for r in rows
+    )
+    return pa.table(
+        {
+            "ci_lo": pa.array([means[1]], pa.float64()),
+            "ci_hi": pa.array([means[_BOOT_B - 2]], pa.float64()),
+            "n_replicates": pa.array([len(means)], pa.int64()),
+        }
+    )
+
+
+def _bootstrap_sql() -> str:
+    mix1 = _mix64_mul_sql("x", 0xFF51AFD7ED558CCD)
+    mix2 = _mix64_mul_sql("x", 0xC4CEB9FE1A85EC53)
+    cum = _POIS_CUM
+    w_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cum)
+        )
+        + f" ELSE {len(cum)} END"
+    )
+    return f"""
+WITH g AS (SELECT CAST(event_id * 1000 + b.b AS UBIGINT) AS x, b.b AS b,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events, LATERAL (SELECT unnest(range(1, {_BOOT_B + 1}))
+           AS b) b),
+h1 AS (SELECT b, cents, xor(x, x >> 33) AS x FROM g),
+h2 AS (SELECT b, cents, {mix1} AS x FROM h1),
+h3 AS (SELECT b, cents, xor(x, x >> 33) AS x FROM h2),
+h4 AS (SELECT b, cents, {mix2} AS x FROM h3),
+h5 AS (SELECT b, cents, xor(x, x >> 33) AS x FROM h4),
+u AS (SELECT b, cents,
+      CAST(x >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM h5),
+w AS (SELECT b, cents, {w_case} AS w FROM u),
+m AS (SELECT b, ROUND(CAST(SUM(CAST(w AS HUGEINT) * cents) AS DOUBLE)
+      / CAST(SUM(w) AS DOUBLE) / 100.0, 6) AS mean
+      FROM w GROUP BY b),
+o AS (SELECT mean, ROW_NUMBER() OVER (ORDER BY mean) AS rn FROM m)
+SELECT (SELECT mean FROM o WHERE rn = 2) AS ci_lo,
+       (SELECT mean FROM o WHERE rn = {_BOOT_B - 1}) AS ci_hi,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates
+"""
+
+
 def q_benford_deviation(sf_dir: str):
     """Benford's-law forensic check on order totals: observed leading-
     digit frequencies vs log10(1 + 1/d), per-digit counts (exact ints,
@@ -17814,6 +17926,7 @@ def queries():
         "value_emd": q_value_emd,
         "value_ks": q_value_ks,
         "benford_deviation": q_benford_deviation,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "embedding_auc": q_embedding_auc,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
@@ -18209,6 +18322,7 @@ def oracle_sql():
         "value_emd": _EMD_SQL,
         "value_ks": _KS_SQL,
         "benford_deviation": _BENFORD_SQL,
+        "bootstrap_mean_ci": _bootstrap_sql(),
         "embedding_auc": _AUC_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
