@@ -2053,6 +2053,110 @@ FROM s, t
 """
 
 
+def q_capture_recapture(sf_dir: str):
+    """Lincoln-Petersen capture-recapture estimate of the total user
+    population from two temporal 'captures' (users active in the first
+    vs second half of the event window): N̂ = n1·n2/m where m is the
+    overlap — the ecology estimator reused for deduplicated-population
+    sizing when full enumeration is impractical. Exact integer counts
+    from one (user, half) exchange; the estimate is one division."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    lohi = ds.map_batches(
+        lambda tbl: pa.table(
+            {
+                "lo": pa.array(
+                    [int(tbl.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False).min())], pa.int64()
+                ),
+                "hi": pa.array(
+                    [int(tbl.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False).max())], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lo = int(lohi.aggregate(Min("lo", alias_name="v"))["v"])
+    hi = int(
+        ds.map_batches(
+            lambda tbl: pa.table(
+                {
+                    "hi": pa.array(
+                        [int(tbl.column("ts").cast(pa.int64()).to_numpy(
+                            zero_copy_only=False).max())], pa.int64()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Max("hi", alias_name="v"))["v"]
+    )
+    mid = (lo + hi) // 2
+
+    def halves(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ts > mid).astype(np.int64)
+        code = uid * 2 + h
+        uc = np.unique(code)
+        return pa.table(
+            {
+                "user_id": pa.array(uc // 2, pa.int64()),
+                "half": pa.array(uc % 2, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(halves, batch_format="pyarrow")
+        .groupby(["user_id", "half"])
+        .count()
+        .take_all()
+    )
+    seen: Dict[int, set] = {}
+    for r in rows:
+        seen.setdefault(int(r["user_id"]), set()).add(int(r["half"]))
+    n1 = sum(1 for s in seen.values() if 0 in s)
+    n2 = sum(1 for s in seen.values() if 1 in s)
+    m = sum(1 for s in seen.values() if len(s) == 2)
+    est = (
+        float(_round_half_away(np.array([n1 * n2 / m]), 6)[0]) if m else 0.0
+    )
+    return pa.table(
+        {
+            "n_first_half": pa.array([n1], pa.int64()),
+            "n_second_half": pa.array([n2], pa.int64()),
+            "n_both": pa.array([m], pa.int64()),
+            "estimated_population": pa.array([est], pa.float64()),
+        }
+    )
+
+
+_CAPTURE_SQL = """
+WITH t AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events),
+u AS (SELECT DISTINCT user_id,
+      CASE WHEN epoch_us(ts) > t.mid THEN 1 ELSE 0 END AS half
+      FROM events, t),
+c AS (SELECT
+      CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM u),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM
+      (SELECT user_id FROM u GROUP BY user_id HAVING COUNT(*) = 2))
+SELECT c.n1 AS n_first_half, c.n2 AS n_second_half, m.m AS n_both,
+       CASE WHEN m.m = 0 THEN 0.0
+            ELSE ROUND(c.n1 * c.n2 * 1.0 / m.m, 6) END
+       AS estimated_population
+FROM c, m
+"""
+
+
 _BOOT_B = 50
 # Poisson(1) inverse-CDF thresholds (cumulative pmf), written as the
 # SAME literals on both sides so the weight branch is bit-identical
@@ -17927,6 +18031,7 @@ def queries():
         "value_ks": q_value_ks,
         "benford_deviation": q_benford_deviation,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "capture_recapture": q_capture_recapture,
         "embedding_auc": q_embedding_auc,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
@@ -18323,6 +18428,7 @@ def oracle_sql():
         "value_ks": _KS_SQL,
         "benford_deviation": _BENFORD_SQL,
         "bootstrap_mean_ci": _bootstrap_sql(),
+        "capture_recapture": _CAPTURE_SQL,
         "embedding_auc": _AUC_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
