@@ -2053,6 +2053,154 @@ FROM s, t
 """
 
 
+_PERM_B = 64
+
+
+def q_permutation_pvalue(sf_dir: str):
+    """Randomization test for the click-vs-view mean-value difference:
+    B = 64 replicates reassign each event's group by the deterministic
+    mix64 coin (bit 0 of the HLL-mirrored hash of event_id·1000 + b),
+    and the two-sided p-value counts replicates whose |Δmean| reaches
+    the observed one — compared EXACTLY by cross-multiplying the
+    integer-sum rationals |s1·n0 − s0·n1|·(m1·m0) vs |t1·m0 − t0·m1|·
+    (n1·n0) in unbounded ints, so no float enters the decision. One
+    (replicate, group) partial-sum exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import mix64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "click") | (et == "view")
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)[keep]
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        is_click = (et[keep] == "click").astype(np.int64)
+        bs, gs, ns, ss = [], [], [], []
+        # b = 0 row carries the OBSERVED grouping
+        for b in range(_PERM_B + 1):
+            if b == 0:
+                grp = is_click
+            else:
+                h = mix64((eid * 1000 + b).astype(np.uint64))
+                grp = (h & np.uint64(1)).astype(np.int64)
+            for g in (0, 1):
+                sel = grp == g
+                bs.append(b)
+                gs.append(g)
+                ns.append(int(sel.sum()))
+                ss.append(int(cents[sel].sum()))
+        return pa.table(
+            {
+                "b": pa.array(bs, pa.int64()),
+                "g": pa.array(gs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["b", "g"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .take_all()
+    )
+    agg: Dict[int, dict] = {}
+    for r in rows:
+        agg.setdefault(int(r["b"]), {})[int(r["g"])] = (
+            int(r["n"]),
+            int(r["s"]),
+        )
+    n0, s0 = agg[0][0]
+    n1, s1 = agg[0][1]
+    # observed |Δ| = |s1/n1 − s0/n0| = |s1·n0 − s0·n1| / (n1·n0)
+    obs_num = abs(s1 * n0 - s0 * n1)
+    obs_den = n1 * n0
+    hits = 0
+    for b in range(1, _PERM_B + 1):
+        m0, t0 = agg[b].get(0, (0, 0))
+        m1, t1 = agg[b].get(1, (0, 0))
+        if m0 == 0 or m1 == 0:
+            hits += 1
+            continue
+        num = abs(t1 * m0 - t0 * m1)
+        den = m1 * m0
+        # num/den >= obs_num/obs_den  ⇔  num·obs_den >= obs_num·den
+        if num * obs_den >= obs_num * den:
+            hits += 1
+    return pa.table(
+        {
+            "observed_diff": pa.array(
+                [
+                    float(
+                        _round_half_away(
+                            np.array([(s1 / n1 - s0 / n0) / 100.0]), 6
+                        )[0]
+                    )
+                ],
+                pa.float64(),
+            ),
+            "n_exceeding": pa.array([hits], pa.int64()),
+            "p_value": pa.array(
+                [
+                    float(
+                        _round_half_away(np.array([hits / _PERM_B]), 6)[0]
+                    )
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _permutation_sql() -> str:
+    mix1 = _mix64_mul_sql("x", 0xFF51AFD7ED558CCD)
+    mix2 = _mix64_mul_sql("x", 0xC4CEB9FE1A85EC53)
+    return f"""
+WITH e AS (SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS obs
+           FROM events WHERE event_type IN ('click', 'view')),
+g AS (SELECT event_id, cents, obs,
+      CAST(event_id * 1000 + b.b AS UBIGINT) AS x, b.b AS b
+      FROM e, LATERAL (SELECT unnest(range(1, {_PERM_B + 1})) AS b) b),
+h1 AS (SELECT b, cents, xor(x, x >> 33) AS x FROM g),
+h2 AS (SELECT b, cents, {mix1} AS x FROM h1),
+h3 AS (SELECT b, cents, xor(x, x >> 33) AS x FROM h2),
+h4 AS (SELECT b, cents, {mix2} AS x FROM h3),
+h5 AS (SELECT b, cents,
+       CAST(xor(x, x >> 33) & 1 AS BIGINT) AS grp FROM h4),
+obs AS (SELECT
+  CAST(SUM(CASE WHEN obs = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+  CAST(SUM(CASE WHEN obs = 0 THEN cents ELSE 0 END) AS HUGEINT) AS s0,
+  CAST(SUM(CASE WHEN obs = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+  CAST(SUM(CASE WHEN obs = 1 THEN cents ELSE 0 END) AS HUGEINT) AS s1
+  FROM e),
+rep AS (SELECT b,
+  CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS m0,
+  CAST(SUM(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS HUGEINT) AS t0,
+  CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS m1,
+  CAST(SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS HUGEINT) AS t1
+  FROM h5 GROUP BY b),
+hits AS (SELECT CAST(SUM(CASE WHEN rep.m0 = 0 OR rep.m1 = 0 THEN 1
+  WHEN ABS(rep.t1 * rep.m0 - rep.t0 * rep.m1) * (obs.n1 * obs.n0)
+    >= ABS(obs.s1 * obs.n0 - obs.s0 * obs.n1) * (rep.m1 * rep.m0)
+  THEN 1 ELSE 0 END) AS BIGINT) AS k FROM rep, obs)
+SELECT ROUND((CAST(obs.s1 AS DOUBLE) / CAST(obs.n1 AS DOUBLE)
+        - CAST(obs.s0 AS DOUBLE) / CAST(obs.n0 AS DOUBLE)) / 100.0, 6)
+       AS observed_diff,
+       hits.k AS n_exceeding,
+       ROUND(hits.k * 1.0 / {_PERM_B}, 6) AS p_value
+FROM obs, hits
+"""
+
+
 def q_capture_recapture(sf_dir: str):
     """Lincoln-Petersen capture-recapture estimate of the total user
     population from two temporal 'captures' (users active in the first
@@ -18032,6 +18180,7 @@ def queries():
         "benford_deviation": q_benford_deviation,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "capture_recapture": q_capture_recapture,
+        "permutation_pvalue": q_permutation_pvalue,
         "embedding_auc": q_embedding_auc,
         "fresh_pagerank_k4": q_fresh_pagerank_k4,
     }
@@ -18429,6 +18578,7 @@ def oracle_sql():
         "benford_deviation": _BENFORD_SQL,
         "bootstrap_mean_ci": _bootstrap_sql(),
         "capture_recapture": _CAPTURE_SQL,
+        "permutation_pvalue": _permutation_sql(),
         "embedding_auc": _AUC_SQL,
         "fresh_pagerank_k4": _fresh_pr_sql(4),
     }
