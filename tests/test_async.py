@@ -112,3 +112,53 @@ def test_async_refuses_snapshot_algorithms(tmp_path):
         AsyncEngine(EngineConfig(num_partitions=4), num_workers=2).run(
             g, ChineseWhispers(), run_dir=str(tmp_path / "rcw")
         )
+
+
+def _rand_weighted_graph(tmp_path, tag, n=60, m=400, seed=17, wlo=1, whi=50):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(wlo, whi, m).astype(np.float64)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    g = Graph.build(
+        rd.from_arrow(pa.table({"src": src, "dst": dst, "weight": w})),
+        str(tmp_path / f"g{tag}"),
+        num_partitions=4,
+    )
+    return g, int(src[0])
+
+
+def test_async_widest_path_matches_sync(tmp_path):
+    """(max, min) semiring is monotone ⇒ order-free: the async engine
+    must reach the sync fixpoint exactly."""
+    from signal_collect_ray.algorithms import WidestPath
+
+    g, s0 = _rand_weighted_graph(tmp_path, "wp")
+    info_a = _async(tmp_path, g, WidestPath(s0), "wp")
+    assert info_a.converged
+    vs, ss = _states(_sync(tmp_path, g, WidestPath(s0), "wp", eps=1e-12))
+    va, sa = _states(info_a)
+    np.testing.assert_array_equal(vs, va)
+    np.testing.assert_array_equal(ss, sa)
+
+
+def test_async_earliest_arrival_matches_sync(tmp_path):
+    """Temporal earliest-arrival min-fold is monotone ⇒ async equals
+    the sync fixpoint bit-for-bit."""
+    from signal_collect_ray.algorithms import EarliestArrival
+
+    g, s0 = _rand_weighted_graph(
+        tmp_path, "ea", wlo=10, whi=1000, seed=29
+    )
+    info_a = _async(tmp_path, g, EarliestArrival(s0, t0=0.0), "ea")
+    assert info_a.converged
+    vs, ss = _states(
+        _sync(tmp_path, g, EarliestArrival(s0, t0=0.0), "ea", eps=1e-12)
+    )
+    va, sa = _states(info_a)
+    np.testing.assert_array_equal(vs, va)
+    np.testing.assert_array_equal(ss, sa)

@@ -314,3 +314,45 @@ def test_event_value_mad_brute():
         mad = float(np.median(np.abs(vals - med)))
         assert r["median_value"] == round(med / 100.0, 6)
         assert r["mad_value"] == round(mad / 100.0, 6)
+
+
+def test_longest_dup_span_random_property():
+    """Property check on random small corpora: result equals the brute
+    all-lengths scan (several seeds, incl. overlap-heavy vocab)."""
+    for seed in (3, 9, 27):
+        rng = np.random.default_rng(seed)
+        vocab = ["a", "b", "c", "d"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(5, 25)))
+            for _ in range(12)
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = longest_duplicated_ngram(ds, cap=32, num_partitions=2)
+        # brute
+        best_len, grams = 0, {}
+        split = [t.split() for t in texts]
+        for L in range(1, 33):
+            seen = {}
+            for i, ws in enumerate(split):
+                for j in range(len(ws) - L + 1):
+                    seen.setdefault(" ".join(ws[j : j + L]), set()).add(i)
+            dup = {g: d for g, d in seen.items() if len(d) >= 2}
+            if dup:
+                best_len, grams = L, dup
+        want = sorted((g, len(d)) for g, d in grams.items())
+        have = sorted(
+            zip(
+                got.column("ngram").to_pylist(),
+                got.column("n_docs").to_pylist(),
+            )
+        )
+        assert have == want, (seed, best_len, have[:3], want[:3])
+        if got.num_rows:
+            assert got.column("length")[0].as_py() == best_len
