@@ -1754,7 +1754,8 @@ def rake_keywords(docs_ds, top_k: int = 20, max_len: int = 4):
             phrases[r["key"]] = int(r["freq"])
     out = []
     for p, n in phrases.items():
-        score = round(sum(wscore[w] for w in p.split()), 6)
+        raw = sum(wscore[w] for w in p.split())
+        score = float(_round_half_away_text(np.array([raw]), 6)[0])
         out.append((p, n, score))
     out.sort(key=lambda x: (-x[2], x[0]))
     out = out[:top_k]

@@ -1513,7 +1513,7 @@ def q_page_revisit_rate(sf_dir: str):
                 "visits": pa.array(visits.astype(np.int64), pa.int64()),
                 "visitors": pa.array(visitors.astype(np.int64), pa.int64()),
                 "revisit_rate": pa.array(
-                    np.round(revisits / visits, 6), pa.float64()
+                    _round_half_away(revisits / visits, 6), pa.float64()
                 ),
             }
         )
@@ -2018,7 +2018,11 @@ def q_value_emd(sf_dir: str):
             emd_scaled += abs(f1 * n_view - f2 * n_click) * (x - xs[i - 1])
         f1 += h[x][1]  # click
         f2 += h[x][0]  # view
-    emd = round(emd_scaled / (n_click * n_view) / 100.0, 6)
+    emd = float(
+        _round_half_away(
+            np.array([emd_scaled / (n_click * n_view) / 100.0]), 6
+        )[0]
+    )
     return pa.table(
         {
             "n_click": pa.array([n_click], pa.int64()),
@@ -2372,7 +2376,12 @@ def q_bootstrap_mean_ci(sf_dir: str):
         .take_all()
     )
     means = sorted(
-        round(int(r["swx"]) / int(r["sw"]) / 100.0, 6) for r in rows
+        float(
+            _round_half_away(
+                np.array([int(r["swx"]) / int(r["sw"]) / 100.0]), 6
+            )[0]
+        )
+        for r in rows
     )
     return pa.table(
         {
@@ -2458,9 +2467,9 @@ def q_benford_deviation(sf_dir: str):
         o = cnt.get(d, 0) / total
         e = float(np.log10(1.0 + 1.0 / d))
         ds_.append(d)
-        obs.append(round(o, 6))
-        exp.append(round(e, 6))
-        dev.append(round(abs(o - e), 6))
+        obs.append(float(_round_half_away(np.array([o]), 6)[0]))
+        exp.append(float(_round_half_away(np.array([e]), 6)[0]))
+        dev.append(float(_round_half_away(np.array([abs(o - e)]), 6)[0]))
     return pa.table(
         {
             "digit": pa.array(ds_, pa.int64()),
@@ -2540,7 +2549,7 @@ def q_value_ks(sf_dir: str):
         gap = abs(f1 * n_view - f2 * n_click)
         if gap > best[0]:
             best = (gap, x)
-    d = round(best[0] / (n_click * n_view), 6)
+    d = float(_round_half_away(np.array([best[0] / (n_click * n_view)]), 6)[0])
     return pa.table(
         {
             "ks_d": pa.array([d], pa.float64()),
@@ -2659,7 +2668,11 @@ def q_embedding_auc(sf_dir: str):
         rank2 += 2 * t
         n1 += pos
         n2 += neg
-    auc = round((r1_2 - n1 * (n1 + 1)) / (2 * n1 * n2), 6)
+    auc = float(
+        _round_half_away(
+            np.array([(r1_2 - n1 * (n1 + 1)) / (2 * n1 * n2)]), 6
+        )[0]
+    )
     return pa.table(
         {
             "n_pos": pa.array([n1], pa.int64()),
@@ -2784,7 +2797,14 @@ def q_corpus_datasheet(sf_dir: str):
         ("exact_dup_docs", n - card["h"]),
         ("n_langs", float(card["l"])),
         ("n_sources", float(card["s"])),
-        ("mean_quality", round(round(scalars["q_sum"], 6) / n, 6)),
+        (
+            "mean_quality",
+            float(
+                _round_half_away(
+                    np.array([round(scalars["q_sum"], 6) / n]), 6
+                )[0]
+            ),
+        ),
     ]
     return pa.table(
         {
@@ -2870,7 +2890,13 @@ def q_cusum_changepoints(sf_dir: str):
             "day": pa.array(days, pa.int64()),
             "n_events": pa.array(xs, pa.int64()),
             "cusum": pa.array(
-                [round(s / (10.0 * d_cnt), 6) for s in out_s], pa.float64()
+                [
+                    float(
+                        _round_half_away(np.array([s / (10.0 * d_cnt)]), 6)[0]
+                    )
+                    for s in out_s
+                ],
+                pa.float64(),
             ),
             "flagged": pa.array(flags, pa.int64()),
         }
@@ -2974,7 +3000,13 @@ def q_rank_per_inlink(sf_dir: str):
     for v, rk in zip(vids, rank):
         d = deg.get(int(v), 0)
         if d > 0:
-            out.append((int(v), d, round(float(rk) / d, 6)))
+            out.append(
+                (
+                    int(v),
+                    d,
+                    float(_round_half_away(np.array([float(rk) / d]), 6)[0]),
+                )
+            )
     out.sort(key=lambda x: (-x[2], x[0]))
     out = out[:20]
     return pa.table(
@@ -3282,7 +3314,14 @@ def q_k_anonymity_risk(sf_dir: str):
             "risky_rows": pa.array([agg[t][0] for t in types], pa.int64()),
             "total_rows": pa.array([agg[t][1] for t in types], pa.int64()),
             "risk_rate": pa.array(
-                [round(agg[t][0] / agg[t][1], 6) for t in types],
+                [
+                    float(
+                        _round_half_away(
+                            np.array([agg[t][0] / agg[t][1]]), 6
+                        )[0]
+                    )
+                    for t in types
+                ],
                 pa.float64(),
             ),
         }
