@@ -2840,6 +2840,90 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+_HOLT_HORIZON = 7
+
+
+def q_holt_forecast(sf_dir: str):
+    """Holt double-exponential smoothing forecast of daily event counts
+    with α = β = 1/2: every level/trend update is then a sum of halves
+    of integers — DYADIC rationals, exact in float64 on both sides with
+    zero drift — initialized l₀ = x₀, b₀ = x₁ − x₀. Forecast the next
+    7 days as l_T + k·b_T. The distributed part is the daily counting;
+    the T-step recurrence is O(days) driver scalars, mirrored by a
+    chain of scalar CTEs."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        uc, n = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uc, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["day"]), int(r["n"]))
+        for r in ds.map_batches(daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    xs = [x for _, x in rows]
+    last_day = rows[-1][0]
+    lvl, trend = float(xs[0]), float(xs[1] - xs[0])
+    for x in xs[1:]:
+        prev = lvl
+        lvl = 0.5 * x + 0.5 * (lvl + trend)
+        trend = 0.5 * (lvl - prev) + 0.5 * trend
+    out_d, out_f = [], []
+    for k in range(1, _HOLT_HORIZON + 1):
+        out_d.append(last_day + k)
+        out_f.append(
+            float(_round_half_away(np.array([lvl + k * trend]), 6)[0])
+        )
+    return pa.table(
+        {
+            "day": pa.array(out_d, pa.int64()),
+            "forecast": pa.array(out_f, pa.float64()),
+        }
+    )
+
+
+def _holt_sql(days: int, horizon: int) -> str:
+    """Unrolled scalar-CTE Holt chain: x CTE indexes the day series;
+    hb{t} carries (l, b) after absorbing day t."""
+    ctes = [
+        "x AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, "
+        "day, n FROM (SELECT epoch_us(ts) // 86400000000 AS day, "
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1))",
+        "hb1 AS (SELECT a.n AS l, b.n - a.n AS b FROM x a, x b "
+        "WHERE a.i = 1 AND b.i = 2)",
+    ]
+    for t in range(2, days + 1):
+        ctes.append(
+            f"hb{t} AS (SELECT 0.5 * x.n + 0.5 * (p.l + p.b) AS l, "
+            f"0.5 * ((0.5 * x.n + 0.5 * (p.l + p.b)) - p.l) + 0.5 * p.b "
+            f"AS b FROM hb{t-1} p, x WHERE x.i = {t})"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", last AS (SELECT MAX(day) AS d FROM x) "
+        f"SELECT CAST(last.d + k.k AS BIGINT) AS day, "
+        f"ROUND(hb{days}.l + k.k * hb{days}.b, 6) AS forecast "
+        f"FROM hb{days}, last, "
+        f"LATERAL (SELECT unnest(range(1, {horizon} + 1)) AS k) k"
+    )
+
+
 def q_cusum_changepoints(sf_dir: str):
     """CUSUM change-point detection over the daily event-count series
     (Page 1954): S_t = max(0, S_{t-1} + x_t − μ − k) with allowance
@@ -18212,6 +18296,7 @@ def queries():
         "damping_sensitivity": q_damping_sensitivity,
         "rank_per_inlink": q_rank_per_inlink,
         "cusum_changepoints": q_cusum_changepoints,
+        "holt_forecast": q_holt_forecast,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -18610,6 +18695,7 @@ def oracle_sql():
         "damping_sensitivity": _damp_sens_sql(4),
         "rank_per_inlink": _rank_per_inlink_sql(4),
         "cusum_changepoints": _CUSUM_SQL,
+        "holt_forecast": _holt_sql(30, _HOLT_HORIZON),
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
