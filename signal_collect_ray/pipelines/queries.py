@@ -2840,6 +2840,90 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+_L2Q_QUANTILES = (50, 90, 99)
+
+
+def q_log2_quantile_sketch(sf_dir: str):
+    """Relative-error quantile sketch with EXACT integer bucketing
+    (the DDSketch idea at γ = 2, where the bucket index is just
+    bit_length − 1 of the cent amount — no float log anywhere): fixed
+    ~40-bucket mergeable histograms per block, one tiny fold, rank
+    walk + geometric bucket midpoint (1.5·2^b cents) as the estimate —
+    guaranteed within 2× of the true quantile. The honest sketch
+    answer when full value histograms are too wide to ship."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    def buckets(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = np.maximum(cents, 1)
+        # bit_length - 1 == floor(log2): exact integer bucketing
+        blen = np.array(
+            [int(c).bit_length() - 1 for c in cents], dtype=np.int64
+        )
+        uc, n = np.unique(blen, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uc, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["bucket"]), int(r["n"]))
+        for r in ds.map_batches(buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    total = sum(n for _, n in rows)
+    out_q, out_e = [], []
+    for q in _L2Q_QUANTILES:
+        rank = (q * total + 99) // 100  # ceil(q% of total), integer
+        run = 0
+        est = None
+        for b, n in rows:
+            run += n
+            if run >= rank:
+                est = 1.5 * (2 ** b) / 100.0
+                break
+        out_q.append(q)
+        out_e.append(
+            float(_round_half_away(np.array([est]), 6)[0])
+        )
+    return pa.table(
+        {
+            "quantile_pct": pa.array(out_q, pa.int64()),
+            "estimate": pa.array(out_e, pa.float64()),
+        }
+    )
+
+
+_L2Q_SQL = f"""
+WITH c AS (SELECT GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT), 1)
+           AS cents FROM events),
+b AS (SELECT length(bin(cents)) - 1 AS bucket, COUNT(*) AS n
+      FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM b),
+r AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket
+      ROWS UNBOUNDED PRECEDING) AS run FROM b),
+q AS (SELECT unnest(ARRAY{list(_L2Q_QUANTILES)}) AS quantile_pct),
+sel AS (SELECT q.quantile_pct, MIN(r.bucket) AS bucket
+        FROM q CROSS JOIN t
+        JOIN r ON r.run >= (q.quantile_pct * t.total + 99) // 100
+        GROUP BY q.quantile_pct)
+SELECT CAST(quantile_pct AS BIGINT) AS quantile_pct,
+       ROUND(1.5 * POWER(2.0, bucket) / 100.0, 6) AS estimate
+FROM sel
+"""
+
+
 _HOLT_HORIZON = 7
 
 
@@ -18297,6 +18381,7 @@ def queries():
         "rank_per_inlink": q_rank_per_inlink,
         "cusum_changepoints": q_cusum_changepoints,
         "holt_forecast": q_holt_forecast,
+        "log2_quantile_sketch": q_log2_quantile_sketch,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -18696,6 +18781,7 @@ def oracle_sql():
         "rank_per_inlink": _rank_per_inlink_sql(4),
         "cusum_changepoints": _CUSUM_SQL,
         "holt_forecast": _holt_sql(30, _HOLT_HORIZON),
+        "log2_quantile_sketch": _L2Q_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
