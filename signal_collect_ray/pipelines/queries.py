@@ -2840,6 +2840,95 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+def q_langid_f1(sf_dir: str):
+    """Per-language precision / recall / F1 of the LanguageId detector
+    against the corpus labels, plus Cohen's kappa on every row — the
+    classifier-evaluation metrics derived from the confusion counts
+    (exact integer TP / row / column sums, half-away-rounded ratios;
+    kappa's chance term uses exact integer cross products)."""
+    conf = q_lang_confusion(sf_dir).take_all()
+    tp: Dict[str, int] = {}
+    row: Dict[str, int] = {}
+    col: Dict[str, int] = {}
+    total = 0
+    for r in conf:
+        lang, pred, n = r["lang"], r["lang_pred"], int(r["n"])
+        total += n
+        row[lang] = row.get(lang, 0) + n
+        col[pred] = col.get(pred, 0) + n
+        if lang == pred:
+            tp[lang] = tp.get(lang, 0) + n
+    langs = sorted(set(row) | set(col))
+    agree = sum(tp.values())
+    chance_num = sum(row.get(l, 0) * col.get(l, 0) for l in langs)
+    # kappa = (agree/total − chance/total²) / (1 − chance/total²)
+    #       = (agree·total − chance_num) / (total² − chance_num)
+    kd = total * total - chance_num
+    kappa = (agree * total - chance_num) / kd if kd else 0.0
+    out = {"lang": [], "precision": [], "recall": [], "f1": [], "kappa": []}
+    for l in langs:
+        t = tp.get(l, 0)
+        p = t / col[l] if col.get(l) else 0.0
+        rc = t / row[l] if row.get(l) else 0.0
+        f1 = 2 * t / (col.get(l, 0) + row.get(l, 0)) if (
+            col.get(l, 0) + row.get(l, 0)
+        ) else 0.0
+        out["lang"].append(l)
+        out["precision"].append(
+            float(_round_half_away(np.array([p]), 6)[0])
+        )
+        out["recall"].append(float(_round_half_away(np.array([rc]), 6)[0]))
+        out["f1"].append(float(_round_half_away(np.array([f1]), 6)[0]))
+        out["kappa"].append(
+            float(_round_half_away(np.array([kappa]), 6)[0])
+        )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "precision": pa.array(out["precision"], pa.float64()),
+            "recall": pa.array(out["recall"], pa.float64()),
+            "f1": pa.array(out["f1"], pa.float64()),
+            "kappa": pa.array(out["kappa"], pa.float64()),
+        }
+    )
+
+
+def _langid_f1_sql() -> str:
+    return f"""
+WITH c AS ({_lang_confusion_sql()}),
+langs AS (SELECT lang FROM c UNION SELECT lang_pred FROM c),
+rw AS (SELECT lang, SUM(n) AS rn FROM c GROUP BY lang),
+cl AS (SELECT lang_pred AS lang, SUM(n) AS cn FROM c GROUP BY lang_pred),
+tp AS (SELECT lang, SUM(n) AS t FROM c WHERE lang = lang_pred
+       GROUP BY lang),
+tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS total,
+        CAST(COALESCE((SELECT SUM(t) FROM tp), 0) AS HUGEINT) AS agree
+        FROM c),
+ch AS (SELECT CAST(SUM(COALESCE(rw.rn, 0) * COALESCE(cl.cn, 0))
+       AS HUGEINT) AS chn
+       FROM langs l LEFT JOIN rw ON rw.lang = l.lang
+       LEFT JOIN cl ON cl.lang = l.lang),
+k AS (SELECT CASE WHEN tot.total * tot.total - ch.chn = 0 THEN 0.0
+      ELSE ROUND(CAST(tot.agree * tot.total - ch.chn AS DOUBLE)
+        / CAST(tot.total * tot.total - ch.chn AS DOUBLE), 6) END AS kappa
+      FROM tot, ch)
+SELECT l.lang,
+  ROUND(CASE WHEN COALESCE(cl.cn, 0) = 0 THEN 0.0
+        ELSE COALESCE(tp.t, 0) * 1.0 / cl.cn END, 6) AS precision,
+  ROUND(CASE WHEN COALESCE(rw.rn, 0) = 0 THEN 0.0
+        ELSE COALESCE(tp.t, 0) * 1.0 / rw.rn END, 6) AS recall,
+  ROUND(CASE WHEN COALESCE(cl.cn, 0) + COALESCE(rw.rn, 0) = 0 THEN 0.0
+        ELSE 2.0 * COALESCE(tp.t, 0)
+          / (COALESCE(cl.cn, 0) + COALESCE(rw.rn, 0)) END, 6) AS f1,
+  k.kappa
+FROM langs l
+LEFT JOIN rw ON rw.lang = l.lang
+LEFT JOIN cl ON cl.lang = l.lang
+LEFT JOIN tp ON tp.lang = l.lang
+CROSS JOIN k
+"""
+
+
 _L2Q_QUANTILES = (50, 90, 99)
 
 
@@ -18382,6 +18471,7 @@ def queries():
         "cusum_changepoints": q_cusum_changepoints,
         "holt_forecast": q_holt_forecast,
         "log2_quantile_sketch": q_log2_quantile_sketch,
+        "langid_f1": q_langid_f1,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -18782,6 +18872,7 @@ def oracle_sql():
         "cusum_changepoints": _CUSUM_SQL,
         "holt_forecast": _holt_sql(30, _HOLT_HORIZON),
         "log2_quantile_sketch": _L2Q_SQL,
+        "langid_f1": _langid_f1_sql(),
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
