@@ -2840,6 +2840,130 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+_BOUNCE_GAP_US = 14_400 * 1_000_000  # same 4h gap as event_sessions
+
+
+def q_page_bounce_rate(sf_dir: str):
+    """Per-entry-page bounce rate: gap-sessionize each user's events
+    (the same 4 h convention as event_sessions), attribute each session
+    to its FIRST page, bounce = single-event session. One exchange on
+    user, vectorized per-partition session splitting (ties by
+    event_id), then a tiny per-page fold — the landing-page quality
+    metric. All-integer counts; one half-away-rounded ratio."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.util import part_of, segment_starts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(part_of(uid, 16), pa.int32()),
+                "user_id": tbl.column("user_id"),
+                "ts_us": pa.array(
+                    tbl.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": tbl.column("event_id"),
+            }
+        )
+
+    def sessions(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t, e = uid[order], ts[order], eid[order]
+        brk = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (
+                (t[1:] - t[:-1]) > _BOUNCE_GAP_US
+            )
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(u)))
+        entry_page = ((e[starts] * 7) % V_GRAPH).astype(np.int64)
+        bounce = (lens == 1).astype(np.int64)
+        code = entry_page * 2 + bounce
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "page": pa.array(uc // 2, pa.int64()),
+                "bounce": pa.array(uc % 2, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+        .groupby(["page", "bounce"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    agg: Dict[int, list] = {}
+    for r in rows:
+        c = agg.setdefault(int(r["page"]), [0, 0])
+        c[int(r["bounce"])] = int(r["n"])
+    pages = sorted(agg)
+    return pa.table(
+        {
+            "page": pa.array(pages, pa.int64()),
+            "sessions": pa.array(
+                [agg[p][0] + agg[p][1] for p in pages], pa.int64()
+            ),
+            "bounces": pa.array([agg[p][1] for p in pages], pa.int64()),
+            "bounce_rate": pa.array(
+                [
+                    float(
+                        _round_half_away(
+                            np.array(
+                                [agg[p][1] / (agg[p][0] + agg[p][1])]
+                            ),
+                            6,
+                        )[0]
+                    )
+                    for p in pages
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_BOUNCE_SQL = f"""
+WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                > {_BOUNCE_GAP_US} OR LAG(epoch_us(ts)) OVER w IS NULL
+           THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT user_id, event_id, t,
+      SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s),
+agg AS (SELECT event_id,
+        COUNT(*) OVER (PARTITION BY user_id, sess) AS len,
+        ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                           ORDER BY t, event_id) AS rn FROM g),
+p AS (SELECT (event_id * 7) % {V_GRAPH} AS page,
+      CASE WHEN len = 1 THEN 1 ELSE 0 END AS bounce
+      FROM agg WHERE rn = 1)
+SELECT page, CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(bounce) AS BIGINT) AS bounces,
+       ROUND(SUM(bounce) * 1.0 / COUNT(*), 6) AS bounce_rate
+FROM p GROUP BY page
+"""
+
+
 def q_langid_f1(sf_dir: str):
     """Per-language precision / recall / F1 of the LanguageId detector
     against the corpus labels, plus Cohen's kappa on every row — the
@@ -18472,6 +18596,7 @@ def queries():
         "holt_forecast": q_holt_forecast,
         "log2_quantile_sketch": q_log2_quantile_sketch,
         "langid_f1": q_langid_f1,
+        "page_bounce_rate": q_page_bounce_rate,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -18873,6 +18998,7 @@ def oracle_sql():
         "holt_forecast": _holt_sql(30, _HOLT_HORIZON),
         "log2_quantile_sketch": _L2Q_SQL,
         "langid_f1": _langid_f1_sql(),
+        "page_bounce_rate": _BOUNCE_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
