@@ -215,3 +215,100 @@ def test_bpe_merges_tiny_corpus():
     assert got[0] == (1, "l", "o", 5)
     assert got[1] == (2, "lo", "w", 5)
     assert got[2] == (3, "low", "e", 2)
+
+
+def test_holt_recurrence_brute():
+    """q_holt_forecast's dyadic recurrence equals a literal Holt
+    implementation on the sf0.001 daily series."""
+    import duckdb
+
+    from signal_collect_ray.pipelines.queries import q_holt_forecast
+
+    t = q_holt_forecast("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    xs = [
+        int(n)
+        for _, n in con.execute(
+            "SELECT epoch_us(ts) // 86400000000 AS d, COUNT(*) FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet') "
+            "GROUP BY d ORDER BY d"
+        ).fetchall()
+    ]
+    l, b = float(xs[0]), float(xs[1] - xs[0])
+    for x in xs[1:]:
+        prev = l
+        l = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l - prev) + 0.5 * b
+    for i, r in enumerate(t.to_pylist(), start=1):
+        want = l + i * b
+        f = 10.0 ** 6
+        import numpy as _np
+
+        want_r = float(_np.sign(want) * _np.floor(abs(want) * f + 0.5) / f)
+        assert r["forecast"] == want_r
+
+
+def test_log2_sketch_within_2x_of_exact():
+    """The relative-error guarantee: each sketch estimate is within a
+    factor of 2 of the exact quantile."""
+    import duckdb
+    import numpy as _np
+
+    from signal_collect_ray.pipelines.queries import q_log2_quantile_sketch
+
+    t = q_log2_quantile_sketch("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    vals = _np.sort(
+        con.execute(
+            "SELECT GREATEST(ROUND(value * 100), 1) AS cents FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        ).fetchnumpy()["cents"]
+    )
+    for r in t.to_pylist():
+        q = r["quantile_pct"]
+        k = max(int(_np.ceil(q / 100.0 * len(vals))) - 1, 0)
+        exact = vals[k] / 100.0
+        assert exact / 2 <= r["estimate"] <= exact * 2, (q, exact, r)
+
+
+def test_bounce_rate_brute():
+    """page_bounce_rate equals a per-user brute sessionization."""
+    import collections
+
+    import duckdb
+
+    from signal_collect_ray.pipelines.queries import (
+        _BOUNCE_GAP_US,
+        V_GRAPH,
+        q_page_bounce_rate,
+    )
+
+    t = q_page_bounce_rate("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, event_id, epoch_us(ts) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "ORDER BY user_id, epoch_us(ts), event_id"
+    ).fetchall()
+    per_page = collections.defaultdict(lambda: [0, 0])  # total, bounces
+    cur_user, last_t, sess = None, None, []
+    sessions = []
+    for u, e, ts in rows:
+        if u != cur_user or (last_t is not None and ts - last_t > _BOUNCE_GAP_US):
+            if sess:
+                sessions.append(sess)
+            sess = []
+            cur_user = u
+        sess.append(e)
+        last_t = ts
+    if sess:
+        sessions.append(sess)
+    for sess in sessions:
+        page = (sess[0] * 7) % V_GRAPH
+        per_page[page][0] += 1
+        per_page[page][1] += 1 if len(sess) == 1 else 0
+    got = {
+        r["page"]: (r["sessions"], r["bounces"]) for r in t.to_pylist()
+    }
+    want = {p: (c[0], c[1]) for p, c in per_page.items()}
+    assert got == want
