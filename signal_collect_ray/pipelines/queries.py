@@ -2840,6 +2840,86 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+def q_hapax_ratio(sf_dir: str):
+    """Vocabulary richness per source: hapax legomena (words occurring
+    exactly once within the source) as a fraction of the source's
+    distinct vocabulary — the lexical-diversity signal that separates
+    template-generated from organic text. One (source, word) count
+    exchange, all-integer, half-away-rounded ratio."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        import re as _re
+        from collections import Counter
+
+        srcs = tbl.column("source").to_pylist()
+        c: Counter = Counter()
+        for src, t in zip(srcs, tbl.column("text").to_pylist()):
+            for w in _re.findall(r"[a-z]+", (t or "").lower()):
+                c[(src, w)] += 1
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "word": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    agg: Dict[str, list] = {}
+    for r in rows:
+        c = agg.setdefault(r["source"], [0, 0])  # vocab, hapax
+        c[0] += 1
+        if int(r["n"]) == 1:
+            c[1] += 1
+    srcs = sorted(agg)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "vocab": pa.array([agg[s][0] for s in srcs], pa.int64()),
+            "hapax": pa.array([agg[s][1] for s in srcs], pa.int64()),
+            "hapax_ratio": pa.array(
+                [
+                    float(
+                        _round_half_away(
+                            np.array([agg[s][1] / agg[s][0]]), 6
+                        )[0]
+                    )
+                    for s in srcs
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_HAPAX_SQL = """
+WITH w AS (SELECT source, unnest(regexp_extract_all(
+           lower(COALESCE(text, '')), '[a-z]+')) AS word FROM documents),
+c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+       AS hapax_ratio
+FROM c GROUP BY source
+"""
+
+
 _BOUNCE_GAP_US = 14_400 * 1_000_000  # same 4h gap as event_sessions
 
 
@@ -18597,6 +18677,7 @@ def queries():
         "log2_quantile_sketch": q_log2_quantile_sketch,
         "langid_f1": q_langid_f1,
         "page_bounce_rate": q_page_bounce_rate,
+        "hapax_ratio": q_hapax_ratio,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -18999,6 +19080,7 @@ def oracle_sql():
         "log2_quantile_sketch": _L2Q_SQL,
         "langid_f1": _langid_f1_sql(),
         "page_bounce_rate": _BOUNCE_SQL,
+        "hapax_ratio": _HAPAX_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
