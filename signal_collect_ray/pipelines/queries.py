@@ -2840,6 +2840,170 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+_HEAPS_CHECKPOINTS = (100, 200, 300, 400, 500)
+
+
+def q_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary growth: distinct-word count after the
+    first k documents (k at fixed doc_id-ordered checkpoints) plus the
+    two-point log-log slope β between the first and last checkpoint —
+    V(n) ≈ K·n^β. The sequential-looking cumulative vocabulary
+    DISTRIBUTES as a min-first-doc-per-word groupby followed by a tiny
+    threshold count — no ordered scan anywhere."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def words(tbl: pa.Table) -> pa.Table:
+        import re as _re
+
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_w, out_d = [], []
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            seen = set(_re.findall(r"[a-z]+", (t or "").lower()))
+            out_w.extend(seen)
+            out_d.extend([int(ids[i])] * len(seen))
+        return pa.table(
+            {
+                "word": pa.array(out_w, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    firsts = (
+        docs.map_batches(words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+        .take_all()
+    )
+    # doc_ids are dense 0..N-1 in this corpus: the k-th doc threshold
+    # is doc_id < k (pinned by the oracle either way)
+    fd = np.array([int(r["first_doc"]) for r in firsts], dtype=np.int64)
+    ks, vs = [], []
+    for k in _HEAPS_CHECKPOINTS:
+        ks.append(k)
+        vs.append(int((fd < k).sum()))
+    v1, vL = vs[0], vs[-1]
+    n1, nL = ks[0], ks[-1]
+    beta = (
+        float(np.log(vL / v1) / np.log(nL / n1)) if v1 and vL else 0.0
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array(ks, pa.int64()),
+            "vocab": pa.array(vs, pa.int64()),
+            "beta": pa.array(
+                [float(_round_half_away(np.array([beta]), 6)[0])] * len(ks),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _heaps_sql() -> str:
+    ks = ", ".join(str(k) for k in _HEAPS_CHECKPOINTS)
+    k1, kl = _HEAPS_CHECKPOINTS[0], _HEAPS_CHECKPOINTS[-1]
+    return f"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(
+           lower(COALESCE(text, '')), '[a-z]+')) AS word FROM documents),
+f AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+ck AS (SELECT unnest(ARRAY[{ks}]) AS n_docs),
+v AS (SELECT ck.n_docs, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM ck LEFT JOIN f ON f.first_doc < ck.n_docs GROUP BY ck.n_docs),
+b AS (SELECT ROUND(LN(CAST(vl.vocab AS DOUBLE) / v1.vocab)
+      / LN({kl}.0 / {k1}.0), 6) AS beta
+      FROM (SELECT vocab FROM v WHERE n_docs = {k1}) v1,
+           (SELECT vocab FROM v WHERE n_docs = {kl}) vl)
+SELECT v.n_docs, v.vocab, b.beta FROM v, b
+"""
+
+
+def q_morans_i_degree(sf_dir: str):
+    """Moran's I autocorrelation of IN-DEGREE over the directed edge
+    relation — do high-in-degree pages link to high-in-degree pages?
+    I = (V/E)·Σ_edges (x_u − x̄)(x_v − x̄) / Σ_v (x_v − x̄)², computed
+    from EXACT integer moments (scaled by V² so no rational ever
+    appears: Σ(V·x_u − S)(V·x_v − S) and Σ(V·x_v − S)² are plain
+    integer folds). One degree fold + one co-partitioned edge pass."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    g = _graph(sf_dir)
+    deg_rows = q_in_degrees(sf_dir).take_all()
+    deg = {int(r["vid"]): int(r["in_degree"]) for r in deg_rows}
+    verts = (
+        g.vertices_ds()
+        .map_batches(
+            lambda tbl: pa.table({"vid": tbl.column("vid")}),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    vids = sorted(int(r["vid"]) for r in verts)
+    x = {v: deg.get(v, 0) for v in vids}
+    n_v = len(vids)
+    s_x = sum(x.values())
+    # driver-held degree map is the capped-broadcast idiom at this
+    # scale; the co-partitioned join is the documented fallback
+    xv = np.array([x[v] for v in vids], dtype=object)
+    den = sum((n_v * int(xi) - s_x) ** 2 for xi in xv)
+
+    lut = np.zeros(V_GRAPH, dtype=np.int64)
+    for v, xi in x.items():
+        lut[v] = xi
+
+    def edge_part(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+        a = n_v * lut[src] - s_x
+        b = n_v * lut[dst] - s_x
+        tot = int((a * b).sum())
+        return pa.table({"t": pa.array([tot], pa.int64())})
+
+    rows = (
+        derived_edges_ds(sf_dir)
+        .map_batches(edge_part, batch_format="pyarrow")
+        .take_all()
+    )
+    num = sum(int(r["t"]) for r in rows)
+    n_e = g.num_edges
+    mi = (n_v * num) / (n_e * den) if den and n_e else 0.0
+    return pa.table(
+        {
+            "n_vertices": pa.array([n_v], pa.int64()),
+            "n_edges": pa.array([int(n_e)], pa.int64()),
+            "morans_i": pa.array(
+                [float(_round_half_away(np.array([mi]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_MORANS_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+d AS (SELECT v.vid, CAST(COALESCE(c.n, 0) AS HUGEINT) AS x
+      FROM v LEFT JOIN (SELECT dst, COUNT(*) AS n FROM e GROUP BY dst) c
+      ON c.dst = v.vid),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nv,
+      CAST(SUM(x) AS HUGEINT) AS sx FROM d),
+den AS (SELECT SUM((t.nv * d.x - t.sx) * (t.nv * d.x - t.sx)) AS den
+        FROM d, t),
+num AS (SELECT SUM((t.nv * a.x - t.sx) * (t.nv * b.x - t.sx)) AS num
+        FROM e JOIN d a ON a.vid = e.src JOIN d b ON b.vid = e.dst, t),
+ne AS (SELECT CAST(COUNT(*) AS HUGEINT) AS ne FROM e)
+SELECT CAST(t.nv AS BIGINT) AS n_vertices, CAST(ne.ne AS BIGINT) AS n_edges,
+       CASE WHEN den.den = 0 OR ne.ne = 0 THEN 0.0
+       ELSE ROUND(CAST(t.nv * num.num AS DOUBLE)
+            / CAST(ne.ne * den.den AS DOUBLE), 6) END AS morans_i
+FROM t, den, num, ne
+"""
+
+
 def q_hapax_ratio(sf_dir: str):
     """Vocabulary richness per source: hapax legomena (words occurring
     exactly once within the source) as a fraction of the source's
@@ -18678,6 +18842,8 @@ def queries():
         "langid_f1": q_langid_f1,
         "page_bounce_rate": q_page_bounce_rate,
         "hapax_ratio": q_hapax_ratio,
+        "heaps_law": q_heaps_law,
+        "morans_i_degree": q_morans_i_degree,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -19081,6 +19247,8 @@ def oracle_sql():
         "langid_f1": _langid_f1_sql(),
         "page_bounce_rate": _BOUNCE_SQL,
         "hapax_ratio": _HAPAX_SQL,
+        "heaps_law": _heaps_sql(),
+        "morans_i_degree": _MORANS_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
