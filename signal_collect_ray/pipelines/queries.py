@@ -2840,6 +2840,118 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+def q_stump_split(sf_dir: str):
+    """Exact 1-feature decision stump: the quality-score threshold
+    that best separates source 'src0' documents from the rest by
+    MISCLASSIFICATION COUNT (predict positive when quality ≤ t,
+    orientation chosen by the better side) — trained exactly over the
+    (quality-micro, label) histogram: one pre-combined exchange, then
+    an integer cumulative walk over distinct thresholds; ties break to
+    the smallest threshold. Integer errors end to end — no float enters
+    the argmin."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    scored = docs.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        q = np.round(
+            tbl.column("quality").to_numpy(zero_copy_only=False), 6
+        )
+        micro = np.round(q * 1_000_000).astype(np.int64)
+        pos = (
+            np.asarray(tbl.column("source").to_pylist()) == "src0"
+        ).astype(np.int64)
+        code = micro * 2 + pos
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "micro": pa.array(uc // 2, pa.int64()),
+                "pos": pa.array(uc % 2, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby(["micro", "pos"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    h: Dict[int, list] = {}
+    for r in rows:
+        c = h.setdefault(int(r["micro"]), [0, 0])
+        c[int(r["pos"])] = int(r["n"])
+    ts = sorted(h)
+    tot_pos = sum(c[1] for c in h.values())
+    tot_neg = sum(c[0] for c in h.values())
+    cp = cn = 0
+    best = None  # (errors, threshold_micro, predict_low_is_pos)
+    for t in ts:
+        cp += h[t][1]
+        cn += h[t][0]
+        # orientation A: positive iff quality <= t
+        err_a = (tot_pos - cp) + cn
+        # orientation B: positive iff quality > t
+        err_b = cp + (tot_neg - cn)
+        for err, low_pos in ((err_a, 1), (err_b, 0)):
+            key = (err, t, low_pos)
+            if best is None or key < best:
+                best = key
+    err, t_micro, low_pos = best
+    n_total = tot_pos + tot_neg
+    return pa.table(
+        {
+            "threshold": pa.array([t_micro / 1_000_000.0], pa.float64()),
+            "predict_low_is_pos": pa.array([low_pos], pa.int64()),
+            "errors": pa.array([err], pa.int64()),
+            "accuracy": pa.array(
+                [
+                    float(
+                        _round_half_away(
+                            np.array([(n_total - err) / n_total]), 6
+                        )[0]
+                    )
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_STUMP_SQL = """
+WITH q AS ({QUALITY}),
+lab AS (SELECT q.doc_id, CAST(ROUND(q.quality * 1000000, 0) AS BIGINT)
+        AS micro,
+        CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos
+        FROM q JOIN documents d USING (doc_id)),
+h AS (SELECT micro, SUM(pos) AS np, SUM(1 - pos) AS nn
+      FROM lab GROUP BY micro),
+t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM h),
+c AS (SELECT micro,
+      SUM(np) OVER (ORDER BY micro ROWS UNBOUNDED PRECEDING) AS cp,
+      SUM(nn) OVER (ORDER BY micro ROWS UNBOUNDED PRECEDING) AS cn
+      FROM h),
+e AS (SELECT micro, (t.tp - cp) + cn AS err, 1 AS low_pos FROM c, t
+      UNION ALL
+      SELECT micro, cp + (t.tn - cn) AS err, 0 AS low_pos FROM c, t),
+b AS (SELECT micro, err, low_pos,
+      ROW_NUMBER() OVER (ORDER BY err, micro, low_pos) AS rn FROM e),
+n AS (SELECT tp + tn AS total FROM t)
+SELECT ROUND(b.micro / 1000000.0, 6) AS threshold,
+       CAST(b.low_pos AS BIGINT) AS predict_low_is_pos,
+       CAST(b.err AS BIGINT) AS errors,
+       ROUND((n.total - b.err) * 1.0 / n.total, 6) AS accuracy
+FROM b, n WHERE b.rn = 1
+"""
+
+
 _HEAPS_CHECKPOINTS = (100, 200, 300, 400, 500)
 
 
@@ -18844,6 +18956,7 @@ def queries():
         "hapax_ratio": q_hapax_ratio,
         "heaps_law": q_heaps_law,
         "morans_i_degree": q_morans_i_degree,
+        "stump_split": q_stump_split,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -19249,6 +19362,7 @@ def oracle_sql():
         "hapax_ratio": _HAPAX_SQL,
         "heaps_law": _heaps_sql(),
         "morans_i_degree": _MORANS_SQL,
+        "stump_split": _STUMP_SQL.format(QUALITY=_QUALITY_SQL),
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
