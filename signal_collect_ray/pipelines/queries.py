@@ -2840,6 +2840,134 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+def q_sequential_lift(sf_dir: str):
+    """Sequential association lift for event-type bigrams: lift(A→B) =
+    P(next = B | current = A) / P(B overall next-position) — the
+    session-model version of association-rule lift, > 1 when B follows
+    A more than chance. Derived from the distributed transition counts
+    (one exchange) with exact integer numerators; one half-away-rounded
+    division per pair."""
+    trans = q_event_transitions(sf_dir)
+    frm = trans.column("from_type").to_pylist()
+    to = trans.column("to_type").to_pylist()
+    n = trans.column("n").to_numpy(zero_copy_only=False)
+    row_tot: Dict[str, int] = {}
+    col_tot: Dict[str, int] = {}
+    total = int(n.sum())
+    for f, t, c in zip(frm, to, n):
+        row_tot[f] = row_tot.get(f, 0) + int(c)
+        col_tot[t] = col_tot.get(t, 0) + int(c)
+    out = sorted(
+        (
+            f,
+            t,
+            int(c),
+            float(
+                _round_half_away(
+                    np.array(
+                        [(int(c) * total) / (row_tot[f] * col_tot[t])]
+                    ),
+                    6,
+                )[0]
+            ),
+        )
+        for f, t, c in zip(frm, to, n)
+    )
+    return pa.table(
+        {
+            "from_type": pa.array([x[0] for x in out], pa.string()),
+            "to_type": pa.array([x[1] for x in out], pa.string()),
+            "n": pa.array([x[2] for x in out], pa.int64()),
+            "lift": pa.array([x[3] for x in out], pa.float64()),
+        }
+    )
+
+
+_SEQ_LIFT_SQL = """
+WITH s AS (SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT from_type, SUM(n) AS rn FROM c GROUP BY from_type),
+cl AS (SELECT to_type, SUM(n) AS cn FROM c GROUP BY to_type),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND((c.n * t.total * 1.0) / (r.rn * cl.cn), 6) AS lift
+FROM c JOIN r USING (from_type) JOIN cl USING (to_type), t
+"""
+
+
+def q_user_type_entropy(sf_dir: str):
+    """Per-user behavioral entropy: H = −Σ p log2 p over the user's
+    event-type distribution (0 for single-type users, up to log2(5)
+    for uniform behavior) — the predictability feature behind
+    bot/human separation. One (user, type) count exchange; the entropy
+    fold is O(types) per user with exact integer probabilities cast
+    once."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keys, n = np.unique(
+            np.char.add(np.char.add(uid.astype(str), "|"), et),
+            return_counts=True,
+        )
+        users = [k.split("|", 1)[0] for k in keys]
+        types = [k.split("|", 1)[1] for k in keys]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.array(users, dtype=np.int64), pa.int64()
+                ),
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    agg: Dict[int, list] = {}
+    for r in rows:
+        agg.setdefault(int(r["user_id"]), []).append(int(r["n"]))
+    users = sorted(agg)
+    ents = []
+    for u in users:
+        ns = agg[u]
+        tot = sum(ns)
+        h = -sum((c / tot) * np.log2(c / tot) for c in ns)
+        ents.append(float(_round_half_away(np.array([h]), 6)[0]))
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "entropy_bits": pa.array(ents, pa.float64()),
+        }
+    )
+
+
+_USER_ENTROPY_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
+           GROUP BY 1, 2),
+t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       ROUND(-SUM((c.n * 1.0 / t.tot) * LOG2(c.n * 1.0 / t.tot)), 6)
+       AS entropy_bits
+FROM c JOIN t USING (user_id) GROUP BY c.user_id
+"""
+
+
 def q_stump_split(sf_dir: str):
     """Exact 1-feature decision stump: the quality-score threshold
     that best separates source 'src0' documents from the rest by
@@ -18957,6 +19085,8 @@ def queries():
         "heaps_law": q_heaps_law,
         "morans_i_degree": q_morans_i_degree,
         "stump_split": q_stump_split,
+        "sequential_lift": q_sequential_lift,
+        "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
         "value_emd": q_value_emd,
@@ -19363,6 +19493,8 @@ def oracle_sql():
         "heaps_law": _heaps_sql(),
         "morans_i_degree": _MORANS_SQL,
         "stump_split": _STUMP_SQL.format(QUALITY=_QUALITY_SQL),
+        "sequential_lift": _SEQ_LIFT_SQL,
+        "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
         "value_emd": _EMD_SQL,
