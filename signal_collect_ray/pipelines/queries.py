@@ -2840,6 +2840,96 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+def q_quality_trend_per_source(sf_dir: str):
+    """Per-source quality TREND: OLS slope of quality (6dp micro ints)
+    on the document's week bucket (doc_id % 8, the same deterministic
+    assignment as weekly_novel_ngrams) — is each crawl source getting
+    better or worse over time? Slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    from per-block INTEGER moment partials folded per source; the only
+    float is one final division per source (half-away rounded, in
+    micro-quality units per week)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    scored = docs.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        q = np.round(
+            tbl.column("quality").to_numpy(zero_copy_only=False), 6
+        )
+        y = np.round(q * 1_000_000).astype(np.int64)
+        x = (ids % 8).astype(np.int64)
+        srcs = np.asarray(tbl.column("source").to_pylist())
+        rows = {"source": [], "k": [], "v": []}
+        for s_ in np.unique(srcs):
+            m = srcs == s_
+            vals = [
+                int(m.sum()), int(x[m].sum()), int(y[m].sum()),
+                int((x[m] * x[m]).sum()), int((x[m] * y[m]).sum()),
+            ]
+            for k, v in enumerate(vals):
+                rows["source"].append(str(s_))
+                rows["k"].append(k)
+                rows["v"].append(v)
+        return pa.table(
+            {
+                "source": pa.array(rows["source"], pa.string()),
+                "k": pa.array(rows["k"], pa.int64()),
+                "v": pa.array(rows["v"], pa.int64()),
+            }
+        )
+
+    rows = (
+        scored.map_batches(moments, batch_format="pyarrow")
+        .groupby(["source", "k"])
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    agg: Dict[str, dict] = {}
+    for r in rows:
+        agg.setdefault(r["source"], {})[int(r["k"])] = int(r["v"])
+    srcs = sorted(agg)
+    slopes = []
+    for s_ in srcs:
+        m = agg[s_]
+        n, sx, sy, sxx, sxy = (m[i] for i in range(5))
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den else 0.0
+        slopes.append(float(_round_half_away(np.array([slope]), 6)[0]))
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "slope_micro_per_week": pa.array(slopes, pa.float64()),
+        }
+    )
+
+
+_QTREND_SQL = """
+WITH q AS ({QUALITY}),
+d AS (SELECT doc_id % 8 AS x,
+      CAST(ROUND(q.quality * 1000000, 0) AS BIGINT) AS y, dd.source
+      FROM q JOIN documents dd USING (doc_id)),
+m AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+      CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      CAST(SUM(x * x) AS HUGEINT) AS sxx,
+      CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM d GROUP BY source)
+SELECT source,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+       ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+       AS slope_micro_per_week
+FROM m
+"""
+
+
 def q_sequential_lift(sf_dir: str):
     """Sequential association lift for event-type bigrams: lift(A→B) =
     P(next = B | current = A) / P(B overall next-position) — the
@@ -19086,6 +19176,7 @@ def queries():
         "morans_i_degree": q_morans_i_degree,
         "stump_split": q_stump_split,
         "sequential_lift": q_sequential_lift,
+        "quality_trend_per_source": q_quality_trend_per_source,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -19494,6 +19585,7 @@ def oracle_sql():
         "morans_i_degree": _MORANS_SQL,
         "stump_split": _STUMP_SQL.format(QUALITY=_QUALITY_SQL),
         "sequential_lift": _SEQ_LIFT_SQL,
+        "quality_trend_per_source": _QTREND_SQL.format(QUALITY=_QUALITY_SQL),
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
