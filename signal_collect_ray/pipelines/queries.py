@@ -2840,6 +2840,149 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+_BT_ITERS = 5
+
+
+def q_bradley_terry_sources(sf_dir: str):
+    """Bradley-Terry strength ranking of the crawl sources from
+    pairwise quality comparisons (the paired-comparison model behind
+    modern preference/reward ranking): every cross-source document
+    pair is a match decided by the higher 6dp quality (ties count
+    half), aggregated EXACTLY from per-source quality histograms
+    (strict wins and ties are integer folds over cumulative counts —
+    never O(docs²) pairs). Five minorization-maximization iterations
+    p_i ← W_i / Σ_j n_ij/(p_i+p_j), sum-normalized each round; the
+    iteration runs on the tiny source table, mirrored by an unrolled
+    CTE chain."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from signal_collect_ray.functions.text import QualityScore
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    scored = docs.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        q = np.round(
+            tbl.column("quality").to_numpy(zero_copy_only=False), 6
+        )
+        micro = np.round(q * 1_000_000).astype(np.int64)
+        srcs = np.asarray(tbl.column("source").to_pylist())
+        keys, n = np.unique(
+            np.char.add(np.char.add(srcs, "|"), micro.astype(str)),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "source": pa.array(
+                    [k.split("|", 1)[0] for k in keys], pa.string()
+                ),
+                "micro": pa.array(
+                    np.array(
+                        [int(k.split("|", 1)[1]) for k in keys],
+                        dtype=np.int64,
+                    ),
+                    pa.int64(),
+                ),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby(["source", "micro"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    h: Dict[str, dict] = {}
+    for r in rows:
+        h.setdefault(r["source"], {})[int(r["micro"])] = int(r["n"])
+    srcs = sorted(h)
+    S = len(srcs)
+    tot = {s_: sum(h[s_].values()) for s_ in srcs}
+    # doubled wins (2*strict + ties) per ordered pair, exact ints
+    w2 = np.zeros((S, S), dtype=object)
+    for i, a in enumerate(srcs):
+        for j, b in enumerate(srcs):
+            if i == j:
+                continue
+            lv = sorted(h[b])
+            cb = np.cumsum([h[b][x] for x in lv])
+            strict = ties = 0
+            for qa, na in h[a].items():
+                k = np.searchsorted(lv, qa)
+                below = int(cb[k - 1]) if k > 0 else 0
+                strict += na * below
+                if k < len(lv) and lv[k] == qa:
+                    ties += na * h[b][qa]
+            w2[i, j] = 2 * strict + ties
+    p = np.ones(S)
+    for _ in range(_BT_ITERS):
+        newp = np.zeros(S)
+        for i in range(S):
+            wi = sum(int(w2[i, j]) for j in range(S) if j != i) / 2.0
+            denom = sum(
+                (tot[srcs[i]] * tot[srcs[j]]) / (p[i] + p[j])
+                for j in range(S)
+                if j != i
+            )
+            newp[i] = wi / denom if denom else 0.0
+        p = newp / newp.sum()
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "bt_score": pa.array(
+                [
+                    float(_round_half_away(np.array([x]), 6)[0])
+                    for x in p
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _bt_sql(iters: int) -> str:
+    head = """
+WITH q AS ({QUALITY}),
+lab AS (SELECT CAST(ROUND(q.quality * 1000000, 0) AS BIGINT) AS micro,
+        d.source FROM q JOIN documents d USING (doc_id)),
+h AS (SELECT source, micro, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM lab GROUP BY 1, 2),
+t AS (SELECT source, SUM(n) AS tot FROM h GROUP BY source),
+w AS (SELECT a.source AS sa, b.source AS sb,
+      SUM(CASE WHEN a.micro > b.micro THEN 2 * a.n * b.n
+               WHEN a.micro = b.micro THEN a.n * b.n ELSE 0 END) AS w2
+      FROM h a JOIN h b ON a.source <> b.source GROUP BY 1, 2),
+wi AS (SELECT sa AS source, CAST(SUM(w2) AS DOUBLE) / 2.0 AS wins
+       FROM w GROUP BY sa),
+p0 AS (SELECT source, CAST(1.0 AS DOUBLE) AS p FROM t),
+"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(
+            f"""d{k} AS MATERIALIZED (SELECT pi.source,
+  wi.wins / SUM(CAST(ta.tot * tb.tot AS DOUBLE) / (pi.p + pj.p)) AS raw
+  FROM p{k-1} pi JOIN wi USING (source)
+  JOIN t ta ON ta.source = pi.source
+  JOIN p{k-1} pj ON pj.source <> pi.source
+  JOIN t tb ON tb.source = pj.source
+  GROUP BY pi.source, wi.wins)"""
+        )
+        its.append(
+            f"p{k} AS MATERIALIZED (SELECT source, "
+            f"raw / (SELECT SUM(raw) FROM d{k}) AS p FROM d{k})"
+        )
+    return (
+        head
+        + ", ".join(its)
+        + f" SELECT source, ROUND(p, 6) AS bt_score FROM p{iters}"
+    )
+
+
 def q_quality_trend_per_source(sf_dir: str):
     """Per-source quality TREND: OLS slope of quality (6dp micro ints)
     on the document's week bucket (doc_id % 8, the same deterministic
@@ -19177,6 +19320,7 @@ def queries():
         "stump_split": q_stump_split,
         "sequential_lift": q_sequential_lift,
         "quality_trend_per_source": q_quality_trend_per_source,
+        "bradley_terry_sources": q_bradley_terry_sources,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -19586,6 +19730,9 @@ def oracle_sql():
         "stump_split": _STUMP_SQL.format(QUALITY=_QUALITY_SQL),
         "sequential_lift": _SEQ_LIFT_SQL,
         "quality_trend_per_source": _QTREND_SQL.format(QUALITY=_QUALITY_SQL),
+        "bradley_terry_sources": _bt_sql(_BT_ITERS).format(
+            QUALITY=_QUALITY_SQL
+        ),
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
