@@ -2840,6 +2840,159 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 """
 
 
+_KM_VALUE_MIN = 90.0
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve for 'time from first to second
+    high-value purchase' (value > 90 — rare enough that many users
+    never repeat, giving REAL right-censoring at the observation end):
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times, censored
+    spells entering every at-risk set they outlast. All counts exact
+    integers; the product multiplies the identical factor sequence in
+    the identical duration order on both sides (window PRODUCT), so
+    the curve is bit-exact before the display rounding. One exchange
+    on user for the first-two fold; O(users) driver walk."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from signal_collect_ray.util import part_of
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    t_max = int(
+        ds.map_batches(
+            lambda tbl: pa.table(
+                {
+                    "m": pa.array(
+                        [
+                            int(
+                                tbl.column("ts")
+                                .cast(pa.int64())
+                                .to_numpy(zero_copy_only=False)
+                                .max()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Max("m", alias_name="m"))["m"]
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") & (val > _KM_VALUE_MIN)
+        sub = tbl.filter(pa.array(keep))
+        uid = sub.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(part_of(uid, 16), pa.int32()),
+                "user_id": sub.column("user_id"),
+                "ts_us": pa.array(
+                    sub.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": sub.column("event_id"),
+            }
+        )
+
+    def first_two(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        starts = segment_starts(u)
+        ends = np.append(starts[1:], len(u))
+        durs, evs = [], []
+        for a, b in zip(starts, ends):
+            if b - a >= 2:
+                durs.append(int(t[a + 1] - t[a]))
+                evs.append(1)
+            else:
+                durs.append(int(t_max - t[a]))
+                evs.append(0)
+        return pa.table(
+            {
+                "dur": pa.array(durs, pa.int64()),
+                "ev": pa.array(evs, pa.int64()),
+            }
+        )
+
+    from signal_collect_ray.util import segment_starts
+
+    rows = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(first_two, batch_format="pyarrow")
+        .take_all()
+    )
+    pairs = sorted((int(r["dur"]), int(r["ev"])) for r in rows)
+    # group by distinct duration
+    g: Dict[int, list] = {}
+    for d, e in pairs:
+        c = g.setdefault(d, [0, 0])  # n_at, deaths
+        c[0] += 1
+        c[1] += e
+    total = len(pairs)
+    out_d, out_r, out_dd, out_s = [], [], [], []
+    run = 0
+    surv = 1.0
+    for d in sorted(g):
+        n_at = total - run
+        deaths = g[d][1]
+        surv = surv * (1.0 - deaths * 1.0 / n_at)
+        run += g[d][0]
+        if deaths > 0:
+            out_d.append(d)
+            out_r.append(n_at)
+            out_dd.append(deaths)
+            out_s.append(float(_round_half_away(np.array([surv]), 6)[0]))
+    return pa.table(
+        {
+            "duration_us": pa.array(out_d, pa.int64()),
+            "at_risk": pa.array(out_r, pa.int64()),
+            "deaths": pa.array(out_dd, pa.int64()),
+            "survival": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+_KM_SQL = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+ev AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+       WHERE event_type = 'purchase' AND value > {_KM_VALUE_MIN}),
+rk AS (SELECT user_id, t, ROW_NUMBER() OVER (PARTITION BY user_id
+       ORDER BY t, event_id) AS rn FROM ev),
+d AS (SELECT a.user_id, b.t - a.t AS dur, 1 AS ev
+      FROM rk a JOIN rk b ON b.user_id = a.user_id
+      AND a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT a.user_id, mx.m - a.t, 0 FROM rk a, mx
+      WHERE a.rn = 1 AND NOT EXISTS (SELECT 1 FROM rk b
+        WHERE b.user_id = a.user_id AND b.rn = 2)),
+g AS (SELECT dur, SUM(ev) AS deaths, COUNT(*) AS n_at FROM d GROUP BY dur),
+o AS (SELECT dur, deaths,
+      SUM(n_at) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+      AS at_risk FROM g),
+k AS (SELECT dur, deaths, at_risk,
+      PRODUCT(1.0 - deaths * 1.0 / at_risk)
+        OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS surv FROM o)
+SELECT CAST(dur AS BIGINT) AS duration_us,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       ROUND(surv, 6) AS survival
+FROM k WHERE deaths > 0
+"""
+
+
 _BT_ITERS = 5
 
 
@@ -19321,6 +19474,7 @@ def queries():
         "sequential_lift": q_sequential_lift,
         "quality_trend_per_source": q_quality_trend_per_source,
         "bradley_terry_sources": q_bradley_terry_sources,
+        "kaplan_meier": q_kaplan_meier,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -19733,6 +19887,7 @@ def oracle_sql():
         "bradley_terry_sources": _bt_sql(_BT_ITERS).format(
             QUALITY=_QUALITY_SQL
         ),
+        "kaplan_meier": _KM_SQL,
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
