@@ -2993,6 +2993,184 @@ FROM k WHERE deaths > 0
 """
 
 
+def q_logrank_chi2(sf_dir: str):
+    """Two-group survival comparison (log-rank O-vs-E form): split
+    users by parity, pool the same first-to-second-high-value-purchase
+    spells as kaplan_meier, and at every death time credit each group
+    its expected deaths E_g = d · n_g/n from exact integer at-risk
+    counts. The statistic (O₁−E₁)²/E₁ + (O₂−E₂)²/E₂ sums rational
+    expectations in ascending death-time order on both sides. Same
+    one-exchange shape as kaplan_meier plus the group tag."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from signal_collect_ray.util import part_of, segment_starts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    t_max = int(
+        ds.map_batches(
+            lambda tbl: pa.table(
+                {
+                    "m": pa.array(
+                        [
+                            int(
+                                tbl.column("ts")
+                                .cast(pa.int64())
+                                .to_numpy(zero_copy_only=False)
+                                .max()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Max("m", alias_name="m"))["m"]
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") & (val > _KM_VALUE_MIN)
+        sub = tbl.filter(pa.array(keep))
+        uid = sub.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(part_of(uid, 16), pa.int32()),
+                "user_id": sub.column("user_id"),
+                "ts_us": pa.array(
+                    sub.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": sub.column("event_id"),
+            }
+        )
+
+    def spells(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        starts = segment_starts(u)
+        ends = np.append(starts[1:], len(u))
+        durs, evs, grp = [], [], []
+        for a, b in zip(starts, ends):
+            if b - a >= 2:
+                durs.append(int(t[a + 1] - t[a]))
+                evs.append(1)
+            else:
+                durs.append(int(t_max - t[a]))
+                evs.append(0)
+            grp.append(int(u[a]) % 2)
+        return pa.table(
+            {
+                "dur": pa.array(durs, pa.int64()),
+                "ev": pa.array(evs, pa.int64()),
+                "grp": pa.array(grp, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(spells, batch_format="pyarrow")
+        .take_all()
+    )
+    spells_ = sorted(
+        (int(r["dur"]), int(r["ev"]), int(r["grp"])) for r in rows
+    )
+    # walk death times ascending; at-risk counts by group = suffix counts
+    n_g = [0, 0]
+    for _, _, g in spells_:
+        n_g[g] += 1
+    o = [0, 0]
+    e = [0.0, 0.0]
+    i = 0
+    while i < len(spells_):
+        d0 = spells_[i][0]
+        deaths_g = [0, 0]
+        removed_g = [0, 0]
+        while i < len(spells_) and spells_[i][0] == d0:
+            _, ev_, g_ = spells_[i]
+            deaths_g[g_] += ev_
+            removed_g[g_] += 1
+            i += 1
+        d = deaths_g[0] + deaths_g[1]
+        n = n_g[0] + n_g[1]
+        if d > 0 and n > 0:
+            for g_ in (0, 1):
+                o[g_] += deaths_g[g_]
+                e[g_] += d * n_g[g_] / n
+        n_g[0] -= removed_g[0]
+        n_g[1] -= removed_g[1]
+    chi2 = sum(
+        (o[g_] - e[g_]) ** 2 / e[g_] for g_ in (0, 1) if e[g_] > 0
+    )
+    return pa.table(
+        {
+            "observed_g0": pa.array([o[0]], pa.int64()),
+            "expected_g0": pa.array(
+                [float(_round_half_away(np.array([e[0]]), 6)[0])],
+                pa.float64(),
+            ),
+            "observed_g1": pa.array([o[1]], pa.int64()),
+            "expected_g1": pa.array(
+                [float(_round_half_away(np.array([e[1]]), 6)[0])],
+                pa.float64(),
+            ),
+            "chi2": pa.array(
+                [float(_round_half_away(np.array([chi2]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_LOGRANK_SQL = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+ev AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+       WHERE event_type = 'purchase' AND value > {_KM_VALUE_MIN}),
+rk AS (SELECT user_id, t, ROW_NUMBER() OVER (PARTITION BY user_id
+       ORDER BY t, event_id) AS rn FROM ev),
+d AS (SELECT a.user_id, b.t - a.t AS dur, 1 AS evt,
+      a.user_id % 2 AS grp
+      FROM rk a JOIN rk b ON b.user_id = a.user_id
+      AND a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT a.user_id, mx.m - a.t, 0, a.user_id % 2 FROM rk a, mx
+      WHERE a.rn = 1 AND NOT EXISTS (SELECT 1 FROM rk b
+        WHERE b.user_id = a.user_id AND b.rn = 2)),
+g AS (SELECT dur,
+      SUM(CASE WHEN grp = 0 THEN evt ELSE 0 END) AS d0,
+      SUM(CASE WHEN grp = 1 THEN evt ELSE 0 END) AS d1,
+      SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS r0,
+      SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS r1
+      FROM d GROUP BY dur),
+o AS (SELECT dur, d0, d1,
+      SUM(r0) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n0,
+      SUM(r1) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n1
+      FROM g),
+agg AS (SELECT
+  CAST(SUM(d0) AS BIGINT) AS o0, CAST(SUM(d1) AS BIGINT) AS o1,
+  SUM(CASE WHEN d0 + d1 > 0
+      THEN (d0 + d1) * n0 * 1.0 / (n0 + n1) ELSE 0 END) AS e0,
+  SUM(CASE WHEN d0 + d1 > 0
+      THEN (d0 + d1) * n1 * 1.0 / (n0 + n1) ELSE 0 END) AS e1
+  FROM o)
+SELECT o0 AS observed_g0, ROUND(e0, 6) AS expected_g0,
+       o1 AS observed_g1, ROUND(e1, 6) AS expected_g1,
+       ROUND((o0 - e0) * (o0 - e0) / e0
+             + (o1 - e1) * (o1 - e1) / e1, 6) AS chi2
+FROM agg
+"""
+
+
 _BT_ITERS = 5
 
 
@@ -19475,6 +19653,7 @@ def queries():
         "quality_trend_per_source": q_quality_trend_per_source,
         "bradley_terry_sources": q_bradley_terry_sources,
         "kaplan_meier": q_kaplan_meier,
+        "logrank_chi2": q_logrank_chi2,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -19888,6 +20067,7 @@ def oracle_sql():
             QUALITY=_QUALITY_SQL
         ),
         "kaplan_meier": _KM_SQL,
+        "logrank_chi2": _LOGRANK_SQL,
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
