@@ -2993,6 +2993,130 @@ FROM k WHERE deaths > 0
 """
 
 
+def q_sign_test(sf_dir: str):
+    """Exact two-sided sign test: does the daily mean CLICK value beat
+    the daily mean VIEW value more often than a fair coin would? Daily
+    means compare by integer cross-multiplication (s_c·n_v vs s_v·n_c
+    — no float enters the win/loss call), ties drop, and the p-value
+    2·Σ_{j≤min(w, n−w)} C(n,j)/2ⁿ is a sum of EXACT dyadic rationals
+    (C(n,j) < 2³¹), computed bit-identically on both sides — the
+    oracle carries a generated Pascal table. One (day, type)
+    pre-combined exchange."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "click") | (et == "view")
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        is_click = (et[keep] == "click").astype(np.int64)
+        day = ts // 86_400_000_000
+        code = day * 2 + is_click
+        out = {}
+        for c, cent in zip(code, cents):
+            s_ = out.setdefault(int(c), [0, 0])
+            s_[0] += 1
+            s_[1] += int(cent)
+        ks = sorted(out)
+        return pa.table(
+            {
+                "day": pa.array([k // 2 for k in ks], pa.int64()),
+                "is_click": pa.array([k % 2 for k in ks], pa.int64()),
+                "n": pa.array([out[k][0] for k in ks], pa.int64()),
+                "s": pa.array([out[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .groupby(["day", "is_click"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .take_all()
+    )
+    per_day: Dict[int, dict] = {}
+    for r in rows:
+        per_day.setdefault(int(r["day"]), {})[int(r["is_click"])] = (
+            int(r["n"]),
+            int(r["s"]),
+        )
+    wins = losses = 0
+    for d, g in per_day.items():
+        if 0 not in g or 1 not in g:
+            continue
+        nv, sv = g[0]
+        nc, sc = g[1]
+        lhs, rhs = sc * nv, sv * nc  # click-mean vs view-mean, exact
+        if lhs > rhs:
+            wins += 1
+        elif lhs < rhs:
+            losses += 1
+    n = wins + losses
+    m = min(wins, losses)
+    p = min(
+        1.0,
+        2.0 * sum(math.comb(n, j) for j in range(m + 1)) / (2.0 ** n),
+    ) if n else 1.0
+    return pa.table(
+        {
+            "wins": pa.array([wins], pa.int64()),
+            "losses": pa.array([losses], pa.int64()),
+            "p_value": pa.array(
+                [float(_round_half_away(np.array([p]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sign_test_sql(max_n: int = 31) -> str:
+    import math
+
+    rows = ", ".join(
+        f"({n}, {j}, {math.comb(n, j)})"
+        for n in range(max_n + 1)
+        for j in range(n + 1)
+    )
+    return f"""
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('click', 'view')),
+g AS (SELECT day,
+      SUM(CASE WHEN is_click = 1 THEN 1 ELSE 0 END) AS nc,
+      SUM(CASE WHEN is_click = 1 THEN cents ELSE 0 END) AS sc,
+      SUM(CASE WHEN is_click = 0 THEN 1 ELSE 0 END) AS nv,
+      SUM(CASE WHEN is_click = 0 THEN cents ELSE 0 END) AS sv
+      FROM e GROUP BY day),
+w AS (SELECT
+      CAST(SUM(CASE WHEN sc * nv > sv * nc THEN 1 ELSE 0 END) AS BIGINT)
+      AS wins,
+      CAST(SUM(CASE WHEN sc * nv < sv * nc THEN 1 ELSE 0 END) AS BIGINT)
+      AS losses
+      FROM g WHERE nc > 0 AND nv > 0),
+pas(n, j, c) AS (SELECT * FROM (VALUES {rows}) v(n, j, c)),
+p AS (SELECT w.wins, w.losses,
+      CASE WHEN w.wins + w.losses = 0 THEN 1.0
+      ELSE LEAST(1.0, 2.0 * (SELECT SUM(pas.c)
+        FROM pas WHERE pas.n = w.wins + w.losses
+        AND pas.j <= LEAST(w.wins, w.losses))
+        / POWER(2.0, w.wins + w.losses)) END AS pv
+      FROM w)
+SELECT wins, losses, ROUND(pv, 6) AS p_value FROM p
+"""
+
+
 def q_logrank_chi2(sf_dir: str):
     """Two-group survival comparison (log-rank O-vs-E form): split
     users by parity, pool the same first-to-second-high-value-purchase
@@ -19654,6 +19778,7 @@ def queries():
         "bradley_terry_sources": q_bradley_terry_sources,
         "kaplan_meier": q_kaplan_meier,
         "logrank_chi2": q_logrank_chi2,
+        "sign_test": q_sign_test,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -20068,6 +20193,7 @@ def oracle_sql():
         ),
         "kaplan_meier": _KM_SQL,
         "logrank_chi2": _LOGRANK_SQL,
+        "sign_test": _sign_test_sql(),
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
