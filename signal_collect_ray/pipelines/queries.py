@@ -2993,6 +2993,132 @@ FROM k WHERE deaths > 0
 """
 
 
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test on the daily click-beats-view sequence
+    (the ORDER-randomness complement of the sign test): win/loss calls
+    by the same integer cross-multiplication, runs counted over the
+    day-ordered sequence, z = (R − μ)/σ with μ = 1 + 2ab/n and
+    σ² = 2ab(2ab − n)/(n²(n−1)) — exact integer a, b, R; one float
+    expression identical on both sides (normal approximation,
+    documented). Ties drop."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl.column("event_type").to_pylist())
+        keep = (et == "click") | (et == "view")
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        is_click = (et[keep] == "click").astype(np.int64)
+        day = ts // 86_400_000_000
+        code = day * 2 + is_click
+        out = {}
+        for c, cent in zip(code, cents):
+            s_ = out.setdefault(int(c), [0, 0])
+            s_[0] += 1
+            s_[1] += int(cent)
+        ks = sorted(out)
+        return pa.table(
+            {
+                "day": pa.array([k // 2 for k in ks], pa.int64()),
+                "is_click": pa.array([k % 2 for k in ks], pa.int64()),
+                "n": pa.array([out[k][0] for k in ks], pa.int64()),
+                "s": pa.array([out[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .groupby(["day", "is_click"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .take_all()
+    )
+    per_day: Dict[int, dict] = {}
+    for r in rows:
+        per_day.setdefault(int(r["day"]), {})[int(r["is_click"])] = (
+            int(r["n"]),
+            int(r["s"]),
+        )
+    seq = []
+    for d in sorted(per_day):
+        g = per_day[d]
+        if 0 not in g or 1 not in g:
+            continue
+        nv, sv = g[0]
+        nc, sc = g[1]
+        if sc * nv > sv * nc:
+            seq.append(1)
+        elif sc * nv < sv * nc:
+            seq.append(0)
+    a = sum(seq)
+    b = len(seq) - a
+    n = a + b
+    runs = (
+        1 + sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
+        if seq
+        else 0
+    )
+    if a and b and n > 1:
+        mu = 1.0 + 2.0 * a * b / n
+        var = (2.0 * a * b * (2.0 * a * b - n)) / (n * n * (n - 1.0))
+        z = (runs - mu) / np.sqrt(var) if var > 0 else 0.0
+    else:
+        mu, z = 0.0, 0.0
+    return pa.table(
+        {
+            "runs": pa.array([runs], pa.int64()),
+            "wins": pa.array([a], pa.int64()),
+            "losses": pa.array([b], pa.int64()),
+            "expected_runs": pa.array(
+                [float(_round_half_away(np.array([mu]), 6)[0])],
+                pa.float64(),
+            ),
+            "z_score": pa.array(
+                [float(_round_half_away(np.array([z]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_RUNS_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('click', 'view')),
+g AS (SELECT day,
+      SUM(CASE WHEN is_click = 1 THEN 1 ELSE 0 END) AS nc,
+      SUM(CASE WHEN is_click = 1 THEN cents ELSE 0 END) AS sc,
+      SUM(CASE WHEN is_click = 0 THEN 1 ELSE 0 END) AS nv,
+      SUM(CASE WHEN is_click = 0 THEN cents ELSE 0 END) AS sv
+      FROM e GROUP BY day),
+s AS (SELECT day, CASE WHEN sc * nv > sv * nc THEN 1 ELSE 0 END AS w
+      FROM g WHERE nc > 0 AND nv > 0 AND sc * nv <> sv * nc),
+q AS (SELECT day, w, LAG(w) OVER (ORDER BY day) AS pw FROM s),
+r AS (SELECT CAST(SUM(CASE WHEN pw IS NULL OR w <> pw THEN 1 ELSE 0 END)
+      AS BIGINT) AS runs,
+      CAST(SUM(w) AS BIGINT) AS a,
+      CAST(COUNT(*) - SUM(w) AS BIGINT) AS b FROM q)
+SELECT runs, a AS wins, b AS losses,
+       CASE WHEN a = 0 OR b = 0 OR a + b <= 1 THEN 0.0
+       ELSE ROUND(1.0 + 2.0 * a * b / (a + b), 6) END AS expected_runs,
+       CASE WHEN a = 0 OR b = 0 OR a + b <= 1 THEN 0.0
+       ELSE ROUND((runs - (1.0 + 2.0 * a * b / (a + b)))
+         / SQRT((2.0 * a * b * (2.0 * a * b - (a + b)))
+           / ((a + b) * (a + b) * (a + b - 1.0))), 6) END AS z_score
+FROM r
+"""
+
+
 def q_sign_test(sf_dir: str):
     """Exact two-sided sign test: does the daily mean CLICK value beat
     the daily mean VIEW value more often than a fair coin would? Daily
@@ -19779,6 +19905,7 @@ def queries():
         "kaplan_meier": q_kaplan_meier,
         "logrank_chi2": q_logrank_chi2,
         "sign_test": q_sign_test,
+        "runs_test": q_runs_test,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -20194,6 +20321,7 @@ def oracle_sql():
         "kaplan_meier": _KM_SQL,
         "logrank_chi2": _LOGRANK_SQL,
         "sign_test": _sign_test_sql(),
+        "runs_test": _RUNS_SQL,
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
