@@ -2993,6 +2993,86 @@ FROM k WHERE deaths > 0
 """
 
 
+def q_mann_kendall(sf_dir: str):
+    """Mann-Kendall nonparametric trend test on daily event counts:
+    S = Σ_{i<j} sign(x_j − x_i) (exact integer), tie-corrected
+    variance (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 in exact integers
+    (×18 to stay integral), continuity-corrected z — the monotone-
+    trend detector paired with CUSUM's level-shift detector. The
+    distributed part is the daily counting; the O(days²) pair fold is
+    driver scalars, mirrored by a self-join."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        uc, n = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uc, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        (int(r["day"]), int(r["n"]))
+        for r in ds.map_batches(daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    xs = [x for _, x in rows]
+    n = len(xs)
+    s_stat = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s_stat += (xs[j] > xs[i]) - (xs[j] < xs[i])
+    from collections import Counter
+
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    if var18 > 0 and s_stat != 0:
+        z = (s_stat - (1 if s_stat > 0 else -1)) / np.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    return pa.table(
+        {
+            "s_statistic": pa.array([s_stat], pa.int64()),
+            "n_days": pa.array([n], pa.int64()),
+            "z_score": pa.array(
+                [float(_round_half_away(np.array([z]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_MK_SQL = """
+WITH x AS (SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+s AS (SELECT CAST(SUM(CASE WHEN b.n > a.n THEN 1
+      WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM x a JOIN x b ON b.day > a.day),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+t AS (SELECT COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS corr
+      FROM (SELECT COUNT(*) AS c FROM x GROUP BY n HAVING COUNT(*) > 1)),
+v AS (SELECT cnt.n, cnt.n * (cnt.n - 1) * (2 * cnt.n + 5) - t.corr
+      AS var18 FROM cnt, t)
+SELECT s.s_stat AS s_statistic, v.n AS n_days,
+       CASE WHEN v.var18 <= 0 OR s.s_stat = 0 THEN 0.0
+       ELSE ROUND((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END)
+            / SQRT(v.var18 / 18.0), 6) END AS z_score
+FROM s, v
+"""
+
+
 def q_runs_test(sf_dir: str):
     """Wald-Wolfowitz runs test on the daily click-beats-view sequence
     (the ORDER-randomness complement of the sign test): win/loss calls
@@ -19906,6 +19986,7 @@ def queries():
         "logrank_chi2": q_logrank_chi2,
         "sign_test": q_sign_test,
         "runs_test": q_runs_test,
+        "mann_kendall": q_mann_kendall,
         "user_type_entropy": q_user_type_entropy,
         "corpus_datasheet": q_corpus_datasheet,
         "weekly_novel_ngrams": q_weekly_novel_ngrams,
@@ -20322,6 +20403,7 @@ def oracle_sql():
         "logrank_chi2": _LOGRANK_SQL,
         "sign_test": _sign_test_sql(),
         "runs_test": _RUNS_SQL,
+        "mann_kendall": _MK_SQL,
         "user_type_entropy": _USER_ENTROPY_SQL,
         "corpus_datasheet": _DATASHEET_SQL.format(QUALITY=_QUALITY_SQL),
         "weekly_novel_ngrams": _NOVEL_SQL,
