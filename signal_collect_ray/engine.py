@@ -61,6 +61,19 @@ def _dump_gpartial(val) -> str:
     return json.dumps(val, default=float)
 
 
+def _coerce_gpartial(v) -> str:
+    """Normalize a gpartial to its JSON-string wire form. Manifests
+    written before gpartial became a JSON string carry raw floats in
+    the dormant-shard carry-forward; re-encode them instead of str()
+    (which turned a legacy 0.0 into "" via a truthiness check and
+    dropped it)."""
+    if v is None or v == "":
+        return ""
+    if isinstance(v, str):
+        return v
+    return _dump_gpartial(v)
+
+
 def _to_np_dict(tbl: pa.Table) -> StateDict:
     return {
         name: tbl.column(name).combine_chunks().to_numpy(zero_copy_only=False)
@@ -1031,13 +1044,16 @@ class SuperstepEngine:
         """Fold the per-partition aggregator partials into the manifest
         (JSON-serialized with the checkpoint ⇒ resume restores it)."""
         if algo.has_global:
-            manifest["global_value"] = algo.reduce_global(
-                [
-                    json.loads(p["gpartial"])
-                    for p in manifest["parts"]
-                    if p.get("gpartial")
-                ]
-            )
+            partials = []
+            for p in manifest["parts"]:
+                g = p.get("gpartial")
+                if g is None or g == "":
+                    continue
+                # Checkpoints written before gpartial became a JSON string
+                # carry raw floats; treat those as already-decoded partials
+                # (a legacy 0.0 must NOT be dropped by a truthiness check).
+                partials.append(json.loads(g) if isinstance(g, str) else g)
+            manifest["global_value"] = algo.reduce_global(partials)
 
     @staticmethod
     def _is_converged(manifest: dict, eps: float, k: int) -> bool:
@@ -1059,7 +1075,7 @@ class SuperstepEngine:
                     "undeliverable": int(r["undeliverable"]),
                     "signal_s": float(r.get("signal_s", 0.0) or 0.0),
                     "collect_s": float(r.get("collect_s", 0.0) or 0.0),
-                    "gpartial": str(r.get("gpartial", "") or ""),
+                    "gpartial": _coerce_gpartial(r.get("gpartial")),
                 }
                 for r in rows
             ),

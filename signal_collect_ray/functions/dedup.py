@@ -1954,13 +1954,27 @@ def longest_duplicated_ngram(
             lo = mid
         else:
             hi = mid
-    # string confirmation (collision guard): walk down on empty
-    while lo >= 1:
-        t = confirmed(lo)
+    # string confirmation (collision guard): the hash search's lo may be
+    # inflated by a rolling-hash false positive. String confirmation is
+    # monotone in length (a true dup span of length L contains dup spans
+    # of every shorter length), so on an empty confirm resume a BINARY
+    # search over confirmed() — O(log lo) full-corpus string passes, not
+    # the O(lo) cost of walking down one length at a time.
+    t = confirmed(lo)
+    if t.num_rows:
+        return t
+    conf_hi = lo  # string-confirmed negative
+    conf_lo = 0  # largest string-confirmed positive (0 = none yet)
+    best = _EMPTY_SPAN
+    while conf_hi - conf_lo > 1:
+        mid = (conf_lo + conf_hi) // 2
+        t = confirmed(mid)
         if t.num_rows:
-            return t
-        lo -= 1
-    return _EMPTY_SPAN
+            conf_lo = mid
+            best = t
+        else:
+            conf_hi = mid
+    return best
 
 
 _EMPTY_SPAN = pa.table(

@@ -1984,8 +1984,9 @@ def q_value_emd(sf_dir: str):
     def hist(tbl: pa.Table) -> pa.Table:
         et = np.asarray(tbl.column("event_type").to_pylist())
         keep = (et == "click") | (et == "view")
-        cents = np.round(
-            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0,
         ).astype(np.int64)
         is_click = (et[keep] == "click").astype(np.int64)
         code = cents * 2 + is_click
@@ -2083,8 +2084,9 @@ def q_permutation_pvalue(sf_dir: str):
         et = np.asarray(tbl.column("event_type").to_pylist())
         keep = (et == "click") | (et == "view")
         eid = tbl.column("event_id").to_numpy(zero_copy_only=False)[keep]
-        cents = np.round(
-            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0,
         ).astype(np.int64)
         is_click = (et[keep] == "click").astype(np.int64)
         bs, gs, ns, ss = [], [], [], []
@@ -2344,8 +2346,8 @@ def q_bootstrap_mean_ci(sf_dir: str):
 
     def partial(tbl: pa.Table) -> pa.Table:
         eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
-        cents = np.round(
-            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
         ).astype(np.int64)
         bs, sw, swx = [], [], []
         for b in range(1, _BOOT_B + 1):
@@ -2514,8 +2516,9 @@ def q_value_ks(sf_dir: str):
     def hist(tbl: pa.Table) -> pa.Table:
         et = np.asarray(tbl.column("event_type").to_pylist())
         keep = (et == "click") | (et == "view")
-        cents = np.round(
-            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0,
         ).astype(np.int64)
         is_click = (et[keep] == "click").astype(np.int64)
         code = cents * 2 + is_click
@@ -3095,8 +3098,9 @@ def q_runs_test(sf_dir: str):
         ts = tbl.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )[keep]
-        cents = np.round(
-            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0,
         ).astype(np.int64)
         is_click = (et[keep] == "click").astype(np.int64)
         day = ts // 86_400_000_000
@@ -3191,7 +3195,8 @@ r AS (SELECT CAST(SUM(CASE WHEN pw IS NULL OR w <> pw THEN 1 ELSE 0 END)
 SELECT runs, a AS wins, b AS losses,
        CASE WHEN a = 0 OR b = 0 OR a + b <= 1 THEN 0.0
        ELSE ROUND(1.0 + 2.0 * a * b / (a + b), 6) END AS expected_runs,
-       CASE WHEN a = 0 OR b = 0 OR a + b <= 1 THEN 0.0
+       CASE WHEN a = 0 OR b = 0 OR a + b <= 1
+                 OR 2 * a * b <= a + b THEN 0.0
        ELSE ROUND((runs - (1.0 + 2.0 * a * b / (a + b)))
          / SQRT((2.0 * a * b * (2.0 * a * b - (a + b)))
            / ((a + b) * (a + b) * (a + b - 1.0))), 6) END AS z_score
@@ -3224,8 +3229,9 @@ def q_sign_test(sf_dir: str):
         ts = tbl.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )[keep]
-        cents = np.round(
-            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0,
         ).astype(np.int64)
         is_click = (et[keep] == "click").astype(np.int64)
         day = ts // 86_400_000_000
