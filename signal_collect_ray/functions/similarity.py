@@ -275,6 +275,121 @@ def embedding_pairs_exact(
     )
 
 
+def candidate_chunks(
+    cand_ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    extra_cols=(),
+    max_chunk_bytes: int = BROADCAST_EMB_BYTES_LIMIT,
+):
+    """The byte-capped candidate-side idiom for exact NN search: the
+    candidate population is sorted by id (one exchange) and shipped to
+    the object store as a LIST of refs, each holding an id-ascending
+    slice (ids, normalized float64 matrix, extra columns) whose matrix
+    fits ``max_chunk_bytes``. Under the cap that is exactly one ref —
+    the classic single ``ray.put`` broadcast; above it the driver still
+    only ever holds one batch at a time (never the whole matrix), and
+    workers fetch one chunk at a time, so memory is capped end to end
+    while the search stays EXACT (unlike IVF probing, which trades
+    recall). Chunked vs single-ref results are bit-identical: each
+    cosine is the same dot product, and id-ascending chunk order plus
+    strictly-greater replacement preserves first-max = smallest-id tie
+    breaks (pinned in tests/test_capped_broadcast.py)."""
+    import ray
+
+    cols = [id_col, emb_col, *extra_cols]
+    sorted_ds = cand_ds.select_columns(cols).sort(id_col)
+    refs = []
+    ids_acc, mat_acc, nbytes = [], [], 0
+    ex_acc = {c: [] for c in extra_cols}
+
+    def flush():
+        nonlocal ids_acc, mat_acc, ex_acc, nbytes
+        if not ids_acc:
+            return
+        chunk = {
+            "ids": np.concatenate(ids_acc),
+            "mat": np.concatenate(mat_acc),
+        }
+        for c in extra_cols:
+            chunk[c] = np.concatenate(ex_acc[c])
+        refs.append(ray.put(chunk))
+        ids_acc, mat_acc, nbytes = [], [], 0
+        ex_acc = {c: [] for c in extra_cols}
+
+    for b in sorted_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        if not b.num_rows:
+            continue
+        m = _normalize(_emb_matrix(b, emb_col).astype(np.float64))
+        if nbytes and nbytes + m.nbytes > max_chunk_bytes:
+            flush()
+        ids_acc.append(
+            b.column(id_col).to_numpy(zero_copy_only=False).copy()
+        )
+        for c in extra_cols:
+            ex_acc[c].append(
+                b.column(c).to_numpy(zero_copy_only=False).copy()
+            )
+        mat_acc.append(m)
+        nbytes += m.nbytes
+    flush()
+    return refs
+
+
+def bipartite_nn_top1(
+    query_ds,
+    cand_ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_chunk_bytes: int = BROADCAST_EMB_BYTES_LIMIT,
+):
+    """EXACT bipartite top-1 cosine neighbor: for every query row the
+    best candidate (ties → smallest candidate id). Candidates ship via
+    ``candidate_chunks`` (one broadcast under the byte cap, a sequence
+    of capped chunks above it); each query batch runs one matmul per
+    chunk with a running argmax — strictly-greater replacement across
+    id-ascending chunks keeps the smallest-id winner on ties, exactly
+    the single-matrix ``np.argmax`` first-max rule. Returns
+    (``id_col``, nn_id, score[raw float64 — callers round])."""
+    import ray
+
+    refs = candidate_chunks(
+        cand_ds, id_col, emb_col, max_chunk_bytes=max_chunk_bytes
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "nn_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def nn(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows or not refs:
+            return empty
+        q = _normalize(_emb_matrix(tbl, emb_col).astype(np.float64))
+        qids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        best_s = np.full(len(qids), -np.inf)
+        best_i = np.zeros(len(qids), dtype=np.int64)
+        for r in refs:
+            ch = ray.get(r)
+            sims = q @ ch["mat"].T
+            j = np.argmax(sims, axis=1)  # first max = smallest id in chunk
+            s = sims[np.arange(len(j)), j]
+            upd = s > best_s  # strict: earlier (smaller-id) chunk wins ties
+            best_s[upd] = s[upd]
+            best_i[upd] = ch["ids"][j[upd]]
+        return pa.table(
+            {
+                id_col: pa.array(qids, pa.int64()),
+                "nn_id": pa.array(best_i, pa.int64()),
+                "score": pa.array(best_s, pa.float64()),
+            }
+        )
+
+    return query_ds.map_batches(nn, batch_format="pyarrow")
+
+
 class _LshBucket:
     """Random-hyperplane signatures → (table_id, bucket, id) rows."""
 

@@ -2855,9 +2855,11 @@ def q_kaplan_meier(sf_dir: str):
     integers; the product multiplies the identical factor sequence in
     the identical duration order on both sides (window PRODUCT), so
     the curve is bit-exact before the display rounding. One exchange
-    on user for the first-two fold; O(users) driver walk."""
+    on user for the first-two fold, one (dur → deaths, entries)
+    groupby, so the driver walk is O(distinct durations), not
+    O(users)."""
     import ray.data as rd
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Count, Max, Sum
 
     from signal_collect_ray.util import part_of
 
@@ -2914,18 +2916,13 @@ def q_kaplan_meier(sf_dir: str):
         u, t = uid[order], ts[order]
         starts = segment_starts(u)
         ends = np.append(starts[1:], len(u))
-        durs, evs = [], []
-        for a, b in zip(starts, ends):
-            if b - a >= 2:
-                durs.append(int(t[a + 1] - t[a]))
-                evs.append(1)
-            else:
-                durs.append(int(t_max - t[a]))
-                evs.append(0)
+        has2 = (ends - starts) >= 2
+        second = t[np.minimum(starts + 1, len(t) - 1)]
+        durs = np.where(has2, second - t[starts], t_max - t[starts])
         return pa.table(
             {
-                "dur": pa.array(durs, pa.int64()),
-                "ev": pa.array(evs, pa.int64()),
+                "dur": pa.array(durs.astype(np.int64), pa.int64()),
+                "ev": pa.array(has2.astype(np.int64), pa.int64()),
             }
         )
 
@@ -2935,24 +2932,24 @@ def q_kaplan_meier(sf_dir: str):
         ds.map_batches(keyed, batch_format="pyarrow")
         .groupby("part")
         .map_groups(first_two, batch_format="pyarrow")
+        .groupby("dur")
+        .aggregate(
+            Sum("ev", alias_name="deaths"), Count(alias_name="n_dur")
+        )
         .take_all()
     )
-    pairs = sorted((int(r["dur"]), int(r["ev"])) for r in rows)
-    # group by distinct duration
-    g: Dict[int, list] = {}
-    for d, e in pairs:
-        c = g.setdefault(d, [0, 0])  # n_at, deaths
-        c[0] += 1
-        c[1] += e
-    total = len(pairs)
+    # one row per DISTINCT duration reaches the driver
+    g = sorted(
+        (int(r["dur"]), int(r["deaths"]), int(r["n_dur"])) for r in rows
+    )
+    total = sum(n for _, _, n in g)
     out_d, out_r, out_dd, out_s = [], [], [], []
     run = 0
     surv = 1.0
-    for d in sorted(g):
+    for d, deaths, n_dur in g:
         n_at = total - run
-        deaths = g[d][1]
         surv = surv * (1.0 - deaths * 1.0 / n_at)
-        run += g[d][0]
+        run += n_dur
         if deaths > 0:
             out_d.append(d)
             out_r.append(n_at)
@@ -3336,9 +3333,11 @@ def q_logrank_chi2(sf_dir: str):
     its expected deaths E_g = d · n_g/n from exact integer at-risk
     counts. The statistic (O₁−E₁)²/E₁ + (O₂−E₂)²/E₂ sums rational
     expectations in ascending death-time order on both sides. Same
-    one-exchange shape as kaplan_meier plus the group tag."""
+    one-exchange shape as kaplan_meier plus the group tag; a
+    (dur → d0, d1, r0, r1) groupby keeps the driver walk O(distinct
+    durations), not O(users)."""
     import ray.data as rd
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Max, Sum
 
     from signal_collect_ray.util import part_of, segment_starts
 
@@ -3395,20 +3394,20 @@ def q_logrank_chi2(sf_dir: str):
         u, t = uid[order], ts[order]
         starts = segment_starts(u)
         ends = np.append(starts[1:], len(u))
-        durs, evs, grp = [], [], []
-        for a, b in zip(starts, ends):
-            if b - a >= 2:
-                durs.append(int(t[a + 1] - t[a]))
-                evs.append(1)
-            else:
-                durs.append(int(t_max - t[a]))
-                evs.append(0)
-            grp.append(int(u[a]) % 2)
+        has2 = (ends - starts) >= 2
+        second = t[np.minimum(starts + 1, len(t) - 1)]
+        durs = np.where(has2, second - t[starts], t_max - t[starts]).astype(
+            np.int64
+        )
+        evs = has2.astype(np.int64)
+        grp = (u[starts] % 2).astype(np.int64)
         return pa.table(
             {
                 "dur": pa.array(durs, pa.int64()),
-                "ev": pa.array(evs, pa.int64()),
-                "grp": pa.array(grp, pa.int64()),
+                "d0": pa.array(np.where(grp == 0, evs, 0), pa.int64()),
+                "d1": pa.array(np.where(grp == 1, evs, 0), pa.int64()),
+                "r0": pa.array((grp == 0).astype(np.int64), pa.int64()),
+                "r1": pa.array((grp == 1).astype(np.int64), pa.int64()),
             }
         )
 
@@ -3416,35 +3415,40 @@ def q_logrank_chi2(sf_dir: str):
         ds.map_batches(keyed, batch_format="pyarrow")
         .groupby("part")
         .map_groups(spells, batch_format="pyarrow")
+        .groupby("dur")
+        .aggregate(
+            Sum("d0", alias_name="d0"),
+            Sum("d1", alias_name="d1"),
+            Sum("r0", alias_name="r0"),
+            Sum("r1", alias_name="r1"),
+        )
         .take_all()
     )
-    spells_ = sorted(
-        (int(r["dur"]), int(r["ev"]), int(r["grp"])) for r in rows
+    # one row per DISTINCT duration reaches the driver
+    g = sorted(
+        (
+            int(r["dur"]),
+            int(r["d0"]),
+            int(r["d1"]),
+            int(r["r0"]),
+            int(r["r1"]),
+        )
+        for r in rows
     )
     # walk death times ascending; at-risk counts by group = suffix counts
-    n_g = [0, 0]
-    for _, _, g in spells_:
-        n_g[g] += 1
+    n_g = [sum(r[3] for r in g), sum(r[4] for r in g)]
     o = [0, 0]
     e = [0.0, 0.0]
-    i = 0
-    while i < len(spells_):
-        d0 = spells_[i][0]
-        deaths_g = [0, 0]
-        removed_g = [0, 0]
-        while i < len(spells_) and spells_[i][0] == d0:
-            _, ev_, g_ = spells_[i]
-            deaths_g[g_] += ev_
-            removed_g[g_] += 1
-            i += 1
-        d = deaths_g[0] + deaths_g[1]
+    for _, d0_, d1_, r0_, r1_ in g:
+        deaths_g = (d0_, d1_)
+        d = d0_ + d1_
         n = n_g[0] + n_g[1]
         if d > 0 and n > 0:
             for g_ in (0, 1):
                 o[g_] += deaths_g[g_]
                 e[g_] += d * n_g[g_] / n
-        n_g[0] -= removed_g[0]
-        n_g[1] -= removed_g[1]
+        n_g[0] -= r0_
+        n_g[1] -= r1_
     chi2 = sum(
         (o[g_] - e[g_]) ** 2 / e[g_] for g_ in (0, 1) if e[g_] > 0
     )
@@ -4065,51 +4069,72 @@ def q_morans_i_degree(sf_dir: str):
     """Moran's I autocorrelation of IN-DEGREE over the directed edge
     relation — do high-in-degree pages link to high-in-degree pages?
     I = (V/E)·Σ_edges (x_u − x̄)(x_v − x̄) / Σ_v (x_v − x̄)², computed
-    from EXACT integer moments (scaled by V² so no rational ever
-    appears: Σ(V·x_u − S)(V·x_v − S) and Σ(V·x_v − S)² are plain
-    integer folds). One degree fold + one co-partitioned edge pass."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    from EXACT integer moments: with S = Σx (= E) the scaled-by-V²
+    quantities decompose as den = Σ_v (V·x_v − S)² = V²·Σx² − V·S² and
+    num = Σ_e (V·x_u − S)(V·x_v − S) = V²·Σx_u x_v − V·S·Σ(x_u + x_v)
+    + E·S², so the distributed work is plain int64 partial sums (each
+    block's partial folds to a Python int on the driver — no big-int
+    column, no O(V) driver materialization). Endpoint degrees attach
+    via capped_broadcast_join (broadcast under the byte cap,
+    co-partitioned hash-join above it — the q_degree_assortativity
+    shape)."""
+    from signal_collect_ray.functions.joins import capped_broadcast_join
 
     g = _graph(sf_dir)
-    deg_rows = q_in_degrees(sf_dir).take_all()
-    deg = {int(r["vid"]): int(r["in_degree"]) for r in deg_rows}
-    verts = (
-        g.vertices_ds()
-        .map_batches(
-            lambda tbl: pa.table({"vid": tbl.column("vid")}),
-            batch_format="pyarrow",
+    n_v = int(g.vertices_ds().count())
+    n_e = int(g.num_edges)
+    deg = q_in_degrees(sf_dir)  # (vid, in_degree) — only in-degree ≥ 1
+
+    def deg_moments(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("in_degree").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sx2": pa.array([int((x * x).sum())], pa.int64()),
+            }
         )
-        .take_all()
+
+    drows = deg.map_batches(deg_moments, batch_format="pyarrow").take_all()
+    s_x = sum(int(r["sx"]) for r in drows)
+    sx2 = sum(int(r["sx2"]) for r in drows)
+    den = n_v * n_v * sx2 - n_v * s_x * s_x
+
+    def as_x(key: str, out: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {key: tbl.column("vid"), out: tbl.column("in_degree")}
+            )
+
+        return fn
+
+    e = derived_edges_ds(sf_dir).select_columns(["src", "dst"])
+    e = capped_broadcast_join(
+        e, deg.map_batches(as_x("src", "xu"), batch_format="pyarrow"),
+        on="src", how="left", max_broadcast_bytes=_LOOKUP_CAP(),
     )
-    vids = sorted(int(r["vid"]) for r in verts)
-    x = {v: deg.get(v, 0) for v in vids}
-    n_v = len(vids)
-    s_x = sum(x.values())
-    # driver-held degree map is the capped-broadcast idiom at this
-    # scale; the co-partitioned join is the documented fallback
-    xv = np.array([x[v] for v in vids], dtype=object)
-    den = sum((n_v * int(xi) - s_x) ** 2 for xi in xv)
-
-    lut = np.zeros(V_GRAPH, dtype=np.int64)
-    for v, xi in x.items():
-        lut[v] = xi
-
-    def edge_part(tbl: pa.Table) -> pa.Table:
-        src = tbl.column("src").to_numpy(zero_copy_only=False)
-        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
-        a = n_v * lut[src] - s_x
-        b = n_v * lut[dst] - s_x
-        tot = int((a * b).sum())
-        return pa.table({"t": pa.array([tot], pa.int64())})
-
-    rows = (
-        derived_edges_ds(sf_dir)
-        .map_batches(edge_part, batch_format="pyarrow")
-        .take_all()
+    e = capped_broadcast_join(
+        e, deg.map_batches(as_x("dst", "xv"), batch_format="pyarrow"),
+        on="dst", how="left", max_broadcast_bytes=_LOOKUP_CAP(),
     )
-    num = sum(int(r["t"]) for r in rows)
-    n_e = g.num_edges
+
+    def edge_moments(tbl: pa.Table) -> pa.Table:
+        xu = pa.compute.fill_null(tbl.column("xu"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        xv = pa.compute.fill_null(tbl.column("xv"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "sxy": pa.array([int((xu * xv).sum())], pa.int64()),
+                "sends": pa.array([int(xu.sum() + xv.sum())], pa.int64()),
+            }
+        )
+
+    erows = e.map_batches(edge_moments, batch_format="pyarrow").take_all()
+    sxy = sum(int(r["sxy"]) for r in erows)
+    sends = sum(int(r["sends"]) for r in erows)
+    num = n_v * n_v * sxy - n_v * s_x * sends + n_e * s_x * s_x
     mi = (n_v * num) / (n_e * den) if den and n_e else 0.0
     return pa.table(
         {
@@ -15311,13 +15336,16 @@ def _percolation_sql(k: int) -> str:
 def q_cross_label_nn(sf_dir: str):
     """Bipartite nearest neighbor between two embedding populations:
     for every label-0 vector, its most-cosine-similar label-1 vector —
-    the cross-corpus contamination / nearest-donor probe. The label-1
-    side is broadcast once as a normalized matrix (byte-capped idiom;
-    IVF bucketing is the documented scale path), each batch does one
-    matmul + argmax; ties break to the smallest candidate vec_id via
-    candidate sort order."""
-    import ray
+    the cross-corpus contamination / nearest-donor probe. Runs the
+    chunked-candidate exact-NN idiom (similarity.bipartite_nn_top1):
+    one broadcast when the candidate matrix fits the byte cap, a
+    sequence of byte-capped id-ascending chunks with a running argmax
+    above it — bit-identical either way (cap=0 A/B pinned in
+    tests/test_capped_broadcast.py); ties break to the smallest
+    candidate vec_id."""
     import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import bipartite_nn_top1
 
     emb = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -15331,49 +15359,27 @@ def q_cross_label_nn(sf_dir: str):
 
         return f
 
-    ones = emb.map_batches(side(1), batch_format="pyarrow").take_all()
-    c_ids = np.array([r["vec_id"] for r in ones], dtype=np.int64)
-    order = np.argsort(c_ids)
-    c_ids = c_ids[order]
-    cmat = np.stack(
-        [np.asarray(ones[i]["embedding"], dtype=np.float64) for i in order]
+    nn = bipartite_nn_top1(
+        emb.map_batches(side(0), batch_format="pyarrow"),
+        emb.map_batches(side(1), batch_format="pyarrow"),
+        max_chunk_bytes=_LOOKUP_CAP(),
     )
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    ref = ray.put((c_ids, cmat))
 
-    def nn(tbl: pa.Table) -> pa.Table:
-        ids, mat = ray.get(ref)
-        l = tbl.column("label").to_numpy(zero_copy_only=False)
-        t = tbl.filter(pa.array(l == 0))
-        if len(t) == 0:
-            return pa.table(
-                {
-                    "vec_id": pa.array([], pa.int64()),
-                    "nn_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        q = np.stack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in t.column("embedding").to_pylist()
-            ]
-        )
-        q = q / np.linalg.norm(q, axis=1, keepdims=True)
-        sims = q @ mat.T
-        best = np.argmax(sims, axis=1)  # first max = smallest vec_id
+    def rounded(tbl: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "vec_id": t.column("vec_id"),
-                "nn_id": pa.array(ids[best], pa.int64()),
+                "vec_id": tbl.column("vec_id"),
+                "nn_id": tbl.column("nn_id"),
                 "score": pa.array(
-                    _round_half_away(sims[np.arange(len(best)), best], 4),
+                    _round_half_away(
+                        tbl.column("score").to_numpy(zero_copy_only=False), 4
+                    ),
                     pa.float64(),
                 ),
             }
         )
 
-    return emb.map_batches(nn, batch_format="pyarrow")
+    return nn.map_batches(rounded, batch_format="pyarrow")
 
 
 _CROSS_NN_SQL = """
@@ -15800,87 +15806,64 @@ def q_mutual_nn_pairs(sf_dir: str):
     """Reciprocal nearest neighbors across the label-0 / label-1
     populations: pairs where each side is the other's top-1 cosine
     match — the high-precision alignment seed set (mutual-NN matching,
-    public). Both directions run the cross_label_nn distributed shape
-    (query side streams in batches against the broadcast candidate
-    matrix); only the two per-item NN tables are intersected on the
-    driver."""
-    import ray
+    public). Both directions run similarity.bipartite_nn_top1 (one
+    broadcast under the byte cap, byte-capped chunked running-argmax
+    above it — nothing O(V) on the driver); the reciprocity test is a
+    capped_broadcast_join of the reverse table onto the forward one
+    (hash-join fallback above the cap), filtered to back_id ==
+    vec_id."""
     import ray.data as rd
+
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+    from signal_collect_ray.functions.similarity import bipartite_nn_top1
 
     emb = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "label", "embedding"],
     )
 
-    def nn_table(query_label: int, cand_label: int):
-        cand = emb.map_batches(
-            lambda t, w=cand_label: t.filter(
-                pa.array(
-                    t.column("label").to_numpy(zero_copy_only=False) == w
-                )
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-        ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
-        order = np.argsort(ids)
-        mat = np.stack(
-            [np.asarray(cand[i]["embedding"], dtype=np.float64) for i in order]
-        )
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        ref = ray.put((ids[order], mat))
-
-        def nn(tbl: pa.Table, w=query_label) -> pa.Table:
-            cids, cmat = ray.get(ref)
+    def side(lab: int):
+        def f(tbl: pa.Table, want=lab) -> pa.Table:
             l = tbl.column("label").to_numpy(zero_copy_only=False)
-            t = tbl.filter(pa.array(l == w))
-            if len(t) == 0:
-                return pa.table(
-                    {
-                        "vec_id": pa.array([], pa.int64()),
-                        "nn_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
-            q = np.stack(
-                [
-                    np.asarray(v, dtype=np.float64)
-                    for v in t.column("embedding").to_pylist()
-                ]
-            )
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cmat.T
-            best = np.argmax(sims, axis=1)  # first max = smallest vec_id
-            return pa.table(
-                {
-                    "vec_id": t.column("vec_id"),
-                    "nn_id": pa.array(cids[best], pa.int64()),
-                    "score": pa.array(
-                        sims[np.arange(len(best)), best], pa.float64()
-                    ),
-                }
-            )
+            return tbl.filter(pa.array(l == want))
 
-        return emb.map_batches(nn, batch_format="pyarrow").take_all()
+        return f
 
-    fwd = nn_table(0, 1)  # each label-0 -> best label-1
-    bwd = nn_table(1, 0)  # each label-1 -> best label-0
-    back = {r["vec_id"]: r["nn_id"] for r in bwd}
-    va, vb, sc = [], [], []
-    for r in fwd:
-        if back.get(r["nn_id"]) == r["vec_id"]:
-            va.append(r["vec_id"])
-            vb.append(r["nn_id"])
-            sc.append(r["score"])
-    order = np.argsort(np.array(va, dtype=np.int64))
-    return pa.table(
-        {
-            "vec_a": pa.array(np.array(va, dtype=np.int64)[order], pa.int64()),
-            "vec_b": pa.array(np.array(vb, dtype=np.int64)[order], pa.int64()),
-            "score": pa.array(
-                _round_half_away(np.array(sc)[order], 4), pa.float64()
-            ),
-        }
+    zeros = emb.map_batches(side(0), batch_format="pyarrow")
+    ones = emb.map_batches(side(1), batch_format="pyarrow")
+    fwd = bipartite_nn_top1(zeros, ones, max_chunk_bytes=_LOOKUP_CAP())
+    bwd = bipartite_nn_top1(ones, zeros, max_chunk_bytes=_LOOKUP_CAP())
+
+    def as_back(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"nn_id": tbl.column("vec_id"), "back_id": tbl.column("nn_id")}
+        )
+
+    j = capped_broadcast_join(
+        fwd,
+        bwd.map_batches(as_back, batch_format="pyarrow"),
+        on="nn_id",
+        max_broadcast_bytes=_LOOKUP_CAP(),
     )
+
+    def mutual(tbl: pa.Table) -> pa.Table:
+        back = tbl.column("back_id").to_numpy(zero_copy_only=False)
+        vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array(back == vid))
+        return pa.table(
+            {
+                "vec_a": t.column("vec_id"),
+                "vec_b": t.column("nn_id"),
+                "score": pa.array(
+                    _round_half_away(
+                        t.column("score").to_numpy(zero_copy_only=False), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return j.map_batches(mutual, batch_format="pyarrow")
 
 
 _MUTUAL_NN_SQL = """
@@ -16093,12 +16076,13 @@ def q_rich_club(sf_dir: str):
     highest-degree hubs of the link graph link to EACH OTHER more than
     chance — the web-graph core-densification diagnostic. One exchange
     for canonical undirected edges, one tiny groupby for degrees;
-    degrees broadcast once (byte-capped idiom of avg_neighbor_degree /
-    degree_assortativity — the co-partitioned join fallback applies at
-    billion-vertex scale), then one vectorized counting pass."""
-    import ray
+    endpoint degrees attach via capped_broadcast_join (broadcast under
+    the byte cap, co-partitioned hash-join above it — billion-vertex
+    safe), then one vectorized counting pass; N_k is a distributed
+    fold over the degree table (nothing O(V) reaches the driver)."""
     from ray.data.aggregate import Sum
 
+    from signal_collect_ray.functions.joins import capped_broadcast_join
     from signal_collect_ray.util import part_of
 
     edges = derived_edges_ds(sf_dir).select_columns(["src", "dst"])
@@ -16147,30 +16131,52 @@ def q_rich_club(sf_dir: str):
             {"vid": pa.array(u, pa.int64()), "d": pa.array(cnt, pa.int64())}
         )
 
-    deg_rows = (
+    deg = (
         und.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("vid")
         .aggregate(Sum("d", alias_name="d"))
-        .take_all()
+        .materialize()
     )
-    dv = np.array([r["vid"] for r in deg_rows], dtype=np.int64)
-    dd = np.array([r["d"] for r in deg_rows], dtype=np.int64)
-    order = np.argsort(dv)
-    ref = ray.put((dv[order], dd[order]))
+
+    def nk_partial(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("d").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                f"n{k}": pa.array([int((d > k).sum())], pa.int64())
+                for k in _RICH_KS
+            }
+        )
+
+    nrows = deg.map_batches(nk_partial, batch_format="pyarrow").take_all()
+    nks = {k: sum(int(r[f"n{k}"]) for r in nrows) for k in _RICH_KS}
+
+    def as_d(key: str, out: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return pa.table({key: tbl.column("vid"), out: tbl.column("d")})
+
+        return fn
+
+    j = capped_broadcast_join(
+        und, deg.map_batches(as_d("a", "da"), batch_format="pyarrow"),
+        on="a", max_broadcast_bytes=_LOOKUP_CAP(),
+    )
+    j = capped_broadcast_join(
+        j, deg.map_batches(as_d("b", "db"), batch_format="pyarrow"),
+        on="b", max_broadcast_bytes=_LOOKUP_CAP(),
+    )
 
     def count_partial(tbl: pa.Table) -> pa.Table:
-        vids, degs = ray.get(ref)
-        da = degs[np.searchsorted(vids, tbl.column("a").to_numpy(zero_copy_only=False))]
-        db = degs[np.searchsorted(vids, tbl.column("b").to_numpy(zero_copy_only=False))]
+        da = tbl.column("da").to_numpy(zero_copy_only=False)
+        db = tbl.column("db").to_numpy(zero_copy_only=False)
         ek = [int(((da > k) & (db > k)).sum()) for k in _RICH_KS]
         return pa.table(
             {f"e{k}": pa.array([e], pa.int64()) for k, e in zip(_RICH_KS, ek)}
         )
 
-    parts = und.map_batches(count_partial, batch_format="pyarrow").take_all()
+    parts = j.map_batches(count_partial, batch_format="pyarrow").take_all()
     out_k, out_n, out_e, out_phi = [], [], [], []
     for k in _RICH_KS:
-        nk = int((dd > k).sum())
+        nk = nks[k]
         e_k = sum(r[f"e{k}"] for r in parts)
         phi = 2.0 * e_k / (nk * (nk - 1.0)) if nk > 1 else 0.0
         out_k.append(k)
@@ -16731,62 +16737,78 @@ def q_knn_label_consistency(sf_dir: str):
     """Label-noise probe: each vector's 3 nearest neighbors (cosine,
     self excluded, ties → smaller vec_id), their majority label (ties →
     smaller label), and whether it disagrees with the vector's own
-    label — the standard embedding-space mislabel detector. Broadcast
-    normalized matrix + per-batch matmul (byte-capped idiom; IVF
-    bucketing is the documented scale path)."""
+    label — the standard embedding-space mislabel detector. The
+    candidate side ships via similarity.candidate_chunks: one broadcast
+    under the byte cap, a sequence of byte-capped id-ascending chunks
+    above it; each query batch keeps a running per-row top-3 under the
+    total order (sim desc, vec_id asc) — bit-identical to the
+    single-matrix stable argsort (cap=0 A/B pinned in
+    tests/test_capped_broadcast.py). Nothing O(V) on the driver."""
     import ray
     import ray.data as rd
+
+    from signal_collect_ray.functions.similarity import (
+        _emb_matrix,
+        _normalize,
+        candidate_chunks,
+    )
 
     emb_src = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "label", "embedding"],
     )
-    # reference side: O(V*d) broadcast is inherent to exact all-pairs
-    # kNN (IVF bucketing is the documented scale path); the QUERY side
-    # stays a streaming map_batches over the parquet blocks rather than
-    # a driver-rebuilt from_items dataset
-    emb = emb_src
-    rows = emb_src.take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    labs = np.array([rows[i]["label"] for i in order], dtype=np.int64)
-    mat = np.stack(
-        [np.asarray(rows[i]["embedding"], dtype=np.float64) for i in order]
+    refs = candidate_chunks(
+        emb_src, extra_cols=("label",), max_chunk_bytes=_LOOKUP_CAP()
     )
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    n_labels = int(labs.max()) + 1
-    ref = ray.put((ids, labs, mat))
+    _SENT = np.int64(1) << 62  # sorts after every real id / label
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        c_ids, c_labs, c_mat = ray.get(ref)
         q_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         own = tbl.column("label").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        q = np.stack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in tbl.column("embedding").to_pylist()
-            ]
-        )
-        q = q / np.linalg.norm(q, axis=1, keepdims=True)
-        # round to 6dp before ranking: the oracle computes cosine via a
-        # different formula (list_cosine_similarity vs normalized
-        # matmul); last-ulp differences on near-ties would flip
-        # neighbor membership without a shared quantization
-        sims = _round_half_away(q @ c_mat.T, 6)
-        pos = np.searchsorted(c_ids, q_ids)
-        sims[np.arange(len(q_ids)), pos] = -np.inf  # exclude self
-        # stable argsort on -sims: equal sims resolve to the smaller
-        # candidate index = smaller vec_id (c_ids ascending)
-        top3 = np.argsort(-sims, axis=1, kind="stable")[:, :3]
-        l3 = c_labs[top3]  # (n, 3)
-        flat = l3 + (np.arange(len(l3))[:, None] * n_labels)
-        counts = np.bincount(
-            flat.ravel(), minlength=len(l3) * n_labels
-        ).reshape(len(l3), n_labels)
-        maj = np.argmax(counts, axis=1)  # first max = smallest label
+        q = _normalize(_emb_matrix(tbl, "embedding").astype(np.float64))
+        n = len(q_ids)
+        best_s = np.full((n, 3), -np.inf)
+        best_id = np.full((n, 3), _SENT, dtype=np.int64)
+        best_lab = np.full((n, 3), _SENT, dtype=np.int64)
+        for r in refs:
+            ch = ray.get(r)
+            c_ids, c_labs, c_mat = ch["ids"], ch["label"], ch["mat"]
+            # round to 6dp before ranking: the oracle computes cosine
+            # via a different formula (list_cosine_similarity vs
+            # normalized matmul); last-ulp differences on near-ties
+            # would flip neighbor membership without a shared
+            # quantization
+            sims = _round_half_away(q @ c_mat.T, 6)
+            pos = np.searchsorted(c_ids, q_ids)
+            inb = pos < len(c_ids)
+            hit = inb & (c_ids[np.minimum(pos, len(c_ids) - 1)] == q_ids)
+            sims[np.flatnonzero(hit), pos[hit]] = -np.inf  # exclude self
+            k = min(3, sims.shape[1])
+            # per-chunk top-k under (sim desc, index asc = id asc)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            all_s = np.concatenate(
+                [best_s, np.take_along_axis(sims, top, axis=1)], axis=1
+            )
+            all_id = np.concatenate([best_id, c_ids[top]], axis=1)
+            all_lab = np.concatenate([best_lab, c_labs[top]], axis=1)
+            # re-rank merged candidates: id asc, then stable sim desc
+            # ⇒ total order (sim desc, vec_id asc), the global tie rule
+            ord1 = np.argsort(all_id, axis=1, kind="stable")
+            s1 = np.take_along_axis(all_s, ord1, axis=1)
+            ord2 = np.argsort(-s1, axis=1, kind="stable")
+            sel = np.take_along_axis(ord1, ord2, axis=1)[:, :3]
+            best_s = np.take_along_axis(all_s, sel, axis=1)
+            best_id = np.take_along_axis(all_id, sel, axis=1)
+            best_lab = np.take_along_axis(all_lab, sel, axis=1)
+        # majority of 3: the repeated label if any, else the smallest
+        # (== bincount argmax first-max = smallest label)
+        a, b, c = best_lab[:, 0], best_lab[:, 1], best_lab[:, 2]
+        maj = np.minimum(np.minimum(a, b), c)
+        maj = np.where(b == c, b, maj)
+        maj = np.where(a == c, a, maj)
+        maj = np.where(a == b, a, maj)
         return pa.table(
             {
                 "vec_id": pa.array(q_ids, pa.int64()),
@@ -16798,7 +16820,7 @@ def q_knn_label_consistency(sf_dir: str):
             }
         )
 
-    return emb.map_batches(kernel, batch_format="pyarrow")
+    return emb_src.map_batches(kernel, batch_format="pyarrow")
 
 
 _KNN_LABEL_SQL = """

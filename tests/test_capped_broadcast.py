@@ -44,6 +44,11 @@ def _bit_equal(a: pd.DataFrame, b: pd.DataFrame):
         "degree_assortativity",
         "wl_refinement",
         "trigram_backoff",
+        "morans_i_degree",
+        "rich_club",
+        "cross_label_nn",
+        "mutual_nn_pairs",
+        "knn_label_consistency",
     ],
 )
 def test_fallback_path_bit_equal(qname, ray_session, tmp_path, monkeypatch):
