@@ -10570,6 +10570,15 @@ def q_dedup_minhash_survivors(sf_dir: str):
 
 
 def q_simhash_dedup_pairs(sf_dir: str):
+    """SimHash near-dup pairs over the RAW corpus under the exact
+    oracle gate: md5-variant signatures (bit-for-bit mirrorable in
+    DuckDB — _simhash_md5_sig_sql), Manku pigeonhole block candidates
+    at radius 3 (recall deterministically 1: any pair within hamming 3
+    shares one of the 4 blocks), exact popcount verify. The oracle is
+    literal all-pairs bit_count(xor) ≤ 3 over recomputed signatures, so
+    candidate generation AND verify are pinned end to end. The blake2b
+    production hasher shares every step except the shingle-hash
+    primitive (covered by simhash_signatures and pytest)."""
     import ray.data as rd
 
     from signal_collect_ray.functions.dedup import simhash_dedup_pairs
@@ -10577,7 +10586,7 @@ def q_simhash_dedup_pairs(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return simhash_dedup_pairs(ds, max_hamming=3, shingle_k=3)
+    return simhash_dedup_pairs(ds, max_hamming=3, shingle_k=3, hasher="md5")
 
 
 _LSH_PLANT_OFFSET = 1_000_000_000
@@ -10642,6 +10651,17 @@ _EMB_LSH_SQL = (
 
 
 def q_minhash_dedup_pairs(sf_dir: str):
+    """MinHash+LSH candidates + exact-Jaccard verify at τ = 0.5 over
+    the raw corpus, under the FULL-equality oracle (exact all-pairs
+    word-5-shingle Jaccard ≥ 0.5). Soundness: the verify step makes
+    false positives impossible (candidates are filtered by EXACT
+    Jaccard), and recall is total on this corpus — its near-dup pairs
+    all sit at J ≥ 0.857 (no pair anywhere in [0.3, 0.857)), where the
+    fixed-seed 16-band × 4-row LSH detects every pair (per-pair miss
+    probability < 5e-6, and the seeded pipeline is DETERMINISTIC, so
+    the containment candidates ⊇ exact-pairs is a fixed fact of the
+    corpus — asserted per-run by the oracle hash itself and pinned in
+    tests/test_planted_oracles.py)."""
     import ray.data as rd
 
     from signal_collect_ray.functions.dedup import (
@@ -10653,7 +10673,19 @@ def q_minhash_dedup_pairs(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     pairs = minhash_lsh_candidates(ds)
-    return jaccard_verify(ds, pairs, threshold=0.5)
+    verified = jaccard_verify(ds, pairs, threshold=0.5)
+
+    def rounded(tbl: pa.Table) -> pa.Table:
+        j = tbl.column("jaccard").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": tbl.column("id_a"),
+                "id_b": tbl.column("id_b"),
+                "jaccard": pa.array(np.round(j, 6), pa.float64()),
+            }
+        )
+
+    return verified.map_batches(rounded, batch_format="pyarrow")
 
 
 def q_simhash_signatures(sf_dir: str):
@@ -10787,6 +10819,20 @@ def q_simhash_dedup_pairs_md5(sf_dir: str):
 
 _SIMHASH_MD5_PAIRS_SQL = (
     f"WITH sig AS MATERIALIZED ({_simhash_md5_sig_sql(_DOCS_PLANTED_SQL)}) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(CAST(a.simhash AS UBIGINT), "
+    "CAST(b.simhash AS UBIGINT))) AS BIGINT) AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(CAST(a.simhash AS UBIGINT), "
+    "CAST(b.simhash AS UBIGINT))) <= 3"
+)
+
+
+# the same all-pairs hamming ≤ 3 oracle over the RAW corpus — the
+# simhash_dedup_pairs gate (the planted variant above pins hamming-0
+# recall on the augmented relation)
+_SIMHASH_MD5_RAW_PAIRS_SQL = (
+    f"WITH sig AS MATERIALIZED ({_simhash_md5_sig_sql()}) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "CAST(bit_count(xor(CAST(a.simhash AS UBIGINT), "
     "CAST(b.simhash AS UBIGINT))) AS BIGINT) AS hamming "
@@ -20292,6 +20338,7 @@ def oracle_sql():
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,
         "dedup_minhash_survivors": _survivors_sql(16, 0.8),
+        "minhash_dedup_pairs": _ngram_pairs_sql(0.5),
         "ngram_jaccard_pairs": _ngram_pairs_sql(0.8),
         "event_sessions": (
             "WITH o AS (SELECT user_id, ts, value, CASE WHEN "
@@ -20354,6 +20401,7 @@ def oracle_sql():
         ),
         "neighborhood_function": _hyperball_sql(_HB_SQL_ROUNDS),
         "simhash_md5_signatures": _simhash_md5_sig_sql(),
+        "simhash_dedup_pairs": _SIMHASH_MD5_RAW_PAIRS_SQL,
         "simhash_dedup_pairs_md5": _SIMHASH_MD5_PAIRS_SQL,
         "forecast_revenue": _Q6_SQL,
         "disjunctive_revenue": _Q19_SQL,

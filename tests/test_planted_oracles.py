@@ -35,6 +35,13 @@ PLANTED = [
     "knn_ivf_planted",
     "knn_lsh_planted",
     "scc_planted",
+    # not planted fixtures, but the same exact-oracle discipline: the
+    # sketch-based pair queries whose recall-is-total argument
+    # (fixed-seed LSH over a corpus with no pair in [0.3, 0.857);
+    # pigeonhole blocks with deterministic radius-3 recall) these runs
+    # pin against refactors
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
 ]
 
 
