@@ -16320,6 +16320,60 @@ FROM (SELECT UNNEST(range({_N_SHARDS})) AS sh) LEFT JOIN agg ON agg.shard = sh
 """
 
 
+def q_curation_shards(sf_dir: str):
+    """The last mile between 'curation pipeline' and 'training-data
+    product': the curated corpus (corpus_curation's exact survivor
+    set) LANDS as resumable per-shard-committed Parquet via
+    sinks.write_partitioned — one directory per knuth-hash shard
+    (training_shards' mapper), tmp-file rename then a _SUCCESS marker
+    holding the row count, so a rerun (or a killed job) skips every
+    shard that already committed and rewrites only the missing ones.
+    The query returns the shard MANIFEST (shard, n_docs) the writer
+    observed, which the oracle pins against the curation SQL composed
+    with the shard-hash arithmetic — a wrong, stale, or lost shard
+    shows up as a manifest-count mismatch. Kill-resume behavior is
+    pinned in tests/test_sinks.py."""
+    import ray.data as rd
+
+    from signal_collect_ray.functions.text import curate_corpus
+    from signal_collect_ray.sinks import write_partitioned
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    curated = curate_corpus(
+        ds,
+        lang=_CURATE_LANG,
+        min_quality=_CURATE_MINQ,
+        max_top_word_frac=_CURATE_MAXTW,
+    )
+    # config-keyed directory: a threshold / shard-count change lands in
+    # a fresh tree instead of resuming against stale shards
+    out_dir = _work_dir(
+        sf_dir,
+        f"curation_shards_{_CURATE_LANG}_{_CURATE_MINQ}_"
+        f"{_CURATE_MAXTW}_{_N_SHARDS}",
+    )
+    manifest = write_partitioned(
+        curated, out_dir, key="doc_id", num_partitions=_N_SHARDS, resume=True
+    )
+    return pa.table(
+        {
+            "shard": manifest.column("part"),
+            "n_docs": manifest.column("n_rows"),
+        }
+    )
+
+
+_CURATION_SHARDS_SQL = f"""
+WITH f AS ({{curation}}),
+s AS (SELECT ((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296)
+      % {_N_SHARDS} AS shard FROM f)
+SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs
+FROM s GROUP BY shard
+"""
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Exact-duplicate cluster-size histogram: group documents by
     normalized-text fingerprint (same normalization as doc_dedup_exact),
@@ -19926,6 +19980,7 @@ def queries():
         "vocab_coverage_curve": q_vocab_coverage_curve,
         "pagerank_topk_stability": q_pagerank_topk_stability,
         "training_shards": q_training_shards,
+        "curation_shards": q_curation_shards,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "pca_projection": q_pca_projection,
         "kmeans_clusters": q_kmeans_clusters,
@@ -20320,6 +20375,9 @@ def oracle_sql():
         "vocab_coverage_curve": _vocab_coverage_sql(),
         "pagerank_topk_stability": _pr_topk_stability_sql(),
         "training_shards": _TRAINING_SHARDS_SQL,
+        "curation_shards": _CURATION_SHARDS_SQL.format(
+            curation=_curation_sql()
+        ),
         "dup_cluster_sizes": _DUP_CLUSTER_SQL,
         "event_freq_cm": _EVENT_FREQ_CM_SQL,
         "bigram_logprob": _BIGRAM_LP_SQL,
