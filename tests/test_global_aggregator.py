@@ -103,3 +103,34 @@ def test_resident_and_async_refuse_global(tmp_path):
         AsyncEngine(
             EngineConfig(num_partitions=2, max_supersteps=3)
         ).run(g, algo, run_dir=str(tmp_path / "ra"), resume=False)
+
+
+def test_legacy_float_gpartial_coercion():
+    """Checkpoints written before gpartial became a JSON string carry
+    raw floats in their manifests; resume must re-encode them (and must
+    NOT drop a legacy 0.0 through a truthiness check)."""
+    from signal_collect_ray.engine import SuperstepEngine, _coerce_gpartial
+
+    assert _coerce_gpartial(None) == ""
+    assert _coerce_gpartial("") == ""
+    assert _coerce_gpartial("0.5") == "0.5"  # modern wire form untouched
+    assert _coerce_gpartial(0.0) == "0.0"  # legacy zero preserved
+    assert _coerce_gpartial(0.25) == "0.25"
+
+    class _SumAlgo:
+        has_global = True
+
+        def reduce_global(self, partials):
+            return sum(partials)
+
+    manifest = {
+        "parts": [
+            {"gpartial": 0.0},  # legacy float zero — must participate
+            {"gpartial": "1.5"},  # modern JSON string
+            {"gpartial": None},  # never had a partial
+            {"gpartial": 0.25},  # legacy float
+            {"gpartial": ""},  # modern empty
+        ]
+    }
+    SuperstepEngine._reduce_global(_SumAlgo(), manifest)
+    assert manifest["global_value"] == 1.75
