@@ -8323,6 +8323,224 @@ SELECT event_type, user_id % 4 AS cohort,
 FROM events GROUP BY CUBE(event_type, cohort)
 """
 
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix — the canonical product-analytics
+    triangle: users grouped by FIRST-active week (their cohort), and
+    for every (cohort_week, week_offset) the count of that cohort's
+    users active offset weeks later. Distributed shape: per-block
+    distinct (user, week) partials, one groupby to the global distinct
+    activity pairs, a groupby(user).min for cohorts, one
+    capped_broadcast_join of the cohort onto the pairs (hash-join
+    fallback above the byte cap), and a tiny (cohort, offset) count —
+    all integers, nothing O(users) on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        w = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _WEEK_US
+        )
+        uniq = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
+                "week": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    uw = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id", "week"])
+        .materialize()
+    )
+    cohorts = (
+        uw.groupby("user_id")
+        .aggregate(Min("week", alias_name="cohort"))
+    )
+    j = capped_broadcast_join(
+        uw, cohorts, on="user_id", max_broadcast_bytes=_LOOKUP_CAP()
+    )
+
+    def offset(tbl: pa.Table) -> pa.Table:
+        w = tbl.column("week").to_numpy(zero_copy_only=False)
+        c = tbl.column("cohort").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_week": pa.array(c, pa.int64()),
+                "week_offset": pa.array(w - c, pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(offset, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+_COHORT_RETENTION_SQL = f"""
+WITH uw AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // {_WEEK_US} AS week FROM events),
+c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week,
+       uw.week - c.cohort AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation — the classic CRM / data-mixture user split:
+    per user Recency (last active day), Frequency (event count),
+    Monetary (exact cents sum); each dimension splits at its LOWER
+    MEDIAN across users (the (n−1)//2 order statistic — DuckDB
+    quantile_disc(0.5), pinned empirically), giving 8 segments
+    (segment id = R·4 + F·2 + M, bit set ⇔ strictly above the
+    median). One exchange on user builds the RFM table; each
+    threshold is a counting-histogram selection over DISTINCT metric
+    values (days / counts / whole currency units — value-range
+    bounded, not user bounded), and the segment census is a per-block
+    bincount + one 8-row groupby. Precondition: cents sums are
+    non-negative (true of this corpus), so numpy's flooring // and
+    DuckDB's truncating // agree on the dollars quantization."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+
+    def per_block(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        cents = _round_half_away(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "last_day": pa.array(day, pa.int64()),
+                "n_ev": pa.array(np.ones(len(u), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate(
+                [("last_day", "max"), ("n_ev", "sum"), ("cents", "sum")]
+            )
+            .rename_columns(["user_id", "last_day", "n_ev", "cents"])
+        )
+
+    rfm = (
+        ds.map_batches(per_block, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("last_day", alias_name="last_day"),
+            Sum("n_ev", alias_name="n_ev"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()
+    )
+
+    def lower_median(metric_fn) -> int:
+        def histo(tbl: pa.Table) -> pa.Table:
+            v = metric_fn(tbl)
+            t = pa.table(
+                {
+                    "v": pa.array(v, pa.int64()),
+                    "c": pa.array(np.ones(len(v), np.int64), pa.int64()),
+                }
+            )
+            return (
+                t.group_by("v").aggregate([("c", "sum")])
+                .rename_columns(["v", "c"])
+            )
+
+        rows = (
+            rfm.map_batches(histo, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all()
+        )
+        vals = np.array(sorted(int(r["v"]) for r in rows), dtype=np.int64)
+        cnts = np.array(
+            [c for _, c in sorted((int(r["v"]), int(r["c"])) for r in rows)],
+            dtype=np.int64,
+        )
+        cum = np.cumsum(cnts)
+        total = int(cum[-1])
+        k = (total - 1) // 2 + 1  # lower median = k-th smallest
+        return int(vals[np.searchsorted(cum, k)])
+
+    med_r = lower_median(
+        lambda t: t.column("last_day").to_numpy(zero_copy_only=False)
+    )
+    med_f = lower_median(
+        lambda t: t.column("n_ev").to_numpy(zero_copy_only=False)
+    )
+    med_m = lower_median(
+        lambda t: t.column("cents").to_numpy(zero_copy_only=False) // 100
+    )
+
+    def census(tbl: pa.Table) -> pa.Table:
+        r = tbl.column("last_day").to_numpy(zero_copy_only=False) > med_r
+        f = tbl.column("n_ev").to_numpy(zero_copy_only=False) > med_f
+        m = (
+            tbl.column("cents").to_numpy(zero_copy_only=False) // 100
+            > med_m
+        )
+        seg = r * 4 + f * 2 + m
+        n = np.bincount(seg, minlength=8)
+        keep = np.flatnonzero(n)
+        return pa.table(
+            {
+                "segment": pa.array(keep.astype(np.int64), pa.int64()),
+                "n_users": pa.array(n[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rfm.map_batches(census, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+_RFM_SQL = """
+WITH u AS (SELECT user_id,
+           MAX(epoch_us(ts) // 86400000000) AS last_day,
+           CAST(COUNT(*) AS BIGINT) AS n_ev,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100 AS dollars
+           FROM events GROUP BY user_id),
+m AS (SELECT quantile_disc(last_day, 0.5) AS mr,
+             quantile_disc(n_ev, 0.5) AS mf,
+             quantile_disc(dollars, 0.5) AS mm FROM u)
+SELECT CAST((CASE WHEN u.last_day > m.mr THEN 4 ELSE 0 END)
+          + (CASE WHEN u.n_ev > m.mf THEN 2 ELSE 0 END)
+          + (CASE WHEN u.dollars > m.mm THEN 1 ELSE 0 END) AS BIGINT)
+       AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u, m GROUP BY 1
+"""
+
 
 def q_user_first_purchase(sf_dir: str):
     """First purchase per user — the ROW_NUMBER() = 1 window computed
@@ -19888,6 +20106,8 @@ def queries():
         "event_type_pivot": q_event_type_pivot,
         "event_rollup": q_event_rollup,
         "event_cube": q_event_cube,
+        "cohort_retention": q_cohort_retention,
+        "rfm_segments": q_rfm_segments,
         "user_first_purchase": q_user_first_purchase,
         "bm25_top_docs": q_bm25_top_docs,
         "benchmark_contamination": q_benchmark_contamination,
@@ -20282,6 +20502,8 @@ def oracle_sql():
         "event_type_pivot": _PIVOT_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_cube": _EVENT_CUBE_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "rfm_segments": _RFM_SQL,
         "user_first_purchase": _FIRST_PURCHASE_SQL,
         "bm25_top_docs": _BM25_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
