@@ -8323,85 +8323,6 @@ SELECT event_type, user_id % 4 AS cohort,
 FROM events GROUP BY CUBE(event_type, cohort)
 """
 
-_WEEK_US = 7 * 86_400_000_000
-
-
-def q_cohort_retention(sf_dir: str):
-    """Cohort retention matrix — the canonical product-analytics
-    triangle: users grouped by FIRST-active week (their cohort), and
-    for every (cohort_week, week_offset) the count of that cohort's
-    users active offset weeks later. Distributed shape: per-block
-    distinct (user, week) partials, one groupby to the global distinct
-    activity pairs, a groupby(user).min for cohorts, one
-    capped_broadcast_join of the cohort onto the pairs (hash-join
-    fallback above the byte cap), and a tiny (cohort, offset) count —
-    all integers, nothing O(users) on the driver."""
-    import ray.data as rd
-    from ray.data.aggregate import Count, Min
-
-    from signal_collect_ray.functions.joins import capped_broadcast_join
-
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-
-    def pairs(tbl: pa.Table) -> pa.Table:
-        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
-        w = (
-            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // _WEEK_US
-        )
-        uniq = np.unique(np.stack([u, w], axis=1), axis=0)
-        return pa.table(
-            {
-                "user_id": pa.array(uniq[:, 0], pa.int64()),
-                "week": pa.array(uniq[:, 1], pa.int64()),
-            }
-        )
-
-    uw = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["user_id", "week"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["user_id", "week"])
-        .materialize()
-    )
-    cohorts = (
-        uw.groupby("user_id")
-        .aggregate(Min("week", alias_name="cohort"))
-    )
-    j = capped_broadcast_join(
-        uw, cohorts, on="user_id", max_broadcast_bytes=_LOOKUP_CAP()
-    )
-
-    def offset(tbl: pa.Table) -> pa.Table:
-        w = tbl.column("week").to_numpy(zero_copy_only=False)
-        c = tbl.column("cohort").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "cohort_week": pa.array(c, pa.int64()),
-                "week_offset": pa.array(w - c, pa.int64()),
-            }
-        )
-
-    return (
-        j.map_batches(offset, batch_format="pyarrow")
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(Count(alias_name="n_users"))
-    )
-
-
-_COHORT_RETENTION_SQL = f"""
-WITH uw AS (SELECT DISTINCT user_id,
-            epoch_us(ts) // {_WEEK_US} AS week FROM events),
-c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
-SELECT c.cohort AS cohort_week,
-       uw.week - c.cohort AS week_offset,
-       CAST(COUNT(*) AS BIGINT) AS n_users
-FROM uw JOIN c USING (user_id) GROUP BY 1, 2
-"""
-
-
 def q_rfm_segments(sf_dir: str):
     """RFM segmentation — the classic CRM / data-mixture user split:
     per user Recency (last active day), Frequency (event count),
@@ -20106,7 +20027,6 @@ def queries():
         "event_type_pivot": q_event_type_pivot,
         "event_rollup": q_event_rollup,
         "event_cube": q_event_cube,
-        "cohort_retention": q_cohort_retention,
         "rfm_segments": q_rfm_segments,
         "user_first_purchase": q_user_first_purchase,
         "bm25_top_docs": q_bm25_top_docs,
@@ -20502,7 +20422,6 @@ def oracle_sql():
         "event_type_pivot": _PIVOT_SQL,
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_cube": _EVENT_CUBE_SQL,
-        "cohort_retention": _COHORT_RETENTION_SQL,
         "rfm_segments": _RFM_SQL,
         "user_first_purchase": _FIRST_PURCHASE_SQL,
         "bm25_top_docs": _BM25_SQL,
