@@ -325,6 +325,186 @@ def _ppr_sql(k: int) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, ROUND(r, 6) AS rank FROM r{k}"
 
 
+def q_ppr_sweep_cut(sf_dir: str):
+    """Sweep-cut conductance profile over the 4-step personalized-
+    PageRank scores (Andersen-Chung-Lang 2006, public literature — the
+    local community detector): for every DISTINCT score level ℓ the
+    set S(ℓ) = {v : score > ℓ} gets exact integer volume (symmetric
+    degrees), exact integer cut (directed symmetric edges leaving S —
+    each undirected crossing edge counts once), and conductance
+    φ = cut / min(vol, 2m − vol). Scores quantize to micro-units
+    (round(rank·1e6) — the same 6-dp rounding the ppr_k4 oracle pins),
+    so tie groups enter the sweep together and both sides perform the
+    identical integer walk. Distributed shape: the micro-score table
+    attaches to the symmetric edges via capped_broadcast_join (hash
+    fallback above the cap); cut deltas are per-level counts of edge
+    endpoints (one groupby each side), volume is a per-level degree
+    sum, and the driver walk is O(distinct levels) — never O(V)."""
+    from ray.data.aggregate import Count, Sum
+
+    from signal_collect_ray.algorithms import PersonalizedPageRank
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
+    t = _state(
+        sf_dir, PersonalizedPageRank(_PPR_SOURCES), False, 4, eps=0.0,
+        tag="_k4",
+    )
+    s6 = pa.table(
+        {
+            "vid": t.column("vid"),
+            "s6": pa.array(
+                _round_half_away(
+                    _round_half_away(
+                        t.column("state").to_numpy(zero_copy_only=False), 6
+                    )
+                    * 1e6,
+                    0,
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+    import ray.data as rd
+
+    s6_ds = rd.from_arrow(s6).materialize()
+    g = _graph(sf_dir, True)
+    edges = g.edges_ds(columns=("src", "dst"))
+
+    def keyed(key: str, out: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return pa.table({key: tbl.column("vid"), out: tbl.column("s6")})
+
+        return fn
+
+    e = capped_broadcast_join(
+        edges, s6_ds.map_batches(keyed("src", "su"), batch_format="pyarrow"),
+        on="src", max_broadcast_bytes=_LOOKUP_CAP(),
+    )
+    e = capped_broadcast_join(
+        e, s6_ds.map_batches(keyed("dst", "sw"), batch_format="pyarrow"),
+        on="dst", max_broadcast_bytes=_LOOKUP_CAP(),
+    )
+
+    # per-level deltas: over the symmetric directed relation,
+    # cut(ℓ) = #[src∈S ∧ dst∉S] = #[su > ℓ] − #[su > ℓ ∧ sw > ℓ]
+    #        = #[su > ℓ] − #[min(su, sw) > ℓ]
+    # — two single-key descending cumsums (the naive su/sw difference
+    # cancels to 0 on a symmetric relation; the min-endpoint key is
+    # what isolates the internal edges)
+    def ends(tbl: pa.Table) -> pa.Table:
+        su = tbl.column("su").to_numpy(zero_copy_only=False)
+        sw = tbl.column("sw").to_numpy(zero_copy_only=False)
+        mn = np.minimum(su, sw)
+        t1 = pa.table(
+            {
+                "lvl": pa.array(np.concatenate([su, mn]), pa.int64()),
+                "hi": pa.array(
+                    np.concatenate(
+                        [np.ones(len(su), np.int64),
+                         np.zeros(len(mn), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "lo": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(su), np.int64),
+                         np.ones(len(mn), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t1.group_by("lvl").aggregate([("hi", "sum"), ("lo", "sum")])
+            .rename_columns(["lvl", "hi", "lo"])
+        )
+
+    edge_rows = (
+        e.map_batches(ends, batch_format="pyarrow")
+        .groupby("lvl")
+        .aggregate(Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo"))
+        .take_all()
+    )
+    # per-level volume deltas: Σ symmetric-degree of vertices AT level
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    dj = capped_broadcast_join(
+        deg.rename_columns({"src": "vid"}), s6_ds, on="vid",
+        max_broadcast_bytes=_LOOKUP_CAP(),
+    )
+    vol_rows = (
+        dj.map_batches(
+            lambda tbl: pa.table(
+                {"lvl": tbl.column("s6"), "d": tbl.column("d")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("lvl")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()
+    )
+    # driver walk over DISTINCT levels, descending
+    hi_at = {int(r["lvl"]): int(r["hi"]) for r in edge_rows}
+    lo_at = {int(r["lvl"]): int(r["lo"]) for r in edge_rows}
+    d_at = {int(r["lvl"]): int(r["d"]) for r in vol_rows}
+    levels = sorted(d_at, reverse=True)
+    two_m = sum(d_at.values())
+    out_l, out_v, out_c, out_phi = [], [], [], []
+    vol = cum_hi = cum_lo = 0
+    for lvl in levels:
+        # entering level lvl: vertices with s6 > lvl are those of
+        # PREVIOUS (higher) levels — cumulate before emitting
+        cut = cum_hi - cum_lo
+        if 0 < vol < two_m:
+            phi = cut / min(vol, two_m - vol)
+            out_l.append(lvl)
+            out_v.append(vol)
+            out_c.append(cut)
+            out_phi.append(
+                float(_round_half_away(np.array([phi]), 6)[0])
+            )
+        vol += d_at[lvl]
+        cum_hi += hi_at.get(lvl, 0)
+        cum_lo += lo_at.get(lvl, 0)
+    return pa.table(
+        {
+            "level_micro": pa.array(out_l, pa.int64()),
+            "vol": pa.array(out_v, pa.int64()),
+            "cut": pa.array(out_c, pa.int64()),
+            "conductance": pa.array(out_phi, pa.float64()),
+        }
+    )
+
+
+def _sweep_cut_sql() -> str:
+    """Direct-definition oracle for q_ppr_sweep_cut: S(ℓ) and its
+    cut/volume recomputed per distinct level from the symmetric edge
+    relation and the unrolled PPR scores."""
+    return f"""
+WITH e0 AS MATERIALIZED ({_E_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM e0
+                     UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+ppr AS MATERIALIZED (SELECT * FROM ({_ppr_sql(4)})),
+s AS MATERIALIZED (SELECT p.vid,
+     CAST(ROUND(p.rank * 1000000, 0) AS BIGINT) AS s6,
+     COALESCE(deg.d, 0) AS d
+     FROM ppr p LEFT JOIN deg ON deg.vid = p.vid),
+m AS (SELECT SUM(d) AS two_m FROM s),
+lv AS (SELECT DISTINCT s6 AS lvl FROM s),
+prof AS (SELECT lv.lvl,
+  (SELECT CAST(COALESCE(SUM(x.d), 0) AS BIGINT) FROM s x
+   WHERE x.s6 > lv.lvl) AS vol,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM sym e
+   JOIN s su ON su.vid = e.src JOIN s sw ON sw.vid = e.dst
+   WHERE su.s6 > lv.lvl AND sw.s6 <= lv.lvl) AS cut
+  FROM lv)
+SELECT lvl AS level_micro, vol, cut,
+       ROUND(cut * 1.0 / LEAST(vol, m.two_m - vol), 6) AS conductance
+FROM prof, m WHERE vol > 0 AND vol < m.two_m
+"""
+
+
 def q_trustrank_k4(sf_dir: str):
     """4-step teleport-weighted PageRank (algorithms.pagerank.
     TeleportWeightedPageRank): teleport mass ∝ (vid % 7 + 1)/4 — a
@@ -19949,6 +20129,7 @@ def queries():
         "in_degrees": q_in_degrees,
         "pagerank_weighted_k4": q_pagerank_weighted_k4,
         "ppr_k4": q_ppr_k4,
+        "ppr_sweep_cut": q_ppr_sweep_cut,
         "kcore": q_kcore,
         "coreness": q_coreness,
         "hits_k4": q_hits_k4,
@@ -20312,6 +20493,7 @@ def oracle_sql():
         ),
         "pagerank_weighted_k4": _prw_sql(4),
         "ppr_k4": _ppr_sql(4),
+        "ppr_sweep_cut": _sweep_cut_sql(),
         "kcore": _kcore_sql(),
         "coreness": _coreness_sql(_CORENESS_ROUNDS),
         "connected_components": _cc_sql(_CC_K),
