@@ -3026,18 +3026,12 @@ UNION ALL SELECT 'mean_quality', ROUND(q_sum / n_docs, 6) FROM agg
 _KM_VALUE_MIN = 90.0
 
 
-def q_kaplan_meier(sf_dir: str):
-    """Kaplan-Meier survival curve for 'time from first to second
-    high-value purchase' (value > 90 — rare enough that many users
-    never repeat, giving REAL right-censoring at the observation end):
-    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times, censored
-    spells entering every at-risk set they outlast. All counts exact
-    integers; the product multiplies the identical factor sequence in
-    the identical duration order on both sides (window PRODUCT), so
-    the curve is bit-exact before the display rounding. One exchange
-    on user for the first-two fold, one (dur → deaths, entries)
-    groupby, so the driver walk is O(distinct durations), not
-    O(users)."""
+def _km_spell_counts(sf_dir: str):
+    """Shared survival-spell machinery for kaplan_meier / nelson_aalen:
+    first-to-second high-value-purchase durations with observation-end
+    right-censoring, pre-aggregated to one row per DISTINCT duration —
+    returns (sorted [(dur, deaths, n_entering)], total_spells); the
+    driver side is O(distinct durations), not O(users)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
@@ -3122,7 +3116,22 @@ def q_kaplan_meier(sf_dir: str):
     g = sorted(
         (int(r["dur"]), int(r["deaths"]), int(r["n_dur"])) for r in rows
     )
-    total = sum(n for _, _, n in g)
+    return g, sum(n for _, _, n in g)
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve for 'time from first to second
+    high-value purchase' (value > 90 — rare enough that many users
+    never repeat, giving REAL right-censoring at the observation end):
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times, censored
+    spells entering every at-risk set they outlast. All counts exact
+    integers; the product multiplies the identical factor sequence in
+    the identical duration order on both sides (window PRODUCT), so
+    the curve is bit-exact before the display rounding. One exchange
+    on user for the first-two fold, one (dur → deaths, entries)
+    groupby (_km_spell_counts), so the driver walk is O(distinct
+    durations), not O(users)."""
+    g, total = _km_spell_counts(sf_dir)
     out_d, out_r, out_dd, out_s = [], [], [], []
     run = 0
     surv = 1.0
@@ -3170,6 +3179,215 @@ SELECT CAST(dur AS BIGINT) AS duration_us,
        CAST(deaths AS BIGINT) AS deaths,
        ROUND(surv, 6) AS survival
 FROM k WHERE deaths > 0
+"""
+
+
+def q_nelson_aalen(sf_dir: str):
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    right-censored first-to-second high-value-purchase spells as
+    kaplan_meier: H(t) = Σ_{t_i ≤ t} d_i / n_i — the nonparametric
+    hazard sibling of the KM product (Aalen 1978, public literature).
+    Shares _km_spell_counts (one user exchange + one per-distinct-
+    duration groupby); both sides accumulate the identical d/n term
+    sequence in the identical ascending-duration order, so the curve
+    is bit-exact before the display rounding."""
+    g, total = _km_spell_counts(sf_dir)
+    out_d, out_r, out_dd, out_h = [], [], [], []
+    run = 0
+    haz = 0.0
+    for d, deaths, n_dur in g:
+        n_at = total - run
+        haz = haz + deaths * 1.0 / n_at
+        run += n_dur
+        if deaths > 0:
+            out_d.append(d)
+            out_r.append(n_at)
+            out_dd.append(deaths)
+            out_h.append(float(_round_half_away(np.array([haz]), 6)[0]))
+    return pa.table(
+        {
+            "duration_us": pa.array(out_d, pa.int64()),
+            "at_risk": pa.array(out_r, pa.int64()),
+            "deaths": pa.array(out_dd, pa.int64()),
+            "cum_hazard": pa.array(out_h, pa.float64()),
+        }
+    )
+
+
+_NELSON_AALEN_SQL = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+ev AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+       WHERE event_type = 'purchase' AND value > {_KM_VALUE_MIN}),
+rk AS (SELECT user_id, t, ROW_NUMBER() OVER (PARTITION BY user_id
+       ORDER BY t, event_id) AS rn FROM ev),
+d AS (SELECT a.user_id, b.t - a.t AS dur, 1 AS ev
+      FROM rk a JOIN rk b ON b.user_id = a.user_id
+      AND a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT a.user_id, mx.m - a.t, 0 FROM rk a, mx
+      WHERE a.rn = 1 AND NOT EXISTS (SELECT 1 FROM rk b
+        WHERE b.user_id = a.user_id AND b.rn = 2)),
+g AS (SELECT dur, SUM(ev) AS deaths, COUNT(*) AS n_at FROM d GROUP BY dur),
+o AS (SELECT dur, deaths,
+      SUM(n_at) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+      AS at_risk FROM g),
+k AS (SELECT dur, deaths, at_risk,
+      SUM(deaths * 1.0 / at_risk)
+        OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS haz FROM o)
+SELECT CAST(dur AS BIGINT) AS duration_us,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       ROUND(haz, 6) AS cum_hazard
+FROM k WHERE deaths > 0
+"""
+
+
+def q_weekday_seasonality(sf_dir: str):
+    """Day-of-week seasonality index of event volume: for each
+    epoch-anchored weekday class w = day % 7, the ratio of that
+    class's mean daily count to the overall mean daily count —
+    index = sum_w · n_days / (n_days_w · total), computed from exact
+    integer counts on both sides (one tiny (day) groupby; the day
+    range is dense by construction of the walk: every day between min
+    and max participates, empty days count 0)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    rows = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["day"]): int(r["n"]) for r in rows}
+    lo, hi = min(counts), max(counts)
+    total = sum(counts.values())
+    n_days = hi - lo + 1
+    sum_w = np.zeros(7, dtype=np.int64)
+    n_days_w = np.zeros(7, dtype=np.int64)
+    for d in range(lo, hi + 1):
+        w = d % 7
+        sum_w[w] += counts.get(d, 0)
+        n_days_w[w] += 1
+    out_w, out_n, out_i = [], [], []
+    for w in range(7):
+        if n_days_w[w] == 0:
+            continue
+        idx = (int(sum_w[w]) * n_days) / (int(n_days_w[w]) * total)
+        out_w.append(w)
+        out_n.append(int(sum_w[w]))
+        out_i.append(float(_round_half_away(np.array([idx]), 6)[0]))
+    return pa.table(
+        {
+            "weekday": pa.array(out_w, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "seasonality_index": pa.array(out_i, pa.float64()),
+        }
+    )
+
+
+_WEEKDAY_SEASONALITY_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi, COUNT(*) AS total FROM e),
+days AS (SELECT UNNEST(range(b.lo, b.hi + 1)) AS day FROM b),
+dc AS (SELECT days.day, CAST(COUNT(e.day) AS BIGINT) AS n
+       FROM days LEFT JOIN e ON e.day = days.day GROUP BY days.day),
+w AS (SELECT day % 7 AS weekday, SUM(n) AS sum_w,
+      COUNT(*) AS n_days_w FROM dc GROUP BY 1)
+SELECT CAST(w.weekday AS BIGINT) AS weekday,
+       CAST(w.sum_w AS BIGINT) AS n_events,
+       ROUND((w.sum_w * (b.hi - b.lo + 1)) * 1.0
+             / (w.n_days_w * b.total), 6) AS seasonality_index
+FROM w, b
+"""
+
+
+_ACF_LAGS = 7
+
+
+def q_daily_acf(sf_dir: str):
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the seasonality/burstiness fingerprint. With D days and total S,
+    r_k = Σ_t (D·n_t − S)(D·n_{t+k} − S) / Σ_t (D·n_t − S)² over the
+    DENSE day range (missing days are genuine zeros), so every moment
+    is an exact integer (the morans_i scaling trick applied to time)
+    and the only float is the final ratio, rounded identically on both
+    sides. One (day) groupby; the driver walk is O(days)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def daily(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    rows = (
+        ds.map_batches(daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["day"]): int(r["n"]) for r in rows}
+    lo, hi = min(counts), max(counts)
+    series = np.array(
+        [counts.get(d, 0) for d in range(lo, hi + 1)], dtype=object
+    )
+    big_d = len(series)
+    s = int(sum(series))
+    dev = np.array([big_d * int(x) - s for x in series], dtype=object)
+    den = sum(int(v) * int(v) for v in dev)
+    out_k, out_r = [], []
+    for k in range(1, _ACF_LAGS + 1):
+        if k >= big_d or den == 0:
+            break
+        num = sum(int(a) * int(b) for a, b in zip(dev[:-k], dev[k:]))
+        out_k.append(k)
+        out_r.append(
+            float(_round_half_away(np.array([num / den]), 6)[0])
+        )
+    return pa.table(
+        {
+            "lag": pa.array(out_k, pa.int64()),
+            "acf": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
+_DAILY_ACF_SQL = f"""
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+days AS (SELECT UNNEST(range(b.lo, b.hi + 1)) AS day FROM b),
+dc AS (SELECT days.day, CAST(COUNT(e.day) AS HUGEINT) AS n
+       FROM days LEFT JOIN e ON e.day = days.day GROUP BY days.day),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS d, CAST(SUM(n) AS HUGEINT) AS s
+      FROM dc),
+dev AS (SELECT dc.day, m.d * dc.n - m.s AS v FROM dc, m),
+den AS (SELECT SUM(v * v) AS den FROM dev),
+lags AS (SELECT UNNEST(range(1, {_ACF_LAGS + 1})) AS k),
+num AS (SELECT lags.k, SUM(a.v * b.v) AS num
+        FROM lags JOIN dev a ON TRUE
+        JOIN dev b ON b.day = a.day + lags.k
+        GROUP BY lags.k)
+SELECT CAST(num.k AS BIGINT) AS lag,
+       ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+FROM num, den WHERE den.den <> 0
 """
 
 
@@ -20433,6 +20651,9 @@ def queries():
         "quality_trend_per_source": q_quality_trend_per_source,
         "bradley_terry_sources": q_bradley_terry_sources,
         "kaplan_meier": q_kaplan_meier,
+        "nelson_aalen": q_nelson_aalen,
+        "weekday_seasonality": q_weekday_seasonality,
+        "daily_acf": q_daily_acf,
         "logrank_chi2": q_logrank_chi2,
         "sign_test": q_sign_test,
         "runs_test": q_runs_test,
@@ -20857,6 +21078,9 @@ def oracle_sql():
             QUALITY=_QUALITY_SQL
         ),
         "kaplan_meier": _KM_SQL,
+        "nelson_aalen": _NELSON_AALEN_SQL,
+        "weekday_seasonality": _WEEKDAY_SEASONALITY_SQL,
+        "daily_acf": _DAILY_ACF_SQL,
         "logrank_chi2": _LOGRANK_SQL,
         "sign_test": _sign_test_sql(),
         "runs_test": _RUNS_SQL,
