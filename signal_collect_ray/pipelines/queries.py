@@ -3391,6 +3391,160 @@ FROM num, den WHERE den.den <> 0
 """
 
 
+def q_churn_labels(sf_dir: str):
+    """Churn-label generation — the supervised-training-data op every
+    retention model starts from: with w0 the log's first week, users
+    active in the OBSERVATION window [w0, w0+2] get label churned = 1
+    iff they have NO event in the OUTCOME window [w0+3, w0+5].
+    One exchange on user carrying two integer indicator sums; the
+    label table streams out (it IS the training set)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    week_us = 604_800_000_000
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def weekly(tbl: pa.Table) -> pa.Table:
+        w = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // week_us
+        )
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    wk = ds.map_batches(weekly, batch_format="pyarrow").materialize()
+    w0 = int(wk.aggregate(Min("w", alias_name="m"))["m"])
+
+    def flags(tbl: pa.Table) -> pa.Table:
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "n_obs": pa.array(
+                    ((w >= w0) & (w <= w0 + 2)).astype(np.int64), pa.int64()
+                ),
+                "n_out": pa.array(
+                    ((w >= w0 + 3) & (w <= w0 + 5)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        wk.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_obs", alias_name="n_obs"),
+            Sum("n_out", alias_name="n_out"),
+        )
+    )
+
+    def label(tbl: pa.Table) -> pa.Table:
+        n_obs = tbl.column("n_obs").to_numpy(zero_copy_only=False)
+        n_out = tbl.column("n_out").to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array(n_obs > 0))
+        n_out = n_out[n_obs > 0]
+        n_obs = n_obs[n_obs > 0]
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_obs_events": pa.array(n_obs, pa.int64()),
+                "churned": pa.array(
+                    (n_out == 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
+_CHURN_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts) // 604800000000) AS w0 FROM events),
+e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+u AS (SELECT user_id,
+      SUM(CASE WHEN e.w BETWEEN b.w0 AND b.w0 + 2 THEN 1 ELSE 0 END)
+        AS n_obs,
+      SUM(CASE WHEN e.w BETWEEN b.w0 + 3 AND b.w0 + 5 THEN 1 ELSE 0 END)
+        AS n_out
+      FROM e, b GROUP BY user_id)
+SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs_events,
+       CAST(CASE WHEN n_out = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM u WHERE n_obs > 0
+"""
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per document with the vowel-group syllable
+    proxy (Flesch 1948, public): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), where sentences = max(1, runs of [.!?]+)
+    and syllables = runs of [aeiouy]+ in the lowercased text — every
+    count an exact integer with an RE2-identical regex on both sides,
+    and the score expression evaluated in the identical float order.
+    The standard curation readability signal; embarrassingly parallel,
+    zero exchanges."""
+    import re
+
+    import ray.data as rd
+
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouy]+")
+    from signal_collect_ray.functions.text import _RE2_NONSPACE_RE
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        n_w, n_s, n_y = [], [], []
+        for t in texts:
+            low = (t or "").lower()
+            n_w.append(len(_RE2_NONSPACE_RE.findall(low)))
+            n_s.append(max(1, len(sent_re.findall(low))))
+            n_y.append(len(syl_re.findall(low)))
+        w = np.array(n_w, dtype=np.int64)
+        s = np.array(n_s, dtype=np.int64)
+        y = np.array(n_y, dtype=np.int64)
+        keep = w > 0
+        t2 = tbl.filter(pa.array(keep))
+        w, s, y = w[keep], s[keep], y[keep]
+        fl = 206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (y * 1.0 / w)
+        return pa.table(
+            {
+                "doc_id": t2.column("doc_id"),
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "n_syllables": pa.array(y, pa.int64()),
+                "flesch": pa.array(
+                    _round_half_away(fl, 4), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_READABILITY_SQL = """
+WITH t AS (SELECT doc_id, lower(COALESCE(text, '')) AS low FROM documents),
+c AS (SELECT doc_id,
+      CAST(length(regexp_extract_all(low, '\\S+')) AS BIGINT) AS w,
+      GREATEST(CAST(length(regexp_extract_all(low, '[.!?]+')) AS BIGINT),
+               1) AS s,
+      CAST(length(regexp_extract_all(low, '[aeiouy]+')) AS BIGINT) AS y
+      FROM t)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       ROUND(206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (y * 1.0 / w), 4)
+       AS flesch
+FROM c WHERE w > 0
+"""
+
+
 def q_mann_kendall(sf_dir: str):
     """Mann-Kendall nonparametric trend test on daily event counts:
     S = Σ_{i<j} sign(x_j − x_i) (exact integer), tie-corrected
@@ -20654,6 +20808,8 @@ def queries():
         "nelson_aalen": q_nelson_aalen,
         "weekday_seasonality": q_weekday_seasonality,
         "daily_acf": q_daily_acf,
+        "churn_labels": q_churn_labels,
+        "readability": q_readability,
         "logrank_chi2": q_logrank_chi2,
         "sign_test": q_sign_test,
         "runs_test": q_runs_test,
@@ -21081,6 +21237,8 @@ def oracle_sql():
         "nelson_aalen": _NELSON_AALEN_SQL,
         "weekday_seasonality": _WEEKDAY_SEASONALITY_SQL,
         "daily_acf": _DAILY_ACF_SQL,
+        "churn_labels": _CHURN_SQL,
+        "readability": _READABILITY_SQL,
         "logrank_chi2": _LOGRANK_SQL,
         "sign_test": _sign_test_sql(),
         "runs_test": _RUNS_SQL,
