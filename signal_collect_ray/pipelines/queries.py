@@ -8688,6 +8688,65 @@ def _stratified_sql() -> str:
     )
 
 
+def q_class_balanced_sample(sf_dir: str):
+    """EXACT-COUNT class balancing over the embedding labels — the
+    deterministic undersampler a biased training set goes through:
+    every class keeps exactly k = (size of the smallest class) members,
+    chosen as the k smallest by a per-row md5 hash (ties → smaller
+    vec_id), so the selection is reproducible, order-free, and
+    SQL-mirrorable row for row. Complements stratified_sample (which
+    caps by RATE, probabilistically): this is the exact-k variant,
+    built on grouped_top_k's per-block partial-top-k combiner — the
+    exchange carries ≤ k rows per (class, block), never the full
+    class."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from signal_collect_ray.functions.aggregations import grouped_top_k
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+    )
+
+    def hashed(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").to_pylist()
+        h = [
+            int(
+                hashlib.md5(f"bal:{v}".encode()).hexdigest()[:15], 16
+            )
+            for v in ids
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "label": tbl.column("label").cast(pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    hds = emb.map_batches(hashed, batch_format="pyarrow").materialize()
+    counts = hds.groupby("label").aggregate(Count(alias_name="n")).take_all()
+    k = min(int(r["n"]) for r in counts)
+    sel = grouped_top_k(hds, "label", "h", "vec_id", k, descending=False)
+    return sel.select_columns(["vec_id", "label"])
+
+
+_CLASS_BALANCED_SQL = """
+WITH h AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(concat('0x', substr(md5('bal:' || CAST(vec_id AS VARCHAR)),
+                1, 15)) AS UBIGINT) AS hv
+           FROM embeddings),
+k AS (SELECT MIN(n) AS k FROM
+      (SELECT COUNT(*) AS n FROM h GROUP BY label)),
+r AS (SELECT vec_id, label, ROW_NUMBER() OVER
+      (PARTITION BY label ORDER BY hv, vec_id) AS rn FROM h)
+SELECT vec_id, label FROM r, k WHERE rn <= k.k
+"""
+
+
 _HB_SQL_ROUNDS = 8  # SQL ball unroll bound; the query asserts rounds fit
 
 
@@ -20567,6 +20626,7 @@ def queries():
         "doc_length_quantiles": q_doc_length_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "stratified_sample": q_stratified_sample,
+        "class_balanced_sample": q_class_balanced_sample,
         "weighted_sample": q_weighted_sample,
         "quality_percentiles": q_quality_percentiles,
         "cocitation_top20": q_cocitation_top20,
@@ -20968,6 +21028,7 @@ def oracle_sql():
         "doc_length_quantiles": _quantiles_sql(),
         "lang_length_quantiles": _lang_quantiles_sql(),
         "stratified_sample": _stratified_sql(),
+        "class_balanced_sample": _CLASS_BALANCED_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "quality_percentiles": _quality_pct_sql(),
         "cocitation_top20": _cocitation_sql(),
