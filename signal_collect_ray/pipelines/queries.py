@@ -13314,6 +13314,61 @@ _HOST_MODULARITY_SQL = (
 )
 
 
+def q_degree_theil(sf_dir: str):
+    """Theil-T inequality index of the in-degree distribution —
+    T = Σ_v (d_v/S)·ln(d_v·N/S) over the N vertices with in-degree ≥ 1
+    (the entropy-based sibling of pagerank_gini; Theil 1967, public).
+    Exactness discipline: the per-DISTINCT-degree term
+    (d/S)·ln(d·N/S) quantizes to 1e-9 units (round-half-away) BEFORE
+    the Σ c_d-weighted sum, so the distributed/SQL accumulation is an
+    order-free integer sum and a last-ulp ln() difference cannot move
+    the result (boundary width 1e-9 vs ~1e-18 ulp wiggle). One tiny
+    (degree → count) histogram exchange; driver walk O(distinct
+    degrees)."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        q_in_degrees(sf_dir)
+        .groupby("in_degree")
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )
+    hist = sorted((int(r["in_degree"]), int(r["c"])) for r in rows)
+    n_v = sum(c for _, c in hist)
+    s = sum(d * c for d, c in hist)
+    total_micro = 0
+    for d, c in hist:
+        term = (d / s) * np.log(d * n_v / s)
+        m = int(_round_half_away(np.array([term * 1e9]), 0)[0])
+        total_micro += c * m
+    theil = total_micro / 1e9
+    return pa.table(
+        {
+            "n_vertices": pa.array([n_v], pa.int64()),
+            "theil": pa.array(
+                [float(_round_half_away(np.array([theil]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_DEGREE_THEIL_SQL = f"""
+WITH e AS MATERIALIZED ({_E_SQL}),
+deg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY dst),
+h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+m AS (SELECT CAST(SUM(c) AS BIGINT) AS n_v,
+      CAST(SUM(d * c) AS BIGINT) AS s FROM h),
+t AS (SELECT SUM(h.c * CAST(ROUND(
+        (h.d * 1.0 / m.s) * LN(h.d * 1.0 * m.n_v / m.s) * 1000000000,
+        0) AS BIGINT)) AS micro
+      FROM h, m)
+SELECT m.n_v AS n_vertices,
+       ROUND(t.micro / 1000000000.0, 6) AS theil
+FROM m, t
+"""
+
+
 def q_pagerank_gini(sf_dir: str):
     """Gini coefficient of 4-step PageRank mass (attention
     concentration on the link graph). functions.analytics.
@@ -20751,6 +20806,7 @@ def queries():
         "intra_cluster_stats": q_intra_cluster_stats,
         "host_modularity": q_host_modularity,
         "pagerank_gini": q_pagerank_gini,
+        "degree_theil": q_degree_theil,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dedup_pairs": q_embedding_dedup_pairs,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -21153,6 +21209,7 @@ def oracle_sql():
         "intra_cluster_stats": _INTRA_CLUSTER_SQL,
         "host_modularity": _HOST_MODULARITY_SQL.format(H=_HOST_MOD),
         "pagerank_gini": _pr_gini_sql(),
+        "degree_theil": _DEGREE_THEIL_SQL,
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "embedding_dedup_pairs": _EMB_PAIRS_SQL,
