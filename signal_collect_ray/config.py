@@ -109,6 +109,19 @@ class EngineConfig:
     # costs more than it saves at test scale.
     salt_buckets: int = 1
 
+    # AUTO-salting (durable engine): when True, the per-partition
+    # ``signal_rows_in`` census of each superstep manifest is watched,
+    # and the first time the hottest partition exceeds
+    # ``auto_salt_skew`` × the median, salted two-stage aggregation
+    # (``auto_salt_buckets``) switches on for every subsequent
+    # superstep — the decision is recorded in that step's manifest
+    # (``auto_salt`` key, resume-safe) so a restarted run stays salted.
+    # The skew signal is free: the census already rides the collect
+    # metrics rows. Static ``salt_buckets`` > 1 takes precedence.
+    auto_salt: bool = False
+    auto_salt_skew: float = 4.0
+    auto_salt_buckets: int = 8
+
     # Resident-executor fault tolerance: when a worker actor dies
     # mid-run (node loss, OOM kill), ResidentEngine.run rebuilds the
     # pool and resumes from the latest complete per-superstep checkpoint

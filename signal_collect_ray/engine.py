@@ -472,7 +472,13 @@ class CollectStage:
         vals = {name: d[name][keep] for name, _ in algo.signal_fields}
         n_sig_rows = int(len(dst))
         undeliverable = 0
+        max_group_rows = 0
         if len(dst):
+            # pre-combine per-dst group size: the hub-skew census the
+            # auto-salt detector reads (a dst touched by every signal
+            # block shows up here even after per-block combining
+            # flattens the row counts)
+            max_group_rows = int(np.unique(dst, return_counts=True)[1].max())
             dst, vals = algo.combine(dst, vals)
             idx = Algorithm._align(prev["vid"], dst)
             bad = idx < 0
@@ -546,12 +552,13 @@ class CollectStage:
             undeliverable,
             collect_s=time.perf_counter() - t_start,
             gpartial=gpartial,
+            max_group_rows=max_group_rows,
         )
 
     @staticmethod
     def _metrics(
         p, n_v, n_act, res, edges_next, sig_rows, undeliv, collect_s=0.0,
-        gpartial="",
+        gpartial="", max_group_rows=0,
     ) -> pa.Table:
         return pa.table(
             {
@@ -564,6 +571,7 @@ class CollectStage:
                 "undeliverable": pa.array([undeliv], pa.int64()),
                 "collect_s": pa.array([collect_s], pa.float64()),
                 "gpartial": pa.array([gpartial], pa.string()),
+                "max_group_rows": pa.array([max_group_rows], pa.int64()),
             }
         )
 
@@ -805,6 +813,13 @@ class SuperstepEngine:
         last = per_step[-1]
         converged = self._is_converged(last, eps, k)
         reason = "Converged" if converged else None
+        # effective salting: static config, or (auto mode) whatever a
+        # resumed manifest already decided — a restarted run stays salted
+        salt_eff = cfg.salt_buckets
+        auto_salt_info = None
+        if cfg.auto_salt and salt_eff <= 1 and last.get("auto_salt"):
+            auto_salt_info = last["auto_salt"]
+            salt_eff = int(auto_salt_info["buckets"])
 
         def mutate(deltas, k_new):
             nonlocal graph, csr_refs, lineage_base, last
@@ -927,8 +942,8 @@ class SuperstepEngine:
                     batch_size=None,
                     zero_copy_batch=True,
                 )
-            if cfg.salt_buckets > 1:
-                S = cfg.salt_buckets
+            if salt_eff > 1:
+                S = salt_eff
 
                 def add_salt(tbl: pa.Table) -> pa.Table:
                     dstv = tbl.column("dst").combine_chunks().to_numpy(
@@ -983,6 +998,7 @@ class SuperstepEngine:
                             "edges_traversed": 0,
                             "signal_rows_in": 0,
                             "undeliverable": 0,
+                            "max_group_rows": 0,
                             # dormant shard = unchanged state ⇒ its
                             # global partial carries forward verbatim
                             "gpartial": m.get("gpartial", ""),
@@ -993,6 +1009,24 @@ class SuperstepEngine:
                 wall_s=time.monotonic() - ts,
             )
             self._reduce_global(algo, manifest)
+            # auto-salt: the signal_rows_in census this manifest already
+            # carries IS the skew detector — trigger once, persist the
+            # decision in every manifest from here on (resume-safe)
+            if cfg.auto_salt and salt_eff <= 1 and auto_salt_info is None:
+                grp = sorted(
+                    int(p.get("max_group_rows", 0)) for p in manifest["parts"]
+                )
+                med = grp[len(grp) // 2] if grp else 0
+                if grp and grp[-1] > cfg.auto_salt_skew * max(1, med):
+                    salt_eff = max(2, cfg.auto_salt_buckets)
+                    auto_salt_info = {
+                        "enabled_after_superstep": k,
+                        "buckets": salt_eff,
+                        "max_group_rows": grp[-1],
+                        "median_group_rows": med,
+                    }
+            if auto_salt_info is not None:
+                manifest["auto_salt"] = auto_salt_info
             self._write_manifest(step_tmp, self._step_dir(run_dir, k), manifest)
             per_step.append(manifest)
             last = manifest
@@ -1075,6 +1109,7 @@ class SuperstepEngine:
                     "undeliverable": int(r["undeliverable"]),
                     "signal_s": float(r.get("signal_s", 0.0) or 0.0),
                     "collect_s": float(r.get("collect_s", 0.0) or 0.0),
+                    "max_group_rows": int(r.get("max_group_rows", 0) or 0),
                     "gpartial": _coerce_gpartial(r.get("gpartial")),
                 }
                 for r in rows
