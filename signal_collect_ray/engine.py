@@ -387,12 +387,16 @@ class CollectStage:
         out_dir: str,
         signal_threshold: float,
         on_undeliverable: str = "drop",
+        group_census: bool = False,
     ):
         self.algo = algo
         self.prev_dir = prev_dir
         self.out_dir = out_dir
         self.threshold = signal_threshold
         self.on_undeliverable = on_undeliverable
+        # pre-combine per-dst group-size census (auto-salt detector);
+        # off by default so the standard hot path pays nothing
+        self.group_census = group_census
 
     @staticmethod
     def _empty_prev() -> dict:
@@ -474,11 +478,14 @@ class CollectStage:
         undeliverable = 0
         max_group_rows = 0
         if len(dst):
-            # pre-combine per-dst group size: the hub-skew census the
-            # auto-salt detector reads (a dst touched by every signal
-            # block shows up here even after per-block combining
-            # flattens the row counts)
-            max_group_rows = int(np.unique(dst, return_counts=True)[1].max())
+            if self.group_census:
+                # pre-combine per-dst group size: the hub-skew census
+                # the auto-salt detector reads (a dst touched by every
+                # signal block shows up here even after per-block
+                # combining flattens the row counts)
+                max_group_rows = int(
+                    np.unique(dst, return_counts=True)[1].max()
+                )
             dst, vals = algo.combine(dst, vals)
             idx = Algorithm._align(prev["vid"], dst)
             bad = idx < 0
@@ -975,6 +982,7 @@ class SuperstepEngine:
                     CollectStage(
                         algo, prev_dir, step_tmp, threshold,
                         on_undeliverable=cfg.on_undeliverable,
+                        group_census=cfg.auto_salt,
                     ),
                     batch_format="pyarrow",
                 )
