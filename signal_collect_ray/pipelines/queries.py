@@ -6692,6 +6692,130 @@ def q_doc_dedup_exact(sf_dir: str):
     return dedup_exact(ds).select_columns(["doc_id"])
 
 
+def q_cross_source_dups(sf_dir: str):
+    """Cross-source exact-duplicate audit — the contamination /
+    syndication detector: clusters of byte-identical normalized text
+    (the doc_dedup_exact normalization) that span MORE THAN ONE
+    source, reported as (min-doc-id representative, cluster size,
+    distinct sources). The corpus's own exact dups are all
+    within-source, so the gate runs on the PLANTED relation (the
+    _docs_planted idiom: verbatim copies of the 5 smallest doc_ids at
+    id + 1e9 under source 'planted') — every planted cluster MUST
+    surface with its exact size and source spread, pinning detection,
+    not just the empty result. Per-block md5 fingerprints, one
+    groupby(fp) for the cluster stats, one distinct-(fp, source) pass
+    for the source spread, a capped join of the two tiny cluster
+    tables."""
+    import hashlib
+    import re as _re
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from signal_collect_ray.functions.joins import capped_broadcast_join
+
+    ws = _re.compile(r"\s+")
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def bump(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(v + _DOC_PLANT_OFFSET, pa.int64()),
+                "text": tbl.column("text"),
+                "source": pa.array(["planted"] * n, pa.string()),
+            }
+        )
+
+    planted = (
+        base.sort("doc_id").limit(_DOC_PLANT_N)
+        .map_batches(bump, batch_format="pyarrow")
+    )
+    ds = base.union(planted)
+
+    def fp(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        out = [
+            hashlib.md5(
+                ws.sub(" ", (t or "").lower()).strip().encode()
+            ).hexdigest()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "fp": pa.array(out, pa.string()),
+                "doc_id": tbl.column("doc_id"),
+                "source": tbl.column("source"),
+            }
+        )
+
+    fps = ds.map_batches(fp, batch_format="pyarrow").materialize()
+    clusters = (
+        fps.groupby("fp")
+        .aggregate(
+            Min("doc_id", alias_name="rep_doc_id"),
+            Count(alias_name="n_docs"),
+        )
+    )
+
+    def distinct_pairs(tbl: pa.Table) -> pa.Table:
+        f = np.asarray(tbl.column("fp").to_pylist(), dtype=object)
+        s = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(f.astype(str), "\x00"), s.astype(str))
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "fp": pa.array(f[idx], pa.string()),
+                "source": pa.array(s[idx], pa.string()),
+            }
+        )
+
+    spread = (
+        fps.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["fp", "source"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("fp")
+        .aggregate(Count(alias_name="n_sources"))
+    )
+    j = capped_broadcast_join(
+        clusters, spread, on="fp", max_broadcast_bytes=_LOOKUP_CAP()
+    )
+
+    def multi(tbl: pa.Table) -> pa.Table:
+        ns = tbl.column("n_sources").to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array(ns > 1))
+        return pa.table(
+            {
+                "rep_doc_id": t.column("rep_doc_id"),
+                "n_docs": t.column("n_docs"),
+                "n_sources": t.column("n_sources"),
+            }
+        )
+
+    return j.map_batches(multi, batch_format="pyarrow")
+
+
+_CROSS_SOURCE_DUPS_SQL = """
+WITH aug AS (SELECT doc_id, text, source FROM documents UNION ALL
+     SELECT doc_id + 1000000000, text, 'planted' FROM
+     (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5)),
+f AS (SELECT doc_id, source,
+     trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
+     AS norm FROM aug),
+g AS (SELECT norm, MIN(doc_id) AS rep_doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM f GROUP BY norm)
+SELECT rep_doc_id, n_docs, n_sources FROM g WHERE n_sources > 1
+"""
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact word-5-gram Jaccard pairs at J ≥ 0.8 over the corpus —
     the inverted-index exact path (no sketch, no recall argument); the
@@ -20658,6 +20782,7 @@ def queries():
         "largest_components": q_largest_components,
         "doc_token_counts": q_doc_token_counts,
         "doc_dedup_exact": q_doc_dedup_exact,
+        "cross_source_dups": q_cross_source_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
@@ -21060,6 +21185,7 @@ def oracle_sql():
             "SELECT MIN(doc_id) AS doc_id FROM documents "
             "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
         ),
+        "cross_source_dups": _CROSS_SOURCE_DUPS_SQL,
         "knn_vec0_top5": (
             "WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) "
             "SELECT e.vec_id AS id, "
