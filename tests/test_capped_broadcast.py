@@ -50,7 +50,6 @@ def _bit_equal(a: pd.DataFrame, b: pd.DataFrame):
         "mutual_nn_pairs",
         "knn_label_consistency",
         "ppr_sweep_cut",
-        "cohort_retention",
     ],
 )
 def test_fallback_path_bit_equal(qname, ray_session, tmp_path, monkeypatch):
